@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.4
+  * E1/E2): exact (hash-groupBy), n-gram Jaccard pairs (exact near-dup
+  * ground truth), MinHash+LSH (the 100 TB-scale path), and SimHash.
+  *
+  * Scale notes: exact dedup and MinHash signatures are single-shuffle
+  * (hash partition by doc/key). The all-pairs Jaccard join is quadratic in
+  * per-shingle document frequency and exists as the oracle-checkable ground
+  * truth; at 100 TB you run [[minhashCandidates]] (band-bucket join → only
+  * near-certain pairs) and verify candidates with [[jaccardVerify]].
+  */
+object Dedup {
+
+  /** E1 — exact dedup: one survivor per duplicate group, deterministic
+    * min-id winner (a `dropDuplicates` that's stable across runs/engines). */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(idCol).as("keep_id"), count("*").as("dup_cnt"))
+
+  /** Word tokens → distinct n-word shingles. Guarded for short docs. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (doc_id, shingle) relation, distinct per doc. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingleSet(col("text"), n)).as("s"))
+
+  /** E2 ground truth — all document pairs with shingle-set Jaccard ≥
+    * threshold. Exact but quadratic per hot shingle; see [[minhashCandidates]]
+    * for the scale path. Output: da, db, j (rounded 4). */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh  = shingles(docs, n)
+    val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count("*").as("c"))
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Universal-hash parameters h_i(x) = (a_i·x + b_i) mod P, fixed seed so
+    * signatures are reproducible run-to-run. */
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature per doc: k min-hashes over murmur3 shingle hashes.
+    * One shuffle (groupBy doc_id), k·|shingles| cheap codegen'd ops. */
+  def minhashSignature(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, n).withColumn("h", pmod(hash(col("s")).cast("long"), lit(P)))
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs.
+    * bands·rows = k; P(candidate) ≈ 1-(1-j^rows)^bands. The band-bucket
+    * equi-join shuffles only (bucket → doc ids), never materializing the
+    * full cross product — this is the piece that survives 100 TB. */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignature(docs, n, k)
+    val banded = sig.select(col("doc_id"), posexplode(array(
+      (0 until bands).map(b =>
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)): _*)).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Verify LSH candidates with exact Jaccard — candidates are few, so this
+    * join + per-pair set math is cheap. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-bit vote over xxhash64 token hashes.
+    * Single shuffle; 64 codegen'd conditional sums. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (two pairs within
+    * hamming distance d share a chunk when d < 4 chunks), verify with
+    * `bit_count(xor) <= maxHamming`. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(docs)
+    val chunked = sig.select(col("doc_id"), col("simhash"), posexplode(array(
+      (0 until 4).map(c => shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("chunk", "ck")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.4 E5): image/audio/video as
+  * opaque `binary` payloads with a typed metadata struct, plus per-partition
+  * decode / feature-extract / frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch shape) is real; the
+  * actual codec is STUBBED with a deterministic fake — the container has no
+  * image/audio libraries. Swap [[FakeCodec]] for a real decoder (JNI/FFI)
+  * without touching the dataflow.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, width: Int, height: Int, nFrames: Int)
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+  case class DecodedRow(doc_id: Long, mime: String, byteLen: Long,
+                        width: Int, height: Int, nFrames: Int, feature: Array[Float])
+
+  /** ==== STUB ==== deterministic fake codec standing in for libjpeg/ffmpeg.
+    * Derives stable pseudo-metadata and a tiny pseudo-feature vector from
+    * payload bytes so tests are reproducible. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      MediaMeta("image/fake", 16 + n % 640, 16 + (n * 7) % 480, 1 + n % 30)
+    }
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
+      out
+    }
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val len = math.max(1, payload.length / math.max(1, n))
+      (0 until n).map(i => payload.slice(i * len, math.min(payload.length, (i + 1) * len)))
+    }
+  }
+
+  /** Attach a binary payload column (here faked from text bytes — the real
+    * pipeline reads `binaryFile` sources: `spark.read.format("binaryFile")`). */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      lit("text/plain").as("mime"))
+
+  /** Decode stage: mapPartitions so a real codec amortizes per-partition
+    * init (decoder contexts, GPU handles). Repartition first so decode
+    * parallelism matches cluster width, not input-file layout. */
+  def decodeAll(media: DataFrame, partitions: Int = 0): Dataset[DecodedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = (if (partitions > 0) media.repartition(partitions, col("doc_id")) else media)
+      .select(col("doc_id"), col("payload"), col("mime")).as[MediaRow]
+    src.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { r =>
+        val m = FakeCodec.decode(r.payload)
+        DecodedRow(r.doc_id, r.mime, r.payload.length.toLong,
+          m.width, m.height, m.nFrames, FakeCodec.features(r.payload))
+      }
+    }
+  }
+
+  /** Frame-sampling stage: one output row per sampled frame. */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("mime")).as[MediaRow]
+      .flatMap { r =>
+        FakeCodec.sampleFrames(r.payload, nFrames).zipWithIndex.map {
+          case (frame, i) => (r.doc_id, i, frame)
+        }
+      }.toDF("doc_id", "frame_idx", "frame")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.4 E4):
+  * tokenization, quality stats, n-gram-heuristic language ID, document
+  * fingerprinting. All pure built-in column expressions — codegen'd,
+  * shuffle-free per-row transforms that scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer dropping empty tokens (stable across engines). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count (long). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish sub-word count: word pieces + digits + punctuation as separate
+    * tokens (regex approximation of a byte-pair tokenizer's pre-split). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation-character ratio — quality-scoring signal. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
+
+  /** Mean token length — quality-scoring signal. */
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tokens(text))
+
+  /** Per-document stats frame: doc_id, n_tokens, avg_token_len, punct_ratio. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(avgTokenLen(col("text")), 4).as("avg_token_len"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"))
+
+  /** Stopword marker sets for the n-gram-heuristic language ID. Tiny on
+    * purpose: the heuristic must be expressible identically in the DuckDB
+    * oracle. Ties break by the fixed en→de→es→fr priority; no hits → "und". */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "est", "et", "des"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers))).cast("long")
+
+  /** Language-ID guess per document: doc_id, lang_guess.
+    * Deterministic argmax with fixed priority order. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id") +: LangMarkers.map { case (l, ms) => markerHits(col("text"), ms).as(s"s_$l") }: _*)
+    val Seq(en, de, es, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
+    scored.select(
+      col("doc_id"),
+      when(greatest(en, de, es, fr) === 0, lit("und"))
+        .when(en >= de && en >= es && en >= fr, lit("en"))
+        .when(de >= es && de >= fr, lit("de"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr"))
+        .as("lang_guess"))
+  }
+
+  /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
+    * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
+    * only if one exact text dominates, which exact-dedup removes first. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val byFp = docs.groupBy(md5(col("text")).as("fp")).agg(
+      min("doc_id").as("keep_id"), count("*").as("fp_dups"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(byFp, "fp")
+      .select(col("doc_id"), col("fp"), col("fp_dups"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator queries (SURVEY.md §2.4, E1–E5): the training-data
+  * pipeline surface — dedup, similarity search, text analysis, multimodal
+  * plumbing. Oracle-checkable where DuckDB can express the same semantics;
+  * approximate operators (MinHash-LSH, SimHash, random-projection ANN) are
+  * registered without an oracle → the driver records a rows-only check, and
+  * ScalaTest asserts recall against the exact variants.
+  */
+object Extensions {
+
+  import Parity.QueryFn
+
+  val all: Seq[(String, QueryFn, Option[String])] = Seq(
+
+    // E1 — exact dedup by full text, deterministic min-id survivor
+    ("qe1_dedup_exact", (s: SparkSession, d: String) => {
+      Dedup.exactDedup(Engine.Tables(s, d).documents, Seq("text"), "doc_id")
+        .select("keep_id", "dup_cnt").orderBy("keep_id")
+    }, Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // E2 (ground truth) — 3-gram shingle Jaccard near-dup pairs, j >= 0.5
+    ("qe2_jaccard_pairs", (s: SparkSession, d: String) => {
+      Dedup.jaccardPairs(Engine.Tables(s, d).documents, 3, 0.5)
+        .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+        .orderBy("da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM tok, (SELECT unnest(range(1, 200)) AS i) WHERE i + 2 <= len(ws) AND len(ws[i]) > 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+
+    // E2 (scale path) — MinHash-LSH candidates verified with exact Jaccard;
+    // approximate → rows-only driver check, recall asserted in ScalaTest
+    ("qe2b_minhash_lsh", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+        .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+        .orderBy("da", "db")
+    }, None),
+
+    // E2 — SimHash near-dup pairs (approximate → rows-only check)
+    ("qe2c_simhash", (s: SparkSession, d: String) => {
+      Dedup.simhashPairs(Engine.Tables(s, d).documents, 3)
+        .select("da", "db", "hamming").orderBy("da", "db")
+    }, None),
+
+    // E3 — brute-force cosine top-5 for query vectors vec_id < 10
+    ("qe3_knn_brute", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk FROM scored) SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // E3 (scale path) — sign-random-projection LSH ANN (rows-only check)
+    ("qe3b_knn_lsh", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    }, None),
+
+    // E4 — per-document quality stats
+    ("qe4a_textstats", (s: SparkSession, d: String) => {
+      TextAnalysis.textStats(Engine.Tables(s, d).documents).orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, ROUND(CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 4) AS avg_token_len, ROUND(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio FROM documents ORDER BY doc_id""")),
+
+    // E4 — n-gram-heuristic language ID (same marker sets in both engines)
+    ("qe4b_langid", (s: SparkSession, d: String) => {
+      TextAnalysis.langId(Engine.Tables(s, d).documents).orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok) SELECT doc_id, CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess FROM sc ORDER BY doc_id""")),
+
+    // E4 — document fingerprinting (md5) + duplicate counts
+    ("qe4c_fingerprint", (s: SparkSession, d: String) => {
+      TextAnalysis.fingerprints(Engine.Tables(s, d).documents).orderBy("doc_id")
+    }, Some("""SELECT doc_id, md5(text) AS fp, fp_dups FROM (SELECT doc_id, text, COUNT(*) OVER (PARTITION BY md5(text)) AS fp_dups FROM documents) ORDER BY doc_id""")),
+
+    // E4 — BPE-ish sub-word token counting
+    ("qe4d_tokens", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id""")),
+
+    // E5 — multimodal payload plumbing: binary column + deterministic
+    // stub-decoded metadata (oracle checks the SQL-expressible subset)
+    ("qe5_multimodal", (s: SparkSession, d: String) => {
+      val media = Multimodal.attachPayload(Engine.Tables(s, d).documents)
+      Multimodal.decodeAll(media).toDF()
+        .select(col("doc_id"), col("mime"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY doc_id"""))
+  )
+}

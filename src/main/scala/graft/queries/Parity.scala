@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.Engine
+import graft.functions.ScalarOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The t2 parity query set (SURVEY.md §2.3 Q1–Q22): every reference operator
+  * category re-expressed over the driver tables, each with a DuckDB oracle.
+  *
+  * Determinism contract (hash-match): total ORDER BY on every output, all
+  * doubles ROUND(x,4), all timestamps rendered `yyyy-MM-dd HH:mm:ss` (UTC),
+  * all epoch arithmetic in microseconds (test timestamps carry µs), counts
+  * and ranks cast to long to match DuckDB's BIGINT.
+  */
+object Parity {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** The raw `events.ts` parquet column is TIMESTAMP(NANOS); the engine reads
+    * it as µs (see Engine.Tables.events). Normalize the oracle identically:
+    * every `FROM events` is rewritten to cast ts down to µs precision. */
+  private val EvCast = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+  private def oracle(sql: String): Option[String] =
+    Some(sql.replace("FROM events", s"FROM $EvCast"))
+
+  /** (name, spark builder, duckdb oracle) triples. */
+  val all: Seq[(String, QueryFn, Option[String])] = Seq(
+
+    // Q1 — scan + projection (T12)
+    ("q01_project", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .select(col("event_id"), col("event_type"), round(col("value"), 4).as("v"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, event_type, ROUND(value,4) AS v FROM events ORDER BY event_id""")),
+
+    // Q2 — filter / predicates (T10, T11)
+    ("q02_filter", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .filter(col("event_type") === "click" && col("value").between(10, 100))
+        .select(col("event_id"), round(col("value"), 4).as("v"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, ROUND(value,4) AS v FROM events WHERE event_type = 'click' AND value BETWEEN 10 AND 100 ORDER BY event_id""")),
+
+    // Q3 — unit scale + battery model + clamp (T1–T4)
+    ("q03_scale_clamp", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .select(col("event_id"),
+          round(unitScale(col("value")), 4).as("scaled"),
+          round(battPct(col("value")), 4).as("batt"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, ROUND(value/10.0,4) AS scaled, ROUND(LEAST(100.0, GREATEST(0.0, (value-6)/2.4*100)),4) AS batt FROM events ORDER BY event_id""")),
+
+    // Q4 — timestamp format + extract (T5, T6)
+    ("q04_time", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .select(col("event_id"), isoFormat(col("ts")).as("iso"),
+          hour(col("ts")).cast("long").as("hr"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso, CAST(hour(ts) AS BIGINT) AS hr FROM events ORDER BY event_id""")),
+
+    // Q5 — JSON extract with sentinel default 888.8 (T8)
+    ("q05_json_default", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .select(col("event_id"),
+          round(jsonDoubleOrDefault(col("props"), "$.k", 888.8), 4).as("k_val"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, ROUND(COALESCE(CAST(json_extract_string(props,'$.k') AS DOUBLE), 888.8),4) AS k_val FROM events ORDER BY event_id""")),
+
+    // Q6 — sign-based status classify (T13)
+    ("q06_classify", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(chargeStatus(col("value")).as("status"))
+        .agg(count("*").as("cnt"))
+        .orderBy("status")
+    }, oracle("""SELECT CASE WHEN value > 0 THEN 'Charging' ELSE 'Discharging' END AS status, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY status""")),
+
+    // Q7 — latest-value hold per key (T9)
+    ("q07_latest", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Engine.Tables(s, d).events
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), date_format(col("ts"), TsFmt).as("ts_s"),
+          round(col("value"), 4).as("v"))
+        .orderBy("user_id")
+    }, oracle("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, ROUND(value,4) AS v FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    // Q8 — lag-based change detection (X1): sign(value-100) flips per user
+    ("q08_flip", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Engine.Tables(s, d).events
+        .withColumn("sg", signum(col("value") - 100))
+        .withColumn("ps", lag(col("sg"), 1).over(w))
+        .filter(col("ps").isNotNull && col("sg") =!= col("ps"))
+        .groupBy("user_id").agg(count("*").as("flips"))
+        .orderBy("user_id")
+    }, oracle("""SELECT user_id, COUNT(*) AS flips FROM (SELECT user_id, SIGN(value-100) AS sg, LAG(SIGN(value-100)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ps FROM events) WHERE ps IS NOT NULL AND sg <> ps GROUP BY user_id ORDER BY user_id""")),
+
+    // Q9 — rate of change per user (X2)
+    ("q09_rate", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy("user_id")
+        .agg(round((max(col("value")) - min(col("value"))) /
+          ((max(epochUs(col("ts"))) - min(epochUs(col("ts")))) / lit(1e6) + 1), 4).as("rate"))
+        .orderBy("user_id")
+    }, oracle("""SELECT user_id, ROUND((MAX(value)-MIN(value)) / ((MAX(epoch_us(ts))-MIN(epoch_us(ts)))/1e6 + 1),4) AS rate FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Q10 — staleness predicate (X3, X4): users > 3600 s behind global max ts
+    ("q10_stale", (s: SparkSession, d: String) => {
+      val ev = Engine.Tables(s, d).events
+      val perUser = ev.groupBy("user_id").agg(max(epochUs(col("ts"))).as("umax"))
+      val global = ev.agg(max(epochUs(col("ts"))).as("gmax"))
+      perUser.crossJoin(broadcast(global))
+        .filter(col("gmax") - col("umax") > 3600L * 1000000L)
+        .select("user_id").orderBy("user_id")
+    }, oracle("""SELECT user_id FROM (SELECT user_id, MAX(epoch_us(ts)) AS umax FROM events GROUP BY user_id), (SELECT MAX(epoch_us(ts)) AS gmax FROM events) WHERE gmax - umax > 3600000000 ORDER BY user_id""")),
+
+    // Q11 — hash aggregation, multiple aggregates
+    ("q11_agg", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy("event_type")
+        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"),
+          round(sum(col("value")), 4).as("sum_v"),
+          date_format(min(col("ts")), TsFmt).as("min_ts"),
+          date_format(max(col("ts")), TsFmt).as("max_ts"))
+        .orderBy("event_type")
+    }, oracle("""SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value),4) AS avg_v, ROUND(SUM(value),4) AS sum_v, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Q12 — exact distinct count (HLL variant tested in ScalaTest with tolerance)
+    ("q12_distinct", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    }, oracle("""SELECT event_type, COUNT(DISTINCT user_id) AS users FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Q13 — multi-way equi-join + agg; dims broadcast
+    ("q13_join_agg", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
+        .orderBy("r_name")
+    }, oracle("""SELECT r_name, ROUND(SUM(o_totalprice),4) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""")),
+
+    // Q14a — left semi join (EXISTS)
+    ("q14a_semi", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, oracle("""SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""")),
+
+    // Q14b — left anti join (NOT EXISTS)
+    ("q14b_anti", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, oracle("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""")),
+
+    // Q14c — equi + range theta-join: shipdate within 30 days of order date
+    ("q14c_range", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      t.orders.join(t.lineitem,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+        .agg(count("*").as("cnt"))
+        .orderBy("month")
+    }, oracle("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month, COUNT(*) AS cnt FROM orders JOIN lineitem ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY month""")),
+
+    // Q15a — ranking window: top-3 orders per priority
+    ("q15a_topk", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Engine.Tables(s, d).orders
+        .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy("o_orderpriority", "rn")
+    }, oracle("""SELECT o_orderpriority, rn, o_orderkey, ROUND(o_totalprice,4) AS price FROM (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+
+    // Q15b — analytic windows: running sum + rank over per-type daily sums
+    ("q15b_running", (s: SparkSession, d: String) => {
+      val daily = Engine.Tables(s, d).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("sv"))
+      val wRun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRank = Window.partitionBy("event_type").orderBy(round(col("sv"), 4).desc, col("day"))
+      daily
+        .withColumn("running", round(sum(col("sv")).over(wRun), 4))
+        .withColumn("rnk", rank().over(wRank).cast("long"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("running"), col("rnk"))
+        .orderBy("event_type", "day_s")
+    }, oracle("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS sv FROM events GROUP BY 1, 2) SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, ROUND(SUM(sv) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running, CAST(rank() OVER (PARTITION BY event_type ORDER BY ROUND(sv,4) DESC, day) AS BIGINT) AS rnk FROM daily ORDER BY event_type, day_s""")),
+
+    // Q16 — tumbling 10-minute window aggregation (batch form of the
+    // streaming query; same code path as streaming.WindowedAggs)
+    ("q16_tumble", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+        .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
+          col("cnt"), col("avg_v"))
+        .orderBy("wstart", "event_type")
+    }, oracle("""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type, COUNT(*) AS cnt, ROUND(AVG(value),4) AS avg_v FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
+    // Q17a — sliding windows (10 min width, 5 min slide)
+    ("q17a_slide", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+        .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
+          col("cnt"), col("avg_v"))
+        .orderBy("wstart", "event_type")
+    }, oracle("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, COUNT(*) AS cnt, ROUND(AVG(value),4) AS avg_v FROM (SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS ws, event_type, value FROM events) GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
+    // Q17b — session windows, 30-minute gap, per user
+    ("q17b_session", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count("*").as("cnt"))
+        .select(col("user_id"), date_format(col("w.start"), TsFmt).as("session_start"),
+          col("cnt"))
+        .orderBy("user_id", "session_start")
+    }, oracle("""WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // Q18 — rollup with grouping flags
+    ("q18_rollup", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      // via the engine's SQL surface: DataFrame-side grouping() currently
+      // trips the analyzer's ambiguous-self-join check under rollup
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "o_totalprice")
+        .createOrReplaceTempView("q18_flat")
+      s.sql("""SELECT r_name, n_name, ROUND(SUM(o_totalprice), 4) AS revenue,
+                      CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+                      CAST(GROUPING(n_name) AS BIGINT) AS g_n
+               FROM q18_flat GROUP BY ROLLUP(r_name, n_name)
+               ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }, oracle("""SELECT r_name, n_name, ROUND(SUM(o_totalprice),4) AS revenue, CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // Q19a — INTERSECT: users active in both halves of the time range
+    ("q19a_intersect", (s: SparkSession, d: String) => {
+      val ev = Engine.Tables(s, d).events
+      val g = ev.agg((max(epochUs(col("ts"))) + min(epochUs(col("ts")))).as("gsum"))
+      val tagged = ev.select(col("user_id"), (epochUs(col("ts")) * 2).as("e2"))
+        .crossJoin(broadcast(g))
+      tagged.filter(col("e2") < col("gsum")).select("user_id").distinct()
+        .intersect(tagged.filter(col("e2") >= col("gsum")).select("user_id").distinct())
+        .orderBy("user_id")
+    }, oracle("""WITH g AS (SELECT MAX(epoch_us(ts)) + MIN(epoch_us(ts)) AS gsum FROM events) SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) < gsum INTERSECT SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) >= gsum ORDER BY user_id""")),
+
+    // Q19b — EXCEPT: users active only in the first half
+    ("q19b_except", (s: SparkSession, d: String) => {
+      val ev = Engine.Tables(s, d).events
+      val g = ev.agg((max(epochUs(col("ts"))) + min(epochUs(col("ts")))).as("gsum"))
+      val tagged = ev.select(col("user_id"), (epochUs(col("ts")) * 2).as("e2"))
+        .crossJoin(broadcast(g))
+      tagged.filter(col("e2") < col("gsum")).select("user_id").distinct()
+        .except(tagged.filter(col("e2") >= col("gsum")).select("user_id").distinct())
+        .orderBy("user_id")
+    }, oracle("""WITH g AS (SELECT MAX(epoch_us(ts)) + MIN(epoch_us(ts)) AS gsum FROM events) SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) < gsum EXCEPT SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) >= gsum ORDER BY user_id""")),
+
+    // Q20 — sort/limit + string functions
+    ("q20_topk_str", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).part
+        .orderBy(col("p_retailprice").desc, col("p_partkey")).limit(20)
+        .select(col("p_partkey"), upper(substring(col("p_name"), 1, 10)).as("uname"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("bt"),
+          round(col("p_retailprice"), 4).as("price"))
+    }, oracle("""SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 10)) AS uname, p_brand || '/' || p_type AS bt, ROUND(p_retailprice,4) AS price FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20""")),
+
+    // Q21 — array explode with position + filter (T10)
+    ("q21_explode", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).embeddings
+        .filter(col("label") === 1)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col").cast("double"), 4).as("v"))
+        .orderBy("vec_id", "pos")
+    }, oracle("""SELECT vec_id, CAST(p.pos AS BIGINT) AS pos, ROUND(CAST(embedding[p.pos] AS DOUBLE),4) AS v FROM embeddings, (VALUES (1),(2),(3),(4)) AS p(pos) WHERE label = 1 ORDER BY vec_id, pos""")),
+
+    // Q22 — to_json ∘ from_json round trip (T7+T8); oracle is the identity
+    ("q22_json_roundtrip", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"),
+            round(col("value"), 4).as("v"))).as("js"))
+        .select(col("event_id"), get_json_object(col("js"), "$.event_type").as("extracted"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, event_type AS extracted FROM events ORDER BY event_id"""))
+  )
+}
