@@ -203,29 +203,21 @@ object Parity {
     // Q16 — tumbling 10-minute window aggregation (batch form of the
     // streaming query; same code path as streaming.WindowedAggs)
     ("q16_tumble", (s: SparkSession, d: String) => {
-      Engine.Tables(s, d).events
-        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"))
-        .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
-          col("cnt"), col("avg_v"))
+      graft.streaming.WindowedAggs.rendered(
+        graft.streaming.WindowedAggs.tumbling(Engine.Tables(s, d).events), "event_type")
         .orderBy("wstart", "event_type")
     }, oracle("""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type, COUNT(*) AS cnt, ROUND(AVG(value),4) AS avg_v FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
 
     // Q17a — sliding windows (10 min width, 5 min slide)
     ("q17a_slide", (s: SparkSession, d: String) => {
-      Engine.Tables(s, d).events
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
-        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"))
-        .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
-          col("cnt"), col("avg_v"))
+      graft.streaming.WindowedAggs.rendered(
+        graft.streaming.WindowedAggs.sliding(Engine.Tables(s, d).events), "event_type")
         .orderBy("wstart", "event_type")
     }, oracle("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, COUNT(*) AS cnt, ROUND(AVG(value),4) AS avg_v FROM (SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS ws, event_type, value FROM events) GROUP BY 1, 2 ORDER BY wstart, event_type""")),
 
     // Q17b — session windows, 30-minute gap, per user
     ("q17b_session", (s: SparkSession, d: String) => {
-      Engine.Tables(s, d).events
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count("*").as("cnt"))
+      graft.streaming.WindowedAggs.session(Engine.Tables(s, d).events)
         .select(col("user_id"), date_format(col("w.start"), TsFmt).as("session_start"),
           col("cnt"))
         .orderBy("user_id", "session_start")

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.functions.ScalarOps._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's module pipelines re-expressed as pure
+  * `DataFrame => DataFrame` transforms. Because they are plan transforms,
+  * the SAME code runs batch (unit tests, backfill) and streaming
+  * (`readStream.transform(...)`) — Spark's incrementalization does the rest.
+  *
+  * Schemas follow FIXTURES.md §B (derived from the reference wire formats).
+  */
+object Pipelines {
+
+  /** dd producer payload schema (ref `src/modules/dd/producer.c:136-141`). */
+  val DdSchema: StructType = StructType(Seq(
+    StructField("timestamp_utc", StringType),
+    StructField("temp_outdoor_celsius", DoubleType),
+    StructField("temp_indoor_celsius", DoubleType),
+    StructField("rh_outdoor", DoubleType)))
+
+  /** ch payload schema (ref `src/modules/ch/ch.c:142-145`). */
+  val ChSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("temp_celsius", DoubleType)))
+
+  /** HKO `rhrread` subset schema (ref `src/modules/hko/hko.cpp:100-118`). */
+  val HkoSchema: StructType = StructType(Seq(
+    StructField("temperature", StructType(Seq(
+      StructField("recordTime", StringType),
+      StructField("data", ArrayType(StructType(Seq(
+        StructField("place", StringType),
+        StructField("value", DoubleType),
+        StructField("unit", StringType))))))))))
+
+  /** dd consumer parse: JSON payload string → typed columns with the
+    * reference's default-888.8-on-missing semantics; malformed JSON rows are
+    * routed out by [[deadLetterSplit]] (ref `consumer.cpp:115-131`).
+    * PERMISSIVE from_json yields an all-null struct (not null) on corrupt
+    * input, so malformed-ness is detected via a corrupt-record column. */
+  def ddConsumer(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+    payloads
+      .withColumn("j", from_json(col(payloadCol),
+        DdSchema.add("_corrupt_record", StringType),
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("parsed", col("j._corrupt_record").isNull)
+      .select(col("*"),
+        isoParse(col("j.timestamp_utc")).as("ts"),
+        coalesce(col("j.temp_outdoor_celsius"), lit(888.8)).as("temp_outdoor_celsius"),
+        coalesce(col("j.temp_indoor_celsius"), lit(888.8)).as("temp_indoor_celsius"),
+        coalesce(col("j.rh_outdoor"), lit(888.8)).as("rh_outdoor"))
+      .drop("j")
+
+  /** T11 error routing: split a parsed frame into (good, dead-letter).
+    * Streaming: run inside `foreachBatch` and write each side to its sink
+    * (recoverable-error contract, ref `module.h:41-44`, `event_loops.c:43-49`). */
+  def deadLetterSplit(df: DataFrame, goodPredicate: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
+    (df.filter(goodPredicate), df.filter(!goodPredicate || goodPredicate.isNull))
+
+  /** The HKO collection path (SURVEY §3.3, the §7 minimum slice):
+    * raw JSON document → parse → explode `temperature.data` → filter
+    * (place match, unit == "C") → project → enrich fetch timestamp →
+    * `to_json` publish payload (ref `hko.cpp:94-130`).
+    *
+    * Last-match-wins on duplicate places (ref scans the whole array,
+    * `hko.cpp:102-107`) — reproduced with `max_by` over array position.
+    * `fetchTs` stands in for "now" so tests are deterministic; production
+    * passes `current_timestamp()`.
+    */
+  def hko(raw: DataFrame, place: String, fetchTs: org.apache.spark.sql.Column,
+          docCol: String = "doc"): DataFrame =
+    raw
+      .withColumn("j", from_json(col(docCol), HkoSchema))
+      .select(col("j.temperature.recordTime").as("hko_timestamp"),
+        posexplode(col("j.temperature.data")).as(Seq("pos", "d")))
+      .filter(col("d.place") === place && col("d.unit") === "C")
+      .groupBy(col("hko_timestamp"))
+      .agg(max_by(col("d.value"), col("pos")).as("temp_celsius"))
+      .select(isoFormat(fetchTs).as("fh_timestamp"), col("hko_timestamp"),
+        col("temp_celsius"))
+
+  /** HKO publish payload (ref `hko.cpp:123-125`, K2). */
+  def hkoPayload(projected: DataFrame): DataFrame =
+    projected.select(to_json(struct(col("fh_timestamp"), col("hko_timestamp"),
+      col("temp_celsius"))).as("payload"))
+
+  /** ch pipeline: raw int16 tenths (sentinel 999 = read error, ref
+    * `ch.c:193-204`) → °C with 99.9 error value → publish payload. */
+  def ch(raw: DataFrame, rawCol: String = "raw_tenths", tsCol: String = "ts"): DataFrame =
+    raw.select(
+      isoFormat(col(tsCol)).as("timestamp"),
+      unitScale(col(rawCol)).as("temp_celsius"))
+
+  /** UPS telemetry decode (S4/T2-T4/T13): raw INA219 registers → volts/mA/W,
+    * battery %, charge status (ref `module_rpi_ups_hat.c:130-262`). */
+  def upsDecode(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("bus_voltage", busVoltage(col("bus_reg")))
+      .withColumn("shunt_voltage", shuntVoltage(col("shunt_reg")))
+      .withColumn("current_ma", currentMilliAmp(col("current_reg")))
+      .withColumn("power_w", powerWatt(col("power_reg")))
+      .withColumn("batt_pct", battPct(col("bus_voltage")))
+      .withColumn("status", chargeStatus(col("current_ma")))
+}

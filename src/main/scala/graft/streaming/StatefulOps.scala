@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** The reference's stateful time-aware operators (SURVEY.md §2.1 X1–X3, T9)
+  * as keyed Spark operators with BOTH batch and streaming forms. Batch forms
+  * are window-function plans (verifiable against the DuckDB oracle);
+  * streaming forms use `flatMapGroupsWithState` — per-key state lives in the
+  * state store, scales horizontally with key partitioning, and replaces the
+  * reference's single global struct + mutex (`consumer.cpp:51-52`).
+  */
+object StatefulOps {
+
+  // ---------- T9: latest-value hold --------------------------------------
+
+  /** Batch: per-key latest (ts, value), ties broken by largest event id
+    * (ref latest-value semantics `producer.c:217-219,251-260`). */
+  def latestValueBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+  }
+
+  /** Streaming: same result via stateful agg (Update/Complete mode). */
+  def latestValueStream(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value")), struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("l.ts").as("ts"), col("l.value").as("value"))
+
+  // ---------- X1+X2: change detection + rate/ETA --------------------------
+
+  case class UpsReading(device_id: Long, ts: Timestamp, current_ma: Double, batt_pct: Double)
+  case class UpsState(prevSign: Int, t0: Long, pct0: Double)
+  case class UpsDerived(device_id: Long, ts: Timestamp, batt_pct: Double,
+                        status: String, batt_use_per_sec: Option[Double],
+                        remaining_hrs: Option[Double])
+
+  /** One step of the reference's derived-metric math
+    * (ref `module_rpi_ups_hat.c:200-219,253-259`): on sign flip (or first
+    * sample) reset baseline (t0, pct0); rate = (pct0-pct)/(t-t0+1);
+    * remaining = pct/rate/3600, None when rate <= 0. */
+  private def upsStep(r: UpsReading, st: Option[UpsState]): (UpsState, UpsDerived) = {
+    val sign = if (r.current_ma > 0) 1 else -1
+    val tSec = r.ts.getTime / 1000
+    val base = st match {
+      case Some(s) if s.prevSign == sign => s.copy(prevSign = sign)
+      case _                             => UpsState(sign, tSec, r.batt_pct)
+    }
+    val rate = (base.pct0 - r.batt_pct) / (tSec - base.t0 + 1)
+    val (use, rem) =
+      if (rate > 0) (Some(rate), Some(r.batt_pct / rate / 3600.0)) else (None, None)
+    (base, UpsDerived(r.device_id, r.ts, r.batt_pct,
+      if (sign > 0) "Charging" else "Discharging", use, rem))
+  }
+
+  /** Streaming X1+X2: per-device state via flatMapGroupsWithState. */
+  def upsDerivedStream(readings: Dataset[UpsReading]): Dataset[UpsDerived] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.device_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[UpsReading], state: GroupState[UpsState]) =>
+          // micro-batches can carry several rows per key: fold in ts order
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.current_ma))
+          var st = state.getOption
+          val out = sorted.map { r =>
+            val (ns, d) = upsStep(r, st); st = Some(ns); d
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch X1+X2 (oracle-checkable form): identical math via window
+    * functions — the flip baseline is the last sign-change row ≤ current. */
+  def upsDerivedBatch(readings: Dataset[UpsReading]): DataFrame = {
+    val df = readings.toDF()
+    val w = Window.partitionBy("device_id").orderBy(col("ts"), col("current_ma"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = df.withColumn("sign", when(col("current_ma") > 0, 1).otherwise(-1))
+      .withColumn("flip", col("sign") =!= coalesce(lag(col("sign"), 1).over(w), lit(0)))
+    val based = signed
+      .withColumn("base", last(when(col("flip"),
+        struct(col("ts").cast("long").as("t0"), col("batt_pct").as("pct0"))), ignoreNulls = true).over(wRun))
+      .withColumn("rate",
+        (col("base.pct0") - col("batt_pct")) / (col("ts").cast("long") - col("base.t0") + 1))
+    based.select(col("device_id"), col("ts"), col("batt_pct"),
+      when(col("sign") > 0, "Charging").otherwise("Discharging").as("status"),
+      when(col("rate") > 0, col("rate")).as("batt_use_per_sec"),
+      when(col("rate") > 0, col("batt_pct") / col("rate") / 3600.0).as("remaining_hrs"))
+  }
+
+  // ---------- X3: staleness watchdog --------------------------------------
+
+  case class Reading(key: String, ts: Timestamp, value: Double)
+  case class WatchState(lastTs: Long, lastValue: Double)
+  case class WatchOut(key: String, value: Double, stale: Boolean)
+
+  /** Streaming watchdog (ref `consumer.cpp:241-268`): tracks the latest
+    * reading per key; if no update arrives within `toleranceMs` of
+    * processing time, emits the sentinel 888.8 row exactly like the
+    * reference resets its displays. The mutex-guarded shared state of the
+    * reference becomes engine-managed per-key state. */
+  def stalenessWatchdog(readings: Dataset[Reading], toleranceMs: Long,
+                        sentinel: Double = 888.8): Dataset[WatchOut] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: String, rows: Iterator[Reading], state: GroupState[WatchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(WatchOut(key, sentinel, stale = true))
+          } else {
+            val latest = rows.maxBy(_.ts.getTime)
+            state.update(WatchState(latest.ts.getTime, latest.value))
+            state.setTimeoutDuration(toleranceMs)
+            Iterator(WatchOut(key, latest.value, stale = false))
+          }
+      }
+  }
+
+  /** Batch X3 (oracle form, = parity q10): keys whose latest event is more
+    * than `toleranceSec` behind the global maximum. */
+  def staleKeysBatch(events: DataFrame, toleranceSec: Long): DataFrame = {
+    val perKey = events.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("umax"))
+    val global = events.agg(max(unix_micros(col("ts"))).as("gmax"))
+    perKey.crossJoin(broadcast(global))
+      .filter(col("gmax") - col("umax") > toleranceSec * 1000000L)
+      .select("user_id")
+  }
+}

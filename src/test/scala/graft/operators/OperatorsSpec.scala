@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Engine, SparkTestBase}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+class VectorOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val frame = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(2.0f, 0.0f, 0.0f)),
+    (4L, Seq(3.0f, 4.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  private def cosOf(a: Long, b: Long): Double = {
+    val l = frame.filter(col("vec_id") === a).select(col("embedding").as("x"))
+    val r = frame.filter(col("vec_id") === b).select(col("embedding").as("y"))
+    l.crossJoin(r).select(VectorOps.cosine(col("x"), col("y")).as("c")).head().getDouble(0)
+  }
+
+  test("cosine: parallel=1, orthogonal=0, known angle") {
+    assert(cosOf(1, 3) === 1.0 +- 1e-12)
+    assert(cosOf(1, 2) === 0.0 +- 1e-12)
+    assert(cosOf(1, 4) === 0.6 +- 1e-12) // (3,4,0)·(1,0,0) / 5
+  }
+
+  test("norm and dot") {
+    val n = frame.filter(col("vec_id") === 4)
+      .select(VectorOps.norm(col("embedding"))).head().getDouble(0)
+    assert(n === 5.0 +- 1e-12)
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per key") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, Seq("text"), "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingleSet: n=3 over 5 tokens yields 3 shingles; short doc -> empty") {
+    val df = Seq(("a b c d e"), ("a b")).toDF("text")
+    val sizes = df.select(size(Dedup.shingleSet(col("text"), 3))).as[Int].collect()
+    assert(sizes.toSeq == Seq(3, 0))
+  }
+
+  test("jaccardPairs finds planted near-duplicates; identical docs j=1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear here in this other document now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("MinHash-LSH recall: finds every exact-Jaccard pair on sf0.001 docs") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).select("da", "db")
+    val lsh = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+      .select("da", "db")
+    assert(exact.except(lsh).count() == 0, "LSH missed ground-truth pairs")
+    assert(lsh.except(exact).count() == 0, "verify step must remove false positives")
+  }
+
+  test("simhash: identical docs have identical fingerprints, hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force top-k is exact: agrees with a driver-side reference calc") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .orderBy("rnk").collect()
+    // reference computation in plain Scala
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    assert(topk.map(_.getAs[Long]("cid")).toSeq == expect)
+  }
+
+  test("LSH top-k returns subset of correct cosines with rank order per query") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq.reverse == sorted.map(_.getAs[Double]("cos")).toSeq.sorted)
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenizer drops empties on messy whitespace") {
+    val df = Seq(("  a  b\tc \n d  "), ("")).toDF("text")
+    val counts = df.select(TextAnalysis.tokenCount(col("text"))).as[Long].collect()
+    assert(counts.toSeq == Seq(4L, 0L))
+  }
+
+  test("bpe-ish counting splits words, digits, punctuation") {
+    val n = Seq(("hello, world 42!")).toDF("text")
+      .select(TextAnalysis.bpeishCount(col("text"))).as[Long].head()
+    // hello , world 4 2 ! -> 6
+    assert(n == 6L)
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "und")))
+  }
+
+  test("fingerprints: identical text same md5 and dup count") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("fp") == out(1).getAs[String]("fp"))
+    assert(out(0).getAs[Long]("fp_dups") == 2L && out(2).getAs[Long]("fp_dups") == 1L)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("payload attach + stub decode is deterministic and partition-safe") {
+    val docs = Engine.Tables(spark, Sf0001).documents.limit(50)
+    val once = Multimodal.decodeAll(Multimodal.attachPayload(docs), partitions = 4)
+      .collect().sortBy(_.doc_id)
+    val twice = Multimodal.decodeAll(Multimodal.attachPayload(docs), partitions = 2)
+      .collect().sortBy(_.doc_id)
+    assert(once.map(r => (r.doc_id, r.byteLen, r.width, r.height)).toSeq ==
+      twice.map(r => (r.doc_id, r.byteLen, r.width, r.height)).toSeq)
+    assert(once.forall(_.feature.length == 8))
+  }
+
+  test("frame sampling yields n frames per doc") {
+    val docs = Engine.Tables(spark, Sf0001).documents.limit(5)
+    val frames = Multimodal.sampleFrames(Multimodal.attachPayload(docs), 4)
+    assert(frames.count() == 20)
+  }
+}

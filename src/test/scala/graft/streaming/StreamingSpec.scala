@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.{Engine, SparkTestBase}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming semantics: pipelines, windowed aggs batch/stream equivalence,
+  * stateful X1–X3 — SURVEY §2.3 adjunct + §5.2. */
+class PipelinesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("HKO minimum slice: parse-explode-filter-project (ref hko.cpp:94-130)") {
+    val doc =
+      """{"temperature": {"recordTime": "2024-12-23T16:00:00+08:00",
+        |  "data": [{"place": "Happy Valley", "value": 19.0, "unit": "C"},
+        |           {"place": "King's Park", "value": 18.5, "unit": "C"}]}}""".stripMargin
+    val raw = Seq(doc).toDF("doc")
+    val out = Pipelines.hko(raw, "Happy Valley", to_timestamp(lit("2024-12-23 08:00:05")))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("fh_timestamp") == "2024-12-23T08:00:05Z")
+    assert(out(0).getAs[String]("hko_timestamp") == "2024-12-23T16:00:00+08:00")
+    assert(out(0).getAs[Double]("temp_celsius") == 19.0)
+  }
+
+  test("HKO: wrong unit row is rejected (T11, ref hko.cpp:112-115)") {
+    val doc = """{"temperature": {"recordTime": "t", "data": [{"place": "X", "value": 66.2, "unit": "F"}]}}"""
+    assert(Pipelines.hko(Seq(doc).toDF("doc"), "X", current_timestamp()).count() == 0)
+  }
+
+  test("HKO: last match wins on duplicate place (ref hko.cpp:102-107)") {
+    val doc =
+      """{"temperature": {"recordTime": "t", "data": [
+        |  {"place": "X", "value": 1.0, "unit": "C"},
+        |  {"place": "X", "value": 2.0, "unit": "C"}]}}""".stripMargin
+    val out = Pipelines.hko(Seq(doc).toDF("doc"), "X", current_timestamp()).collect()
+    assert(out(0).getAs[Double]("temp_celsius") == 2.0)
+  }
+
+  test("dd consumer: defaults 888.8 on missing fields, flags malformed JSON") {
+    val payloads = Seq(
+      """{"timestamp_utc": "2024-12-23T08:00:00Z", "temp_outdoor_celsius": 24.1, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""",
+      """{"timestamp_utc": "2024-12-23T08:00:01Z", "temp_indoor_celsius": 22.9}""",
+      """not a json""").toDF("payload")
+    val parsed = Pipelines.ddConsumer(payloads)
+    val (good, dead) = Pipelines.deadLetterSplit(parsed, col("parsed"))
+    assert(good.count() == 2 && dead.count() == 1)
+    val row2 = good.filter(col("temp_indoor_celsius") === 22.9).head()
+    assert(row2.getAs[Double]("temp_outdoor_celsius") == 888.8)
+    assert(row2.getAs[Double]("rh_outdoor") == 888.8)
+  }
+}
+
+class WindowedAggsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming tumbling agg over file replay == batch q16 (complete mode)") {
+    val events = Engine.Tables(spark, Sf0001).events
+    val dir = java.nio.file.Files.createTempDirectory("replay").toString
+    Replay.writeChunks(events, "ts", dir, 4)
+    val stream = Replay.readStream(spark, events, dir)
+    val q = WindowedAggs.rendered(WindowedAggs.tumbling(stream), "event_type")
+      .writeStream.format("memory").queryName("t_q16").outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_q16").orderBy("wstart", "event_type")
+    val want = WindowedAggs.rendered(WindowedAggs.tumbling(events), "event_type")
+      .orderBy("wstart", "event_type")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("watermark drops late data beyond tolerance (X3 late-data rule)") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = WindowedAggs.tumbling(df, watermark = Some("10 minutes"))
+      .select(col("w.start").as("ws"), col("cnt"))
+      .writeStream.format("memory").queryName("t_wm").outputMode(OutputMode.Append())
+      .start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(40), "a", 1.0)) // advances watermark to 10:30
+      q.processAllAvailable()
+      input.addData((ts(2), "a", 1.0))  // late beyond watermark -> dropped
+      q.processAllAvailable()
+      input.addData((ts(55), "a", 1.0)) // closes the 10:40 window
+      q.processAllAvailable()
+      val rows = spark.table("t_wm").collect()
+      val w0 = rows.find(_.getTimestamp(0).toString.startsWith("2024-01-01 10:00"))
+      assert(w0.isDefined, "first window must have been emitted")
+      assert(w0.get.getLong(1) == 2L, "late row must not be counted")
+    } finally q.stop()
+  }
+}
+
+class StatefulOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  import StatefulOps._
+
+  test("T9 latest-value: stream over replay == batch window form") {
+    val events = Engine.Tables(spark, Sf0001).events
+    val dir = java.nio.file.Files.createTempDirectory("replay_t9").toString
+    Replay.writeChunks(events, "ts", dir, 3)
+    val q = latestValueStream(Replay.readStream(spark, events, dir))
+      .writeStream.format("memory").queryName("t_t9").outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_t9").orderBy("user_id").collect().toSeq
+    val want = latestValueBatch(events).orderBy("user_id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("X1+X2 stream == batch on a charge/discharge ramp (ref ups math)") {
+    def r(s: Int, ma: Double, pct: Double) =
+      UpsReading(1L, new Timestamp(1700000000000L + s * 1000L), ma, pct)
+    // discharge ramp, flip to charging, flip back
+    val data = Seq(r(0, -100, 90), r(10, -100, 80), r(20, -100, 70),
+      r(30, 50, 70), r(40, 50, 75), r(50, -100, 75), r(60, -100, 65))
+
+    val input = MemoryStream[UpsReading](spark)
+    val q = upsDerivedStream(input.toDS())
+      .writeStream.format("memory").queryName("t_x12").outputMode(OutputMode.Append())
+      .start()
+    try {
+      data.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_x12").as[UpsDerived].collect()
+      .sortBy(_.ts.getTime).toSeq
+    val want = upsDerivedBatch(data.toDS()).as[UpsDerived].collect()
+      .sortBy(_.ts.getTime).toSeq
+    assert(got == want)
+    // spot-check the reference formula at t=10: rate=(90-80)/(10+1)
+    val atT10 = got(1)
+    assert(math.abs(atT10.batt_use_per_sec.get - 10.0 / 11.0) < 1e-9)
+  }
+
+  test("X3 watchdog emits sentinel 888.8 after processing-time timeout") {
+    // NOTE: with ProcessingTimeTimeout the engine keeps planning no-data
+    // batches to fire timeouts, so processAllAvailable never quiesces —
+    // pace with a real trigger and poll the sink with a deadline instead.
+    val input = MemoryStream[Reading](spark)
+    val q = stalenessWatchdog(input.toDS(), toleranceMs = 500)
+      .writeStream.format("memory").queryName("t_x3").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def pollUntil(deadlineMs: Long)(p: Seq[WatchOut] => Boolean): Seq[WatchOut] = {
+      val end = System.currentTimeMillis() + deadlineMs
+      var rows = Seq.empty[WatchOut]
+      while (System.currentTimeMillis() < end && !p(rows)) {
+        Thread.sleep(100)
+        rows = spark.table("t_x3").as[WatchOut].collect().toSeq
+      }
+      rows
+    }
+    try {
+      input.addData(Reading("h0", new Timestamp(1700000000000L), 21.5))
+      val fresh = pollUntil(10000)(_.contains(WatchOut("h0", 21.5, stale = false)))
+      assert(fresh.contains(WatchOut("h0", 21.5, stale = false)), s"got $fresh")
+      // no further h0 updates: tolerance (500 ms) elapses -> sentinel
+      val stale = pollUntil(15000)(_.contains(WatchOut("h0", 888.8, stale = true)))
+      assert(stale.contains(WatchOut("h0", 888.8, stale = true)),
+        s"expected sentinel emission, got $stale")
+    } finally q.stop()
+  }
+}
