@@ -23,6 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String): Double = {
+      // collect garbage from the previous query so its GC debt is not
+      // charged to this one (bimodal 1s->28s spikes observed otherwise)
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

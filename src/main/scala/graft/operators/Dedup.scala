@@ -21,24 +21,70 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(idCol).as("keep_id"), count("*").as("dup_cnt"))
 
-  /** Word tokens → distinct n-word shingles. Guarded for short docs. */
-  def shingleSet(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.tokens(text)
+  /** Distinct n-word shingle list from a pre-tokenized array column.
+    * Guarded for short docs. */
+  private def shingleListCol(ws: Column, n: Int): Column =
     when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " "))))
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => get(ws, i + lit(k))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Exploded (doc_id, shingle) relation, distinct per doc. */
-  def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingleSet(col("text"), n)).as("s"))
+  /** Word tokens → distinct n-word shingles (single-column form; prefer
+    * [[shingleSets]] in plans — see the note there). */
+  def shingleSet(text: Column, n: Int): Column =
+    shingleListCol(TextAnalysis.tokens(text), n)
+
+  /** (doc_id, shingle-set array) with tokenization materialized behind its
+    * own projection. Two traps found by `.explain` here: (a) inlining the
+    * regex split into the shingle lambda makes Spark re-evaluate it per
+    * shingle; (b) a `when(size >= n, ...)` guard makes
+    * InferFiltersFromGenerate push a copy of the WHOLE shingling expression
+    * below the projections as a pre-filter (~50x per-row cost observed).
+    * Hence: explicit cheap size filter, unguarded transform. Docs shorter
+    * than n drop out — identical downstream semantics to an empty set
+    * (explode drops empties; empty sets can never reach a Jaccard
+    * threshold). */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", (0 until n).map(k => get(col("ws"), i + lit(k))): _*))).as("sh"))
+
+  /** Exploded (doc_id, shingle) relation, distinct per doc.
+    *
+    * explode() is applied to the shingle EXPRESSION, not an aliased column:
+    * exploding an attribute makes InferFiltersFromGenerate add a
+    * `size(attr) > 0` filter that pushdown rewrites into a full copy of the
+    * shingling expression evaluated per input row (interpreted, no CSE →
+    * observed ~30x slowdown). With a non-attribute generator child the rule
+    * skips inference. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val ws = col("ws")
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(ws) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(k => get(ws, i + lit(k))): _*)))).as("s"))
+  }
 
   /** E2 ground truth — all document pairs with shingle-set Jaccard ≥
     * threshold. Exact but quadratic per hot shingle; see [[minhashCandidates]]
-    * for the scale path. Output: da, db, j (rounded 4). */
+    * for the scale path. Output: da, db, j (rounded 4).
+    *
+    * The self-join runs on `xxhash64(shingle)` rather than the shingle
+    * string: an 8-byte fixed-width shuffle/compare key instead of a ~20-byte
+    * string. Collisions would merge distinct shingles, but at n²/2^64 odds
+    * (~1e-11 at 1M distinct shingles) the result is still oracle-exact. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh  = shingles(docs, n)
+    // The shingle relation feeds four plan branches (a-side, b-side, two
+    // count joins); without persist Spark re-derives the expensive
+    // shingling expressions once per branch (observed 4x cost). Cached it
+    // is an 8-byte-pair relation, MEMORY_AND_DISK so executors can evict.
+    val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager fill: the four consumer branches (incl. broadcast
+               // jobs) otherwise race the cache and each recompute shingling
     val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -93,7 +139,7 @@ object Dedup {
   /** Verify LSH candidates with exact Jaccard — candidates are few, so this
     * join + per-pair set math is cheap. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
+    val sets = shingleSets(docs, n)
     candidates
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
