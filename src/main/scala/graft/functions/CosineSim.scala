@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Fused cosine similarity over two float/double array columns — a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * Rationale (SURVEY §4.2 extension point c): the composable form
+  * (`aggregate(zip_with(...))`, VectorOps.cosine) is built from higher-order
+  * functions, which are CodegenFallback — interpreted per element, with an
+  * intermediate product array allocated per pair. Inside an ANN cross join
+  * that cost is paid |queries|·|candidates| times. This kernel is one
+  * codegen'd loop, no allocation: dot, |a|² and |b|² accumulated in a single
+  * pass, left-to-right in index order — bit-identical to VectorOps.cosine
+  * and to the DuckDB oracle formula `dot / (sqrt(na) * sqrt(nb))`.
+  *
+  * Array elements are assumed non-null (embedding vectors).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double>, got ${left.dataType} and ${right.dataType}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def read(arr: String, t: DataType, i: String): String =
+      if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, na, nb, n, i) = (ctx.freshName("dot"), ctx.freshName("na"),
+        ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = ${read(a, lt, i)};
+         |  double yi = ${read(b, rt, i)};
+         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : Expression = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Column-level entry point. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** SQL registration: `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+}

@@ -20,14 +20,14 @@ object Similarity {
     * candidate scan parallelizes over input splits and the only shuffle is
     * the per-query top-k (tiny: |queries|·k rows after partial sort). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn"))
-    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // fused codegen'd kernel (graft.functions.CosineSim): one pass per pair,
+    // no intermediate array — bit-identical to the composable VectorOps form
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
@@ -51,13 +51,13 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn"), bucket(col("embedding")).as("bucket"))
+      bucket(col("embedding")).as("bucket"))
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"), bucket(col("embedding")).as("bucket"))
+      bucket(col("embedding")).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Collections => JCollections}
+import scala.jdk.CollectionConverters._
+
+/** A full DataSourceV2 micro-batch source with the shape of the reference's
+  * MQTT subscription (SURVEY §2.1 S6; ref `consumer.cpp:65-82,111-145`):
+  * each message is one (topic, payload, arrival ts) row.
+  *
+  * TRANSPORT IS SUBSTITUTED: this container has no broker, so messages are
+  * a spool directory — one file per message, monotonically named
+  * `<seq>.msg` (what a tiny bridge process subscribing at QoS 1 would
+  * write). Everything Spark-facing is real: offset tracking is the message
+  * sequence number, so restarts resume exactly where the checkpoint says,
+  * and each micro-batch is a contiguous, replayable seq range — the same
+  * delivery contract the reference gets from MQTT QoS 1 + broker session.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-mqtt")
+  *     .option("spoolDir", dir).option("topic", "sensors/dd").load()
+  * }}}
+  */
+class MqttLikeProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mqtt"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MqttLike.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new MqttLikeTable(properties.asScala.toMap)
+}
+
+object MqttLike {
+  val Schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false),
+    StructField("msg_seq", LongType, nullable = false)))
+
+  /** Publish one message into a spool dir (the bridge/producer side). */
+  def publish(spoolDir: String, topic: String, payload: String): Long = {
+    val dir = Paths.get(spoolDir, sanitize(topic))
+    Files.createDirectories(dir)
+    val seq = nextSeq(dir)
+    val tmp = dir.resolve(s".$seq.msg.tmp")
+    Files.writeString(tmp, payload)
+    Files.move(tmp, dir.resolve(s"$seq.msg")) // atomic visibility
+    seq
+  }
+
+  def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def listSeqs(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".msg"))
+      .map(_.stripSuffix(".msg").toLong).toSeq.sorted
+
+  private def nextSeq(dir: Path): Long = listSeqs(dir).lastOption.fold(0L)(_ + 1)
+}
+
+class MqttLikeTable(rawProps: Map[String, String]) extends Table with SupportsRead {
+  private val props = rawProps.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val spoolDir = props.getOrElse("spooldir",
+    throw new IllegalArgumentException("graft-mqtt requires option spoolDir"))
+  private val topic = props.getOrElse("topic",
+    throw new IllegalArgumentException("graft-mqtt requires option topic"))
+
+  override def name(): String = s"graft-mqtt:$topic"
+  override def schema(): StructType = MqttLike.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.unmodifiableSet(new java.util.HashSet(java.util.Arrays.asList(
+      TableCapability.MICRO_BATCH_READ)))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = MqttLike.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MqttLikeMicroBatchStream(spoolDir, topic)
+    }
+}
+
+/** Offset = count of messages consumed (message seq is dense from 0). */
+case class SeqOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBatchStream {
+  private val dir = Paths.get(spoolDir, MqttLike.sanitize(topic))
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def latestOffset(): Offset =
+    SeqOffset(MqttLike.listSeqs(dir).lastOption.fold(0L)(_ + 1))
+  override def commit(end: Offset): Unit = () // spool retained for replay
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
+    if (e <= s) Array.empty
+    else Array(MqttRangePartition(dir.toString, topic, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[MqttRangePartition]
+      new PartitionReader[InternalRow] {
+        private var seq = p.fromSeq - 1
+        override def next(): Boolean = { seq += 1; seq < p.untilSeq }
+        override def get(): InternalRow = {
+          val payload = Files.readString(Paths.get(p.dir, s"$seq.msg"))
+          InternalRow(UTF8String.fromString(p.topic),
+            UTF8String.fromString(payload), seq)
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class MqttRangePartition(dir: String, topic: String, fromSeq: Long, untilSeq: Long)
+  extends InputPartition

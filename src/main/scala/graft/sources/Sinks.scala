@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Publish-side operators (SURVEY §2.1 K1–K4).
+  *
+  * [[MqttLikePublishWriter]] is the K1/K2 MQTT publish as a ForeachWriter:
+  * per-partition connection lifecycle (open/process/close) exactly where a
+  * real client would connect/publish/disconnect; transport substituted by
+  * the spool directory, QoS recorded as metadata. [[dashboardSink]] is the
+  * K3 7-segment/latest-value display as a foreachBatch upsert.
+  */
+object Sinks {
+
+  /** K1/K2 — MQTT publish at QoS 1/2 (ref `producer.c:152-161`,
+    * `hko.cpp:69-72`). Expects a single string column named `payload`. */
+  class MqttLikePublishWriter(spoolDir: String, topic: String, qos: Int)
+      extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true // connect here
+    override def process(row: Row): Unit =
+      MqttLike.publish(spoolDir, topic, row.getAs[String]("payload"))
+    override def close(errorOrNull: Throwable): Unit = () // disconnect here
+  }
+
+  /** K3 — latest-value dashboard: per micro-batch, upsert each key's most
+    * recent value into an in-memory view the way the reference pushes the
+    * newest reading to its displays (ref `consumer.cpp:124-131`).
+    * Returns the live view for assertions/inspection. */
+  def dashboardSink(keyed: DataFrame, keyCol: String, tsCol: String, valCol: String)
+      : (java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, Double)],
+         (DataFrame, Long) => Unit) = {
+    val view = new java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, Double)]()
+    val fn = (batch: DataFrame, _: Long) => {
+      val latest = batch
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(col(tsCol), col(valCol)), col(tsCol)).as("l"))
+        .select(col(keyCol).cast("string"), col("l.*"))
+        .collect() // per-batch keys are few: one row per active device
+      latest.foreach { r =>
+        val k = r.getString(0)
+        val ts = r.getTimestamp(1)
+        val old = view.get(k)
+        if (old == null || old._1.before(ts)) view.put(k, (ts, r.getDouble(2)))
+      }
+      ()
+    }
+    (view, fn)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.sources.{MqttLike, Sinks}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Dev smoke: drive the graft-mqtt DataSourceV2 end-to-end through the
+  * public readStream/writeStream surface — publish, consume, republish. */
+object ConnectorSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.session("local[4]", 4)
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_smoke").toString
+    (0 until 3).foreach(i => MqttLike.publish(spool, "sensors/ch",
+      s"""{"timestamp": "2024-12-23T08:00:0${i}Z", "temp_celsius": ${20 + i}.1}"""))
+
+    val in = spark.readStream.format("graft-mqtt")
+      .option("spoolDir", spool).option("topic", "sensors/ch").load()
+    val q = in.select(to_json(struct(col("topic"), col("msg_seq"))).as("payload"))
+      .writeStream.foreach(new Sinks.MqttLikePublishWriter(spool, "sensors/out", 1))
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    MqttLike.publish(spool, "sensors/ch", """{"timestamp": "2024-12-23T08:00:09Z", "temp_celsius": 25.0}""")
+    q.processAllAvailable()
+    q.stop()
+    val outSeqs = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_out"))
+    println(s"[connector-smoke] published=4 consumed->republished=${outSeqs.size} " +
+      (if (outSeqs.size == 4) "OK" else "MISMATCH"))
+    spark.stop()
+  }
+}

@@ -44,6 +44,23 @@ object PerfProbe {
       t("explode via slice")(toks.select(col("doc_id"), explode(array_distinct(viaSlice)).as("s")))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "cosine_scale") {
+      import graft.functions.{CosineSim, VectorOps}
+      val emb = Engine.Tables(spark, sfDir).embeddings
+      val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .crossJoin(broadcast(emb.select(col("vec_id").as("b"), col("embedding").as("vb"))))
+      def t(name: String)(df: DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      t("4M pairs fused kernel")(pairs.select(
+        CosineSim.cosine_sim(col("va"), col("vb")).as("c")))
+      t("4M pairs composable HOF")(pairs.select(
+        VectorOps.cosine(col("va"), col("vb")).as("c")))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "shingle_explain") {
       val docs = Engine.Tables(spark, sfDir).documents
       println("=== Dedup.shingles ===")

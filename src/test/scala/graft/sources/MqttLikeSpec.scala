@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.streaming.Pipelines
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** End-to-end connector test: the reference's dd producer→broker→consumer
+  * path (SURVEY §3.1/§3.2) over the graft-mqtt DataSourceV2. */
+class MqttLikeSpec extends SparkTestBase {
+
+  private def payload(i: Int): String =
+    s"""{"timestamp_utc": "2024-12-23T08:00:0${i}Z", "temp_outdoor_celsius": ${20 + i}.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}"""
+
+  test("micro-batch read: offsets advance with published messages, exactly-once ranges") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt").toString
+    (0 until 3).foreach(i => MqttLike.publish(spool, "sensors/dd", payload(i)))
+
+    val stream = spark.readStream.format("graft-mqtt")
+      .option("spoolDir", spool).option("topic", "sensors/dd").load()
+    val q = stream.writeStream.format("memory").queryName("mq1")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mq1").count() == 3)
+      // publish two more while the query is live
+      (3 until 5).foreach(i => MqttLike.publish(spool, "sensors/dd", payload(i)))
+      q.processAllAvailable()
+      val rows = spark.table("mq1").orderBy("msg_seq").collect()
+      assert(rows.length == 5, "no loss, no duplication")
+      assert(rows.map(_.getAs[Long]("msg_seq")).toSeq == (0L until 5L))
+      assert(rows.forall(_.getAs[String]("topic") == "sensors/dd"))
+    } finally q.stop()
+  }
+
+  test("full dd pipeline: mqtt source -> parse -> publish sink (K1), dashboard (K3)") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt2").toString
+    (0 until 4).foreach(i => MqttLike.publish(spool, "sensors/dd", payload(i)))
+    MqttLike.publish(spool, "sensors/dd", "garbage not json") // dead-letter path
+
+    val parsed = Pipelines.ddConsumer(
+      spark.readStream.format("graft-mqtt")
+        .option("spoolDir", spool).option("topic", "sensors/dd").load())
+
+    // K1 republish of enriched payloads via ForeachWriter
+    val outPayloads = parsed.filter(col("parsed"))
+      .select(to_json(struct(col("ts"), col("temp_outdoor_celsius"))).as("payload"))
+    val q1 = outPayloads.writeStream
+      .foreach(new Sinks.MqttLikePublishWriter(spool, "sensors/dd_enriched", qos = 1))
+      .outputMode(OutputMode.Append()).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_dd_enriched")).size == 4)
+
+    // K3 dashboard: latest value per key
+    val (view, upsert) = Sinks.dashboardSink(
+      parsed.filter(col("parsed")).withColumn("key", lit("outdoor")),
+      "key", "ts", "temp_outdoor_celsius")
+    val q2 = parsed.filter(col("parsed")).withColumn("key", lit("outdoor"))
+      .writeStream.foreachBatch(upsert).outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(view.get("outdoor") != null)
+    assert(view.get("outdoor")._2 == 23.5) // latest published reading (i=3)
+  }
+}
