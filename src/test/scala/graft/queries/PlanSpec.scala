@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{Engine, SparkTestBase}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** Physical-plan properties that matter at the 100 TB design point —
+  * asserted so they can't silently regress: filter/column pushdown into the
+  * parquet scan, broadcast of dimension tables, no cartesian products in
+  * equi-join queries. */
+class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def planString(df: DataFrame): String = planOf(df).toString
+
+  test("q02 filter pushes predicates into the parquet scan") {
+    val df = graft.SparkEntry.queries("q02_filter")(spark, Sf0001)
+    val s = planString(df)
+    assert(s.contains("PushedFilters:") &&
+      s.contains("EqualTo(event_type,click)"), s.take(2000))
+  }
+
+  test("q01 projection prunes the read schema to selected columns") {
+    val df = graft.SparkEntry.queries("q01_project")(spark, Sf0001)
+    val scan = planString(df)
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse(scan)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"unpruned columns read: $readSchema")
+  }
+
+  test("q13 joins dimension tables via broadcast, no shuffle of nation/region") {
+    val df = graft.SparkEntry.queries("q13_join_agg")(spark, Sf0001)
+    df.collect() // finalize this QE's adaptive plan in place
+    val s = planOf(df).toString
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q14a semi join stays a real semi join (no materialized inner)") {
+    val s = planString(graft.SparkEntry.queries("q14a_semi")(spark, Sf0001))
+    assert(s.contains("LeftSemi"), s.take(1500))
+  }
+
+  test("whole-stage codegen covers the scalar parity queries") {
+    Seq("q03_scale_clamp", "q04_time", "q06_classify").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, Sf0001)
+      df.collect() // finalize this QE's adaptive plan in place
+      val s = planOf(df).toString
+      assert(s.contains("WholeStageCodegen") || s.contains("*(1)"), s"$q fell out of codegen: ${s.take(800)}")
+    }
+  }
+
+  test("fused cosine stays inside whole-stage codegen in the ANN plan") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val scored = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("b"), col("embedding").as("vb"))))
+      .select(graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("c"))
+    scored.collect()
+    val s = planOf(scored).toString
+    assert(s.contains("WholeStageCodegen") || s.contains("*(1)"), s.take(1500))
+  }
+
+  test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    val rows = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getAs[Long]("exact").toDouble, r.getAs[Long]("approx").toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+}
