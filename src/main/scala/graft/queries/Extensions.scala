@@ -85,6 +85,20 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id""")),
 
+    // E6 — as-of (point-in-time) join: for each purchase, the user's most
+    // recent prior click (attribution). Union+window composition — one
+    // shuffle, no per-key cross product. Oracle: DuckDB's native ASOF JOIN.
+    ("qe6_asof", (s: SparkSession, d: String) => {
+      val ev = Engine.Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .filter(col("asof").isNotNull) // inner as-of: null-free output hashes
+        .select(col("event_id"), col("asof.event_id").as("click_id"),
+          round(col("asof.value"), 4).as("click_v"))
+        .orderBy("event_id")
+    }, Some("""SELECT p.event_id, c.event_id AS click_id, ROUND(c.value, 4) AS click_v FROM (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'purchase') p ASOF JOIN (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""")),
+
     // E5 — multimodal payload plumbing: binary column + deterministic
     // stub-decoded metadata (oracle checks the SQL-expressible subset)
     ("qe5_multimodal", (s: SparkSession, d: String) => {

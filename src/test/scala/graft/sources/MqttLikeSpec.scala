@@ -34,6 +34,27 @@ class MqttLikeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restarted query resumes from committed offsets") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    (0 until 3).foreach(i => MqttLike.publish(spool, "s/t", payload(i)))
+    def start() = spark.readStream.format("graft-mqtt")
+      .option("spoolDir", spool).option("topic", "s/t").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    // new messages arrive while the query is down
+    (3 until 5).foreach(i => MqttLike.publish(spool, "s/t", payload(i)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val seqs = spark.read.parquet(out).select("msg_seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (0L until 5L),
+      s"restart must resume exactly once after the checkpointed offset, got ${seqs.toSeq}")
+  }
+
   test("full dd pipeline: mqtt source -> parse -> publish sink (K1), dashboard (K3)") {
     val spool = java.nio.file.Files.createTempDirectory("mqtt2").toString
     (0 until 4).foreach(i => MqttLike.publish(spool, "sensors/dd", payload(i)))

@@ -42,9 +42,11 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        import numpy as np
         neq = (got.values != want.values)
+        # NaN != NaN; treat aligned NaNs (nullable numerics) as equal
+        neq = neq & ~(pd.isna(got.values) & pd.isna(want.values))
         if neq.any():
-            import numpy as np
             r, c = np.argwhere(neq)[0]
             print(f"FAIL {name}: first diff row {r} col {got.columns[c]}: "
                   f"spark={got.iloc[r, c]!r} duckdb={want.iloc[r, c]!r} "
