@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev smoke: GraftExtensions wired the production way
+  * (spark.sql.extensions) — SQL cosine_sim resolves and the HOF-cosine
+  * optimizer rewrite fires in a fresh session. */
+object ExtensionsSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings.limit(10)
+      .createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) AS c FROM emb a, emb b WHERE a.vec_id = 0 AND b.vec_id = 1")
+      .head().getDouble(0)
+
+    val hof = spark.table("emb").limit(3)
+      .select(graft.functions.VectorOps.cosine(col("embedding"), col("embedding")).as("c"))
+    val fired = hof.queryExecution.optimizedPlan
+      .collect { case n => n.expressions.flatMap(_.collect {
+        case e: graft.functions.CosineSim => e }) }.flatten.nonEmpty
+
+    println(s"[extensions-smoke] sql_cosine=$viaSql rule_fired=$fired " +
+      (if (fired && viaSql >= -1 && viaSql <= 1) "OK" else "FAIL"))
+    if (!fired) println("[extensions-smoke] optimized:\n" +
+      hof.queryExecution.optimizedPlan.treeString)
+    spark.stop()
+  }
+}

@@ -62,6 +62,26 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(s.contains("WholeStageCodegen") || s.contains("*(1)"), s.take(1500))
   }
 
+  test("bucketed tables co-locate: repeated join runs without a shuffle exchange") {
+    // default ./spark-warehouse (warehouse.dir is a static conf); tables
+    // dropped below, dir is gitignored
+    val t = Engine.Tables(spark, Sf0001)
+    t.orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    t.customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(sum("o_totalprice").as("rev"))
+    joined.collect()
+    val s = planOf(joined).toString
+    assert(!s.contains("Exchange hashpartitioning(o_custkey") &&
+      !s.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles on the join key:\n${s.take(1500)}")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+
   test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
     val ev = Engine.Tables(spark, Sf0001).events
     val rows = ev.groupBy("event_type")

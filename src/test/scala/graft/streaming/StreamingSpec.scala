@@ -71,6 +71,68 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("streaming sliding agg over file replay == batch q17a (complete mode)") {
+    val events = Engine.Tables(spark, Sf0001).events
+    val dir = java.nio.file.Files.createTempDirectory("replay_sl").toString
+    Replay.writeChunks(events, "ts", dir, 3)
+    val q = WindowedAggs.rendered(WindowedAggs.sliding(Replay.readStream(spark, events, dir)), "event_type")
+      .writeStream.format("memory").queryName("t_q17a").outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_q17a").orderBy("wstart", "event_type").collect().toSeq
+    val want = WindowedAggs.rendered(WindowedAggs.sliding(events), "event_type")
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming session windows over replay == batch q17b (watermark, append)") {
+    val events = Engine.Tables(spark, Sf0001).events
+    val dir = java.nio.file.Files.createTempDirectory("replay_se").toString
+    Replay.writeChunks(events, "ts", dir, 3)
+    // watermark far larger than the data span -> no session is dropped, but
+    // append mode only FINALIZES sessions the watermark has passed; emit a
+    // final synthetic late event to close all real sessions
+    val stream = Replay.readStream(spark, events, dir)
+    val q = WindowedAggs.session(stream, watermark = Some("1 minute"))
+      .select(col("user_id"), date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("cnt"))
+      .writeStream.format("memory").queryName("t_q17b").outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_q17b").orderBy("user_id", "session_start").collect().toSeq
+    val want = WindowedAggs.session(events)
+      .select(col("user_id"), date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("cnt"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    // append emits only watermark-finalized sessions: got must be a prefix-
+    // subset of batch truth with identical rows for every emitted session
+    val wantSet = want.toSet
+    assert(got.nonEmpty, "no sessions finalized — watermark never advanced")
+    assert(got.forall(wantSet.contains), "a finalized streaming session diverged from batch truth")
+  }
+
+  test("dead-letter split e2e: good and corrupt payloads reach separate sinks") {
+    val input = MemoryStream[String](spark)
+    val parsed = Pipelines.ddConsumer(input.toDF().toDF("payload"))
+    val goodRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deadRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = parsed.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val (good, dead) = Pipelines.deadLetterSplit(batch, col("parsed"))
+      goodRows.synchronized { goodRows += good.count() }
+      deadRows.synchronized { deadRows += dead.count() }
+      ()
+    }.outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        """{"timestamp_utc": "2024-12-23T08:00:00Z", "temp_outdoor_celsius": 24.1, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""",
+        """%%% not json %%%""",
+        """{"timestamp_utc": "2024-12-23T08:00:01Z", "temp_indoor_celsius": 22.9}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(goodRows.sum == 2 && deadRows.sum == 1,
+      s"good=${goodRows.sum} dead=${deadRows.sum}")
+  }
+
   test("watermark drops late data beyond tolerance (X3 late-data rule)") {
     val input = MemoryStream[(Timestamp, String, Double)](spark)
     val df = input.toDF().toDF("ts", "event_type", "value")
