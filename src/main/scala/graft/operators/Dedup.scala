@@ -149,6 +149,23 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  // ---- Embedding near-dup -------------------------------------------------
+
+  /** E2 — embedding-cosine near-duplicate pairs: all (da < db) pairs with
+    * cosine ≥ threshold over an (id, embedding) frame. Exact form is a
+    * broadcast cross join through the fused [[graft.functions.CosineSim]]
+    * kernel — viable while one side broadcasts; at 100 TB block first with
+    * [[Similarity.lshTopK]]-style buckets and verify candidates here. */
+  def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("da"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("db"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("da") < col("db"))
+      .select(col("da"), col("db"),
+        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit vote over xxhash64 token hashes.

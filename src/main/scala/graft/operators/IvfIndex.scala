@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.{CosineSim, VectorOps}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for E3 (SURVEY §2.4): k-means partitions the corpus into
+  * `nlist` cells; a query scores only the candidates in its `nprobe`
+  * nearest cells, so per-query work drops from |corpus| to
+  * ~|corpus|·nprobe/nlist. All joins are equi-joins on the cell id — the
+  * plan shape survives any corpus size; recall trades off with nprobe.
+  *
+  * Training is seeded and iteration-bounded → deterministic per input.
+  */
+object IvfIndex {
+
+  /** Fit the coarse quantizer and assign every vector to its cell.
+    * Returns (assigned frame with `cell`, centroid frame (cell, centroid)). */
+  def build(vectors: DataFrame, idCol: String, vecCol: String, nlist: Int,
+            seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val withVec = vectors.withColumn("__v",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__v")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Top-k by cosine within the query's `nprobe` nearest cells. */
+  def topK(candidates: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = build(candidates, idCol, vecCol, nlist, seed)
+    // probe list: nprobe nearest centroids per query (tiny cross join: |q| x nlist)
+    val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", VectorOps.l2Dist(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val cands = assigned.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
+    val scored = cands.join(probes, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+}

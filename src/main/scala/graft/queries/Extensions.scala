@@ -46,6 +46,14 @@ object Extensions {
         .select("da", "db", "hamming").orderBy("da", "db")
     }, None),
 
+    // E2 — embedding-cosine near-duplicate pairs (threshold fits the
+    // synthetic data's cosine range; planted dups would sit near 1.0)
+    ("qe7_embed_neardup", (s: SparkSession, d: String) => {
+      Dedup.embeddingNearDups(Engine.Tables(s, d).embeddings, "vec_id", "embedding", 0.45)
+        .select(col("da"), col("db"), round(col("cos"), 4).as("cos"))
+        .orderBy("da", "db")
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) SELECT a.vec_id AS da, b.vec_id AS db, ROUND(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45 ORDER BY da, db""")),
+
     // E3 — brute-force cosine top-5 for query vectors vec_id < 10
     ("qe3_knn_brute", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
@@ -58,6 +66,16 @@ object Extensions {
     ("qe3b_knn_lsh", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    }, None),
+
+    // E3 (scale path) — IVF coarse-quantized ANN (rows-only; recall vs
+    // exact asserted in SimilaritySpec)
+    ("qe3c_knn_ivf", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
         .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rnk")
     }, None),

@@ -100,6 +100,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(topk.map(_.getAs[Long]("cid")).toSeq == expect)
   }
 
+  test("IVF top-k: recall >= 60% of exact top-5 at nprobe=4/nlist=8") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfIndex.topK(emb, queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low (${ivf.size} returned)")
+  }
+
+  test("IVF is deterministic across runs (seeded k-means)") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+    val r1 = IvfIndex.topK(emb, q, "vec_id", "embedding", 3).orderBy("qid", "rnk")
+      .collect().map(_.toString).toSeq
+    val r2 = IvfIndex.topK(emb, q, "vec_id", "embedding", 3).orderBy("qid", "rnk")
+      .collect().map(_.toString).toSeq
+    assert(r1 == r2)
+  }
+
   test("LSH top-k returns subset of correct cosines with rank order per query") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 3)

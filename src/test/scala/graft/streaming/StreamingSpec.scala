@@ -111,6 +111,22 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got.forall(wantSet.contains), "a finalized streaming session diverged from batch truth")
   }
 
+  test("E1 streaming exact dedup: dropDuplicates with watermark over replay") {
+    val events = Engine.Tables(spark, Sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("replay_dd").toString
+    // duplicate the stream twice -> streaming dedup must restore exact rows
+    Replay.writeChunks(events.union(events), "ts", dir, 3)
+    val q = Replay.readStream(spark, events, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("t_e1").outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_e1").count()
+    assert(got == events.count(), s"dedup left $got rows, want ${events.count()}")
+  }
+
   test("dead-letter split e2e: good and corrupt payloads reach separate sinks") {
     val input = MemoryStream[String](spark)
     val parsed = Pipelines.ddConsumer(input.toDF().toDF("payload"))
