@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.{Engine, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  test("bottom-k reservoir: deterministic and partitioning-independent") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    def run(parts: Int) =
+      Sampling.sampleIdsPerGroup(ev.repartition(parts), Seq("event_type"), "event_id", 10)
+        .orderBy("event_type").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val a = run(1)
+    val b = run(8)
+    assert(a == b, "sample must not depend on physical partitioning")
+    assert(a.values.forall(_.size == 10))
+    // sampled ids belong to their group
+    val byType = ev.select("event_type", "event_id").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    a.foreach { case (t, ids) => assert(ids.forall(byType(t).contains)) }
+  }
+
+  test("deterministic hash-mod sample: stable, ~p percent, filter pushes down") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    val s1 = Sampling.deterministicSample(ev, "event_id", 10)
+    val s2 = Sampling.deterministicSample(ev, "event_id", 10)
+    val n = ev.count().toDouble
+    assert(s1.count() == s2.count())
+    assert(math.abs(s1.count() / n - 0.10) < 0.03, s"got ${s1.count() / n}")
+    // supersets: 10% sample is contained in the 20% sample (nested samples)
+    val s20 = Sampling.deterministicSample(ev, "event_id", 20)
+    assert(s1.join(s20, Seq("event_id"), "left_anti").count() == 0)
+  }
+}
