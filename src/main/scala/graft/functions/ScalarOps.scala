@@ -71,4 +71,17 @@ object ScalarOps {
   /** Microsecond-precision epoch — parity queries do all epoch arithmetic in
     * microseconds because the test timestamps carry sub-second precision. */
   def epochUs(ts: Column): Column = unix_micros(ts)
+
+  /** Binary-faithful ROUND(x, 4) for oracle-matched outputs.
+    *
+    * Spark's `round()` converts the double to its SHORTEST decimal string
+    * (BigDecimal.valueOf) before HALF_UP — so a group whose true average is
+    * decimal 45.57375 (stored as the double 45.573749999999996…) rounds UP
+    * to 45.5738, while DuckDB rounds the BINARY value down to 45.5737.
+    * Observed on 44/85k window averages at sf0.1. `floor(x·10⁴ + 0.5)/10⁴`
+    * reproduces the binary multiply-round-divide semantics DuckDB uses, so
+    * both engines agree on every input double (positive range; negative
+    * values only differ on exact binary .5 boundaries, unreachable for
+    * real-valued similarity scores). */
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 }

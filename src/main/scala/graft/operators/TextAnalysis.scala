@@ -36,8 +36,8 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
-      round(avgTokenLen(col("text")), 4).as("avg_token_len"),
-      round(punctRatio(col("text")), 4).as("punct_ratio"))
+      graft.functions.ScalarOps.r4(avgTokenLen(col("text"))).as("avg_token_len"),
+      graft.functions.ScalarOps.r4(punctRatio(col("text"))).as("punct_ratio"))
 
   /** Stopword marker sets for the n-gram-heuristic language ID. Tiny on
     * purpose: the heuristic must be expressible identically in the DuckDB

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Engine
+import graft.functions.ScalarOps.r4
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,7 +28,7 @@ object Extensions {
     // E2 (ground truth) — 3-gram shingle Jaccard near-dup pairs, j >= 0.5
     ("qe2_jaccard_pairs", (s: SparkSession, d: String) => {
       Dedup.jaccardPairs(Engine.Tables(s, d).documents, 3, 0.5)
-        .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+        .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
     }, Some("""WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM tok, (SELECT unnest(range(1, 200)) AS i) WHERE i + 2 <= len(ws) AND len(ws[i]) > 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
 
@@ -36,7 +37,7 @@ object Extensions {
     ("qe2b_minhash_lsh", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
-        .select(col("da"), col("db"), round(col("j"), 4).as("j"))
+        .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
     }, None),
 
@@ -50,7 +51,7 @@ object Extensions {
     // synthetic data's cosine range; planted dups would sit near 1.0)
     ("qe7_embed_neardup", (s: SparkSession, d: String) => {
       Dedup.embeddingNearDups(Engine.Tables(s, d).embeddings, "vec_id", "embedding", 0.45)
-        .select(col("da"), col("db"), round(col("cos"), 4).as("cos"))
+        .select(col("da"), col("db"), r4(col("cos")).as("cos"))
         .orderBy("da", "db")
     }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) SELECT a.vec_id AS da, b.vec_id AS db, ROUND(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45 ORDER BY da, db""")),
 
@@ -58,7 +59,7 @@ object Extensions {
     ("qe3_knn_brute", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
-        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk FROM scored) SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
@@ -66,7 +67,7 @@ object Extensions {
     ("qe3b_knn_lsh", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
-        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),
 
@@ -76,7 +77,7 @@ object Extensions {
       val emb = Engine.Tables(s, d).embeddings
       graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
-        .select(col("qid"), col("rnk"), col("cid"), round(col("cos"), 4).as("cos"))
+        .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),
 
@@ -113,9 +114,23 @@ object Extensions {
       graft.operators.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
         .filter(col("asof").isNotNull) // inner as-of: null-free output hashes
         .select(col("event_id"), col("asof.event_id").as("click_id"),
-          round(col("asof.value"), 4).as("click_v"))
+          r4(col("asof.value")).as("click_v"))
         .orderBy("event_id")
     }, Some("""SELECT p.event_id, c.event_id AS click_id, ROUND(c.value, 4) AS click_v FROM (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'purchase') p ASOF JOIN (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""")),
+
+    // Capstone — training-data curation pipeline composing E1+E4: quality
+    // gate (length + punctuation) -> language gate (marker heuristic) ->
+    // exact dedup survivor -> curated doc ids. Mirrored 1:1 in the oracle.
+    ("qe9_curate", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val stats = TextAnalysis.textStats(docs)
+      val lang = TextAnalysis.langId(docs)
+      val kept = docs.join(stats, "doc_id").join(lang, "doc_id")
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") <= 0.05 &&
+          col("lang_guess") === "en")
+      Dedup.exactDedup(kept, Seq("text"), "doc_id")
+        .select(col("keep_id").as("doc_id")).orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
 
     // E5 — multimodal payload plumbing: binary column + deterministic
     // stub-decoded metadata (oracle checks the SQL-expressible subset)

@@ -31,7 +31,7 @@ object Parity {
     // Q1 — scan + projection (T12)
     ("q01_project", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
-        .select(col("event_id"), col("event_type"), round(col("value"), 4).as("v"))
+        .select(col("event_id"), col("event_type"), r4(col("value")).as("v"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, event_type, ROUND(value,4) AS v FROM events ORDER BY event_id""")),
 
@@ -39,7 +39,7 @@ object Parity {
     ("q02_filter", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
         .filter(col("event_type") === "click" && col("value").between(10, 100))
-        .select(col("event_id"), round(col("value"), 4).as("v"))
+        .select(col("event_id"), r4(col("value")).as("v"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, ROUND(value,4) AS v FROM events WHERE event_type = 'click' AND value BETWEEN 10 AND 100 ORDER BY event_id""")),
 
@@ -47,8 +47,8 @@ object Parity {
     ("q03_scale_clamp", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
         .select(col("event_id"),
-          round(unitScale(col("value")), 4).as("scaled"),
-          round(battPct(col("value")), 4).as("batt"))
+          r4(unitScale(col("value"))).as("scaled"),
+          r4(battPct(col("value"))).as("batt"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, ROUND(value/10.0,4) AS scaled, ROUND(LEAST(100.0, GREATEST(0.0, (value-6)/2.4*100)),4) AS batt FROM events ORDER BY event_id""")),
 
@@ -64,7 +64,7 @@ object Parity {
     ("q05_json_default", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
         .select(col("event_id"),
-          round(jsonDoubleOrDefault(col("props"), "$.k", 888.8), 4).as("k_val"))
+          r4(jsonDoubleOrDefault(col("props"), "$.k", 888.8)).as("k_val"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, ROUND(COALESCE(CAST(json_extract_string(props,'$.k') AS DOUBLE), 888.8),4) AS k_val FROM events ORDER BY event_id""")),
 
@@ -82,7 +82,7 @@ object Parity {
       Engine.Tables(s, d).events
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), date_format(col("ts"), TsFmt).as("ts_s"),
-          round(col("value"), 4).as("v"))
+          r4(col("value")).as("v"))
         .orderBy("user_id")
     }, oracle("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, ROUND(value,4) AS v FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id""")),
 
@@ -101,8 +101,8 @@ object Parity {
     ("q09_rate", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
         .groupBy("user_id")
-        .agg(round((max(col("value")) - min(col("value"))) /
-          ((max(epochUs(col("ts"))) - min(epochUs(col("ts")))) / lit(1e6) + 1), 4).as("rate"))
+        .agg(r4((max(col("value")) - min(col("value"))) /
+          ((max(epochUs(col("ts"))) - min(epochUs(col("ts")))) / lit(1e6) + 1)).as("rate"))
         .orderBy("user_id")
     }, oracle("""SELECT user_id, ROUND((MAX(value)-MIN(value)) / ((MAX(epoch_us(ts))-MIN(epoch_us(ts)))/1e6 + 1),4) AS rate FROM events GROUP BY user_id ORDER BY user_id""")),
 
@@ -120,8 +120,8 @@ object Parity {
     ("q11_agg", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
         .groupBy("event_type")
-        .agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"),
-          round(sum(col("value")), 4).as("sum_v"),
+        .agg(count("*").as("cnt"), r4(avg(col("value"))).as("avg_v"),
+          r4(sum(col("value"))).as("sum_v"),
           date_format(min(col("ts")), TsFmt).as("min_ts"),
           date_format(max(col("ts")), TsFmt).as("max_ts"))
         .orderBy("event_type")
@@ -143,7 +143,7 @@ object Parity {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
+        .agg(r4(sum(col("o_totalprice"))).as("revenue"))
         .orderBy("r_name")
     }, oracle("""SELECT r_name, ROUND(SUM(o_totalprice),4) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""")),
 
@@ -180,7 +180,7 @@ object Parity {
       Engine.Tables(s, d).orders
         .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-          round(col("o_totalprice"), 4).as("price"))
+          r4(col("o_totalprice")).as("price"))
         .orderBy("o_orderpriority", "rn")
     }, oracle("""SELECT o_orderpriority, rn, o_orderkey, ROUND(o_totalprice,4) AS price FROM (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
 
@@ -191,9 +191,9 @@ object Parity {
         .agg(sum(col("value")).as("sv"))
       val wRun = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wRank = Window.partitionBy("event_type").orderBy(round(col("sv"), 4).desc, col("day"))
+      val wRank = Window.partitionBy("event_type").orderBy(r4(col("sv")).desc, col("day"))
       daily
-        .withColumn("running", round(sum(col("sv")).over(wRun), 4))
+        .withColumn("running", r4(sum(col("sv")).over(wRun)))
         .withColumn("rnk", rank().over(wRank).cast("long"))
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
           col("running"), col("rnk"))
@@ -269,7 +269,7 @@ object Parity {
         .orderBy(col("p_retailprice").desc, col("p_partkey")).limit(20)
         .select(col("p_partkey"), upper(substring(col("p_name"), 1, 10)).as("uname"),
           concat(col("p_brand"), lit("/"), col("p_type")).as("bt"),
-          round(col("p_retailprice"), 4).as("price"))
+          r4(col("p_retailprice")).as("price"))
     }, oracle("""SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 10)) AS uname, p_brand || '/' || p_type AS bt, ROUND(p_retailprice,4) AS price FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20""")),
 
     // Q21 — array explode with position + filter (T10)
@@ -278,7 +278,7 @@ object Parity {
         .filter(col("label") === 1)
         .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-          round(col("col").cast("double"), 4).as("v"))
+          r4(col("col").cast("double")).as("v"))
         .orderBy("vec_id", "pos")
     }, oracle("""SELECT vec_id, CAST(p.pos AS BIGINT) AS pos, ROUND(CAST(embedding[p.pos] AS DOUBLE),4) AS v FROM embeddings, (VALUES (1),(2),(3),(4)) AS p(pos) WHERE label = 1 ORDER BY vec_id, pos""")),
 
@@ -287,7 +287,7 @@ object Parity {
       Engine.Tables(s, d).events
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"),
-            round(col("value"), 4).as("v"))).as("js"))
+            r4(col("value")).as("v"))).as("js"))
         .select(col("event_id"), get_json_object(col("js"), "$.event_type").as("extracted"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, event_type AS extracted FROM events ORDER BY event_id"""))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object WindowedAggs {
 
   private def agged(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
-    grouped.agg(count("*").as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+    grouped.agg(count("*").as("cnt"), graft.functions.ScalarOps.r4(avg(col("value"))).as("avg_v"))
 
   private def maybeWatermark(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(w => events.withWatermark("ts", w))

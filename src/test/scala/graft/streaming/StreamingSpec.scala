@@ -111,6 +111,30 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got.forall(wantSet.contains), "a finalized streaming session diverged from batch truth")
   }
 
+  test("S1 cadence parity: 1-second micro-batch trigger sustains >= 1 sample/s") {
+    // BASELINE.md streaming-cadence target (reference: 1000 ms/sample,
+    // src/global_vars.c:10) — rate source at 50 rows/s through a pipeline
+    // transform must keep up under Trigger.ProcessingTime("1 second")
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .select(col("timestamp").as("ts"), (col("value") % 100).cast("double").as("raw"))
+      .select(col("ts"), graft.functions.ScalarOps.unitScale(col("raw")).as("temp_c"))
+      .writeStream.format("memory").queryName("t_cadence")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      // rate source generates forever: processAllAvailable would never
+      // quiesce — poll the sink with a deadline instead
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (System.currentTimeMillis() < deadline && n < 50) {
+        Thread.sleep(500)
+        n = spark.table("t_cadence").count()
+      }
+      assert(n >= 50, s"only $n samples after 20 s — cadence not sustained")
+    } finally q.stop()
+  }
+
   test("E1 streaming exact dedup: dropDuplicates with watermark over replay") {
     val events = Engine.Tables(spark, Sf0001).events
       .select(col("event_id"), col("ts"), col("user_id"))
