@@ -234,12 +234,28 @@ object Parity {
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name", "o_totalprice")
         .createOrReplaceTempView("q18_flat")
-      s.sql("""SELECT r_name, n_name, ROUND(SUM(o_totalprice), 4) AS revenue,
+      s.sql("""SELECT r_name, n_name, FLOOR(SUM(o_totalprice) * 1e4 + 5e-1) / 1e4 AS revenue,
                       CAST(GROUPING(r_name) AS BIGINT) AS g_r,
                       CAST(GROUPING(n_name) AS BIGINT) AS g_n
                FROM q18_flat GROUP BY ROLLUP(r_name, n_name)
                ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
     }, oracle("""SELECT r_name, n_name, ROUND(SUM(o_totalprice),4) AS revenue, CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // Q18b — cube with grouping flags (same flat input as Q18)
+    ("q18b_cube", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "o_totalprice")
+        .createOrReplaceTempView("q18b_flat")
+      s.sql("""SELECT r_name, n_name, FLOOR(SUM(o_totalprice) * 1e4 + 5e-1) / 1e4 AS revenue,
+                      CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+                      CAST(GROUPING(n_name) AS BIGINT) AS g_n
+               FROM q18b_flat GROUP BY CUBE(r_name, n_name)
+               ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }, oracle("""SELECT r_name, n_name, ROUND(SUM(o_totalprice),4) AS revenue, CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")),
 
     // Q19a — INTERSECT: users active in both halves of the time range
     ("q19a_intersect", (s: SparkSession, d: String) => {
@@ -262,6 +278,50 @@ object Parity {
         .except(tagged.filter(col("e2") >= col("gsum")).select("user_id").distinct())
         .orderBy("user_id")
     }, oracle("""WITH g AS (SELECT MAX(epoch_us(ts)) + MIN(epoch_us(ts)) AS gsum FROM events) SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) < gsum EXCEPT SELECT DISTINCT user_id FROM events, g WHERE 2*epoch_us(ts) >= gsum ORDER BY user_id""")),
+
+    // Q19c — INTERSECT ALL (multiset semantics) on per-half user multisets
+    ("q19c_intersect_all", (s: SparkSession, d: String) => {
+      val ev = Engine.Tables(s, d).events
+      val g = ev.agg((max(epochUs(col("ts"))) + min(epochUs(col("ts")))).as("gsum"))
+      val tagged = ev.select(col("user_id"), (epochUs(col("ts")) * 2).as("e2"))
+        .crossJoin(broadcast(g))
+      tagged.filter(col("e2") < col("gsum")).select("user_id")
+        .intersectAll(tagged.filter(col("e2") >= col("gsum")).select("user_id"))
+        .orderBy("user_id")
+    }, oracle("""WITH g AS (SELECT MAX(epoch_us(ts)) + MIN(epoch_us(ts)) AS gsum FROM events) SELECT user_id FROM events, g WHERE 2*epoch_us(ts) < gsum INTERSECT ALL SELECT user_id FROM events, g WHERE 2*epoch_us(ts) >= gsum ORDER BY user_id""")),
+
+    // Q23 — exact percentiles (linear interpolation, both engines)
+    ("q23_percentile", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy("event_type")
+        .agg(r4(expr("percentile(value, 0.5)")).as("p50"),
+          r4(expr("percentile(value, 0.9)")).as("p90"))
+        .orderBy("event_type")
+    }, oracle("""SELECT event_type, ROUND(quantile_cont(value, 0.5),4) AS p50, ROUND(quantile_cont(value, 0.9),4) AS p90 FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Q24 — string-function batch (SQL surface)
+    ("q24_stringfns", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).part.createOrReplaceTempView("q24_part")
+      s.sql("""SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+                      regexp_extract(p_name, '([a-z]+)', 1) AS w1,
+                      lpad(p_brand, 12, '*') AS pad,
+                      replace(p_type, ' ', '_') AS rep,
+                      CAST(length(p_name) AS BIGINT) AS len,
+                      concat_ws('|', p_brand, p_type) AS cw
+               FROM q24_part ORDER BY p_partkey""")
+    }, Some("""SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lo, regexp_extract(p_name, '([a-z]+)', 1) AS w1, lpad(p_brand, 12, '*') AS pad, replace(p_type, ' ', '_') AS rep, CAST(length(p_name) AS BIGINT) AS len, concat_ws('|', p_brand, p_type) AS cw FROM part ORDER BY p_partkey""")),
+
+    // Q25 — date/time-function batch
+    ("q25_datefns", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events.createOrReplaceTempView("q25_ev")
+      s.sql("""SELECT event_id,
+                      date_format(last_day(ts), 'yyyy-MM-dd') AS month_end,
+                      date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week_start,
+                      CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+                      CAST(day(ts) AS BIGINT) AS dm,
+                      CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS d_since
+               FROM q25_ev ORDER BY event_id""")
+    }, oracle("""SELECT event_id, strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS dm, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d_since FROM events ORDER BY event_id""")),
 
     // Q20 — sort/limit + string functions
     ("q20_topk_str", (s: SparkSession, d: String) => {
