@@ -342,6 +342,50 @@ object Parity {
         .orderBy("vec_id", "pos")
     }, oracle("""SELECT vec_id, CAST(p.pos AS BIGINT) AS pos, ROUND(CAST(embedding[p.pos] AS DOUBLE),4) AS v FROM embeddings, (VALUES (1),(2),(3),(4)) AS p(pos) WHERE label = 1 ORDER BY vec_id, pos""")),
 
+    // Q26 — map functions: props JSON → map, keys/values surfaced
+    ("q26_mapfns", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(col("event_id"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          element_at(col("m"), "k").cast("long").as("k_val"),
+          size(col("m")).cast("long").as("n_keys"))
+        .orderBy("event_id")
+    }, oracle("""SELECT event_id, list_aggregate(json_keys(props), 'string_agg', ',') AS ks, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, CAST(len(json_keys(props)) AS BIGINT) AS n_keys FROM events ORDER BY event_id""")),
+
+    // Q27 — array functions: size/min/max/contains over embeddings
+    ("q27_arrayfns", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).embeddings
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          r4(array_min(col("embedding")).cast("double")).as("mn"),
+          r4(array_max(col("embedding")).cast("double")).as("mx"),
+          array_contains(col("embedding"), 0.0f).as("has_zero"))
+        .orderBy("vec_id")
+    }, Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, ROUND(CAST(list_min(embedding) AS DOUBLE),4) AS mn, ROUND(CAST(list_max(embedding) AS DOUBLE),4) AS mx, list_contains(embedding, 0.0) AS has_zero FROM embeddings ORDER BY vec_id""")),
+
+    // Q28 — correlated scalar subquery (Catalyst decorrelation)
+    ("q28_subquery", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).orders.createOrReplaceTempView("q28_orders")
+      s.sql("""SELECT o_orderkey FROM q28_orders o
+               WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM q28_orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+               ORDER BY o_orderkey""")
+    }, Some("""SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey""")),
+
+    // Q29 — pivot: per-day event counts pivoted by type (oracle uses the
+    // portable conditional-aggregation form)
+    ("q29_pivot", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("day")
+    }, oracle("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) FILTER (event_type = 'click') AS click, COUNT(*) FILTER (event_type = 'error') AS error, COUNT(*) FILTER (event_type = 'purchase') AS purchase, COUNT(*) FILTER (event_type = 'signup') AS signup, COUNT(*) FILTER (event_type = 'view') AS view FROM events GROUP BY 1 ORDER BY day""")),
+
     // Q22 — to_json ∘ from_json round trip (T7+T8); oracle is the identity
     ("q22_json_roundtrip", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
