@@ -198,6 +198,33 @@ class WindowedAggsSpec extends SparkTestBase {
   }
 }
 
+class StreamJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stream-stream interval join: purchases match prior clicks within window") {
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, String)](spark)
+    val cdf = clicks.toDF().toDF("user_id", "cts", "click")
+    val pdf = purchases.toDF().toDF("user_id", "pts", "purchase")
+    val joined = StreamJoins.intervalJoin(pdf, cdf, "user_id", "pts", "cts",
+      windowSec = 60, watermark = "5 seconds")
+      .select(col("purchase"), col("click"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts(0), "c1"), (1L, ts(100), "c2"), (2L, ts(0), "c3"))
+      purchases.addData((1L, ts(30), "p1"),  // matches c1 (30s after)
+        (1L, ts(200), "p2"),                 // c2 is 100s before -> outside 60s
+        (2L, ts(300), "p3"))                 // c3 is 300s before -> outside
+      q.processAllAvailable()
+      val got = spark.table("t_ssj").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("p1", "c1")), s"got $got")
+    } finally q.stop()
+  }
+}
+
 class StatefulOpsSpec extends SparkTestBase {
   import spark.implicits._
   import StatefulOps._
