@@ -45,7 +45,9 @@ object MqttLike {
     StructField("payload", StringType, nullable = false),
     StructField("msg_seq", LongType, nullable = false)))
 
-  /** Publish one message into a spool dir (the bridge/producer side). */
+  /** Publish one message into a spool dir (the bridge/producer side).
+    * Single-writer per topic by design — the stand-in for one broker
+    * session; sequence density is what gives the source exact offsets. */
   def publish(spoolDir: String, topic: String, payload: String): Long = {
     val dir = Paths.get(spoolDir, sanitize(topic))
     Files.createDirectories(dir)
