@@ -33,6 +33,13 @@ object Multimodal {
       while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
       out
     }
+    /** ==== STUB ==== deterministic fake resize: byte-stride subsample to a
+      * target "pixel" budget (real impl: libvips/Pillow equivalent). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, w * h / 64)
+      val stride = math.max(1, payload.length / target)
+      payload.grouped(stride).map(_.head).toArray
+    }
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val len = math.max(1, payload.length / math.max(1, n))
       (0 until n).map(i => payload.slice(i * len, math.min(payload.length, (i + 1) * len)))
@@ -61,6 +68,17 @@ object Multimodal {
           m.width, m.height, m.nFrames, FakeCodec.features(r.payload))
       }
     }
+  }
+
+  /** Resize stage: per-partition like decode; emits resized payloads with
+    * recorded target dims. */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("mime")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.doc_id, FakeCodec.resize(r.payload, w, h), r.mime)))
+      .toDF()
+      .withColumn("width", lit(w)).withColumn("height", lit(h))
   }
 
   /** Frame-sampling stage: one output row per sampled frame. */

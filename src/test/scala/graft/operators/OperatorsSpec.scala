@@ -179,6 +179,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(once.forall(_.feature.length == 8))
   }
 
+  test("resize stage shrinks payloads deterministically with recorded dims") {
+    val docs = Engine.Tables(spark, Sf0001).documents.limit(10)
+    val media = Multimodal.attachPayload(docs)
+    val resized = Multimodal.resizeAll(media, 64, 64).collect()
+    val orig = media.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Array[Byte]]("payload").length).toMap
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 64)
+      assert(r.getAs[Array[Byte]]("payload").length <= orig(r.getAs[Long]("doc_id")))
+    }
+    val twice = Multimodal.resizeAll(media, 64, 64).collect()
+      .map(r => r.getAs[Array[Byte]]("payload").toSeq).toSet
+    assert(twice == resized.map(r => r.getAs[Array[Byte]]("payload").toSeq).toSet)
+  }
+
   test("frame sampling yields n frames per doc") {
     val docs = Engine.Tables(spark, Sf0001).documents.limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.attachPayload(docs), 4)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Streaming semantics: pipelines, windowed aggs batch/stream equivalence,
   * stateful X1–X3 — SURVEY §2.3 adjunct + §5.2. */
@@ -240,6 +241,35 @@ class StatefulOpsSpec extends SparkTestBase {
     val got = spark.table("t_t9").orderBy("user_id").collect().toSeq
     val want = latestValueBatch(events).orderBy("user_id").collect().toSeq
     assert(got == want)
+  }
+
+  test("T9 state survives a checkpointed restart (state-store recovery)") {
+    val events = Engine.Tables(spark, Sf0001).events
+    val dir = java.nio.file.Files.createTempDirectory("replay_ck").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_t9").toString
+    Replay.writeChunks(events, "ts", dir, 4)
+    // phase 1: consume chunks 0-3, then MORE data arrives while down
+    val view = new java.util.concurrent.ConcurrentHashMap[Long, (java.sql.Timestamp, Double)]()
+    def start() = latestValueStream(Replay.readStream(spark, events, dir))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          view.put(r.getLong(0), (r.getTimestamp(1), r.getDouble(2)))
+        }
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // late chunk: re-chunk a disjoint tail into new files (simulate arrivals)
+    val tail = events.orderBy(col("ts").desc).limit(500)
+    tail.coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_9")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = latestValueBatch(events).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2))).toMap
+    assert(view.asScala.toMap == want,
+      "restarted stateful agg must continue from checkpointed state")
   }
 
   test("X1+X2 stream == batch on a charge/discharge ramp (ref ups math)") {
