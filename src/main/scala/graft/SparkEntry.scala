@@ -12,8 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Parity.all ++ Extensions.all
+  private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = {
+    val r = Parity.all ++ Extensions.all
+    val dups = r.groupBy(_._1).collect { case (n, xs) if xs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate query names would silently drop from the driver map: $dups")
+    r
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
