@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.ScalarOps
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants (SURVEY §5.2): window aggregation consistency,
+  * JSON round-trip totality, latest-value = fold of upserts. */
+class InvariantsSpec extends SparkTestBase {
+
+  test("window partition invariant: tumbling window counts sum to total rows") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    val windows = graft.streaming.WindowedAggs.tumbling(ev)
+    assert(windows.agg(sum("cnt")).head().getLong(0) == ev.count())
+    // sliding with slide = width/2 counts every row exactly twice
+    val sliding = graft.streaming.WindowedAggs.sliding(ev)
+    assert(sliding.agg(sum("cnt")).head().getLong(0) == 2 * ev.count())
+  }
+
+  test("session partition invariant: session counts sum to total rows per user") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    val sessions = graft.streaming.WindowedAggs.session(ev)
+      .groupBy("user_id").agg(sum("cnt").as("n"))
+    val perUser = ev.groupBy("user_id").agg(count("*").as("n"))
+    assert(sessions.join(perUser, "user_id")
+      .filter(sessions("n") =!= perUser("n")).count() == 0)
+  }
+
+  test("to_json . from_json is identity over the full events row sweep") {
+    val ev = Engine.Tables(spark, Sf0001).events
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, user_id BIGINT")
+    val back = ev.select(from_json(to_json(struct(ev.columns.map(col): _*)), schema).as("r"))
+      .select(col("r.*"))
+    assert(back.except(ev).count() == 0 && ev.except(back).count() == 0)
+  }
+
+  test("latest-value equals fold of chronological upserts (driver-side model)") {
+    val ev = Engine.Tables(spark, Sf0001).events
+      .select("user_id", "ts", "event_id", "value").limit(2000)
+    val got = graft.streaming.StatefulOps.latestValueBatch(ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fold = ev.orderBy("ts", "event_id").collect()
+      .foldLeft(Map.empty[Long, Double]) { (m, r) => m + (r.getLong(0) -> r.getDouble(3)) }
+    assert(got == fold)
+  }
+
+  test("r4 is idempotent and matches DuckDB-style binary rounding bounds") {
+    import spark.implicits._
+    val xs = (0 until 20000).map(i => i / 7.000001).toDF("x")
+    val bad = xs.select(ScalarOps.r4(col("x")).as("once"))
+      .select(col("once"), ScalarOps.r4(col("once")).as("twice"))
+      .filter(col("once") =!= col("twice") ||
+        abs(col("once") - col("once")) > 0.0)
+    assert(bad.count() == 0)
+  }
+}
