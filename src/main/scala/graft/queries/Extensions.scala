@@ -118,6 +118,23 @@ object Extensions {
         .orderBy("event_id")
     }, Some("""SELECT p.event_id, c.event_id AS click_id, ROUND(c.value, 4) AS click_v FROM (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'purchase') p ASOF JOIN (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""")),
 
+    // Sampling — deterministic hash-mod systematic sample (rows-only: the
+    // xxhash64 priority has no DuckDB twin; determinism + nesting proven in
+    // SamplingSpec)
+    ("qe8_sample", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.deterministicSample(
+          Engine.Tables(s, d).events, "event_id", 10)
+        .select("event_id", "event_type").orderBy("event_id")
+    }, None),
+
+    // Sampling — per-group bottom-k reservoir via the typed Aggregator UDAF
+    ("qe8b_sample_group", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.sampleIdsPerGroup(
+          Engine.Tables(s, d).events, Seq("event_type"), "event_id", 10)
+        .select(col("event_type"), concat_ws(",", col("sample_ids")).as("ids"))
+        .orderBy("event_type")
+    }, None),
+
     // Capstone — training-data curation pipeline composing E1+E4: quality
     // gate (length + punctuation) -> language gate (marker heuristic) ->
     // exact dedup survivor -> curated doc ids. Mirrored 1:1 in the oracle.
