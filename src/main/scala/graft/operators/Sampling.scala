@@ -55,4 +55,20 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, percent: Int,
                           seed: Long = 42L): DataFrame =
     df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(100)) < percent)
+
+  /** Deterministic train/val/test split: hash-range assignment adds a
+    * `split` column. Stable across runs/partitionings, disjoint and
+    * exhaustive, and stable under corpus growth (a row's split never
+    * changes when other rows are added) — the property random splits
+    * lack. Weights are percentages summing to 100. */
+  def splitByHash(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+                  seed: Long = 42L): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100))
+    val expr = splits.tail.foldLeft((when(bucket < splits.head._2, splits.head._1),
+      splits.head._2)) { case ((acc, cum), (name, w)) =>
+      (acc.when(bucket < cum + w, name), cum + w)
+    }._1
+    df.withColumn("split", expr)
+  }
 }

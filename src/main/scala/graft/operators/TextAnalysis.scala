@@ -67,6 +67,12 @@ object TextAnalysis {
         .as("lang_guess"))
   }
 
+  /** Text normalization for dedup/training: lowercase, collapse internal
+    * whitespace runs, trim — the canonical form fed to exact dedup so
+    * case/spacing variants collapse (all codegen'd built-ins). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
     * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
     * only if one exact text dominates, which exact-dedup removes first. */

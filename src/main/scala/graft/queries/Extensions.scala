@@ -118,6 +118,14 @@ object Extensions {
         .orderBy("event_id")
     }, Some("""SELECT p.event_id, c.event_id AS click_id, ROUND(c.value, 4) AS click_v FROM (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'purchase') p ASOF JOIN (SELECT * FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""")),
 
+    // E1+E4 — normalized exact dedup: case/whitespace variants collapse
+    ("qe10_normalize_dedup", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+        .withColumn("norm", TextAnalysis.normalize(col("text")))
+      Dedup.exactDedup(docs, Seq("norm"), "doc_id")
+        .select("keep_id", "dup_cnt").orderBy("keep_id")
+    }, Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')) ORDER BY keep_id""")),
+
     // Sampling — deterministic hash-mod systematic sample (rows-only: the
     // xxhash64 priority has no DuckDB twin; determinism + nesting proven in
     // SamplingSpec)

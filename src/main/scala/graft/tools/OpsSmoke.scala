@@ -30,8 +30,12 @@ object OpsSmoke {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
     val nJ = spark.table("ssj_smoke").count()
+    val splits = graft.operators.Sampling.splitByHash(ev, "event_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     println(s"[ops-smoke] resized=$nR max_bytes=$shrunk stream_join_rows=$nJ " +
-      (if (nR == 20 && nJ > 0) "OK" else "FAIL"))
+      s"splits=$splits " +
+      (if (nR == 20 && nJ > 0 && splits.size == 3) "OK" else "FAIL"))
     spark.stop()
   }
 }

@@ -21,6 +21,31 @@ class SamplingSpec extends SparkTestBase {
     a.foreach { case (t, ids) => assert(ids.forall(byType(t).contains)) }
   }
 
+  test("splitByHash: disjoint, exhaustive, growth-stable train/val/test") {
+    val ev = Engine.Tables(spark, Sf0001).events
+    val split = Sampling.splitByHash(ev, "event_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ev.count().toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n.toLong, "splits must be exhaustive")
+    assert(math.abs(counts("train") / n - 0.80) < 0.03)
+    // growth stability: splitting a subset assigns the same splits
+    val sub = Sampling.splitByHash(ev.limit(500), "event_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).select("event_id", "split")
+    assert(sub.join(split.select(col("event_id"), col("split").as("s2")), "event_id")
+      .filter(col("split") =!= col("s2")).count() == 0)
+  }
+
+  test("normalize collapses case and whitespace variants to one form") {
+    import spark.implicits._
+    val df = Seq("Hello   World ", "hello world", " HELLO\tWORLD").toDF("text")
+    val forms = df.select(graft.operators.TextAnalysis.normalize(col("text")))
+      .distinct().as[String].collect()
+    assert(forms.toSeq == Seq("hello world"))
+  }
+
   test("deterministic hash-mod sample: stable, ~p percent, filter pushes down") {
     val ev = Engine.Tables(spark, Sf0001).events
     val s1 = Sampling.deterministicSample(ev, "event_id", 10)
