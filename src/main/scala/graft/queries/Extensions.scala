@@ -30,7 +30,7 @@ object Extensions {
       Dedup.jaccardPairs(Engine.Tables(s, d).documents, 3, 0.5)
         .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
-    }, Some("""WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM tok, (SELECT unnest(range(1, 200)) AS i) WHERE i + 2 <= len(ws) AND len(ws[i]) > 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM tok, (SELECT unnest(range(1, 200)) AS i) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
 
     // E2 (scale path) — MinHash-LSH candidates verified with exact Jaccard;
     // approximate → rows-only driver check, recall asserted in ScalaTest
