@@ -157,6 +157,14 @@ object Extensions {
         .select(col("keep_id").as("doc_id")).orderBy("doc_id")
     }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
 
+    // Sequence packing — concat-then-chunk token bins (integer-exact oracle)
+    ("qe11_seqpack", (s: SparkSession, d: String) => {
+      val withTok = Engine.Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.SeqPack.binStats(withTok, "doc_id", "n_tok", 2048L)
+        .orderBy("bin")
+    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS bin FROM t) SELECT bin, COUNT(*) AS n_docs, SUM(n_tok) AS tok FROM b GROUP BY bin ORDER BY bin""")),
+
     // E5 — multimodal payload plumbing: binary column + deterministic
     // stub-decoded metadata (oracle checks the SQL-expressible subset)
     ("qe5_multimodal", (s: SparkSession, d: String) => {

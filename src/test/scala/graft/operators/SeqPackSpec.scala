@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SeqPackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("packing: doc assigned to bin of its first token; bins fill in order") {
+    // budget 10: cum-before = 0,6,12,15,24 -> bins 0,0,1,1,2
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 3L), (4L, 9L), (5L, 2L))
+      .toDF("doc_id", "n_tok")
+    val out = SeqPack.pack(docs, "doc_id", "n_tok", 10L)
+      .orderBy("doc_id").select("bin").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("bin token loads sum to the corpus total; bins are contiguous") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val stats = SeqPack.binStats(docs, "doc_id", "n_tok", 2048L).orderBy("bin").collect()
+    val total = docs.agg(sum("n_tok")).head().getLong(0)
+    assert(stats.map(_.getAs[Long]("tok")).sum == total)
+    val bins = stats.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == (bins.min to bins.max).toSeq, "bins must be contiguous")
+  }
+}
