@@ -152,6 +152,33 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got == events.count(), s"dedup left $got rows, want ${events.count()}")
   }
 
+  test("streaming curation == batch qe9: gates + dedup over doc replay") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val dir = java.nio.file.Files.createTempDirectory("replay_cur").toString
+    Replay.writeChunks(docs, "doc_id", dir, 3) // chronological by doc_id
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextAnalysis.tokens(col("text"))
+      df.withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("punct_ratio", graft.functions.ScalarOps.r4(
+          length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") / length(col("text"))))
+        .withColumn("norm", TextAnalysis.normalize(col("text")))
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") <= 0.05)
+    }
+    // streaming: first-arrival dedup on text; replay is doc_id-ordered so
+    // first-seen == min doc_id == the batch exact-dedup survivor
+    val q = gates(Replay.readStream(spark, docs, dir))
+      .dropDuplicates("norm")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("t_cur").outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_cur").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = Dedup.exactDedup(gates(docs), Seq("norm"), "doc_id")
+      .select(col("keep_id")).orderBy("keep_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"streaming curation diverged: ${got.size} vs ${want.size} docs")
+  }
+
   test("dead-letter split e2e: good and corrupt payloads reach separate sinks") {
     val input = MemoryStream[String](spark)
     val parsed = Pipelines.ddConsumer(input.toDF().toDF("payload"))
