@@ -386,6 +386,26 @@ object Parity {
         .orderBy("day")
     }, oracle("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) FILTER (event_type = 'click') AS click, COUNT(*) FILTER (event_type = 'error') AS error, COUNT(*) FILTER (event_type = 'purchase') AS purchase, COUNT(*) FILTER (event_type = 'signup') AS signup, COUNT(*) FILTER (event_type = 'view') AS view FROM events GROUP BY 1 ORDER BY day""")),
 
+    // Q30 — value histogram via width_bucket (profiling surface)
+    ("q30_histogram", (s: SparkSession, d: String) => {
+      Engine.Tables(s, d).events
+        .groupBy(width_bucket(col("value"), lit(0d), lit(500d), lit(20)).as("bucket"))
+        .agg(count("*").as("cnt"))
+        .orderBy("bucket")
+    }, oracle("""SELECT CAST(CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 21 ELSE FLOOR(value / 25.0) + 1 END AS BIGINT) AS bucket, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    // Q31 — bounded window frames: centered moving average + frame edges
+    ("q31_movavg", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-2, 2)
+      Engine.Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          r4(avg(col("value")).over(frame)).as("mov_avg"),
+          r4(first(col("value")).over(frame)).as("fv"),
+          r4(last(col("value")).over(frame)).as("lv"))
+        .orderBy("event_id")
+    }, oracle("""SELECT user_id, event_id, ROUND(AVG(value) OVER w, 4) AS mov_avg, ROUND(first_value(value) OVER w, 4) AS fv, ROUND(last_value(value) OVER w, 4) AS lv FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) ORDER BY event_id""")),
+
     // Q22 — to_json ∘ from_json round trip (T7+T8); oracle is the identity
     ("q22_json_roundtrip", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events
