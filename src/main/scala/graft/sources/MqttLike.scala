@@ -107,7 +107,14 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
     if (e <= s) Array.empty
-    else Array(MqttRangePartition(dir.toString, topic, s, e))
+    else {
+      // split the contiguous seq range so a large backlog reads in parallel
+      val targetPerPartition = 1000L
+      val nParts = math.min(32L, math.max(1L, (e - s + targetPerPartition - 1) / targetPerPartition))
+      val step = (e - s + nParts - 1) / nParts
+      (s until e by step).map(lo =>
+        MqttRangePartition(dir.toString, topic, lo, math.min(e, lo + step)): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {

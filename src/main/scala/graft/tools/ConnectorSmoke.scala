@@ -10,6 +10,20 @@ object ConnectorSmoke {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session("local[4]", 4)
     val spool = java.nio.file.Files.createTempDirectory("mqtt_smoke").toString
+    if (args.nonEmpty && args(0) == "backlog") {
+      // multi-partition path: a backlog larger than one planner split
+      val n = 2500
+      (0 until n).foreach(i => MqttLike.publish(spool, "sensors/bulk", s"""{"i": $i}"""))
+      val in = spark.readStream.format("graft-mqtt")
+        .option("spoolDir", spool).option("topic", "sensors/bulk").load()
+      val q = in.writeStream.format("memory").queryName("bulk")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      val seqs = spark.table("bulk").select("msg_seq").collect().map(_.getLong(0)).sorted
+      println(s"[connector-smoke] backlog=${seqs.length} contiguous=${seqs.toSeq == (0L until n.toLong)} " +
+        (if (seqs.length == n && seqs.toSeq == (0L until n.toLong)) "OK" else "FAIL"))
+      spark.stop(); return
+    }
     (0 until 3).foreach(i => MqttLike.publish(spool, "sensors/ch",
       s"""{"timestamp": "2024-12-23T08:00:0${i}Z", "temp_celsius": ${20 + i}.1}"""))
 
