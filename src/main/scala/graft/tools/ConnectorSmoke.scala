@@ -24,6 +24,16 @@ object ConnectorSmoke {
         (if (seqs.length == n && seqs.toSeq == (0L until n.toLong)) "OK" else "FAIL"))
       spark.stop(); return
     }
+    if (args.nonEmpty && args(0) == "module") {
+      // drive a registered module (reference module ABI equivalent) e2e
+      (0 until 2).foreach(i => MqttLike.publish(spool, "sensors/dd",
+        s"""{"timestamp_utc": "2024-12-23T08:00:0${i}Z", "temp_outdoor_celsius": ${20 + i}.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}"""))
+      val q = graft.streaming.ModuleRegistry.start(spark, "dd", spool)
+      try q.processAllAvailable() finally q.stop()
+      val n = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_dd_enriched")).size
+      println(s"[connector-smoke] module=dd republished=$n " + (if (n == 2) "OK" else "FAIL"))
+      spark.stop(); return
+    }
     (0 until 3).foreach(i => MqttLike.publish(spool, "sensors/ch",
       s"""{"timestamp": "2024-12-23T08:00:0${i}Z", "temp_celsius": ${20 + i}.1}"""))
 

@@ -54,6 +54,35 @@ class PipelinesSpec extends SparkTestBase {
   }
 }
 
+class ModuleRegistrySpec extends SparkTestBase {
+  import graft.sources.MqttLike
+
+  test("registry runs the dd module end-to-end; unknown module rejected") {
+    val spool = java.nio.file.Files.createTempDirectory("modreg").toString
+    (0 until 3).foreach(i => MqttLike.publish(spool, "sensors/dd",
+      s"""{"timestamp_utc": "2024-12-23T08:00:0${i}Z", "temp_outdoor_celsius": ${20 + i}.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}"""))
+    val q = ModuleRegistry.start(spark, "dd", spool)
+    try q.processAllAvailable() finally q.stop()
+    val out = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_dd_enriched"))
+    assert(out.size == 3, s"dd module must republish 3 enriched payloads, got $out")
+    intercept[IllegalArgumentException](ModuleRegistry.start(spark, "nope", spool))
+  }
+
+  test("ch and sample modules run through the same registry mechanics") {
+    val spool = java.nio.file.Files.createTempDirectory("modreg2").toString
+    MqttLike.publish(spool, "sensors/ch_raw",
+      """{"timestamp": "2024-12-23T08:00:00Z", "temp_celsius": 23.4}""")
+    val q = ModuleRegistry.start(spark, "ch", spool)
+    try q.processAllAvailable() finally q.stop()
+    assert(MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_ch")).size == 1)
+    MqttLike.publish(spool, "sensors/sample", "passthrough")
+    val q2 = ModuleRegistry.start(spark, "sample", spool)
+    try q2.processAllAvailable() finally q2.stop()
+    val files = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_sample_out"))
+    assert(files.size == 1)
+  }
+}
+
 class WindowedAggsSpec extends SparkTestBase {
   import spark.implicits._
 
