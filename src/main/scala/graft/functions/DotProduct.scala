@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -9,26 +8,21 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
-/** Fused cosine similarity over two float/double array columns — a native
-  * Catalyst expression with whole-stage codegen.
+/** Fused dot product over two float/double array columns — the codegen'd
+  * sibling of [[CosineSim]] (SURVEY §4.2 extension point c).
   *
-  * Rationale (SURVEY §4.2 extension point c): the composable form
-  * (`aggregate(zip_with(...))`, VectorOps.cosine) is built from higher-order
-  * functions, which are CodegenFallback — interpreted per element, with an
-  * intermediate product array allocated per pair. Inside an ANN cross join
-  * that cost is paid |queries|·|candidates| times. This kernel is one
-  * codegen'd loop, no allocation: dot, |a|² and |b|² accumulated in a single
-  * pass, left-to-right in index order — bit-identical to VectorOps.cosine
-  * and to the DuckDB oracle formula `dot / (sqrt(na) * sqrt(nb))`.
+  * Motivation: sign-random-projection bucketing evaluates one dot product
+  * per hyperplane per row; the composable `aggregate(zip_with(...))` form is
+  * CodegenFallback (interpreted per element, intermediate array per call),
+  * which the builder measured at ~38x vs a fused kernel for the cosine case.
+  * This expression is the projection hot path for [[graft.operators.Similarity]]
+  * LSH buckets and the blocked embedding near-dup.
   *
-  * Null semantics mirror the HOF composition exactly (so ReplaceCosineHof is
-  * semantics-preserving): null when either array is null, when lengths
-  * differ (zip_with pads with null), when any element is null, or when the
-  * denominator is 0.0 (Spark's Divide returns null on a zero divisor). The
-  * per-element null checks are only emitted when the static array type has
-  * `containsNull = true` — vectors read from a non-null schema pay nothing.
+  * Null semantics mirror the HOF composition: null if either array is null,
+  * lengths differ, or any element is null (checks emitted only when the
+  * static array type has `containsNull = true`).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -38,7 +32,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float|double>, got ${left.dataType} and ${right.dataType}")
+      s"dot_product expects array<float|double>, got ${left.dataType} and ${right.dataType}")
   }
 
   private def elemType(e: Expression): DataType =
@@ -60,16 +54,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         i += 1
       }
     }
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var dot = 0.0
     var i = 0
     while (i < n) {
       val xi = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
+      dot += xi * yi
       i += 1
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -77,8 +70,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
     val (lt, rt) = (elemType(left), elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (dot, na, nb, n, i, denom) = (ctx.freshName("dot"), ctx.freshName("na"),
-        ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("denom"))
+      val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
       val nullElemCheck =
         if (mayHaveNullElems(left) || mayHaveNullElems(right))
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
@@ -88,16 +80,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullElemCheck
          |    double xi = ${read(a, lt, i)};
          |    double yi = ${read(b, rt, i)};
-         |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |    $dot += xi * yi;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if (${ev.isNull} || $denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })
@@ -107,13 +97,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       : Expression = copy(left = newLeft, right = newRight)
 }
 
-object CosineSim {
+object DotProduct {
   /** Column-level entry point. */
-  def cosine_sim(a: Column, b: Column): Column =
-    ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  /** SQL registration: `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
+  /** SQL registration: `SELECT dot_product(a.embedding, b.embedding) ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 }

@@ -166,6 +166,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** E2 scale path — blocked embedding near-dup pairs: `tables` independent
+    * sign-random-projection hash tables of `nbits` bits each; vectors
+    * sharing any (table, bucket) become candidates via a plain shuffle
+    * equi-join (never a cross product), then candidates are verified
+    * exactly with the fused [[graft.functions.CosineSim]] kernel — so
+    * precision is 1.0 and only recall is approximate:
+    * P(candidate) = 1-(1-p^nbits)^tables with p = 1-θ/π per hyperplane.
+    * The banding analog of [[minhashCandidates]] for the embedding column;
+    * recall vs the exact [[embeddingNearDups]] is asserted in DedupSpec.
+    *
+    * At 100 TB: bucketing is a codegen'd projection (one fused DotProduct
+    * per hyperplane), the join shuffles on (table, bucket), and the verify
+    * join re-reads only candidate rows — every stage is linear in
+    * |vectors| + |candidates|. */
+  def embeddingNearDupsBlocked(vectors: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nbits: Int = 4, tables: Int = 12,
+                               dim: Int = 64): DataFrame = {
+    val bucketed = vectors.select(col(idCol).as("id"), posexplode(array(
+      (0 until tables).map(t =>
+        Similarity.srpBucket(col(vecCol), nbits, dim, seed = 1000L + t)): _*))
+      .as(Seq("tbl", "bucket")))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    val va = vectors.select(col(idCol).as("da"), col(vecCol).as("va"))
+    val vb = vectors.select(col(idCol).as("db"), col(vecCol).as("vb"))
+    cand.join(va, "da").join(vb, "db")
+      .select(col("da"), col("db"),
+        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit vote over xxhash64 token hashes.

@@ -9,17 +9,34 @@ import org.apache.spark.sql.functions._
   * (concat-then-chunk). Each document is assigned to the bin in which its
   * first token lands: `bin = (cumulative_tokens_before_doc) div budget`.
   *
-  * All-integer math over a window cumulative sum — deterministic, oracle-
-  * exact, and one sort-shuffle at scale. For 100 TB the single global
-  * window becomes per-shard packing: partition by a shard key first
-  * (`repartitionByRange`) and pack within shards — bins never span
-  * executors and the plan stays one local sort per shard.
+  * All-integer math over a window cumulative sum — deterministic and
+  * oracle-exact. [[pack]] uses one GLOBAL window (single-task sort: fine
+  * for oracle-sized data, a scale-killer beyond that); [[packSharded]] is
+  * the 100 TB form — partition by a shard key, pack within shards. The
+  * window's `partitionBy` hash-shuffles once and sorts each shard locally
+  * in parallel; bins never span shards, so packing is embarrassingly
+  * parallel across the shard dimension (exactly how a multi-node packing
+  * job splits a corpus: bin ids are (shard, bin) pairs).
   */
 object SeqPack {
 
-  /** Adds `bin` (long) to each row. */
+  /** Adds `bin` (long) to each row — global document order, single-task
+    * sort. Use [[packSharded]] at scale. */
   def pack(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame = {
     val w = Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
+      .withColumn("bin", expr(s"__cum div $budget"))
+      .drop("__cum")
+  }
+
+  /** Adds `bin` (long) to each row, packing independently within each value
+    * of `shardCol` — one hash shuffle, parallel local sorts, no global
+    * ordering bottleneck. Bin ids are scoped to the shard: a training
+    * shard's bins are (`shardCol`, `bin`). */
+  def packSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
+                  budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", expr(s"__cum div $budget"))
       .drop("__cum")
@@ -29,5 +46,12 @@ object SeqPack {
   def binStats(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame =
     pack(df, idCol, tokCol, budget)
       .groupBy("bin")
+      .agg(count("*").as("n_docs"), sum(col(tokCol)).as("tok"))
+
+  /** Per-bin stats for sharded packing, keyed by (shard, bin). */
+  def binStatsSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
+                      budget: Long): DataFrame =
+    packSharded(df, shardCol, idCol, tokCol, budget)
+      .groupBy(col(shardCol).as("shard"), col("bin"))
       .agg(count("*").as("n_docs"), sum(col(tokCol)).as("tok"))
 }

@@ -33,10 +33,22 @@ object Similarity {
   }
 
   /** Fixed seeded hyperplanes for sign-random-projection bucketing. */
-  private def hyperplanes(nbits: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private[operators] def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Packed sign bits of `nbits` random projections — the SRP bucket id.
+    * Each projection is one fused codegen'd [[graft.functions.DotProduct]]
+    * (the HOF `aggregate(zip_with(...))` form is CodegenFallback:
+    * interpreted per element, an intermediate array per hyperplane). */
+  private[operators] def srpBucket(v: org.apache.spark.sql.Column,
+                                   nbits: Int, dim: Int, seed: Long = 42L)
+      : org.apache.spark.sql.Column =
+    hyperplanes(nbits, dim, seed).zipWithIndex.map { case (hp, i) =>
+      when(graft.functions.DotProduct.dot_product(v, typedlit(hp)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Approximate top-k: bucket = packed sign bits of `nbits` random
     * projections; candidates join queries on bucket equality only. Recall
@@ -44,16 +56,10 @@ object Similarity {
     * survives any scale. Output: qid, cid, cos, rnk within bucket. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nbits: Int = 8, dim: Int = 64): DataFrame = {
-    val hps = hyperplanes(nbits, dim)
-    def bucket(v: org.apache.spark.sql.Column) =
-      hps.zipWithIndex.map { case (hp, i) =>
-        when(aggregate(zip_with(f64(v), typedlit(hp), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      bucket(col("embedding")).as("bucket"))
+      srpBucket(col("embedding"), nbits, dim).as("bucket"))
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      bucket(col("embedding")).as("bucket"))
+      srpBucket(col("embedding"), nbits, dim).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

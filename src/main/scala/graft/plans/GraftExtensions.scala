@@ -25,25 +25,58 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The lambda `(p,q) => p*q` (either operand order) over exactly its own
+    * two DISTINCT arguments — `(x,y) => x*x` must NOT match (not a dot
+    * product), nor may an operand be a capture from an enclosing lambda. */
+  private def isPairwiseProduct(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(Multiply(p: NamedLambdaVariable, q: NamedLambdaVariable, _), args, _)
+      if args.size == 2 =>
+      val ids = args.map(_.exprId)
+      ids.distinct.size == 2 && p.exprId != q.exprId && Set(p.exprId, q.exprId) == ids.toSet
+    case _ => false
+  }
+
+  /** The lambda `(acc,x) => acc+x` (either operand order), operands bound to
+    * exactly the lambda's two arguments. */
+  private def isPlainSum(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(Add(p: NamedLambdaVariable, q: NamedLambdaVariable, _), args, _)
+      if args.size == 2 =>
+      val ids = args.map(_.exprId)
+      ids.distinct.size == 2 && p.exprId != q.exprId && Set(p.exprId, q.exprId) == ids.toSet
+    case _ => false
+  }
+
+  /** aggregate()'s implicit finish lambda `acc => acc`; anything else
+    * post-processes the sum and must block the rewrite. */
+  private def isIdentityFinish(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg), _) => v.exprId == arg.exprId
+    case _ => false
+  }
+
   private object DotAgg {
     /** aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x) */
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-        ZipWith(a, b, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        ZipWith(a, b, mul: LambdaFunction),
         Literal(0.0, DoubleType),
-        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _), _) =>
+        merge: LambdaFunction, finish: LambdaFunction)
+        if isPairwiseProduct(mul) && isPlainSum(merge) && isIdentityFinish(finish) =>
         Some((a, b))
       case _ => None
     }
   }
 
   private object NormSqAgg {
-    /** aggregate(a, 0.0, (acc,x) => acc + x*x) */
+    /** aggregate(a, 0.0, (acc,x) => acc + x*x) — acc bound to the lambda's
+      * accumulator argument, x (twice) to its element argument. */
     def unapply(e: Expression): Option[Expression] = e match {
       case ArrayAggregate(a, Literal(0.0, DoubleType),
-        LambdaFunction(Add(_: NamedLambdaVariable,
-          Multiply(x1: NamedLambdaVariable, x2: NamedLambdaVariable, _), _), _, _), _)
-        if x1.exprId == x2.exprId => Some(a)
+        LambdaFunction(Add(acc: NamedLambdaVariable,
+          Multiply(x1: NamedLambdaVariable, x2: NamedLambdaVariable, _), _), args, _),
+        finish: LambdaFunction)
+        if args.size == 2 && acc.exprId == args.head.exprId &&
+          x1.exprId == x2.exprId && x1.exprId == args(1).exprId &&
+          isIdentityFinish(finish) => Some(a)
       case _ => None
     }
   }

@@ -30,7 +30,7 @@ object Extensions {
       Dedup.jaccardPairs(Engine.Tables(s, d).documents, 3, 0.5)
         .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM tok, (SELECT unnest(range(1, 200)) AS i) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
 
     // E2 (scale path) — MinHash-LSH candidates verified with exact Jaccard;
     // approximate → rows-only driver check, recall asserted in ScalaTest
@@ -54,6 +54,15 @@ object Extensions {
         .select(col("da"), col("db"), r4(col("cos")).as("cos"))
         .orderBy("da", "db")
     }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) SELECT a.vec_id AS da, b.vec_id AS db, ROUND(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45 ORDER BY da, db""")),
+
+    // E2 (scale path) — blocked embedding near-dup: SRP hash tables →
+    // bucket equi-join candidates → exact fused-kernel verify. Approximate
+    // recall (asserted vs qe7 in DedupSpec) → rows-only driver check.
+    ("qe7b_embed_neardup_blocked", (s: SparkSession, d: String) => {
+      Dedup.embeddingNearDupsBlocked(Engine.Tables(s, d).embeddings, "vec_id", "embedding", 0.45)
+        .select(col("da"), col("db"), r4(col("cos")).as("cos"))
+        .orderBy("da", "db")
+    }, None),
 
     // E3 — brute-force cosine top-5 for query vectors vec_id < 10
     ("qe3_knn_brute", (s: SparkSession, d: String) => {
@@ -163,7 +172,18 @@ object Extensions {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
       graft.operators.SeqPack.binStats(withTok, "doc_id", "n_tok", 2048L)
         .orderBy("bin")
-    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS bin FROM t) SELECT bin, COUNT(*) AS n_docs, SUM(n_tok) AS tok FROM b GROUP BY bin ORDER BY bin""")),
+    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST((SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin FROM t) SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY bin ORDER BY bin""")),
+
+    // Sequence packing, sharded (the 100 TB form): pack independently
+    // within doc_id%8 shards — one hash shuffle + parallel local sorts
+    // instead of a global single-task window. Integer-exact oracle.
+    ("qe11b_seqpack_sharded", (s: SparkSession, d: String) => {
+      val withTok = Engine.Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      graft.operators.SeqPack.binStatsSharded(withTok, "shard", "doc_id", "n_tok", 2048L)
+        .orderBy("shard", "bin")
+    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST(doc_id % 8 AS BIGINT) AS shard, CAST((SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin FROM t) SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // E5 — multimodal payload plumbing: binary column + deterministic
     // stub-decoded metadata (oracle checks the SQL-expressible subset)

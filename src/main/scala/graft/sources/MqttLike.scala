@@ -46,14 +46,30 @@ object MqttLike {
     StructField("msg_seq", LongType, nullable = false)))
 
   /** Publish one message into a spool dir (the bridge/producer side).
-    * Single-writer per topic by design — the stand-in for one broker
-    * session; sequence density is what gives the source exact offsets. */
+    * Single-writer per topic is the normal contract (one broker session —
+    * `ModuleRegistry.start` coalesces the sink to one task), but concurrent
+    * publishers are safe: each seq slot is claimed atomically via an
+    * O_CREAT|O_EXCL `.claim` file and the payload lands under a unique tmp
+    * name, so a collision retries with the next seq instead of silently
+    * truncating another writer's message. */
   def publish(spoolDir: String, topic: String, payload: String): Long = {
     val dir = Paths.get(spoolDir, sanitize(topic))
     Files.createDirectories(dir)
-    val seq = nextSeq(dir)
-    val tmp = dir.resolve(s".$seq.msg.tmp")
+    val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, payload)
+    var seq = nextSeq(dir)
+    var claimed = false
+    while (!claimed) {
+      try {
+        // O_CREAT|O_EXCL: each seq slot is claimable exactly once, ever —
+        // claims are never deleted (dot-hidden, readers ignore them), so no
+        // second writer can re-claim a slot whose .msg already landed
+        Files.createFile(dir.resolve(s".$seq.claim"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
     Files.move(tmp, dir.resolve(s"$seq.msg")) // atomic visibility
     seq
   }
@@ -62,9 +78,21 @@ object MqttLike {
 
   def listSeqs(dir: Path): Seq[Long] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".msg"))
-      .map(_.stripSuffix(".msg").toLong).toSeq.sorted
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".msg"))
+        .map(_.stripSuffix(".msg").toLong).toSeq.sorted
+      finally s.close()
+    }
+
+  /** Length of the dense prefix 0..n-1 of visible messages. Readers scan a
+    * contiguous seq range, so the stream's latest offset only advances
+    * through gap-free territory — a straggling concurrent publisher (claimed
+    * seq not yet moved into place) holds the offset back rather than making
+    * a reader hit a missing file. */
+  def densePrefix(dir: Path): Long =
+    listSeqs(dir).zipWithIndex.takeWhile { case (s, i) => s == i }.size.toLong
 
   private def nextSeq(dir: Path): Long = listSeqs(dir).lastOption.fold(0L)(_ + 1)
 }
@@ -100,8 +128,7 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
-  override def latestOffset(): Offset =
-    SeqOffset(MqttLike.listSeqs(dir).lastOption.fold(0L)(_ + 1))
+  override def latestOffset(): Offset = SeqOffset(MqttLike.densePrefix(dir))
   override def commit(end: Offset): Unit = () // spool retained for replay
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -57,7 +57,9 @@ object ModuleRegistry {
     val in = spark.readStream.format("graft-mqtt")
       .option("spoolDir", spoolDir).option("topic", m.sourceTopic).load()
     val transformed = m.transform(in)
-    val out = transformed.select(m.payload(transformed).as("payload"))
+    // one writer task per topic: publish allocates dense seqs, and a single
+    // broker session is the reference's delivery model anyway (mqtt.c)
+    val out = transformed.select(m.payload(transformed).as("payload")).coalesce(1)
     val w: DataStreamWriter[Row] = out.writeStream
       .foreach(new graft.sources.Sinks.MqttLikePublishWriter(spoolDir, m.sinkTopic, 1))
       .outputMode(OutputMode.Append())

@@ -29,6 +29,38 @@ class CosineSimSpec extends SparkTestBase {
     assert(n >= -1.0 && n <= 1.0)
   }
 
+  test("null semantics mirror the HOF form: mismatch/zero-norm/null-element -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))        // zero denominator
+    ).toDF("a", "b")
+    val out = df.select(CosineSim.cosine_sim(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)), "mismatched lengths / zero norm must yield null")
+    CosineSim.register(spark)
+    val nullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+    assert(nullElem.head().isNullAt(0), "null element must yield null")
+    val nullArr = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")
+    assert(nullArr.head().isNullAt(0), "null array must yield null")
+  }
+
+  test("fused dot product == composable dot, bit-exact; null on mismatch") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings.limit(200)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+    val diff = pairs.select(
+      DotProduct.dot_product(col("va"), col("vb")).as("fused"),
+      VectorOps.dot(col("va"), col("vb")).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0, "fused dot diverged from composable form")
+    import spark.implicits._
+    val mm = Seq((Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(DotProduct.dot_product(col("a"), col("b"))).collect()
+    assert(mm.forall(_.isNullAt(0)))
+  }
+
   test("self-similarity is 1.0") {
     val one = Engine.Tables(spark, Sf0001).embeddings.limit(5)
       .select(CosineSim.cosine_sim(col("embedding"), col("embedding")).as("c"))

@@ -70,6 +70,21 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.except(exact).count() == 0, "verify step must remove false positives")
   }
 
+  test("blocked embedding near-dup: exact-verified subset of the NLJ form with high recall") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+      .select("da", "db")
+    val blocked = Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", 0.45)
+      .select("da", "db")
+    assert(blocked.except(exact).count() == 0,
+      "verify step must make blocked pairs a subset of exact pairs (precision 1.0)")
+    val nExact = exact.count()
+    assert(nExact > 0, "testdata must contain near-dup pairs for recall to mean anything")
+    val missed = exact.except(blocked).count()
+    val recall = (nExact - missed).toDouble / nExact
+    assert(recall >= 0.7, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
+  }
+
   test("simhash: identical docs have identical fingerprints, hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -15,6 +15,25 @@ class SeqPackSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
   }
 
+  test("sharded packing == global packing applied per shard; no single-partition sort") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", col("doc_id") % 4)
+    val sharded = SeqPack.packSharded(docs, "shard", "doc_id", "n_tok", 2048L)
+    (0L until 4L).foreach { sh =>
+      val expect = SeqPack.pack(docs.filter(col("shard") === sh), "doc_id", "n_tok", 2048L)
+        .select("doc_id", "bin")
+      val got = sharded.filter(col("shard") === sh).select("doc_id", "bin")
+      assert(got.except(expect).count() == 0 && expect.except(got).count() == 0,
+        s"shard $sh diverged from independent global packing")
+    }
+    // the scale property itself: the window shuffles by shard, never
+    // serializing the corpus through one task
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"sharded packing must not plan a single-partition sort:\n${plan.take(1200)}")
+  }
+
   test("bin token loads sum to the corpus total; bins are contiguous") {
     val docs = graft.Engine.Tables(spark, Sf0001).documents
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))

@@ -27,6 +27,41 @@ class GraftExtensionsSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rule refuses (x,y) => x*x bait — not a dot product, must not rewrite") {
+    spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
+    try {
+      import spark.implicits._
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+        .select((aggregate(zip_with(col("a"), col("b"), (x, _) => x * x),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)) *
+            sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x)))).as("c"))
+      val fused = df.queryExecution.optimizedPlan.collect { case n =>
+        n.expressions.flatMap(_.collect { case e: CosineSim => e }) }.flatten
+      assert(fused.isEmpty, "x*x inside zip_with was miscompiled into a dot product")
+      // sum(x*x over a) = 5; |a| = sqrt(5), |b| = 5 -> 5 / (5*sqrt(5))
+      val v = df.head().getDouble(0)
+      assert(math.abs(v - 5.0 / (math.sqrt(5.0) * 5.0)) < 1e-12,
+        s"value corrupted by rewrite: $v")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rewrite preserves HOF null semantics: mismatched lengths stay null") {
+    spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
+    try {
+      // parquet-backed (a LocalRelation would be constant-folded by
+      // ConvertToLocalRelation before user-provided rules run)
+      val df = Engine.Tables(spark, Sf0001).embeddings.limit(3)
+        .select(col("embedding").as("a"), slice(col("embedding"), 1, 10).as("b"))
+        .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      val fused = df.queryExecution.optimizedPlan.collect { case n =>
+        n.expressions.flatMap(_.collect { case e: CosineSim => e }) }.flatten
+      assert(fused.nonEmpty, "rewrite should fire on the plain cosine form")
+      assert(df.head().isNullAt(0),
+        "HOF cosine of mismatched arrays is null; the fused form must agree")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule leaves non-cosine aggregate/zip_with patterns untouched") {
     spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
     try {

@@ -62,6 +62,17 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(s.contains("WholeStageCodegen") || s.contains("*(1)"), s.take(1500))
   }
 
+  test("qe3b LSH bucketing runs fully codegen'd — no CodegenFallback expressions") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val df = graft.SparkEntry.queries("qe3b_knn_lsh")(spark, Sf0001)
+    df.collect() // finalize the adaptive plan in place
+    val fallbacks = collect(planOf(df)) { case p =>
+      p.expressions.flatMap(_.collect { case e: CodegenFallback => e })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"interpreted expressions in the ANN hot path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+  }
+
   test("bucketed tables co-locate: repeated join runs without a shuffle exchange") {
     // default ./spark-warehouse (warehouse.dir is a static conf); tables
     // dropped below, dir is gitignored

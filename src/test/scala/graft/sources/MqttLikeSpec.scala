@@ -34,6 +34,27 @@ class MqttLikeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("concurrent publishers: no message lost or overwritten, seqs stay dense") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_conc").toString
+    val n = 200
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = MqttLike.publish(spool, "t/conc", s"msg-$i")
+        })
+      }
+      futures.foreach(_.get()) // propagate any writer exception
+    } finally pool.shutdown()
+    val dir = java.nio.file.Paths.get(spool, "t_conc")
+    val seqs = MqttLike.listSeqs(dir)
+    assert(seqs.size == n, s"lost ${n - seqs.size} messages to writer races")
+    assert(seqs == (0L until n.toLong), "seqs must stay dense from 0")
+    val bodies = seqs.map(s => java.nio.file.Files.readString(dir.resolve(s"$s.msg"))).toSet
+    assert(bodies.size == n, "a payload was truncated/overwritten by a concurrent writer")
+    assert(MqttLike.densePrefix(dir) == n.toLong)
+  }
+
   test("checkpoint recovery: restarted query resumes from committed offsets") {
     val spool = java.nio.file.Files.createTempDirectory("mqtt_ckpt").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
