@@ -1,12 +1,14 @@
 package graft.functions
 
+import org.apache.spark.QueryContext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, SupportQueryContext}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Fused cosine similarity over two float/double array columns — a native
@@ -23,12 +25,23 @@ import org.apache.spark.sql.types._
   *
   * Null semantics mirror the HOF composition exactly (so ReplaceCosineHof is
   * semantics-preserving): null when either array is null, when lengths
-  * differ (zip_with pads with null), when any element is null, or when the
-  * denominator is 0.0 (Spark's Divide returns null on a zero divisor). The
+  * differ (zip_with pads with null), or when any element is null. A zero
+  * denominator (a zero-norm vector with non-null elements) follows the
+  * session's Divide semantics: under ANSI mode (Spark 4's default) it throws
+  * DIVIDE_BY_ZERO exactly like the HOF form's `Divide`; with ANSI off it
+  * returns null. `failOnError` is captured at construction on the driver,
+  * like Divide's evalMode, so optimized and unoptimized plans agree. The
   * per-element null checks are only emitted when the static array type has
   * `containsNull = true` — vectors read from a non-null schema pay nothing.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(
+    left: Expression,
+    right: Expression,
+    failOnError: Boolean = SQLConf.get.ansiEnabled)
+  extends BinaryExpression with SupportQueryContext {
+
+  override def initQueryContext(): Option[QueryContext] =
+    if (failOnError) Some(origin.context) else None
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -69,7 +82,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    if (denom == 0.0) {
+      if (failOnError) throw ColumnShim.divideByZeroError(getContextOrNull())
+      null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -83,6 +99,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         if (mayHaveNullElems(left) || mayHaveNullElems(right))
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      // A null element makes the result null (matching zip_with/aggregate);
+      // a genuine zero denominator follows the session's Divide semantics.
+      val zeroDenom =
+        if (failOnError) {
+          val errCtx = getContextOrNullCode(ctx)
+          s"throw org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError($errCtx);"
+        } else s"${ev.isNull} = true;"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -96,7 +119,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if (${ev.isNull} || $denom == 0.0) { ${ev.isNull} = true; }
+         |  if (${ev.isNull}) { }
+         |  else if ($denom == 0.0) { $zeroDenom }
          |  else { ${ev.value} = $dot / $denom; }
          |}
        """.stripMargin

@@ -121,7 +121,16 @@ object Dedup {
   /** LSH banding: docs sharing any band bucket become candidate pairs.
     * bands·rows = k; P(candidate) ≈ 1-(1-j^rows)^bands. The band-bucket
     * equi-join shuffles only (bucket → doc ids), never materializing the
-    * full cross product — this is the piece that survives 100 TB. */
+    * full cross product — this is the piece that survives 100 TB.
+    *
+    * Sizing at scale (same rule as [[embeddingNearDupsBlocked]]): bucket
+    * ids here are full 32-bit hashes of each band's row minhashes, so the
+    * bucket space (2³²·bands) never needs widening; what must grow with n
+    * is `rows` (= k/bands) — more rows per band sharpens the similarity
+    * threshold s* ≈ (1/bands)^(1/rows) and keeps per-bucket occupancy (and
+    * hence the quadratic within-bucket pair count) bounded as near-but-
+    * below-threshold mass grows. k=16/bands=4 targets j ≥ 0.5 corpora; at
+    * 10⁹ docs prefer k=128, bands=16 (rows=8, s* ≈ 0.71). */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val sig = minhashSignature(docs, n, k)
@@ -179,13 +188,38 @@ object Dedup {
     * At 100 TB: bucketing is a codegen'd projection (one fused DotProduct
     * per hyperplane), the join shuffles on (table, bucket), and the verify
     * join re-reads only candidate rows — every stage is linear in
-    * |vectors| + |candidates|. */
+    * |vectors| + |candidates| PROVIDED buckets stay small: within-bucket
+    * candidates are quadratic in bucket occupancy, so `nbits` must grow
+    * ~log₂(n) to keep expected occupancy (n / 2^nbits) bounded. The default
+    * `nbits = 0` auto-derives ceil(log₂(n / 1024)) (floor 4, cap 24) from a
+    * count of the input — at 10⁹ vectors that is 20 bits → ~1k-row buckets
+    * instead of 16 buckets of 6×10⁷. Per-table recall falls as p^nbits
+    * (p = 1-θ/π per hyperplane), so when fixing nbits high, raise `tables`
+    * to hold P(candidate) = 1-(1-p^nbits)^tables at the target.
+    *
+    * `dim = 0` (default) infers the embedding width from the first row; a
+    * row whose vector width differs from the hyperplane width then raises
+    * an error instead of silently hashing every row into bucket 0 (a null
+    * DotProduct would zero every sign bit and degrade the equi-join to
+    * per-table all-pairs). */
   def embeddingNearDupsBlocked(vectors: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, nbits: Int = 4, tables: Int = 12,
-                               dim: Int = 64): DataFrame = {
-    val bucketed = vectors.select(col(idCol).as("id"), posexplode(array(
+                               threshold: Double, nbits: Int = 0, tables: Int = 12,
+                               dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).head().getInt(0)
+    val bits = if (nbits > 0) nbits else {
+      val n = vectors.count()
+      math.min(24, math.max(4, math.ceil(math.log(math.max(1.0, n / 1024.0)) / math.log(2)).toInt))
+    }
+    // dim guard lives in the value path (not a droppable side column), so
+    // column pruning cannot eliminate it; one size() per row, codegen'd
+    val checked = vectors.select(col(idCol).as("id"),
+      when(size(col(vecCol)) === d, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"embedding dim mismatch: expected $d, got "),
+          size(col(vecCol)).cast("string")))).as("v"))
+    val bucketed = checked.select(col("id"), posexplode(array(
       (0 until tables).map(t =>
-        Similarity.srpBucket(col(vecCol), nbits, dim, seed = 1000L + t)): _*))
+        Similarity.srpBucket(col("v"), bits, d, seed = 1000L + t)): _*))
       .as(Seq("tbl", "bucket")))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),

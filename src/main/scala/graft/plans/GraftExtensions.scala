@@ -82,9 +82,13 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Divide(DotAgg(a, b), Multiply(Sqrt(NormSqAgg(na)), Sqrt(NormSqAgg(nb)), _), _)
+    // The replaced Divide's own evalMode decides zero-denominator behavior
+    // (ANSI throws, LEGACY/TRY null) — propagated, not re-read from the
+    // conf, so the rewrite is semantics-preserving even if the conf changed
+    // between analysis and optimization.
+    case Divide(DotAgg(a, b), Multiply(Sqrt(NormSqAgg(na)), Sqrt(NormSqAgg(nb)), _), mode)
       if a.semanticEquals(na) && b.semanticEquals(nb) =>
-      CosineSim(base(a), base(b))
+      CosineSim(base(a), base(b), failOnError = mode == EvalMode.ANSI)
   }
 }
 

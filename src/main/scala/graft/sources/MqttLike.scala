@@ -48,31 +48,79 @@ object MqttLike {
   /** Publish one message into a spool dir (the bridge/producer side).
     * Single-writer per topic is the normal contract (one broker session —
     * `ModuleRegistry.start` coalesces the sink to one task), but concurrent
-    * publishers are safe: each seq slot is claimed atomically via an
-    * O_CREAT|O_EXCL `.claim` file and the payload lands under a unique tmp
-    * name, so a collision retries with the next seq instead of silently
-    * truncating another writer's message. */
+    * publishers are safe, and so are publisher CRASHES at any point:
+    *
+    *  1. payload is written to a unique dot-hidden tmp file;
+    *  2. the seq slot is claimed by hard-LINKING the tmp as `.<seq>.claim` —
+    *     link creation is O_EXCL-atomic (a collision retries the next seq)
+    *     and the claim carries the FULL payload from the instant it exists,
+    *     never content-less;
+    *  3. the visible `<seq>.msg` is hard-linked FROM the claim — also
+    *     atomic-exclusive. The claim is never deleted (dot-hidden, readers
+    *     ignore it; it shares the msg's inode so costs no data): it is the
+    *     permanent tombstone that stops any later writer re-claiming a slot
+    *     whose msg already landed.
+    *
+    * A crash between 2 and 3 leaves a contentful claim with no msg —
+    * [[repair]] (run by every publisher and by the reader's offset poll)
+    * completes step 3 idempotently, so a dead publisher can never wedge the
+    * topic's dense prefix. */
   def publish(spoolDir: String, topic: String, payload: String): Long = {
     val dir = Paths.get(spoolDir, sanitize(topic))
     Files.createDirectories(dir)
+    repair(dir)
     val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, payload)
     var seq = nextSeq(dir)
     var claimed = false
     while (!claimed) {
       try {
-        // O_CREAT|O_EXCL: each seq slot is claimable exactly once, ever —
-        // claims are never deleted (dot-hidden, readers ignore them), so no
-        // second writer can re-claim a slot whose .msg already landed
-        Files.createFile(dir.resolve(s".$seq.claim"))
+        Files.createLink(dir.resolve(s".$seq.claim"), tmp)
         claimed = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => seq += 1
       }
     }
-    Files.move(tmp, dir.resolve(s"$seq.msg")) // atomic visibility
+    promote(dir, seq)
+    Files.deleteIfExists(tmp)
     seq
   }
+
+  /** Step 3: expose a claimed slot as `<seq>.msg`. Racing a repairer is
+    * fine — exactly one link wins; the loser's EEXIST means "already
+    * published". */
+  private def promote(dir: Path, seq: Long): Unit =
+    try Files.createLink(dir.resolve(s"$seq.msg"), dir.resolve(s".$seq.claim"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // repaired by another
+      case _: java.nio.file.NoSuchFileException => ()        // defensive; claims persist
+    }
+
+  /** Complete any claim whose msg never landed (publisher died between claim
+    * and publish) and age out orphaned tmp files. Idempotent, safe to race
+    * with live publishers: claims are contentful by construction, so
+    * promoting an in-flight claim merely publishes it a moment early. */
+  def repair(dir: Path): Unit = {
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    val names = try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
+    val msgs = names.filter(_.endsWith(".msg")).map(_.stripSuffix(".msg")).toSet
+    names.filter(n => n.startsWith(".") && n.endsWith(".claim"))
+      .map(_.stripPrefix(".").stripSuffix(".claim"))
+      .filterNot(msgs)
+      .foreach(n => promote(dir, n.toLong))
+    // tmp files are pre-claim scratch: an orphan older than this was a
+    // publisher that died before claiming — its message was never made
+    // durable, so deletion is the correct QoS-1 outcome (sender retries).
+    val cutoff = System.currentTimeMillis() - TmpOrphanMs
+    names.filter(n => n.startsWith(".pub-") && n.endsWith(".tmp")).foreach { n =>
+      val p = dir.resolve(n)
+      try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private val TmpOrphanMs = 15L * 60 * 1000
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -128,7 +176,13 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
-  override def latestOffset(): Offset = SeqOffset(MqttLike.densePrefix(dir))
+  // repair first: a publisher that died mid-publish must not wedge the
+  // dense prefix forever — the claim protocol makes completion safe from
+  // the reader side (see MqttLike.publish docs)
+  override def latestOffset(): Offset = {
+    MqttLike.repair(dir)
+    SeqOffset(MqttLike.densePrefix(dir))
+  }
   override def commit(end: Offset): Unit = () // spool retained for replay
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `QueryExecutionErrors` is `private[sql]`; re-exposed so custom
+    * expressions can raise the exact error ANSI `Divide` raises (same error
+    * class, SQLSTATE, and query-context formatting). */
+  def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
 }

@@ -29,14 +29,11 @@ class CosineSimSpec extends SparkTestBase {
     assert(n >= -1.0 && n <= 1.0)
   }
 
-  test("null semantics mirror the HOF form: mismatch/zero-norm/null-element -> null") {
+  test("null semantics mirror the HOF form: mismatch/null-element -> null") {
     import spark.implicits._
-    val df = Seq(
-      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // length mismatch
-      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))        // zero denominator
-    ).toDF("a", "b")
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val out = df.select(CosineSim.cosine_sim(col("a"), col("b"))).collect()
-    assert(out.forall(_.isNullAt(0)), "mismatched lengths / zero norm must yield null")
+    assert(out.forall(_.isNullAt(0)), "mismatched lengths must yield null")
     CosineSim.register(spark)
     val nullElem = spark.sql(
       "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
@@ -44,6 +41,34 @@ class CosineSimSpec extends SparkTestBase {
     val nullArr = spark.sql(
       "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")
     assert(nullArr.head().isNullAt(0), "null array must yield null")
+  }
+
+  test("zero-norm vector follows Divide semantics: ANSI throws, non-ANSI null — in BOTH forms") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // Spark 4 defaults ansi.enabled=true: the HOF form's Divide throws
+    // DIVIDE_BY_ZERO on a zero-norm vector, so the fused kernel must too —
+    // otherwise ReplaceCosineHof silently rewrites an error into a null.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true", "test assumes ANSI default")
+    val hofThrown = intercept[Exception] {
+      df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect()
+    }
+    assert(hofThrown.getMessage.contains("DIVIDE_BY_ZERO"))
+    val fusedThrown = intercept[Exception] {
+      df.select(CosineSim.cosine_sim(col("a"), col("b")).as("c")).collect()
+    }
+    assert(fusedThrown.getMessage.contains("DIVIDE_BY_ZERO"))
+    // With ANSI off both forms return null. failOnError is captured at
+    // expression construction (like Divide's evalMode), so build the
+    // columns after the conf flips.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = df.select(
+        CosineSim.cosine_sim(col("a"), col("b")).as("fused"),
+        VectorOps.cosine(col("a"), col("b")).as("composed")).collect()
+      assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+        "non-ANSI zero norm must be null in both forms")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
   test("fused dot product == composable dot, bit-exact; null on mismatch") {

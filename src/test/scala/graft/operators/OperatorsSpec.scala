@@ -85,6 +85,20 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.7, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
   }
 
+  test("blocked near-dup fails fast on embedding dim mismatch (no silent bucket-0 collapse)") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))  // wrong width
+    ).toDF("vec_id", "embedding")
+    val thrown = intercept[Exception] {
+      Dedup.embeddingNearDupsBlocked(mixed, "vec_id", "embedding", 0.9).collect()
+    }
+    assert(thrown.getMessage.contains("dim mismatch"),
+      s"expected a dim-mismatch error, got: ${thrown.getMessage.take(300)}")
+  }
+
   test("simhash: identical docs have identical fingerprints, hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

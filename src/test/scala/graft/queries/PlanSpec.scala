@@ -73,6 +73,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"interpreted expressions in the ANN hot path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
+  test("qe7b blocked near-dup plans equi-joins only — no BroadcastNestedLoopJoin") {
+    val df = graft.SparkEntry.queries("qe7b_embed_neardup_blocked")(spark, Sf0001)
+    df.collect() // finalize the adaptive plan in place
+    val s = planOf(df).toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"blocked scale path degenerated to a cross product:\n${s.take(1500)}")
+  }
+
   test("bucketed tables co-locate: repeated join runs without a shuffle exchange") {
     // default ./spark-warehouse (warehouse.dir is a static conf); tables
     // dropped below, dir is gitignored

@@ -55,6 +55,46 @@ class MqttLikeSpec extends SparkTestBase {
     assert(MqttLike.densePrefix(dir) == n.toLong)
   }
 
+  test("publisher crash between claim and publish cannot wedge the topic") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_crash").toString
+    val dir = java.nio.file.Paths.get(spool, "t_crash")
+    MqttLike.publish(spool, "t/crash", "msg-0")
+    // simulate a publisher that died after claiming seq 1 but before
+    // publishing: contentful claim link present, no 1.msg (exactly the state
+    // publish() leaves between its link and promote steps)
+    val tmp = dir.resolve(".pub-deadbeef.tmp")
+    java.nio.file.Files.writeString(tmp, "msg-1-from-crashed-writer")
+    java.nio.file.Files.createLink(dir.resolve(".1.claim"), tmp)
+    assert(MqttLike.densePrefix(dir) == 1L, "gap at seq 1 holds the prefix")
+    // any later publisher repairs the gap before claiming its own slot
+    val seq = MqttLike.publish(spool, "t/crash", "msg-2")
+    assert(seq == 2L, "crashed writer's claim must keep its slot")
+    assert(MqttLike.densePrefix(dir) == 3L, "repair must unwedge the prefix")
+    assert(java.nio.file.Files.readString(dir.resolve("1.msg"))
+      == "msg-1-from-crashed-writer", "recovered payload must be intact")
+  }
+
+  test("reader self-heals a wedged topic with no further publishes") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_heal").toString
+    val dir = java.nio.file.Paths.get(spool, "t_heal")
+    (0 until 2).foreach(i => MqttLike.publish(spool, "t/heal", s"m$i"))
+    val tmp = dir.resolve(".pub-dead.tmp")
+    java.nio.file.Files.writeString(tmp, "m2-crashed")
+    java.nio.file.Files.createLink(dir.resolve(".2.claim"), tmp)
+    assert(MqttLike.densePrefix(dir) == 2L)
+    // no publisher ever returns; the streaming reader's offset poll repairs
+    val stream = spark.readStream.format("graft-mqtt")
+      .option("spoolDir", spool).option("topic", "t/heal").load()
+    val q = stream.writeStream.format("memory").queryName("mq_heal")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mq_heal").orderBy("msg_seq").collect()
+      assert(rows.map(_.getAs[Long]("msg_seq")).toSeq == (0L until 3L))
+      assert(rows.last.getAs[String]("payload") == "m2-crashed")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restarted query resumes from committed offsets") {
     val spool = java.nio.file.Files.createTempDirectory("mqtt_ckpt").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
