@@ -8,11 +8,19 @@ import org.apache.spark.sql.SparkSession
   * a bare `.count()` would let Catalyst prune every projected column and
   * benchmark only the scan. One warmup query first so JIT/codegen costs
   * don't land on the first measured query.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  * the per-query MEDIAN: single-shot numbers on this box carry ±0.8 s
+  * run-to-run noise (BENCH_r01 vs r02 showed ±30% per-query swings with
+  * zero code change), which masquerades as regression. The cache is
+  * cleared between reps so a query's persist() fills don't turn later
+  * reps into cache reads.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,9 +30,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
-      // collect garbage from the previous query so its GC debt is not
+    def execOnce(name: String): Double = {
+      // collect garbage from the previous run so its GC debt is not
       // charged to this one (bimodal 1s->28s spikes observed otherwise)
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -34,6 +43,11 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def exec(name: String): Double = {
+      val ts = (1 to reps).map(_ => execOnce(name))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
     }
 
     // warmup: parquet footers + vectorized-reader init for every table,

@@ -406,6 +406,25 @@ object Parity {
         .orderBy("event_id")
     }, oracle("""SELECT user_id, event_id, ROUND(AVG(value) OVER w, 4) AS mov_avg, ROUND(first_value(value) OVER w, 4) AS fv, ROUND(last_value(value) OVER w, 4) AS lv FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) ORDER BY event_id""")),
 
+    // Q32 — full X2 derived-metric parity incl. the formatted ETA wall-clock
+    // column (ref module_rpi_ups_hat.c:210-219): events mapped to UPS
+    // readings (current = value-100 so the signal flips sign, pct = value),
+    // run through StatefulOps.upsDerivedBatch — the oracle twin of the
+    // flatMapGroupsWithState stream form (equivalence in StreamingSpec).
+    ("q32_ups_eta", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val readings = Engine.Tables(s, d).events
+        .select(col("user_id").as("device_id"), col("ts"),
+          (col("value") - 100).as("current_ma"), col("value").as("batt_pct"))
+        .as[graft.streaming.StatefulOps.UpsReading]
+      graft.streaming.StatefulOps.upsDerivedBatch(readings)
+        .orderBy("device_id", "ts")
+        .select(col("device_id"), date_format(col("ts"), TsFmt).as("ts"),
+          r4(col("batt_pct")).as("batt_pct"), col("status"),
+          r4(col("batt_use_per_sec")).as("rate"),
+          r4(col("remaining_hrs")).as("remaining_hrs"), col("eta"))
+    }, oracle("""WITH r AS (SELECT user_id AS device_id, ts, value - 100 AS current_ma, value AS batt_pct, epoch_us(ts) // 1000000 AS tsec FROM events), s AS (SELECT *, CASE WHEN current_ma > 0 THEN 1 ELSE -1 END AS sign FROM r), f AS (SELECT *, sign <> COALESCE(LAG(sign) OVER (PARTITION BY device_id ORDER BY ts, current_ma), 0) AS flip FROM s), b AS (SELECT *, LAST_VALUE(CASE WHEN flip THEN tsec END IGNORE NULLS) OVER wr AS t0, LAST_VALUE(CASE WHEN flip THEN batt_pct END IGNORE NULLS) OVER wr AS pct0 FROM f WINDOW wr AS (PARTITION BY device_id ORDER BY ts, current_ma ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), c AS (SELECT *, (pct0 - batt_pct) / (tsec - t0 + 1) AS rate FROM b) SELECT device_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, ROUND(batt_pct, 4) AS batt_pct, CASE WHEN sign > 0 THEN 'Charging' ELSE 'Discharging' END AS status, CASE WHEN rate > 0 THEN ROUND(rate, 4) END AS rate, CASE WHEN rate > 0 THEN ROUND(batt_pct / rate / 3600.0, 4) END AS remaining_hrs, CASE WHEN rate > 0 AND batt_pct / rate < 3.15e9 THEN strftime(make_timestamp((tsec + CAST(FLOOR(batt_pct / rate) AS BIGINT)) * 1000000), '%Y-%m-%dT%H:%M:%S') END AS eta FROM c ORDER BY device_id, c.ts""")),
+
     // Q22 — to_json ∘ from_json round trip (T7+T8); oracle is the identity
     ("q22_json_roundtrip", (s: SparkSession, d: String) => {
       Engine.Tables(s, d).events

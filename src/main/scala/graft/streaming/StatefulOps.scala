@@ -37,12 +37,33 @@ object StatefulOps {
   case class UpsState(prevSign: Int, t0: Long, pct0: Double)
   case class UpsDerived(device_id: Long, ts: Timestamp, batt_pct: Double,
                         status: String, batt_use_per_sec: Option[Double],
-                        remaining_hrs: Option[Double])
+                        remaining_hrs: Option[Double], eta: Option[String])
+
+  /** ETA wall-clock format, reference-faithful ISO-8601
+    * (`module_rpi_ups_hat.c:214-215` strftime "%Y-%m-%dT%H:%M:%S"; the
+    * engine standardizes on UTC where the reference prints localtime). */
+  private val EtaFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** ETA horizon: beyond this many seconds out (100 years) the projection
+    * is noise from a near-zero rate — suppressed rather than overflowing
+    * the timestamp range (the reference's time_t addition just wraps). */
+  private val EtaHorizonSec = 3.15e9
+
+  private def etaOf(tSec: Long, pct: Double, rate: Double): Option[String] = {
+    val delta = pct / rate
+    // truncation toward zero mirrors the reference's (time_t) float->int
+    // conversion at module_rpi_ups_hat.c:213; delta >= 0 so trunc == floor
+    if (rate > 0 && delta < EtaHorizonSec)
+      Some(EtaFmt.format(java.time.Instant.ofEpochSecond(tSec + delta.toLong)))
+    else None
+  }
 
   /** One step of the reference's derived-metric math
     * (ref `module_rpi_ups_hat.c:200-219,253-259`): on sign flip (or first
     * sample) reset baseline (t0, pct0); rate = (pct0-pct)/(t-t0+1);
-    * remaining = pct/rate/3600, None when rate <= 0. */
+    * remaining = pct/rate/3600 and eta = ts + pct/rate sec, None when
+    * rate <= 0. */
   private def upsStep(r: UpsReading, st: Option[UpsState]): (UpsState, UpsDerived) = {
     val sign = if (r.current_ma > 0) 1 else -1
     val tSec = r.ts.getTime / 1000
@@ -54,7 +75,8 @@ object StatefulOps {
     val (use, rem) =
       if (rate > 0) (Some(rate), Some(r.batt_pct / rate / 3600.0)) else (None, None)
     (base, UpsDerived(r.device_id, r.ts, r.batt_pct,
-      if (sign > 0) "Charging" else "Discharging", use, rem))
+      if (sign > 0) "Charging" else "Discharging", use, rem,
+      etaOf(tSec, r.batt_pct, rate)))
   }
 
   /** Streaming X1+X2: per-device state via flatMapGroupsWithState. */
@@ -90,7 +112,11 @@ object StatefulOps {
     based.select(col("device_id"), col("ts"), col("batt_pct"),
       when(col("sign") > 0, "Charging").otherwise("Discharging").as("status"),
       when(col("rate") > 0, col("rate")).as("batt_use_per_sec"),
-      when(col("rate") > 0, col("batt_pct") / col("rate") / 3600.0).as("remaining_hrs"))
+      when(col("rate") > 0, col("batt_pct") / col("rate") / 3600.0).as("remaining_hrs"),
+      when(col("rate") > 0 && col("batt_pct") / col("rate") < EtaHorizonSec,
+        date_format(timestamp_seconds(col("ts").cast("long") +
+          floor(col("batt_pct") / col("rate")).cast("long")),
+          "yyyy-MM-dd'T'HH:mm:ss")).as("eta"))
   }
 
   // ---------- X3: staleness watchdog --------------------------------------
