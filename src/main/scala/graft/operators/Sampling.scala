@@ -1,38 +1,42 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines.
   *
-  * [[BottomKIds]] is the distributed, deterministic "reservoir": every row
-  * gets a priority from a seeded splitmix64 of its id; the k smallest
-  * priorities win. Priorities are order- and partitioning-independent, so
-  * the sample is uniform, mergeable (classic bottom-k sketch) and
-  * reproducible — unlike Algorithm-R reservoirs whose result depends on
-  * row arrival order. Exposed as a typed `Aggregator` (the engine's
-  * UDAF surface, SURVEY §2.2) usable per group via `functions.udaf`.
+  * All priorities derive from md5 rather than a JVM-local hash: md5 is
+  * bit-identical in every engine (DuckDB: `md5(s)`), so the "random" sample
+  * is itself oracle-checkable — the driver can recompute the exact sample
+  * in SQL. Priorities are order- and partitioning-independent, so samples
+  * are uniform, mergeable (classic bottom-k sketch) and reproducible —
+  * unlike Algorithm-R reservoirs whose result depends on row arrival order.
   */
 object Sampling {
 
-  /** splitmix64 finalizer (public-domain mixing constants). */
-  private[operators] def mix64(x0: Long): Long = {
-    var x = x0
-    x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
-    x ^= (x >>> 27); x *= 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** 48-bit priority: first 12 hex chars of md5("seed:id"). 48 bits keeps
+    * the value positive in a SIGNED 64-bit integer on every engine (the
+    * full low 64 bits would compare differently as Spark's signed long vs
+    * DuckDB's UBIGINT). SQL twin:
+    * `('0x' || substr(md5(seed || ':' || CAST(id AS VARCHAR)), 1, 12))::BIGINT`. */
+  def md5Priority(idCol: Column, seed: Long = 42L): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), idCol.cast("string")).cast("binary")), 1, 12),
+      16, 10).cast("long")
 
   case class BKItem(priority: Long, id: Long)
 
-  class BottomKIds(k: Int, seed: Long)
-      extends Aggregator[Long, Seq[BKItem], Seq[Long]] {
+  /** Bottom-k sketch over (priority, id) pairs — the k smallest priorities
+    * win, ties broken by id. A typed `Aggregator` (the engine's UDAF
+    * surface, SURVEY §2.2): per-partition partial sketches merge
+    * associatively, so the shuffle carries k rows per group per partition,
+    * never the group itself. */
+  class BottomKPairs(k: Int) extends Aggregator[(Long, Long), Seq[BKItem], Seq[Long]] {
     private def trim(s: Seq[BKItem]): Seq[BKItem] =
       s.sortBy(i => (i.priority, i.id)).take(k)
     override def zero: Seq[BKItem] = Seq.empty
-    override def reduce(buf: Seq[BKItem], id: Long): Seq[BKItem] =
-      trim(buf :+ BKItem(mix64(id ^ seed), id))
+    override def reduce(buf: Seq[BKItem], in: (Long, Long)): Seq[BKItem] =
+      trim(buf :+ BKItem(in._1, in._2))
     override def merge(a: Seq[BKItem], b: Seq[BKItem]): Seq[BKItem] = trim(a ++ b)
     override def finish(buf: Seq[BKItem]): Seq[Long] =
       buf.sortBy(i => (i.priority, i.id)).map(_.id)
@@ -42,19 +46,21 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  /** Per-group deterministic uniform sample of `k` ids. */
+  /** Per-group deterministic uniform sample of `k` ids (bottom-k by md5
+    * priority — the distributed, reproducible "reservoir"). */
   def sampleIdsPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                         k: Int, seed: Long = 42L): DataFrame = {
-    val bk = udaf(new BottomKIds(k, seed))
+    val bk = udaf(new BottomKPairs(k))
     df.groupBy(groupCols.map(col): _*)
-      .agg(bk(col(idCol)).as("sample_ids"))
+      .agg(bk(md5Priority(col(idCol), seed), col(idCol)).as("sample_ids"))
   }
 
-  /** Whole-table deterministic p-percent sample (hash-mod filter — pushes
-    * down, no shuffle; the codegen'd form of systematic sampling). */
+  /** Whole-table deterministic p-percent sample (hash-mod filter — no
+    * shuffle, codegen'd systematic sampling). Samples NEST: the p% sample
+    * is a subset of every q% sample with q > p. */
   def deterministicSample(df: DataFrame, idCol: String, percent: Int,
                           seed: Long = 42L): DataFrame =
-    df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(100)) < percent)
+    df.filter(pmod(md5Priority(col(idCol), seed), lit(100)) < percent)
 
   /** Deterministic train/val/test split: hash-range assignment adds a
     * `split` column. Stable across runs/partitionings, disjoint and
@@ -64,7 +70,7 @@ object Sampling {
   def splitByHash(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                   seed: Long = 42L): DataFrame = {
     require(splits.map(_._2).sum == 100, "split weights must sum to 100")
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100))
+    val bucket = pmod(md5Priority(col(idCol), seed), lit(100))
     val expr = splits.tail.foldLeft((when(bucket < splits.head._2, splits.head._1),
       splits.head._2)) { case ((acc, cum), (name, w)) =>
       (acc.when(bucket < cum + w, name), cum + w)

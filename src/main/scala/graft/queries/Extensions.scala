@@ -135,14 +135,14 @@ object Extensions {
         .select("keep_id", "dup_cnt").orderBy("keep_id")
     }, Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')) ORDER BY keep_id""")),
 
-    // Sampling — deterministic hash-mod systematic sample (rows-only: the
-    // xxhash64 priority has no DuckDB twin; determinism + nesting proven in
-    // SamplingSpec)
+    // Sampling — deterministic hash-mod systematic sample; md5 priorities
+    // are DuckDB-expressible, so even the "random" sample is hash-checked
+    // (determinism + nesting additionally proven in SamplingSpec)
     ("qe8_sample", (s: SparkSession, d: String) => {
       graft.operators.Sampling.deterministicSample(
           Engine.Tables(s, d).events, "event_id", 10)
         .select("event_id", "event_type").orderBy("event_id")
-    }, None),
+    }, Some("""SELECT event_id, event_type FROM events WHERE ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 10 ORDER BY event_id""")),
 
     // Sampling — per-group bottom-k reservoir via the typed Aggregator UDAF
     ("qe8b_sample_group", (s: SparkSession, d: String) => {
@@ -150,7 +150,7 @@ object Extensions {
           Engine.Tables(s, d).events, Seq("event_type"), "event_id", 10)
         .select(col("event_type"), concat_ws(",", col("sample_ids")).as("ids"))
         .orderBy("event_type")
-    }, None),
+    }, Some("""SELECT event_type, string_agg(event_id, ',' ORDER BY pr, event_id) AS ids FROM (SELECT event_type, event_id, ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS pr, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT, event_id) AS rn FROM events) WHERE rn <= 10 GROUP BY event_type ORDER BY event_type""")),
 
     // Capstone — training-data curation pipeline composing E1+E4: quality
     // gate (length + punctuation) -> language gate (marker heuristic) ->
