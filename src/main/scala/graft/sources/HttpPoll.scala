@@ -1,0 +1,176 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Collections => JCollections}
+import scala.jdk.CollectionConverters._
+
+/** Periodic-HTTP-poll micro-batch source (SURVEY §2.1 S5): the reference's
+  * hko module GETs a weather endpoint on every collection tick
+  * (`/root/reference/src/modules/hko/hko.cpp:94-100`); this source makes
+  * that fetch loop a first-class streaming relation — one row per completed
+  * poll: (url, body, fetch_ts, poll_seq).
+  *
+  * Poll mechanics: each trigger's `latestOffset()` performs at most one
+  * fetch, throttled to `minIntervalMs` (the reference's
+  * collection_event_interval_ms), and lands the body in a poll cache —
+  * `<seq>.poll`, first line = fetch epoch-micros, rest = body, written
+  * tmp+atomic-move. Offsets count cached polls, so micro-batches are
+  * contiguous replayable ranges and a checkpointed restart re-reads
+  * exactly the committed polls — the same exactly-once contract as
+  * graft-mqtt. A failed fetch holds the offset (the reference logs and
+  * keeps looping, `hko.cpp:127-129`).
+  *
+  * `file://` URLs are first-class so tests and air-gapped runs can
+  * substitute the transport exactly the way graft-mqtt substitutes the
+  * broker; `http(s)://` uses the JDK's URLConnection.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-http")
+  *     .option("url", endpoint).option("minIntervalMs", "1000")
+  *     .option("cacheDir", dir).load()
+  * }}}
+  */
+class HttpPollProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = HttpPoll.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new HttpPollTable(properties.asScala.toMap)
+}
+
+object HttpPoll {
+  val Schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("body", StringType, nullable = false),
+    StructField("fetch_ts", TimestampType, nullable = false),
+    StructField("poll_seq", LongType, nullable = false)))
+
+  /** One GET. Throws on any failure — the caller treats that as "no new
+    * poll this tick". */
+  def fetch(url: String): String =
+    if (url.startsWith("file:")) Files.readString(Paths.get(java.net.URI.create(url)))
+    else {
+      val conn = java.net.URI.create(url).toURL.openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+
+  def listPolls(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".poll"))
+        .map(_.stripSuffix(".poll").toLong).toSeq.sorted
+      finally s.close()
+    }
+
+  /** Read a cached poll: (fetch epoch-micros, body). */
+  def readPoll(dir: Path, seq: Long): (Long, String) = {
+    val raw = Files.readString(dir.resolve(s"$seq.poll"))
+    val nl = raw.indexOf('\n')
+    (raw.substring(0, nl).toLong, raw.substring(nl + 1))
+  }
+}
+
+class HttpPollTable(rawProps: Map[String, String]) extends Table with SupportsRead {
+  private val props = rawProps.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val url = props.getOrElse("url",
+    throw new IllegalArgumentException("graft-http requires option url"))
+  private val minIntervalMs = props.getOrElse("minintervalms", "1000").toLong
+  private val cacheDir = props.get("cachedir")
+
+  override def name(): String = s"graft-http:$url"
+  override def schema(): StructType = HttpPoll.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.unmodifiableSet(new java.util.HashSet(java.util.Arrays.asList(
+      TableCapability.MICRO_BATCH_READ)))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = HttpPoll.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new HttpPollMicroBatchStream(url, minIntervalMs,
+          // default the poll cache next to the checkpoint: replay after
+          // restart needs the polls the committed offsets point at
+          Paths.get(cacheDir.getOrElse(s"$checkpointLocation/http-polls")))
+    }
+}
+
+class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
+  extends MicroBatchStream {
+
+  private var lastFetchMs = 0L
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // polls retained for replay
+
+  /** Poll-then-report: at most one fetch per call, rate-limited; the
+    * offset is simply how many polls have ever been cached. */
+  override def latestOffset(): Offset = {
+    val now = System.currentTimeMillis()
+    val polls = HttpPoll.listPolls(cacheDir)
+    val next = polls.lastOption.fold(0L)(_ + 1)
+    if (now - lastFetchMs >= minIntervalMs) {
+      try {
+        val body = HttpPoll.fetch(url)
+        lastFetchMs = now
+        Files.createDirectories(cacheDir)
+        val tmp = cacheDir.resolve(s".poll-${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, s"${now * 1000L}\n$body")
+        Files.move(tmp, cacheDir.resolve(s"$next.poll"), StandardCopyOption.ATOMIC_MOVE)
+        return SeqOffset(next + 1)
+      } catch {
+        case _: Exception => () // fetch failed: hold the offset, retry next tick
+      }
+    }
+    SeqOffset(next)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
+    if (e <= s) Array.empty
+    else {
+      // a backlog (restart replay) reads in parallel chunks; live polls are
+      // one row per micro-batch
+      val step = 100L
+      (s until e by step).map(lo =>
+        HttpPollPartition(cacheDir.toString, url, lo, math.min(e, lo + step)): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[HttpPollPartition]
+      new PartitionReader[InternalRow] {
+        private var seq = p.fromSeq - 1
+        override def next(): Boolean = { seq += 1; seq < p.untilSeq }
+        override def get(): InternalRow = {
+          val (tsUs, body) = HttpPoll.readPoll(Paths.get(p.dir), seq)
+          InternalRow(UTF8String.fromString(p.url), UTF8String.fromString(body),
+            tsUs, seq)
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class HttpPollPartition(dir: String, url: String, fromSeq: Long, untilSeq: Long)
+  extends InputPartition

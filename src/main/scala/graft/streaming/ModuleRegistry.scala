@@ -9,53 +9,128 @@ import org.apache.spark.sql.Row
   * where the reference compiles exactly one module into the binary behind a
   * 6-function C ABI (`src/modules/module.h:14-53`, selection
   * `src/CMakeLists.txt:5-35`), the engine holds a registry of pipeline
-  * definitions — a module is data (source topic + transform + sink), not a
-  * build configuration, and any number can run concurrently as independent
+  * definitions — a module is data (source + transform + sink), not a build
+  * configuration, and any number can run concurrently as independent
   * StreamingQueries.
   */
 object ModuleRegistry {
+
+  /** Where a module's samples come from: an MQTT-shaped topic subscription
+    * (S6) or a periodic HTTP poll (S5, the hko fetch loop). */
+  sealed trait ModuleSource
+  final case class MqttTopic(topic: String) extends ModuleSource
+  final case class HttpEndpoint(url: String, minIntervalMs: Long = 1000L) extends ModuleSource
 
   /** A module: where samples come from, how each micro-batch is transformed,
     * where results go (collection/post_collection, declaratively). */
   final case class Module(
       name: String,
-      sourceTopic: String,
+      source: ModuleSource,
       transform: DataFrame => DataFrame,
       sinkTopic: String,
       payload: DataFrame => Column,
       triggerMs: Long = 1000L) // reference default cadence, global_vars.c:10
 
-  /** The reference's concrete modules (dd, ch, hko) over the graft-mqtt
-    * transport; `sample` is the no-op skeleton (`sample.c`). */
-  val modules: Map[String, Module] = Seq(
-    Module("dd", "sensors/dd",
+  /** The reference's live HKO endpoint (`hko.cpp:98-100`); tests substitute
+    * a `file://` URL the way graft-mqtt substitutes the broker. */
+  val HkoUrl =
+    "https://data.weather.gov.hk/weatherAPI/opendata/weather.php?dataType=rhrread&lang=en"
+
+  private def ddModule(topic: String, sink: String, triggerMs: Long) =
+    Module("dd", MqttTopic(topic),
       df => Pipelines.ddConsumer(df).filter(col("parsed")),
-      "sensors/dd_enriched",
+      sink,
       df => to_json(struct(df("ts"), df("temp_outdoor_celsius"),
-        df("temp_indoor_celsius"), df("rh_outdoor")))),
-    Module("ch", "sensors/ch_raw",
+        df("temp_indoor_celsius"), df("rh_outdoor"))), triggerMs)
+
+  private def chModule(topic: String, sink: String, triggerMs: Long) =
+    Module("ch", MqttTopic(topic),
       df => Pipelines.ch(df
         .withColumn("j", from_json(col("payload"), Pipelines.ChSchema))
         .withColumn("ts", graft.functions.ScalarOps.isoParse(col("j.timestamp")))
         .withColumn("raw_tenths", (col("j.temp_celsius") * 10).cast("int"))),
-      "sensors/ch",
-      df => to_json(struct(df("timestamp"), df("temp_celsius")))),
-    Module("hko", "sensors/hko_raw",
-      df => Pipelines.hko(df.withColumnRenamed("payload", "doc"), "Happy Valley",
-        current_timestamp()),
-      "sensors/hko",
-      df => to_json(struct(df("fh_timestamp"), df("hko_timestamp"), df("temp_celsius")))),
-    Module("sample", "sensors/sample", identity, "sensors/sample_out", df => df("payload"))
+      sink,
+      df => to_json(struct(df("timestamp"), df("temp_celsius"))), triggerMs)
+
+  /** hko runs source-to-sink off the poll source: body → parse/filter →
+    * publish, with `fetch_ts` (the actual poll time) as the reference's
+    * fetch timestamp rather than an approximated now(). */
+  private def hkoModule(url: String, place: String, sink: String, triggerMs: Long) =
+    Module("hko", HttpEndpoint(url, triggerMs),
+      df => Pipelines.hkoPerDoc(df.withColumnRenamed("body", "doc"), place),
+      sink,
+      df => to_json(struct(df("fh_timestamp"), df("hko_timestamp"), df("temp_celsius"))),
+      triggerMs)
+
+  /** The reference's concrete modules (dd, ch, hko) with their hardcoded
+    * defaults; `sample` is the no-op skeleton (`sample.c`). */
+  val modules: Map[String, Module] = Seq(
+    ddModule("sensors/dd", "sensors/dd_enriched", 1000L),
+    chModule("sensors/ch_raw", "sensors/ch", 1000L),
+    hkoModule(HkoUrl, "Happy Valley", "sensors/hko", 1000L),
+    Module("sample", MqttTopic("sensors/sample"), identity, "sensors/sample_out",
+      df => df("payload"))
   ).map(m => m.name -> m).toMap
 
-  /** Start a registered module as a streaming query over the spool
-    * transport — the engine's `ev_collect_data` loop equivalent. */
-  def start(spark: SparkSession, name: String, spoolDir: String,
-            checkpoint: Option[String] = None) = {
-    val m = modules.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown module '$name'; have ${modules.keys.mkString(",")}"))
-    val in = spark.readStream.format("graft-mqtt")
-      .option("spoolDir", spoolDir).option("topic", m.sourceTopic).load()
+  /** S7 — load module definitions from a JSON settings tree, mirroring the
+    * reference's contract: a required global `collection_event_interval_ms`
+    * (`utils.c:25-33`: zero/missing is a config error) and per-module
+    * subtrees addressed by JSON pointer (`/dd/mqtt/topic`,
+    * `/ch/mqtt/topic`, `/hko/topic` — `producer.c:45-54`, `ch.c:45-53`,
+    * `hko.cpp:38-46`; the engine adds `/hko/url` + `/hko/place` for what
+    * the reference hardcodes, and sink topics for the consumer side).
+    * Only modules present in the tree are returned.
+    *
+    * Example settings file:
+    * {{{
+    * { "collection_event_interval_ms": 1000,
+    *   "dd":  {"mqtt": {"topic": "sensors/dd"}, "sink_topic": "sensors/dd_enriched"},
+    *   "ch":  {"mqtt": {"topic": "sensors/ch_raw"}, "sink_topic": "sensors/ch"},
+    *   "hko": {"url": "file:///tmp/rhrread.json", "place": "Happy Valley",
+    *           "topic": "sensors/hko"} }
+    * }}}
+    */
+  def fromConfig(path: String): Map[String, Module] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def at(ptr: String): Option[String] = {
+      val n = root.at(ptr)
+      if (n.isMissingNode || n.isNull) None else Some(n.asText())
+    }
+    val intervalMs = root.at("/collection_event_interval_ms").asLong(0L)
+    // the reference treats 0/missing as invalid config (utils.c:29-33)
+    require(intervalMs > 0, s"$path: collection_event_interval_ms required and > 0")
+    def req(ptr: String): String = at(ptr).getOrElse(
+      throw new IllegalArgumentException(s"$path: required config key $ptr missing"))
+    val built = Seq(
+      Option.when(root.has("dd"))(ddModule(req("/dd/mqtt/topic"),
+        at("/dd/sink_topic").getOrElse("sensors/dd_enriched"), intervalMs)),
+      Option.when(root.has("ch"))(chModule(req("/ch/mqtt/topic"),
+        at("/ch/sink_topic").getOrElse("sensors/ch"), intervalMs)),
+      Option.when(root.has("hko"))(hkoModule(
+        at("/hko/url").getOrElse(HkoUrl),
+        at("/hko/place").getOrElse("Happy Valley"),
+        req("/hko/topic"), intervalMs))
+    ).flatten
+    built.map(m => m.name -> m).toMap
+  }
+
+  /** Start a module as a streaming query over the spool transport — the
+    * engine's `ev_collect_data` loop equivalent. */
+  def start(spark: SparkSession, m: Module, spoolDir: String,
+            checkpoint: Option[String]) = {
+    val in = m.source match {
+      case MqttTopic(topic) =>
+        spark.readStream.format("graft-mqtt")
+          .option("spoolDir", spoolDir).option("topic", topic).load()
+      case HttpEndpoint(url, minIntervalMs) =>
+        val r = spark.readStream.format("graft-http")
+          .option("url", url).option("minIntervalMs", minIntervalMs.toString)
+        // without a checkpoint the poll cache still needs a stable home
+        checkpoint.fold(r.option("cacheDir",
+          java.nio.file.Files.createTempDirectory(s"graft-http-${m.name}").toString))(_ => r)
+          .load()
+    }
     val transformed = m.transform(in)
     // one writer task per topic: publish allocates dense seqs, and a single
     // broker session is the reference's delivery model anyway (mqtt.c)
@@ -65,5 +140,13 @@ object ModuleRegistry {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(s"${m.triggerMs} milliseconds"))
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Start a registered module by name. */
+  def start(spark: SparkSession, name: String, spoolDir: String,
+            checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = modules.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown module '$name'; have ${modules.keys.mkString(",")}"))
+    start(spark, m, spoolDir, checkpoint)
   }
 }

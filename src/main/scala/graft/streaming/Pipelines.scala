@@ -81,6 +81,32 @@ object Pipelines {
       .select(isoFormat(fetchTs).as("fh_timestamp"), col("hko_timestamp"),
         col("temp_celsius"))
 
+  /** Streaming form of [[hko]]: stateless per-document projection — each
+    * poll body independently yields its (fetch ts, record time, reading),
+    * so it runs in Append mode with no aggregation state. "Last matching
+    * place entry wins" is per-document in the reference (`hko.cpp:102-107`
+    * scans one payload's array), which the batch form's groupBy emulates
+    * only because each document carries a distinct recordTime;
+    * `try_element_at(filter(...), -1)` is the direct expression of it.
+    * Documents with no matching place/unit entry are dropped (ref logs and
+    * skips publishing, `hko.cpp:108-111`). */
+  def hkoPerDoc(raw: DataFrame, place: String, docCol: String = "doc",
+                fetchTs: org.apache.spark.sql.Column = col("fetch_ts")): DataFrame =
+    raw
+      .withColumn("j", from_json(col(docCol), HkoSchema))
+      // materialize the parsed array behind its own projection: a HOF
+      // lambda over a non-attribute child re-evaluates the parse per
+      // element (interpreted, no CSE)
+      .select(fetchTs.as("_fts"), col("j.temperature.recordTime").as("hko_timestamp"),
+        col("j.temperature.data").as("data"))
+      .select(col("_fts"), col("hko_timestamp"),
+        try_element_at(filter(col("data"),
+          d => d.getField("place") === place && d.getField("unit") === "C"),
+          lit(-1)).getField("value").as("temp_celsius"))
+      .filter(col("temp_celsius").isNotNull)
+      .select(isoFormat(col("_fts")).as("fh_timestamp"), col("hko_timestamp"),
+        col("temp_celsius"))
+
   /** HKO publish payload (ref `hko.cpp:123-125`, K2). */
   def hkoPayload(projected: DataFrame): DataFrame =
     projected.select(to_json(struct(col("fh_timestamp"), col("hko_timestamp"),

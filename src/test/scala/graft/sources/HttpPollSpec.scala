@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** The graft-http periodic-poll source (S5): the reference's hko fetch loop
+  * as a micro-batch relation. file:// substitutes the transport exactly the
+  * way graft-mqtt substitutes the broker. */
+class HttpPollSpec extends SparkTestBase {
+
+  private def awaitCount(name: String, n: Long, timeoutMs: Long = 20000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(name).count() < n) {
+      assert(System.currentTimeMillis() < deadline,
+        s"timed out waiting for $n rows in $name, have ${spark.table(name).count()}")
+      Thread.sleep(100)
+    }
+  }
+
+  test("polls land as rows; content changes produce new polls; seqs stay dense") {
+    val doc = java.nio.file.Files.createTempFile("hko", ".json")
+    val cache = java.nio.file.Files.createTempDirectory("polls").toString
+    java.nio.file.Files.writeString(doc, """{"v": 1}""")
+    val q = spark.readStream.format("graft-http")
+      .option("url", doc.toUri.toString).option("minIntervalMs", "300")
+      .option("cacheDir", cache).load()
+      .writeStream.format("memory").queryName("http1")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      awaitCount("http1", 1)
+      java.nio.file.Files.writeString(doc, """{"v": 2}""")
+      awaitCount("http1", 2)
+      val rows = spark.table("http1").orderBy("poll_seq").collect()
+      assert(rows.map(_.getAs[Long]("poll_seq")).toSeq == (0L until rows.length.toLong),
+        "poll seqs must be dense from 0")
+      assert(rows.head.getAs[String]("body") == """{"v": 1}""")
+      assert(rows.map(_.getAs[String]("body")).contains("""{"v": 2}"""),
+        "updated endpoint content must arrive as a later poll")
+      assert(rows.forall(_.getAs[java.sql.Timestamp]("fetch_ts") != null))
+    } finally q.stop()
+  }
+
+  test("fetch failure holds the offset and recovers on the next tick") {
+    val dir = java.nio.file.Files.createTempDirectory("httpmiss")
+    val doc = dir.resolve("missing.json") // does not exist yet
+    val cache = java.nio.file.Files.createTempDirectory("polls2").toString
+    val q = spark.readStream.format("graft-http")
+      .option("url", doc.toUri.toString).option("minIntervalMs", "100")
+      .option("cacheDir", cache).load()
+      .writeStream.format("memory").queryName("http2")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Thread.sleep(800) // several failing ticks: must not throw or emit
+      assert(spark.table("http2").count() == 0)
+      java.nio.file.Files.writeString(doc, "now alive")
+      awaitCount("http2", 1)
+      assert(spark.table("http2").head().getAs[String]("body") == "now alive")
+    } finally q.stop()
+  }
+
+  test("checkpointed restart replays committed polls exactly once") {
+    val doc = java.nio.file.Files.createTempFile("hko3", ".json")
+    java.nio.file.Files.writeString(doc, "content-a")
+    val ckpt = java.nio.file.Files.createTempDirectory("httpckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("httpout").toString
+    def start() = spark.readStream.format("graft-http")
+      .option("url", doc.toUri.toString).option("minIntervalMs", "200").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def written(): Long = // no parquet files yet -> 0
+      try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (written() < 2) {
+        assert(System.currentTimeMillis() < deadline, "no polls written")
+        Thread.sleep(100)
+      }
+    } finally q1.stop()
+    val n1 = written()
+    val q2 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (written() < n1 + 1) {
+        assert(System.currentTimeMillis() < deadline, "restarted query produced no polls")
+        Thread.sleep(100)
+      }
+    } finally q2.stop()
+    val seqs = spark.read.parquet(out).select("poll_seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (0L until seqs.length.toLong),
+      s"restart must resume after the checkpointed offset with no gaps/dups, got ${seqs.toSeq}")
+  }
+}

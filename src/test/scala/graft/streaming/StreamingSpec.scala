@@ -40,6 +40,26 @@ class PipelinesSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("temp_celsius") == 2.0)
   }
 
+  test("hkoPerDoc (streaming form) == hko (batch form) per document") {
+    val docs = Seq(
+      """{"temperature": {"recordTime": "2024-12-23T16:00:00+08:00", "data": [
+        |  {"place": "X", "value": 1.0, "unit": "C"},
+        |  {"place": "X", "value": 2.0, "unit": "C"},
+        |  {"place": "Y", "value": 9.0, "unit": "C"}]}}""".stripMargin,
+      """{"temperature": {"recordTime": "2024-12-23T17:00:00+08:00", "data": [
+        |  {"place": "X", "value": 66.2, "unit": "F"}]}}""".stripMargin, // unit reject
+      """{"temperature": {"recordTime": "2024-12-23T18:00:00+08:00", "data": [
+        |  {"place": "X", "value": 3.5, "unit": "C"}]}}""".stripMargin)
+    val fts = to_timestamp(lit("2024-12-23 08:00:05"))
+    val raw = docs.toDF("doc").withColumn("fetch_ts", fts)
+    val batch = Pipelines.hko(raw, "X", fts)
+      .orderBy("hko_timestamp").collect().toSeq
+    val perDoc = Pipelines.hkoPerDoc(raw, "X")
+      .orderBy("hko_timestamp").collect().toSeq
+    assert(perDoc == batch, s"streaming per-doc form diverged:\n$perDoc\nvs\n$batch")
+    assert(perDoc.map(_.getAs[Double]("temp_celsius")) == Seq(2.0, 3.5))
+  }
+
   test("dd consumer: defaults 888.8 on missing fields, flags malformed JSON") {
     val payloads = Seq(
       """{"timestamp_utc": "2024-12-23T08:00:00Z", "temp_outdoor_celsius": 24.1, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""",
@@ -66,6 +86,76 @@ class ModuleRegistrySpec extends SparkTestBase {
     val out = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_dd_enriched"))
     assert(out.size == 3, s"dd module must republish 3 enriched payloads, got $out")
     intercept[IllegalArgumentException](ModuleRegistry.start(spark, "nope", spool))
+  }
+
+  test("hko module: poll source -> parse -> publish, end-to-end (S5)") {
+    val spool = java.nio.file.Files.createTempDirectory("modreg_hko").toString
+    val doc = java.nio.file.Files.createTempFile("rhrread", ".json")
+    java.nio.file.Files.writeString(doc,
+      """{"temperature": {"recordTime": "2024-12-23T08:00:00+08:00", "data": [
+        |  {"place": "King's Park", "value": 18.1, "unit": "C"},
+        |  {"place": "Happy Valley", "value": 19.0, "unit": "C"},
+        |  {"place": "Happy Valley", "value": 19.5, "unit": "C"}]}}""".stripMargin)
+    val m = ModuleRegistry.modules("hko").copy(
+      source = ModuleRegistry.HttpEndpoint(doc.toUri.toString, minIntervalMs = 200L),
+      triggerMs = 100L)
+    val q = ModuleRegistry.start(spark, m, spool, None)
+    try {
+      val sink = java.nio.file.Paths.get(spool, "sensors_hko")
+      val deadline = System.currentTimeMillis() + 20000
+      while (MqttLike.listSeqs(sink).isEmpty) {
+        assert(System.currentTimeMillis() < deadline, "hko module published nothing")
+        Thread.sleep(100)
+      }
+      val payload = java.nio.file.Files.readString(sink.resolve("0.msg"))
+      assert(payload.contains(""""temp_celsius":19.5"""),
+        s"last matching Happy Valley entry must win: $payload")
+      assert(payload.contains(""""hko_timestamp":"2024-12-23T08:00:00+08:00""""))
+      assert(payload.contains(""""fh_timestamp""""))
+    } finally q.stop()
+  }
+
+  test("fromConfig drives dd, ch and hko concurrently from a settings tree (S7)") {
+    val spool = java.nio.file.Files.createTempDirectory("modreg_cfg").toString
+    val doc = java.nio.file.Files.createTempFile("rhrread2", ".json")
+    java.nio.file.Files.writeString(doc,
+      """{"temperature": {"recordTime": "2024-12-23T09:00:00+08:00", "data": [
+        |  {"place": "Happy Valley", "value": 21.5, "unit": "C"}]}}""".stripMargin)
+    val settings = java.nio.file.Files.createTempFile("settings", ".json")
+    java.nio.file.Files.writeString(settings,
+      s"""{
+         |  "collection_event_interval_ms": 100,
+         |  "dd":  {"mqtt": {"topic": "cfg/dd"}, "sink_topic": "cfg/dd_enriched"},
+         |  "ch":  {"mqtt": {"topic": "cfg/ch_raw"}, "sink_topic": "cfg/ch"},
+         |  "hko": {"url": "${doc.toUri}", "place": "Happy Valley", "topic": "cfg/hko"}
+         |}""".stripMargin)
+    val mods = ModuleRegistry.fromConfig(settings.toString)
+    assert(mods.keySet == Set("dd", "ch", "hko"))
+    assert(mods("dd").triggerMs == 100L, "cadence must come from the settings tree")
+    MqttLike.publish(spool, "cfg/dd",
+      """{"timestamp_utc": "2024-12-23T08:00:00Z", "temp_outdoor_celsius": 20.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""")
+    MqttLike.publish(spool, "cfg/ch_raw",
+      """{"timestamp": "2024-12-23T08:00:00Z", "temp_celsius": 23.4}""")
+    val qs = mods.values.map(m => ModuleRegistry.start(spark, m, spool, None)).toSeq
+    try {
+      val sinks = Seq("cfg_dd_enriched", "cfg_ch", "cfg_hko")
+        .map(t => java.nio.file.Paths.get(spool, t))
+      val deadline = System.currentTimeMillis() + 30000
+      while (!sinks.forall(MqttLike.listSeqs(_).nonEmpty)) {
+        assert(System.currentTimeMillis() < deadline,
+          s"sinks still empty: ${sinks.filter(MqttLike.listSeqs(_).isEmpty)}")
+        Thread.sleep(100)
+      }
+    } finally qs.foreach(_.stop())
+    // config error contract (utils.c:29-33): missing interval is invalid
+    val bad = java.nio.file.Files.createTempFile("settings_bad", ".json")
+    java.nio.file.Files.writeString(bad, """{"dd": {"mqtt": {"topic": "x"}}}""")
+    intercept[IllegalArgumentException](ModuleRegistry.fromConfig(bad.toString))
+    // missing required key inside a present module subtree
+    val bad2 = java.nio.file.Files.createTempFile("settings_bad2", ".json")
+    java.nio.file.Files.writeString(bad2,
+      """{"collection_event_interval_ms": 100, "dd": {"mqtt": {}}}""")
+    intercept[IllegalArgumentException](ModuleRegistry.fromConfig(bad2.toString))
   }
 
   test("ch and sample modules run through the same registry mechanics") {
