@@ -118,6 +118,36 @@ object Dedup {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-row MinHash signature — bit-identical values to
+    * [[minhashSignature]] (same murmur3 + universal-hash params, min over
+    * the same distinct shingle set) but computed with array HOFs inside the
+    * doc's own row: NO shuffle, no aggregation state. This is the streaming
+    * form — a document's signature is complete the moment the document
+    * arrives — and the parity of both forms is asserted in DedupSpec. The
+    * batch form stays preferable for backfills (explode parallelizes huge
+    * docs across cores; HOFs are interpreted per element). */
+  def minhashSignatureRowwise(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    // hs materialized behind its own projection: a lambda over a
+    // non-attribute child would re-evaluate the whole hash array per element
+    val withH = shingleSets(docs, n)
+      .select(col("doc_id"),
+        transform(col("sh"), s => pmod(hash(s).cast("long"), lit(P))).as("hs"))
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), x => pmod(x * a + b, lit(P)))).as(s"mh_$i")
+    }
+    withH.select(col("doc_id") +: mins: _*)
+  }
+
+  /** Banding of a signature frame into (doc_id, band, bucket) rows — shared
+    * by the batch candidate join and the streaming stateful form. */
+  private[graft] def bandBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until bands).map(b =>
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)): _*))
+      .as(Seq("band", "bucket")))
+  }
+
   /** LSH banding: docs sharing any band bucket become candidate pairs.
     * bands·rows = k; P(candidate) ≈ 1-(1-j^rows)^bands. The band-bucket
     * equi-join shuffles only (bucket → doc ids), never materializing the
@@ -132,11 +162,7 @@ object Dedup {
     * below-threshold mass grows. k=16/bands=4 targets j ≥ 0.5 corpora; at
     * 10⁹ docs prefer k=128, bands=16 (rows=8, s* ≈ 0.71). */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignature(docs, n, k)
-    val banded = sig.select(col("doc_id"), posexplode(array(
-      (0 until bands).map(b =>
-        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)): _*)).as(Seq("band", "bucket")))
+    val banded = bandBuckets(minhashSignature(docs, n, k), k, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

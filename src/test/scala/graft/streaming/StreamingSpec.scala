@@ -502,3 +502,46 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends SparkTestBase {
+  import graft.Engine
+  import graft.operators.Dedup
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import spark.implicits._
+
+  test("row-wise MinHash signature == shuffled groupBy signature, bit-exact") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val a = Dedup.minhashSignature(docs, 3, 16).orderBy("doc_id").collect().toSeq
+    val b = Dedup.minhashSignatureRowwise(docs, 3, 16).orderBy("doc_id").collect().toSeq
+    assert(a == b, "per-row signature must match the exploded/aggregated form")
+  }
+
+  test("streaming near-dup candidates over a replay == batch candidate set (E2 streaming)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val want = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "testdata must contain candidate pairs")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = StreamingDedup.minhashCandidatesStream(
+      input.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("t_sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // replay the corpus in three arrival waves: candidate pairs must not
+      // depend on which micro-batch introduced each member
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_sdedup").as[StreamingDedup.CandPair].collect()
+        .map(p => (p.da, p.db)).toSet
+      assert(got == want,
+        s"stream candidates diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+}
