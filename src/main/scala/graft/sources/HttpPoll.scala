@@ -116,7 +116,7 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
   private var lastFetchMs = 0L
 
   override def initialOffset(): Offset = SeqOffset(0L)
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
   override def commit(end: Offset): Unit = () // polls retained for replay
 
   /** Poll-then-report: at most one fetch per call, rate-limited; the
@@ -142,7 +142,7 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
+    val (s, e) = (start.asInstanceOf[SeqOffset].root, end.asInstanceOf[SeqOffset].root)
     if (e <= s) Array.empty
     else {
       // a backlog (restart replay) reads in parallel chunks; live polls are

@@ -40,10 +40,27 @@ class MqttLikeProvider extends TableProvider with DataSourceRegister {
 }
 
 object MqttLike {
+  /** `writer` is the publishing lane: "" for the classic single-session
+    * topic, `w-<partition>` for partitioned high-rate sinks. `msg_seq` is
+    * dense per (topic, writer). */
   val Schema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),
     StructField("payload", StringType, nullable = false),
-    StructField("msg_seq", LongType, nullable = false)))
+    StructField("msg_seq", LongType, nullable = false),
+    StructField("writer", StringType, nullable = false)))
+
+  /** Per-writer lanes present under a topic dir: always the root lane "",
+    * plus any `w-<id>` subdirectories a partitioned sink created. */
+  def listSubstreams(topicDir: Path): Seq[String] =
+    if (!Files.isDirectory(topicDir)) Seq("")
+    else {
+      val s = Files.list(topicDir)
+      val subs = try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("w-"))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+      "" +: subs
+    }
 
   /** Publish one message into a spool dir (the bridge/producer side).
     * Single-writer per topic is the normal contract (one broker session —
@@ -65,8 +82,18 @@ object MqttLike {
     * [[repair]] (run by every publisher and by the reader's offset poll)
     * completes step 3 idempotently, so a dead publisher can never wedge the
     * topic's dense prefix. */
-  def publish(spoolDir: String, topic: String, payload: String): Long = {
-    val dir = Paths.get(spoolDir, sanitize(topic))
+  def publish(spoolDir: String, topic: String, payload: String): Long =
+    publish(spoolDir, topic, payload, substream = "")
+
+  /** `substream` names a per-writer lane under the topic (`w-<partition>`,
+    * see [[Sinks.MqttLikePublishWriter]] partitioned mode): each lane has
+    * its own dense seq space and its own claims, so N parallel sink tasks
+    * publish with zero contention — the high-rate alternative to the
+    * single-broker-session `coalesce(1)` model. The reader merges lanes
+    * with a per-lane offset vector. */
+  def publish(spoolDir: String, topic: String, payload: String, substream: String): Long = {
+    val base = Paths.get(spoolDir, sanitize(topic))
+    val dir = if (substream.isEmpty) base else base.resolve(sanitize(substream))
     Files.createDirectories(dir)
     repair(dir)
     val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
@@ -166,36 +193,70 @@ class MqttLikeTable(rawProps: Map[String, String]) extends Table with SupportsRe
     }
 }
 
-/** Offset = count of messages consumed (message seq is dense from 0). */
-case class SeqOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Offset = per-lane consumed counts (each lane's seq is dense from 0).
+  * JSON is a sorted `{"lane":count}` object; a bare integer (the pre-lane
+  * single-writer format) deserializes as the root lane, so existing
+  * checkpoints keep resuming. */
+case class SeqOffset(counts: Map[String, Long]) extends Offset {
+  /** Root-lane count — the whole offset for single-lane sources
+    * (graft-http, classic single-writer topics). */
+  def root: Long = counts.getOrElse("", 0L)
+  override def json(): String =
+    counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+}
+
+object SeqOffset {
+  def apply(n: Long): SeqOffset = SeqOffset(Map("" -> n))
+  def parse(json: String): SeqOffset = {
+    val t = json.trim
+    if (!t.startsWith("{")) SeqOffset(t.toLong)
+    else {
+      val body = t.stripPrefix("{").stripSuffix("}").trim
+      if (body.isEmpty) SeqOffset(Map.empty[String, Long])
+      else SeqOffset(body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+      }.toMap)
+    }
+  }
 }
 
 class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBatchStream {
   private val dir = Paths.get(spoolDir, MqttLike.sanitize(topic))
+  private def laneDir(lane: String): Path = if (lane.isEmpty) dir else dir.resolve(lane)
 
-  override def initialOffset(): Offset = SeqOffset(0L)
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
-  // repair first: a publisher that died mid-publish must not wedge the
+  override def initialOffset(): Offset = SeqOffset(Map.empty[String, Long])
+  override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
+  // repair first: a publisher that died mid-publish must not wedge a lane's
   // dense prefix forever — the claim protocol makes completion safe from
   // the reader side (see MqttLike.publish docs)
   override def latestOffset(): Offset = {
-    MqttLike.repair(dir)
-    SeqOffset(MqttLike.densePrefix(dir))
+    SeqOffset(MqttLike.listSubstreams(dir).map { lane =>
+      val d = laneDir(lane)
+      MqttLike.repair(d)
+      lane -> MqttLike.densePrefix(d)
+    }.filter(_._2 > 0).toMap)
   }
   override def commit(end: Offset): Unit = () // spool retained for replay
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
-    if (e <= s) Array.empty
-    else {
-      // split the contiguous seq range so a large backlog reads in parallel
-      val targetPerPartition = 1000L
-      val nParts = math.min(32L, math.max(1L, (e - s + targetPerPartition - 1) / targetPerPartition))
-      val step = (e - s + nParts - 1) / nParts
-      (s until e by step).map(lo =>
-        MqttRangePartition(dir.toString, topic, lo, math.min(e, lo + step)): InputPartition).toArray
-    }
+    val s = start.asInstanceOf[SeqOffset].counts
+    val e = end.asInstanceOf[SeqOffset].counts
+    e.toSeq.sortBy(_._1).flatMap { case (lane, hi) =>
+      val base = s.getOrElse(lane, 0L)
+      if (hi <= base) Seq.empty
+      else {
+        // split each lane's contiguous seq range so a backlog reads in
+        // parallel
+        val targetPerPartition = 1000L
+        val nParts = math.min(32L, math.max(1L, (hi - base + targetPerPartition - 1) / targetPerPartition))
+        val step = (hi - base + nParts - 1) / nParts
+        (base until hi by step).map(lo =>
+          MqttRangePartition(laneDir(lane).toString, topic, lane, lo,
+            math.min(hi, lo + step)): InputPartition)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
@@ -207,7 +268,7 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
         override def get(): InternalRow = {
           val payload = Files.readString(Paths.get(p.dir, s"$seq.msg"))
           InternalRow(UTF8String.fromString(p.topic),
-            UTF8String.fromString(payload), seq)
+            UTF8String.fromString(payload), seq, UTF8String.fromString(p.lane))
         }
         override def close(): Unit = ()
       }
@@ -217,5 +278,6 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
   override def stop(): Unit = ()
 }
 
-case class MqttRangePartition(dir: String, topic: String, fromSeq: Long, untilSeq: Long)
+case class MqttRangePartition(dir: String, topic: String, lane: String,
+                              fromSeq: Long, untilSeq: Long)
   extends InputPartition

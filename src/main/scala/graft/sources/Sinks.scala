@@ -14,12 +14,27 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** K1/K2 — MQTT publish at QoS 1/2 (ref `producer.c:152-161`,
-    * `hko.cpp:69-72`). Expects a single string column named `payload`. */
-  class MqttLikePublishWriter(spoolDir: String, topic: String, qos: Int)
+    * `hko.cpp:69-72`). Expects a single string column named `payload`.
+    *
+    * Two write modes:
+    *  - default (`partitioned = false`): all tasks publish into the topic's
+    *    root lane — the reference's one-broker-session model. Correct under
+    *    concurrency (atomic claims) but contended: callers throttle it to
+    *    one task (`coalesce(1)`) for throughput.
+    *  - `partitioned = true`: each sink task publishes into its own
+    *    `w-<partitionId>` lane with a private dense seq space — zero
+    *    cross-task contention, so the sink runs at any parallelism. The
+    *    graft-mqtt reader merges lanes via its per-lane offset vector. */
+  class MqttLikePublishWriter(spoolDir: String, topic: String, qos: Int,
+                              partitioned: Boolean = false)
       extends ForeachWriter[Row] {
-    override def open(partitionId: Long, epochId: Long): Boolean = true // connect here
+    private var lane: String = ""
+    override def open(partitionId: Long, epochId: Long): Boolean = { // connect here
+      lane = if (partitioned) s"w-$partitionId" else ""
+      true
+    }
     override def process(row: Row): Unit =
-      MqttLike.publish(spoolDir, topic, row.getAs[String]("payload"))
+      MqttLike.publish(spoolDir, topic, row.getAs[String]("payload"), lane)
     override def close(errorOrNull: Throwable): Unit = () // disconnect here
   }
 

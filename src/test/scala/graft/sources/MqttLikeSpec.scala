@@ -116,6 +116,45 @@ class MqttLikeSpec extends SparkTestBase {
       s"restart must resume exactly once after the checkpointed offset, got ${seqs.toSeq}")
   }
 
+  test("partitioned sink at parallelism > 1: per-writer lanes, reader merges exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_lanes").toString
+    val n = 64
+    val input = MemoryStream[Int](spark)
+    val q = input.toDS().repartition(4)
+      .select(concat(lit("payload-"), col("value")).as("payload"))
+      .writeStream
+      .foreach(new Sinks.MqttLikePublishWriter(spool, "t/hi", qos = 1, partitioned = true))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(0 until n)
+      q.processAllAvailable()
+    } finally q.stop()
+    val topicDir = java.nio.file.Paths.get(spool, "t_hi")
+    val lanes = MqttLike.listSubstreams(topicDir).filter(_.nonEmpty)
+    assert(lanes.size > 1, s"expected several writer lanes, got $lanes")
+    lanes.foreach { lane => // each lane keeps its own dense seq space
+      val seqs = MqttLike.listSeqs(topicDir.resolve(lane))
+      assert(seqs == (0L until seqs.size.toLong), s"$lane seqs not dense: $seqs")
+    }
+    // the reader merges all lanes, no loss, no duplication
+    val q2 = spark.readStream.format("graft-mqtt")
+      .option("spoolDir", spool).option("topic", "t/hi").load()
+      .writeStream.format("memory").queryName("mq_lanes")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("mq_lanes").collect()
+      assert(rows.length == n, s"expected $n rows, got ${rows.length}")
+      assert(rows.map(_.getAs[String]("payload")).toSet ==
+        (0 until n).map(i => s"payload-$i").toSet)
+      assert(rows.map(_.getAs[String]("writer")).toSet == lanes.toSet)
+      // (writer, msg_seq) identifies a message uniquely across lanes
+      assert(rows.map(r => (r.getAs[String]("writer"), r.getAs[Long]("msg_seq"))).toSet.size == n)
+    } finally q2.stop()
+  }
+
   test("full dd pipeline: mqtt source -> parse -> publish sink (K1), dashboard (K3)") {
     val spool = java.nio.file.Files.createTempDirectory("mqtt2").toString
     (0 until 4).foreach(i => MqttLike.publish(spool, "sensors/dd", payload(i)))
