@@ -84,6 +84,27 @@ object HttpPoll {
     val nl = raw.indexOf('\n')
     (raw.substring(0, nl).toLong, raw.substring(nl + 1))
   }
+
+  /** Default poll-cache location: `<checkpoint>/http-polls`. Spark hands
+    * `toMicroBatchStream` the checkpoint as a *URI string* (`file:/tmp/ck/
+    * sources/0`); treating it as a filesystem path would create a literal
+    * `file:` directory under the driver CWD, and a restart from a different
+    * CWD would find committed offsets pointing at polls that no longer
+    * resolve — breaking the replay contract. Parse the URI; non-file
+    * checkpoint filesystems must pass an explicit local `cacheDir` (the
+    * cache is driver-local by design: the driver is the only poller). */
+  private[sources] def resolvePollDir(checkpointLocation: String): Path = {
+    val uri =
+      try java.net.URI.create(checkpointLocation)
+      catch { case _: IllegalArgumentException => null }
+    val base =
+      if (uri == null || uri.getScheme == null) Paths.get(checkpointLocation)
+      else if (uri.getScheme == "file") Paths.get(uri)
+      else throw new IllegalArgumentException(
+        s"graft-http: checkpoint scheme '${uri.getScheme}' is not a local path; " +
+          "pass option cacheDir to place the driver-local poll cache explicitly")
+    base.resolve("http-polls")
+  }
 }
 
 class HttpPollTable(rawProps: Map[String, String]) extends Table with SupportsRead {
@@ -106,14 +127,17 @@ class HttpPollTable(rawProps: Map[String, String]) extends Table with SupportsRe
         new HttpPollMicroBatchStream(url, minIntervalMs,
           // default the poll cache next to the checkpoint: replay after
           // restart needs the polls the committed offsets point at
-          Paths.get(cacheDir.getOrElse(s"$checkpointLocation/http-polls")))
+          cacheDir.fold(HttpPoll.resolvePollDir(checkpointLocation))(Paths.get(_)))
     }
 }
 
 class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
   extends MicroBatchStream {
 
-  private var lastFetchMs = 0L
+  // throttles ATTEMPTS, not successes: a failing endpoint must wait out the
+  // interval like the reference's loop does (hko.cpp sleeps a full tick
+  // between tries), not re-block the driver's microbatch thread every trigger
+  private var lastAttemptMs = 0L
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
@@ -125,10 +149,10 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
     val now = System.currentTimeMillis()
     val polls = HttpPoll.listPolls(cacheDir)
     val next = polls.lastOption.fold(0L)(_ + 1)
-    if (now - lastFetchMs >= minIntervalMs) {
+    if (now - lastAttemptMs >= minIntervalMs) {
+      lastAttemptMs = now
       try {
         val body = HttpPoll.fetch(url)
-        lastFetchMs = now
         Files.createDirectories(cacheDir)
         val tmp = cacheDir.resolve(s".poll-${java.util.UUID.randomUUID()}.tmp")
         Files.writeString(tmp, s"${now * 1000L}\n$body")

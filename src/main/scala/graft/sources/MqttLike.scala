@@ -79,9 +79,9 @@ object MqttLike {
     *     whose msg already landed.
     *
     * A crash between 2 and 3 leaves a contentful claim with no msg —
-    * [[repair]] (run by every publisher and by the reader's offset poll)
-    * completes step 3 idempotently, so a dead publisher can never wedge the
-    * topic's dense prefix. */
+    * [[repair]] (run by the reader's every offset poll, and by a publisher
+    * on its first claim collision) completes step 3 idempotently, so a dead
+    * publisher can never wedge the topic's dense prefix. */
   def publish(spoolDir: String, topic: String, payload: String): Long =
     publish(spoolDir, topic, payload, substream = "")
 
@@ -95,17 +95,26 @@ object MqttLike {
     val base = Paths.get(spoolDir, sanitize(topic))
     val dir = if (substream.isEmpty) base else base.resolve(sanitize(substream))
     Files.createDirectories(dir)
-    repair(dir)
     val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, payload)
     var seq = nextSeq(dir)
     var claimed = false
+    // repair lazily: an eager repair() here is a full directory listing per
+    // message (O(n), O(n²) over a topic's life). The reader already repairs
+    // every lane on each offset poll; a publisher only needs it when a claim
+    // collision hints at a dead writer's un-promoted claim wedging the seq.
+    var repaired = false
     while (!claimed) {
       try {
         Files.createLink(dir.resolve(s".$seq.claim"), tmp)
         claimed = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (!repaired) {
+            repaired = true
+            repair(dir)
+            seq = math.max(seq + 1, nextSeq(dir))
+          } else seq += 1
       }
     }
     promote(dir, seq)

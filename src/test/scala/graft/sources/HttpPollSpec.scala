@@ -93,5 +93,39 @@ class HttpPollSpec extends SparkTestBase {
     val seqs = spark.read.parquet(out).select("poll_seq").collect().map(_.getLong(0)).sorted
     assert(seqs.toSeq == (0L until seqs.length.toLong),
       s"restart must resume after the checkpointed offset with no gaps/dups, got ${seqs.toSeq}")
+    // the default cache must land NEXT TO THE CHECKPOINT (URI-resolved), not
+    // as a literal `file:` directory under the driver CWD — a restart from a
+    // different CWD would otherwise lose every committed poll
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(ckpt).resolve("sources/0/http-polls")),
+      "default poll cache must resolve under the checkpoint directory")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("file:")),
+      "checkpoint URI must never be mis-parsed into a CWD-relative 'file:' dir")
+  }
+
+  test("default cache dir resolves the checkpoint URI, rejects remote schemes") {
+    assert(HttpPoll.resolvePollDir("file:/tmp/ck/sources/0") ==
+      java.nio.file.Paths.get("/tmp/ck/sources/0/http-polls"))
+    assert(HttpPoll.resolvePollDir("/tmp/ck/sources/0") ==
+      java.nio.file.Paths.get("/tmp/ck/sources/0/http-polls"))
+    assert(HttpPoll.resolvePollDir("file:///tmp/ck/sources/0") ==
+      java.nio.file.Paths.get("/tmp/ck/sources/0/http-polls"))
+    intercept[IllegalArgumentException] {
+      HttpPoll.resolvePollDir("hdfs://nn:8020/ck/sources/0")
+    }
+  }
+
+  test("a failing endpoint is attempt-throttled to minIntervalMs") {
+    val dir = java.nio.file.Files.createTempDirectory("httpthrottle")
+    val doc = dir.resolve("absent.json")
+    val cache = java.nio.file.Files.createTempDirectory("polls3")
+    val stream = new HttpPollMicroBatchStream(doc.toUri.toString, 60000L, cache)
+    stream.latestOffset() // first attempt fails (file absent) and must still arm the throttle
+    java.nio.file.Files.writeString(doc, "late")
+    val t0 = System.nanoTime()
+    (1 to 50).foreach(_ => stream.latestOffset()) // rapid triggers inside the interval
+    assert((System.nanoTime() - t0) < 2e9, "throttled ticks must not re-attempt the fetch")
+    assert(HttpPoll.listPolls(cache).isEmpty,
+      "no fetch may happen until minIntervalMs after the FAILED attempt")
   }
 }
