@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution (SURVEY.md §2.4 extension): near-dup
+  * detection emits PAIRS (qe2/qe2b/qe7b), but a training pipeline needs
+  * CLUSTERS — "these 7 documents are all the same article" — so it can keep
+  * one canonical survivor per group. Pairs → clusters is connected
+  * components over the pair graph.
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping —
+  * each round every node takes the minimum label in its neighborhood
+  * (one shuffle join + aggregation), then labels contract through their own
+  * labels (`l(x) ← l(l(x))`, a second equi-join). Propagation alone needs
+  * O(diameter) rounds; the jump step halves chain depth each round, giving
+  * O(log n) rounds like the hash-to-min algorithm (Rastogi et al., "Finding
+  * Connected Components in Map-Reduce", ICDE 2013). Every round is plain
+  * equi-join + groupBy — shuffles on node id, no cross products, and
+  * `localCheckpoint` truncates the otherwise-exponential iterative lineage.
+  * The driver-side loop holds only a changed-row COUNT per round (the
+  * fixpoint probe), never the data.
+  *
+  * At 100 TB the edge list is the output of the blocked near-dup paths
+  * (LSH/SRP candidates), which is orders of magnitude smaller than the
+  * corpus; rounds are bounded by log of the largest duplicate cluster.
+  */
+object DupClusters {
+
+  /** Connected components over an undirected edge list (`da`, `db`).
+    * Returns (id, cluster) for every node appearing in an edge, where
+    * `cluster` is the minimum node id in the component — a deterministic,
+    * engine-independent canonical representative. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("da").as("id"), col("db").as("nb"))
+      .union(edges.select(col("db").as("id"), col("da").as("nb")))
+      .localCheckpoint()
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label in the closed neighborhood
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nb"), col("lbl").as("nlbl")), "nb")
+        .groupBy("id").agg(min("nlbl").as("m"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+      // pointer jump: a label is always some node's id, so re-resolving a
+      // node's label through its label's own label contracts chains
+      val jumped = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = jumped.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Duplicate clusters from near-dup pairs: (doc_id, cluster) membership,
+    * cluster = min doc_id of the component (the canonical survivor — every
+    * non-survivor row is a drop candidate). */
+  def clusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs).select(col("id").as("doc_id"), col("cluster"))
+}

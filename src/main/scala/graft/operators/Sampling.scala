@@ -62,6 +62,22 @@ object Sampling {
                           seed: Long = 42L): DataFrame =
     df.filter(pmod(md5Priority(col(idCol), seed), lit(100)) < percent)
 
+  /** Domain-mixing stratified take: per-group deterministic bottom-k by md5
+    * priority, where k may vary per group via `kExpr` (derive it from target
+    * mixture weights — "keep 5% of web, 40% of code, all of books"). One
+    * hash shuffle + per-group sort (window per partition key); priorities
+    * make the take reproducible, partitioning-independent, and nested
+    * (raising a group's k only ADDS documents — crucial for reproducible
+    * mixture ablations over the same corpus). */
+  def stratifiedTake(df: DataFrame, groupCol: String, idCol: String,
+                     kExpr: Column, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(md5Priority(col(idCol), seed), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kExpr)
+      .drop("rn")
+  }
+
   /** Deterministic train/val/test split: hash-range assignment adds a
     * `split` column. Stable across runs/partitionings, disjoint and
     * exhaustive, and stable under corpus growth (a row's split never

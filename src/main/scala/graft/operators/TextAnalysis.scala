@@ -73,6 +73,37 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 public
+    * filter family): per doc, the duplicate-word fraction, the mass of the
+    * single most frequent word, and the duplicate-bigram fraction — heavy
+    * repetition marks boilerplate/spam for the quality gate.
+    *
+    * Shuffle-free by design: all three signals are per-row array math, so
+    * at 100 TB this is a linear codegen'd+HOF scan with no exchange at all
+    * (the groupBy-per-word alternative costs two shuffles). Token arrays
+    * are materialized behind their own projection so the interpreted HOF
+    * lambdas never re-evaluate the regex split per element. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val bigrams = transform(sequence(lit(0), size(ws) - 2),
+      i => concat_ws(" ", get(ws, i), get(ws, i + lit(1))))
+    val withArrays = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(ws) >= 1)
+      .select(col("doc_id"), ws,
+        when(size(ws) >= 2, bigrams).otherwise(array().cast("array<string>")).as("bg"))
+    val bg = col("bg")
+    val r4 = graft.functions.ScalarOps.r4 _
+    withArrays.select(
+      col("doc_id"),
+      r4(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)).as("dup_word_frac"),
+      r4(array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+        .cast("double") / size(ws)).as("top_word_frac"),
+      r4(when(size(bg) > 0,
+        lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)).otherwise(0.0))
+        .as("dup_2gram_frac"))
+  }
+
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
     * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
     * only if one exact text dominates, which exact-dedup removes first. */

@@ -192,6 +192,52 @@ object Extensions {
       Multimodal.decodeAll(media).toDF()
         .select(col("doc_id"), col("mime"), col("byteLen").as("byte_len"))
         .orderBy("doc_id")
-    }, Some("""SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY doc_id""")),
+
+    // E5 — frame-sampling stage: one row per sampled frame (the video path
+    // of the multimodal pipeline; stub codec slices deterministic byte
+    // windows, so the SQL-expressible frame lengths oracle the dataflow)
+    ("qe5b_frame_sample", (s: SparkSession, d: String) => {
+      val media = Multimodal.attachPayload(Engine.Tables(s, d).documents)
+      Multimodal.sampleFrames(media, 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS L, greatest(1, octet_length(encode(text)) // 4) AS flen FROM documents), i AS (SELECT unnest(range(0, 4)) AS frame_idx) SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, CAST(greatest(0, least((frame_idx + 1) * flen, L) - least(frame_idx * flen, L)) AS BIGINT) AS frame_len FROM f CROSS JOIN i ORDER BY doc_id, frame_idx""")),
+
+    // Decontamination — corpus docs sharing any word 5-gram with the
+    // benchmark subset (doc_id % 19 = 3 stands in for an eval suite);
+    // benchmark shingles broadcast, corpus side never shuffles for the probe
+    ("qe12_decontaminate", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 19 === 3)
+      val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+      graft.operators.Decontaminate.contamination(corpus, bench, 5)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Duplicate clusters — connected components over the exact near-dup
+    // pair graph (qe2 semantics); cluster = min doc_id of the component.
+    // Oracle: recursive CTE reachability → min reachable id.
+    ("qe13_dup_clusters", (s: SparkSession, d: String) => {
+      val pairs = Dedup.jaccardPairs(Engine.Tables(s, d).documents, 3, 0.5)
+      graft.operators.DupClusters.clusters(pairs).orderBy("doc_id")
+    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id) SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Repetition quality — Gopher-style duplicate-word / top-word /
+    // duplicate-bigram fractions (shuffle-free per-row array math)
+    ("qe14_repetition", (s: SparkSession, d: String) => {
+      TextAnalysis.repetitionStats(Engine.Tables(s, d).documents).orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), base AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg FROM tok WHERE len(ws) >= 1) SELECT doc_id, ROUND(1 - len(list_distinct(ws)) * 1.0 / len(ws), 4) AS dup_word_frac, ROUND(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) * 1.0 / len(ws), 4) AS top_word_frac, ROUND(CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0 END, 4) AS dup_2gram_frac FROM base ORDER BY doc_id""")),
+
+    // Domain mixing — stratified deterministic take with per-source k
+    // (5/10/15 docs by source index % 3): the reproducible mixture-weight
+    // sampler; md5 priorities make the mix itself oracle-checkable
+    ("qe15_mix", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val k = lit(5) + (substring(col("source"), 4, 10).cast("int") % 3) * lit(5)
+      graft.operators.Sampling.stratifiedTake(docs, "source", "doc_id", k)
+        .select("doc_id", "source").orderBy("doc_id")
+    }, Some("""SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn FROM documents) WHERE rn <= 5 + (CAST(substr(source, 4) AS INT) % 3) * 5 ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The round-4 curation operators: benchmark decontamination, duplicate
+  * clustering (connected components), repetition-quality stats, and the
+  * domain-mixing stratified take. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- DupClusters --------------------------------------------------------
+
+  test("connected components merge a chain into one cluster (multi-hop)") {
+    // chain 1-2-3-4-5 plus disjoint pair 10-11 and a triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("da", "db")
+    val got = DupClusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components handle a long path within the iteration budget") {
+    // a 64-node path needs ~log2(64) rounds with pointer jumping, not 64
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = DupClusters.connectedComponents(edges).collect()
+    assert(got.length == 64 && got.forall(_.getLong(1) == 0L),
+      "every node of the path must resolve to the min id 0")
+  }
+
+  test("clusters() yields the canonical min-id survivor per component") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"),    // near-dup of 1/2
+      (9L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5)
+    val cl = DupClusters.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L)
+    assert(!cl.contains(9L), "singletons with no near-dup pair stay out of the edge set")
+  }
+
+  // ---- Decontaminate ------------------------------------------------------
+
+  test("contamination counts shared distinct n-grams; clean drops hits") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps over suffix"), // shares 5-grams
+      (2L, "no overlap with anything in the benchmark set"),
+      (3L, "the quick brown fox jumps over the lazy dog")   // exact copy
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.contamination(corpus, bench, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: tokens p t q b f j o s -> 5-grams starting at t..: "the quick
+    // brown fox jumps", "quick brown fox jumps over" both appear in bench
+    assert(hits(1L) == 2L)
+    assert(hits(3L) == 5L, "an exact copy shares every benchmark 5-gram")
+    assert(!hits.contains(2L))
+    val kept = Decontaminate.clean(corpus, bench, 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("contamination probe broadcasts the benchmark side") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    val df = Decontaminate.contamination(corpus, bench, 5)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast, got:\n$plan")
+  }
+
+  // ---- repetitionStats ----------------------------------------------------
+
+  test("repetition stats match hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a b"),           // words: 3, distinct 2; top 'a' 2/3; bigrams "a a","a b" distinct
+      (2L, "x x x x"),         // all same: dup 3/4, top 1.0, bigrams "x x"*3 dup 2/3
+      (3L, "u v w x y")        // all unique: 0, 1/5, 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 0.3333, 0.6667, 0.0)))
+    assert(got(1) == ((2L, 0.75, 1.0, 0.6667)))
+    assert(got(2) == ((3L, 0.0, 0.2, 0.0)))
+  }
+
+  test("repetition stats are null-safe on single-word docs") {
+    val got = TextAnalysis.repetitionStats(Seq((1L, "solo")).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getDouble(1) == 0.0 && got.getDouble(2) == 1.0 && got.getDouble(3) == 0.0)
+  }
+
+  // ---- stratifiedTake -----------------------------------------------------
+
+  test("stratified take honors per-group k and is deterministic + nested") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val k = when(col("grp") === "g0", 3).otherwise(7)
+    val take1 = Sampling.stratifiedTake(df, "grp", "id", k).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    val counts = take1.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map("g0" -> 3, "g1" -> 7, "g2" -> 7, "g3" -> 7))
+    // deterministic across runs and partitionings
+    val take2 = Sampling.stratifiedTake(df.repartition(13), "grp", "id", k).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(take1.toSet == take2.toSet)
+    // nested: raising k only adds rows
+    val bigger = Sampling.stratifiedTake(df, "grp", "id", k + lit(5)).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(take1.toSet.subsetOf(bigger))
+  }
+}

@@ -8,7 +8,9 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * way graft-mqtt substitutes the broker. */
 class HttpPollSpec extends SparkTestBase {
 
-  private def awaitCount(name: String, n: Long, timeoutMs: Long = 20000): Unit = {
+  // generous timeout: suites run in parallel, and a loaded scheduler can
+  // starve a 100 ms-trigger stream for tens of seconds without any bug
+  private def awaitCount(name: String, n: Long, timeoutMs: Long = 60000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (spark.table(name).count() < n) {
       assert(System.currentTimeMillis() < deadline,
@@ -30,7 +32,14 @@ class HttpPollSpec extends SparkTestBase {
     try {
       awaitCount("http1", 1)
       java.nio.file.Files.writeString(doc, """{"v": 2}""")
-      awaitCount("http1", 2)
+      // wait for the CONTENT, not a row count: the poller samples on its
+      // interval, so any number of v1 polls may land before the v2 write
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("http1").where("body = '{\"v\": 2}'").isEmpty) {
+        assert(System.currentTimeMillis() < deadline,
+          "updated endpoint content must arrive as a later poll")
+        Thread.sleep(100)
+      }
       val rows = spark.table("http1").orderBy("poll_seq").collect()
       assert(rows.map(_.getAs[Long]("poll_seq")).toSeq == (0L until rows.length.toLong),
         "poll seqs must be dense from 0")
@@ -75,7 +84,7 @@ class HttpPollSpec extends SparkTestBase {
       try spark.read.parquet(out).count() catch { case _: Exception => 0L }
     val q1 = start()
     try {
-      val deadline = System.currentTimeMillis() + 20000
+      val deadline = System.currentTimeMillis() + 60000
       while (written() < 2) {
         assert(System.currentTimeMillis() < deadline, "no polls written")
         Thread.sleep(100)
@@ -84,7 +93,7 @@ class HttpPollSpec extends SparkTestBase {
     val n1 = written()
     val q2 = start()
     try {
-      val deadline = System.currentTimeMillis() + 20000
+      val deadline = System.currentTimeMillis() + 60000
       while (written() < n1 + 1) {
         assert(System.currentTimeMillis() < deadline, "restarted query produced no polls")
         Thread.sleep(100)
