@@ -35,8 +35,17 @@ object DupClusters {
     val sym = edges.select(col("da").as("id"), col("db").as("nb"))
       .union(edges.select(col("db").as("id"), col("da").as("nb")))
       .localCheckpoint()
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // init fuses the first propagation round: the node-set aggregation that
+    // would seed lbl=id can take min(id, neighbors) in the same shuffle
+    var labels = sym.groupBy("id")
+      .agg(least(col("id"), min(col("nb"))).as("lbl")).localCheckpoint()
+    // labels only ever DECREASE, so the exact label-sum strictly falls
+    // while anything changes — one scan of the checkpointed frame probes
+    // the fixpoint without a join (decimal sum: exact at any n, where a
+    // long sum of 64-bit ids could wrap and fake convergence)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -52,8 +61,9 @@ object DupClusters {
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      converged = jumped.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = jumped
       iter += 1
     }

@@ -94,11 +94,22 @@ object TextAnalysis {
         when(size(ws) >= 2, bigrams).otherwise(array().cast("array<string>")).as("bg"))
     val bg = col("bg")
     val r4 = graft.functions.ScalarOps.r4 _
+    // max word frequency as the longest run in the SORTED token array: one
+    // O(n) aggregate pass instead of the O(distinct·n) nested
+    // filter-per-distinct-word lambda (HOFs are interpreted; the quadratic
+    // form measured ~4x slower at sf0.1)
+    val maxRun = aggregate(sort_array(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     withArrays.select(
       col("doc_id"),
       r4(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)).as("dup_word_frac"),
-      r4(array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
-        .cast("double") / size(ws)).as("top_word_frac"),
+      r4(maxRun.cast("double") / size(ws)).as("top_word_frac"),
       r4(when(size(bg) > 0,
         lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)).otherwise(0.0))
         .as("dup_2gram_frac"))
