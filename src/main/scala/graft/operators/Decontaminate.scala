@@ -34,4 +34,18 @@ object Decontaminate {
     corpus.join(
       contamination(corpus, benchmark, n).filter(col("n_hits") >= minHits),
       Seq("doc_id"), "left_anti")
+
+  /** Streaming form of [[contamination]]: documents are checked in-flight.
+    * The probe is a STATELESS stream-static broadcast join (the benchmark
+    * is a static relation, so no join state accumulates), and the only
+    * streaming state is the per-contaminated-doc hit count — bounded by
+    * contamination volume, not stream length. Run in Update mode: each
+    * micro-batch upserts refined counts (a doc's count only grows).
+    * Replay equivalence with the batch form is asserted in StreamingSpec. */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val bench = Dedup.shingles(benchmark, n).select("s").distinct()
+    Dedup.shingles(docs, n)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+  }
 }

@@ -101,6 +101,16 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     spark.sql("DROP TABLE IF EXISTS b_customer")
   }
 
+  test("qe14 repetition stats plan is shuffle-free (per-row array math)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val df = graft.operators.TextAnalysis.repetitionStats(docs) // no orderBy: the
+    // driver's total sort is presentation, the operator itself must not exchange
+    df.collect()
+    val s = planString(df)
+    assert(!s.contains("Exchange"),
+      s"repetition stats must be a linear scan with no shuffle:\n${s.take(1500)}")
+  }
+
   test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
     val ev = Engine.Tables(spark, Sf0001).events
     val rows = ev.groupBy("event_type")

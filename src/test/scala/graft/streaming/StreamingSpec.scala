@@ -544,4 +544,33 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream candidates diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming contamination over a replay == batch contamination (stream-static probe)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    val want = graft.operators.Decontaminate.contamination(corpus, bench, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "testdata must contain contaminated docs")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = graft.operators.Decontaminate.contaminationStream(
+      input.toDF().toDF("doc_id", "text"), bench, 5)
+    val q = stream.writeStream.format("memory").queryName("t_contam")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // update-mode sink appends each refinement; counts only grow, so the
+      // max per doc is the final state
+      val got = spark.table("t_contam").groupBy("doc_id")
+        .agg(max("n_hits").as("n_hits")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"stream contamination diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
 }
