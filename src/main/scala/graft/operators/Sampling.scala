@@ -78,6 +78,23 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Weighted (probability-proportional-to-size) sample of k rows:
+    * sequential Poisson sampling (Ohlsson 1998) — order by u/w with u the
+    * md5-derived uniform and take the bottom k, giving inclusion
+    * probability ∝ weight for small sampling fractions. Deliberately u/w
+    * and NOT the exponential -ln(u)/w form: integer-to-double division is
+    * bit-exact IEEE in every engine, so the selected set is reproducible
+    * and oracle-checkable, where ln() differs in final ulps across libms.
+    * Plans as TakeOrdered (per-partition partial top-k, no global sort
+    * materialization) — scales to any corpus. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                seed: Long = 42L): DataFrame =
+    df.withColumn("__pr",
+        md5Priority(col(idCol), seed).cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("__pr"), col(idCol))
+      .limit(k)
+      .drop("__pr")
+
   /** Deterministic train/val/test split: hash-range assignment adds a
     * `split` column. Stable across runs/partitionings, disjoint and
     * exhaustive, and stable under corpus growth (a row's split never

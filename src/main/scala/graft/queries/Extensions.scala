@@ -238,6 +238,15 @@ object Extensions {
       val k = lit(5) + (substring(col("source"), 4, 10).cast("int") % 3) * lit(5)
       graft.operators.Sampling.stratifiedTake(docs, "source", "doc_id", k)
         .select("doc_id", "source").orderBy("doc_id")
-    }, Some("""SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn FROM documents) WHERE rn <= 5 + (CAST(substr(source, 4) AS INT) % 3) * 5 ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn FROM documents) WHERE rn <= 5 + (CAST(substr(source, 4) AS INT) % 3) * 5 ORDER BY doc_id""")),
+
+    // Weighted sampling — sequential Poisson (PPS) bottom-k by u/weight;
+    // u/w ordering is exact IEEE division in both engines, so even the
+    // weighted sample hash-matches (docs weighted by length)
+    ("qe16_weighted_sample", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.ppsSample(
+          Engine.Tables(s, d).documents, "doc_id", "n_chars", 100)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }, Some("""SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars FROM documents ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT * 1.0 / n_chars, doc_id LIMIT 100) ORDER BY doc_id"""))
   )
 }

@@ -57,4 +57,25 @@ class SamplingSpec extends SparkTestBase {
     val s20 = Sampling.deterministicSample(ev, "event_id", 20)
     assert(s1.join(s20, Seq("event_id"), "left_anti").count() == 0)
   }
+
+  test("PPS weighted sample: deterministic, partitioning-independent, weight-biased, TakeOrdered plan") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    def ids(parts: Int) =
+      Sampling.ppsSample(docs.repartition(parts), "doc_id", "n_chars", 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(1)
+    val b = ids(7)
+    assert(a == b && a.size == 50, "PPS sample must not depend on partitioning")
+    // inclusion probability tracks weight: the sampled docs' mean length
+    // must exceed the corpus mean (docs weighted by n_chars)
+    val all = docs.select(avg("n_chars")).head.getDouble(0)
+    val samp = docs.filter(col("doc_id").isInCollection(a))
+      .select(avg("n_chars")).head.getDouble(0)
+    assert(samp > all, s"weighted sample mean $samp must exceed corpus mean $all")
+    // scales as a per-partition partial top-k, not a global sort
+    val df = Sampling.ppsSample(docs, "doc_id", "n_chars", 50)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "PPS sample must plan as TakeOrdered")
+  }
 }
