@@ -43,8 +43,10 @@ object DupClusters {
     // while anything changes — one scan of the checkpointed frame probes
     // the fixpoint without a join (decimal sum: exact at any n, where a
     // long sum of 64-bit ids could wrap and fake convergence)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty edge list
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -88,12 +88,17 @@ object Sampling {
     * Plans as TakeOrdered (per-partition partial top-k, no global sort
     * materialization) — scales to any corpus. */
   def ppsSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
-                seed: Long = 42L): DataFrame =
-    df.withColumn("__pr",
-        md5Priority(col(idCol), seed).cast("double") / col(weightCol).cast("double"))
+                seed: Long = 42L): DataFrame = {
+    // fail fast on w <= 0 (u/w would sort garbage first, silently): the
+    // guard lives in the value path so pruning can't drop it
+    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(lit(s"ppsSample: non-positive weight in $weightCol: "),
+        col(weightCol).cast("string"))))
+    df.withColumn("__pr", md5Priority(col(idCol), seed).cast("double") / w)
       .orderBy(col("__pr"), col(idCol))
       .limit(k)
       .drop("__pr")
+  }
 
   /** Deterministic train/val/test split: hash-range assignment adds a
     * `split` column. Stable across runs/partitionings, disjoint and

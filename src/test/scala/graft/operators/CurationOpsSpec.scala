@@ -114,4 +114,18 @@ class CurationOpsSpec extends SparkTestBase {
       .map(r => (r.getString(1), r.getLong(0))).toSet
     assert(take1.toSet.subsetOf(bigger))
   }
+
+  test("connected components on an empty edge list return an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(DupClusters.connectedComponents(empty).isEmpty)
+  }
+
+  test("PPS sample fails fast on non-positive weights") {
+    val df = Seq((1L, 10L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.ppsSample(df, "id", "w", 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      e.getCause != null && e.getCause.getMessage.contains("non-positive weight"))
+  }
 }
