@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming._
+
+/** Streaming sequence packing (batch twin: [[graft.operators.SeqPack
+  * .packSharded]]): documents arrive append-only and each gets its training
+  * bin the moment it lands — no batch repack over the whole corpus when new
+  * data arrives, which is exactly what an always-on ingestion pipeline
+  * needs.
+  *
+  * State is ONE counter per shard (the cumulative token total packed so
+  * far), keyed the same way the batch window partitions — so state size is
+  * |shards|, independent of corpus length, and bins never span shards.
+  * Within a micro-batch a shard's rows are folded in doc_id order;
+  * replaying a corpus in id-ordered arrival therefore reproduces the batch
+  * form bit-for-bit (asserted in StreamingSpec). Out-of-order arrival packs
+  * in arrival order instead — the legitimate streaming semantics for an
+  * append-only corpus where "order" IS arrival.
+  */
+object StreamingSeqPack {
+
+  case class DocTok(shard: Long, doc_id: Long, n_tok: Long)
+  case class PackedDoc(shard: Long, doc_id: Long, n_tok: Long, bin: Long)
+
+  /** Per-shard cumulative-token state; assigns `bin = cum div budget` at
+    * the document's first token, like the batch window form. */
+  class PackProcessor(budget: Long) extends StatefulProcessor[Long, DocTok, PackedDoc] {
+
+    @transient private var cum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocTok],
+                                 timerValues: TimerValues): Iterator[PackedDoc] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { r =>
+        val bin = c / budget
+        c += r.n_tok
+        PackedDoc(r.shard, r.doc_id, r.n_tok, bin)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** docs(shard, doc_id, n_tok) stream → per-doc bin assignments. */
+  def packStream(docs: DataFrame, budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("shard").cast("long"), col("doc_id").cast("long"),
+        col("n_tok").cast("long")).as[DocTok]
+      .groupByKey(_.shard)
+      .transformWithState(new PackProcessor(budget), TimeMode.None(), OutputMode.Append(),
+        Encoders.product[PackedDoc])
+  }
+}

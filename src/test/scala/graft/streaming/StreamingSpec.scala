@@ -573,4 +573,35 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream contamination diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming sequence packing over an ordered replay == batch packSharded") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Engine.Tables(spark, Sf0001).documents
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", col("doc_id") % 4)
+    val want = graft.operators.SeqPack.packSharded(docs, "shard", "doc_id", "n_tok", 2048L)
+      .select("shard", "doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.map(_._3).max > 0, "corpus must span multiple bins")
+
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val stream = StreamingSeqPack.packStream(
+      input.toDF().toDF("shard", "doc_id", "n_tok"), 2048L)
+    val q = stream.toDF().writeStream.format("memory").queryName("t_spack")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // id-ordered arrival in three waves: packing is incremental, no
+      // repack of earlier waves may occur
+      val rows = docs.select("shard", "doc_id", "n_tok").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_spack").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toSet
+      assert(got == want,
+        s"stream packing diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
 }
