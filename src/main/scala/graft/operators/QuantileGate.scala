@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact quantile gating at scale (SURVEY.md §2.4 extension): keep the rows
+  * whose metric is at or below the corpus's q-quantile — the adaptive form
+  * of a quality cutoff ("drop the most-repetitive decile"), where the
+  * threshold follows the data instead of being hand-tuned.
+  *
+  * Neither classic form survives both the 100 TB test and the oracle test:
+  * a global `row_number` rank is a single-task sort, and interpolated
+  * `percentile`/`quantile_cont` differ across engines in final ulps
+  * (boundary rows flip). Instead: aggregate the metric into a VALUE
+  * HISTOGRAM — after 4-decimal rounding its cardinality is bounded (≤ ~10⁴
+  * distinct values) regardless of corpus size — cumulate counts over that
+  * tiny frame, pick the smallest value whose cumulative count reaches
+  * ⌈q·n⌉, and broadcast the one-row threshold back. Every step is a plain
+  * hash aggregate or a window over the bounded histogram; comparisons are
+  * exact (the rounded doubles are bit-identical in any engine), so the
+  * gate is deterministic and oracle-checkable.
+  *
+  * Ties at the threshold are kept (the gate admits ≥ q of the corpus),
+  * matching SQL's `<=` mirror exactly.
+  */
+object QuantileGate {
+
+  /** Rows of `df` with `metricCol` <= the exact q-quantile threshold.
+    * `metricCol` should be bounded-cardinality (e.g. r4-rounded); the
+    * histogram window is sized by distinct metric values, not rows. */
+  def atOrBelow(df: DataFrame, metricCol: String, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val m = col(metricCol)
+    val hist = df.groupBy(m.as("__v")).agg(count("*").as("__c"))
+    val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cutoff = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .agg(min(col("__v")).as("__thr"))
+    df.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
+  }
+}

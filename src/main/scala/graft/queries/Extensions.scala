@@ -247,6 +247,16 @@ object Extensions {
       graft.operators.Sampling.ppsSample(
           Engine.Tables(s, d).documents, "doc_id", "n_chars", 100)
         .select("doc_id", "n_chars").orderBy("doc_id")
-    }, Some("""SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars FROM documents ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT * 1.0 / n_chars, doc_id LIMIT 100) ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars FROM documents ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT * 1.0 / n_chars, doc_id LIMIT 100) ORDER BY doc_id""")),
+
+    // Adaptive quality gate — keep docs at or below the exact 0.9-quantile
+    // of duplicate-bigram repetition: threshold from a bounded value
+    // histogram (cardinality <= 10^4 after r4 rounding), broadcast back —
+    // no global sort, no engine-dependent interpolation
+    ("qe17_quality_gate", (s: SparkSession, d: String) => {
+      val rep = TextAnalysis.repetitionStats(Engine.Tables(s, d).documents)
+      graft.operators.QuantileGate.atOrBelow(rep, "dup_2gram_frac", 0.9)
+        .select("doc_id", "dup_2gram_frac").orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), base AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg FROM tok WHERE len(ws) >= 1), rep AS (SELECT doc_id, ROUND(CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0 END, 4) AS dup_2gram_frac FROM base), hist AS (SELECT dup_2gram_frac AS v, COUNT(*) AS c FROM rep GROUP BY 1), cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER () AS n FROM hist), thr AS (SELECT MIN(v) AS t FROM cum WHERE cm >= CEIL(0.9 * n)) SELECT doc_id, dup_2gram_frac FROM rep, thr WHERE dup_2gram_frac <= t ORDER BY doc_id"""))
   )
 }

@@ -128,4 +128,20 @@ class CurationOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("non-positive weight") ||
       e.getCause != null && e.getCause.getMessage.contains("non-positive weight"))
   }
+
+  test("quantile gate keeps <= exact q-quantile with ties, any partitioning") {
+    // metric values: 10 rows, 0.9-quantile target rank = ceil(0.9*10) = 9;
+    // sorted metrics: 0.1 x4, 0.2 x3, 0.3 x2, 0.9 x1 -> cum 4,7,9,10:
+    // threshold = 0.3 (cum 9 >= 9), the 0.9 row drops, ties at 0.3 stay
+    val df = Seq(
+      (1L, 0.1), (2L, 0.1), (3L, 0.1), (4L, 0.1),
+      (5L, 0.2), (6L, 0.2), (7L, 0.2),
+      (8L, 0.3), (9L, 0.3),
+      (10L, 0.9)
+    ).toDF("id", "m")
+    def ids(parts: Int) = QuantileGate.atOrBelow(df.repartition(parts), "m", 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == (1L to 9L).toSet)
+    assert(ids(7) == (1L to 9L).toSet, "gate must not depend on partitioning")
+  }
 }
