@@ -144,4 +144,14 @@ class CurationOpsSpec extends SparkTestBase {
     assert(ids(1) == (1L to 9L).toSet)
     assert(ids(7) == (1L to 9L).toSet, "gate must not depend on partitioning")
   }
+
+  test("clusters from LSH-verified pairs == clusters from exact pairs (scale path)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+    val lsh = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+    def cl(pairs: org.apache.spark.sql.DataFrame) =
+      DupClusters.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(lsh) == cl(exact),
+      "the 100 TB edge source (LSH candidates + exact verify) must yield the same clusters")
+  }
 }

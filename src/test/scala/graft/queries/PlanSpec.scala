@@ -111,6 +111,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"repetition stats must be a linear scan with no shuffle:\n${s.take(1500)}")
   }
 
+  test("qe17 quantile gate broadcasts the one-row threshold back to the corpus") {
+    val df = graft.SparkEntry.queries("qe17_quality_gate")(spark, Sf0001)
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"threshold must come back as a broadcast, not a shuffle:\n${s.take(1500)}")
+  }
+
   test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
     val ev = Engine.Tables(spark, Sf0001).events
     val rows = ev.groupBy("event_type")
