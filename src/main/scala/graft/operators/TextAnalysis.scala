@@ -31,13 +31,21 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
       size(tokens(text))
 
-  /** Per-document stats frame: doc_id, n_tokens, avg_token_len, punct_ratio. */
-  def textStats(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      graft.functions.ScalarOps.r4(avgTokenLen(col("text"))).as("avg_token_len"),
-      graft.functions.ScalarOps.r4(punctRatio(col("text"))).as("punct_ratio"))
+  /** Per-document stats frame: doc_id, n_tokens, avg_token_len, punct_ratio.
+    * Tokens materialize behind their own projection: column-level helpers
+    * would re-run the regex split once per consumer (interpreted HOFs get
+    * no CSE — 3 splits/row measured before this shape). */
+  def textStats(docs: DataFrame): DataFrame = {
+    val ws = col("__ws")
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ws"))
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        graft.functions.ScalarOps.r4(
+          aggregate(ws, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ws))
+          .as("avg_token_len"),
+        graft.functions.ScalarOps.r4(punctRatio(col("text"))).as("punct_ratio"))
+  }
 
   /** Stopword marker sets for the n-gram-heuristic language ID. Tiny on
     * purpose: the heuristic must be expressible identically in the DuckDB
@@ -48,14 +56,18 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "es", "y", "que"),
     "fr" -> Seq("le", "les", "est", "et", "des"))
 
-  private def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(markers))).cast("long")
+  private def markerHits(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, t => t.isInCollection(markers))).cast("long")
 
   /** Language-ID guess per document: doc_id, lang_guess.
-    * Deterministic argmax with fixed priority order. */
+    * Deterministic argmax with fixed priority order. Tokens materialize
+    * behind one projection so the four marker filters share a single regex
+    * split (interpreted HOFs get no CSE — 4 splits/row otherwise). */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
-      col("doc_id") +: LangMarkers.map { case (l, ms) => markerHits(col("text"), ms).as(s"s_$l") }: _*)
+    val scored = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ws"))
+      .select(
+        col("doc_id") +: LangMarkers.map { case (l, ms) => markerHits(col("__ws"), ms).as(s"s_$l") }: _*)
     val Seq(en, de, es, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
     scored.select(
       col("doc_id"),
