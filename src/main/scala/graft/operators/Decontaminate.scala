@@ -42,10 +42,8 @@ object Decontaminate {
     * contamination volume, not stream length. Run in Update mode: each
     * micro-batch upserts refined counts (a doc's count only grows).
     * Replay equivalence with the batch form is asserted in StreamingSpec. */
-  def contaminationStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
-    val bench = Dedup.shingles(benchmark, n).select("s").distinct()
-    Dedup.shingles(docs, n)
-      .join(broadcast(bench), "s")
-      .groupBy("doc_id").agg(count("*").as("n_hits"))
-  }
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
+    contamination(docs, benchmark, n) // the identical declarative pipeline
+    // runs unchanged on a streaming frame: shingling is stateless, the
+    // benchmark probe is a stream-static join, only the count holds state
 }

@@ -69,6 +69,11 @@ object DupClusters {
       labels = jumped
       iter += 1
     }
+    // truncated labels are silently WRONG (a duplicate group would keep
+    // several "canonical" survivors) — fail loud instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ log2 of the largest component's diameter)")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

@@ -26,20 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object QuantileGate {
 
-  /** Rows of `df` with `metricCol` <= the exact q-quantile threshold.
-    * `metricCol` should be bounded-cardinality (e.g. r4-rounded); the
-    * histogram window is sized by distinct metric values, not rows. */
+  /** Rows of `df` with non-null `metricCol` <= the exact q-quantile
+    * threshold. Null metrics are excluded from the population entirely
+    * (they could never be emitted — `null <= thr` filters them — and
+    * engines disagree on where nulls cumulate in a window, so counting
+    * them would shift the rank differently per engine). `metricCol` should
+    * be bounded-cardinality (e.g. r4-rounded); the histogram window is
+    * sized by distinct metric values, not rows. */
   def atOrBelow(df: DataFrame, metricCol: String, q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     val m = col(metricCol)
-    val hist = df.groupBy(m.as("__v")).agg(count("*").as("__c"))
+    // the frame feeds two branches (histogram + probe); without persist
+    // the caller's metric derivation runs twice (jaccardPairs precedent)
+    val src = df.filter(m.isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = src.groupBy(m.as("__v")).agg(count("*").as("__c"))
     val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ceil in DECIMAL, not double: 0.07*100 is 7.000000000000001 in binary,
+    // whose ceil (8) disagrees with the exact rank 7 the oracle computes
     val cutoff = hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .filter(col("__cum") >= ceil(
+        lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * col("__n")))
       .agg(min(col("__v")).as("__thr"))
-    df.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
+    src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
   }
 }

@@ -94,12 +94,13 @@ object HttpPoll {
     * checkpoint filesystems must pass an explicit local `cacheDir` (the
     * cache is driver-local by design: the driver is the only poller). */
   private[sources] def resolvePollDir(checkpointLocation: String): Path = {
-    val uri =
-      try java.net.URI.create(checkpointLocation)
-      catch { case _: IllegalArgumentException => null }
+    // Hadoop Path, not java.net.URI.create: Spark hands over the qualified
+    // checkpoint string unencoded (a space in the path would make
+    // URI.create throw, and any raw-string fallback recreates the literal
+    // CWD-relative 'file:' directory this method exists to prevent)
+    val uri = new org.apache.hadoop.fs.Path(checkpointLocation).toUri
     val base =
-      if (uri == null || uri.getScheme == null) Paths.get(checkpointLocation)
-      else if (uri.getScheme == "file") Paths.get(uri)
+      if (uri.getScheme == null || uri.getScheme == "file") Paths.get(uri.getPath)
       else throw new IllegalArgumentException(
         s"graft-http: checkpoint scheme '${uri.getScheme}' is not a local path; " +
           "pass option cacheDir to place the driver-local poll cache explicitly")

@@ -154,4 +154,30 @@ class CurationOpsSpec extends SparkTestBase {
     assert(cl(lsh) == cl(exact),
       "the 100 TB edge source (LSH candidates + exact verify) must yield the same clusters")
   }
+
+  test("quantile gate rank uses exact decimal arithmetic (q=0.07 over 100 rows)") {
+    // binary double 0.07*100 = 7.000000000000001 -> ceil 8 (wrong rank);
+    // exact decimal gives rank 7: with distinct metrics 1..100 the gate
+    // must keep exactly 7 rows
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "m")
+    val kept = QuantileGate.atOrBelow(df, "m", 0.07).collect()
+    assert(kept.length == 7, s"exact ceil(0.07*100)=7, got ${kept.length}")
+  }
+
+  test("quantile gate excludes null metrics from population and output") {
+    val df = Seq((1L, Some(0.1)), (2L, Some(0.2)), (3L, None), (4L, None),
+      (5L, Some(0.3))).toDF("id", "m")
+    // population = 3 non-null; q=0.67 -> ceil(2.01)=3... use 0.5: ceil(1.5)=2
+    val kept = QuantileGate.atOrBelow(df, "m", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"nulls must not shift the rank, got $kept")
+  }
+
+  test("connected components fail loud when the iteration budget truncates") {
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      DupClusters.connectedComponents(edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -119,6 +119,10 @@ class HttpPollSpec extends SparkTestBase {
       java.nio.file.Paths.get("/tmp/ck/sources/0/http-polls"))
     assert(HttpPoll.resolvePollDir("file:///tmp/ck/sources/0") ==
       java.nio.file.Paths.get("/tmp/ck/sources/0/http-polls"))
+    // Spark hands the checkpoint over UNencoded: a space must not throw and
+    // must not fall back to a CWD-relative literal 'file:' path
+    assert(HttpPoll.resolvePollDir("file:/tmp/my ck/sources/0") ==
+      java.nio.file.Paths.get("/tmp/my ck/sources/0/http-polls"))
     intercept[IllegalArgumentException] {
       HttpPoll.resolvePollDir("hdfs://nn:8020/ck/sources/0")
     }
