@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing (SURVEY.md §2.4 extension): classify every
+  * document across two corpus versions as added / removed / changed / same
+  * by comparing content fingerprints — the operator behind incremental
+  * ingestion ("process only what changed since the last crawl") and
+  * re-curation budgeting.
+  *
+  * One hash-partitioned full-outer join on the id — a single shuffle of
+  * (id, fingerprint) pairs, never of document payloads, so the diff of a
+  * 100 TB corpus moves only ~50 bytes per document. Status is computed
+  * null-safely from join-side presence; output is never null. */
+object SnapshotDiff {
+
+  /** (idCol, status) for the union of both snapshots' ids, where the
+    * frames carry (idCol, fpCol) content fingerprints (e.g. md5 of text). */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+           fpCol: String): DataFrame =
+    oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"))
+      .join(newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new")),
+        Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("same").as("status"))
+
+  /** Only the rows requiring action (added/removed/changed). */
+  def changes(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+              fpCol: String): DataFrame =
+    diff(oldSnap, newSnap, idCol, fpCol).filter(col("status") =!= "same")
+}

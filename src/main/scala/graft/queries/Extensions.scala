@@ -253,6 +253,20 @@ object Extensions {
     // of duplicate-bigram repetition: threshold from a bounded value
     // histogram (cardinality <= 10^4 after r4 rounding), broadcast back —
     // no global sort, no engine-dependent interpolation
+    // Corpus snapshot diff — incremental ingestion's core op: classify
+    // docs across two simulated corpus versions (membership by id-mod,
+    // content drift on doc_id % 11) via a full-outer fingerprint join
+    ("qe18_corpus_diff", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), md5(when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      graft.operators.SnapshotDiff.changes(old, neu, "doc_id", "fp")
+        .orderBy("doc_id")
+    }, Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), new AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp FROM documents WHERE doc_id % 5 <> 0), d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id""")),
+
     ("qe17_quality_gate", (s: SparkSession, d: String) => {
       val rep = TextAnalysis.repetitionStats(Engine.Tables(s, d).documents)
       graft.operators.QuantileGate.atOrBelow(rep, "dup_2gram_frac", 0.9)

@@ -180,4 +180,15 @@ class CurationOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("snapshot diff classifies added/removed/changed/same null-safely") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "fp")
+    val got = SnapshotDiff.diff(old, neu, "id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+    val ch = SnapshotDiff.changes(old, neu, "id", "fp").collect()
+      .map(_.getLong(0)).toSet
+    assert(ch == Set(1L, 3L, 4L))
+  }
 }

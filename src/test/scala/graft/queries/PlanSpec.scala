@@ -119,6 +119,21 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"threshold must come back as a broadcast, not a shuffle:\n${s.take(1500)}")
   }
 
+  test("partitioned writes prune partitions at scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("part_events").toString
+    Engine.Tables(spark, Sf0001).events
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "click")
+    df.collect()
+    val s = planString(df)
+    val scanLine = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"),
+      s"partition filter must prune at the scan, plan:\n${s.take(1500)}")
+    // the predicate is satisfied ENTIRELY by pruning: no data filter remains
+    assert(!s.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition column predicates must not degrade to row-level filters")
+  }
+
   test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
     val ev = Engine.Tables(spark, Sf0001).events
     val rows = ev.groupBy("event_type")
