@@ -58,7 +58,8 @@ object Bench {
     exec("q01_project")
     // SPARK_GRAFT_BENCH_ONLY=qe13,qe14 narrows to matching prefixes for
     // fast single-query iteration; unset = the driver's full sweep
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map(n => n -> exec(n))

@@ -58,14 +58,23 @@ object Dedup {
     * `size(attr) > 0` filter that pushdown rewrites into a full copy of the
     * shingling expression evaluated per input row (interpreted, no CSE →
     * observed ~30x slowdown). With a non-attribute generator child the rule
-    * skips inference. */
+    * skips inference.
+    *
+    * Short docs are dropped by guarding INSIDE the projection (when → empty
+    * array; explode emits nothing) rather than by a `size(ws) >= n` Filter:
+    * a filter above the tokenize projection gets predicate-pushed through
+    * it, re-running the regex tokenization per input row at the scan
+    * (verified in the physical plan — the same pushdown-through-HOF trap
+    * that cost qe17 13x). CaseWhen only evaluates the matching branch, so
+    * the descending-sequence hazard for size < n never fires. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val ws = col("ws")
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-      .filter(size(ws) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(k => get(ws, i + lit(k))): _*)))).as("s"))
+        explode(when(size(ws) >= n,
+          array_distinct(transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", (0 until n).map(k => get(ws, i + lit(k))): _*))))
+          .otherwise(array().cast("array<string>"))).as("s"))
   }
 
   /** E2 ground truth — all document pairs with shingle-set Jaccard ≥

@@ -55,8 +55,12 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("nb"), col("lbl").as("nlbl")), "nb")
         .groupBy("id").agg(min("nlbl").as("m"))
+      // checkpointed: the pointer-jump self-join below reads `stepped`
+      // twice — un-materialized, both branches would re-run the propagate
+      // shuffle + aggregation every round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // pointer jump: a label is always some node's id, so re-resolving a
       // node's label through its label's own label contracts chains
       val jumped = stepped

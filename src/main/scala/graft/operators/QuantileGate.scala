@@ -36,17 +36,16 @@ object QuantileGate {
   def atOrBelow(df: DataFrame, metricCol: String, q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     val m = col(metricCol)
-    // the frame feeds two branches (histogram + probe); without persist
-    // the caller's metric derivation runs twice (jaccardPairs precedent).
-    // Persist BEFORE the null filter and fill eagerly: a filter below the
-    // cache boundary gets predicate-pushed THROUGH the caller's projections,
-    // substituting the whole metric expression into the filter — with
-    // interpreted HOF metrics (no CSE) that re-evaluates the derivation per
-    // row (measured 2.9s -> 19s on qe17's repetition metric). Filtering the
-    // materialized cache's attribute costs one cheap cache scan instead.
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    val src = cached.filter(m.isNotNull)
+    // the frame feeds two branches (histogram + probe); materialize it ONCE
+    // with localCheckpoint, which is three fixes in one: (a) the metric
+    // derivation doesn't run per branch, (b) the null filter lands on a
+    // LogicalRDD there is nothing to push into — a filter below the caller's
+    // projections would be predicate-pushed through them, re-evaluating the
+    // whole interpreted-HOF metric per row (measured 2.9s -> 19s on qe17),
+    // and (c) unlike persist() (whose CacheManager entry outlives the query
+    // forever), checkpoint blocks are freed by the ContextCleaner once the
+    // frame is unreachable — no session-lifetime storage leak.
+    val src = df.localCheckpoint().filter(m.isNotNull)
     val hist = src.groupBy(m.as("__v")).agg(count("*").as("__c"))
     val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -26,11 +26,6 @@ object TextAnalysis {
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
 
-  /** Mean token length — quality-scoring signal. */
-  def avgTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      size(tokens(text))
-
   /** Per-document stats frame: doc_id, n_tokens, avg_token_len, punct_ratio.
     * Tokens materialize behind their own projection: column-level helpers
     * would re-run the regex split once per consumer (interpreted HOFs get
@@ -100,8 +95,13 @@ object TextAnalysis {
     val bigrams = transform(sequence(lit(0), size(ws) - 2),
       i => concat_ws(" ", get(ws, i), get(ws, i + lit(1))))
     val withArrays = docs
+      // the "has at least one token" gate must be CHEAP under pushdown: a
+      // size(ws) >= 1 filter above the tokenize projection would be
+      // predicate-pushed through it and re-run the regex split per row at
+      // the scan (verified in the plan); trim-length is the exact same row
+      // set as a codegen'd scan predicate
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .filter(size(ws) >= 1)
       .select(col("doc_id"), ws,
         when(size(ws) >= 2, bigrams).otherwise(array().cast("array<string>")).as("bg"))
     val bg = col("bg")

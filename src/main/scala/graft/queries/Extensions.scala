@@ -249,10 +249,6 @@ object Extensions {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }, Some("""SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars FROM documents ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT * 1.0 / n_chars, doc_id LIMIT 100) ORDER BY doc_id""")),
 
-    // Adaptive quality gate — keep docs at or below the exact 0.9-quantile
-    // of duplicate-bigram repetition: threshold from a bounded value
-    // histogram (cardinality <= 10^4 after r4 rounding), broadcast back —
-    // no global sort, no engine-dependent interpolation
     // Corpus snapshot diff — incremental ingestion's core op: classify
     // docs across two simulated corpus versions (membership by id-mod,
     // content drift on doc_id % 11) via a full-outer fingerprint join
@@ -267,6 +263,10 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), new AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp FROM documents WHERE doc_id % 5 <> 0), d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id""")),
 
+    // Adaptive quality gate — keep docs at or below the exact 0.9-quantile
+    // of duplicate-bigram repetition: threshold from a bounded value
+    // histogram (cardinality <= 10^4 after r4 rounding), broadcast back —
+    // no global sort, no engine-dependent interpolation
     ("qe17_quality_gate", (s: SparkSession, d: String) => {
       val rep = TextAnalysis.repetitionStats(Engine.Tables(s, d).documents)
       graft.operators.QuantileGate.atOrBelow(rep, "dup_2gram_frac", 0.9)
