@@ -44,6 +44,13 @@ object Dedup {
     * than n drop out — identical downstream semantics to an empty set
     * (explode drops empties; empty sets can never reach a Jaccard
     * threshold). */
+  /* The size filter here DOES get predicate-pushed below the projection
+   * (one extra tokenization per row at the scan) — measured and accepted:
+   * the rowwise-signature consumer needs short docs ABSENT (an empty
+   * shingle array would min-hash to null signatures and collide all short
+   * docs into one LSH bucket), and every alternative barrier re-evaluates
+   * MORE than one tokenization. The explode path ([[shingles]]) avoids the
+   * filter entirely because explode drops empty arrays for free. */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
