@@ -19,16 +19,28 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Fit the coarse quantizer and assign every vector to its cell.
-    * Returns (assigned frame with `cell`, centroid frame (cell, centroid)). */
+    * Returns (assigned frame with `cell`, centroid frame (cell, centroid)).
+    *
+    * The k-means FIT trains on a deterministic hash-mod sample capped at
+    * `maxTrain` rows — at 100 TB the quantizer needs ~100·nlist training
+    * points for stable centroids, not the corpus (FAISS trains IVF
+    * quantizers the same way); ASSIGNMENT still covers every vector via
+    * one codegen'd transform pass. Below the cap the sample is the whole
+    * input, so small-scale results are unchanged. */
   def build(vectors: DataFrame, idCol: String, vecCol: String, nlist: Int,
-            seed: Long = 42L): (DataFrame, DataFrame) = {
+            seed: Long = 42L, maxTrain: Long = 200000L): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val withVec = vectors.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
+    val n = withVec.count()
+    val train =
+      if (n <= maxTrain) withVec
+      else Sampling.deterministicSample(withVec, idCol,
+        math.min(100, math.max(1, math.ceil(maxTrain * 100.0 / n).toInt)), seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__v").setPredictionCol("cell")
-      .fit(withVec)
+      .fit(train)
     val assigned = model.transform(withVec).drop("__v")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
