@@ -59,4 +59,29 @@ object QuantileGate {
       .agg(min(col("__v")).as("__thr"))
     src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
   }
+
+  /** Per-group exact quantile gate: each `groupCol` value gets its own
+    * q-quantile threshold — per-domain quality cutoffs, so a noisy domain
+    * is trimmed against its own distribution, not the global one. Same
+    * bounded-histogram construction keyed by group; the per-group one-row
+    * thresholds broadcast back onto the corpus. */
+  def atOrBelowPerGroup(df: DataFrame, groupCol: String, metricCol: String,
+                        q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val m = col(metricCol)
+    val src = df.localCheckpoint().filter(m.isNotNull)
+    val hist = src.groupBy(col(groupCol), m.as("__v")).agg(count("*").as("__c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cutoff = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= ceil(
+        lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * col("__n")))
+      .groupBy(groupCol).agg(min(col("__v")).as("__thr"))
+    src.join(broadcast(cutoff), Seq(groupCol))
+      .filter(m <= col("__thr")).drop("__thr")
+  }
 }

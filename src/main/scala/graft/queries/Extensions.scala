@@ -271,6 +271,17 @@ object Extensions {
       val rep = TextAnalysis.repetitionStats(Engine.Tables(s, d).documents)
       graft.operators.QuantileGate.atOrBelow(rep, "dup_2gram_frac", 0.9)
         .select("doc_id", "dup_2gram_frac").orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), base AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg FROM tok WHERE len(ws) >= 1), rep AS (SELECT doc_id, ROUND(CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0 END, 4) AS dup_2gram_frac FROM base), hist AS (SELECT dup_2gram_frac AS v, COUNT(*) AS c FROM rep GROUP BY 1), cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER () AS n FROM hist), thr AS (SELECT MIN(v) AS t FROM cum WHERE cm >= CEIL(0.9 * n)) SELECT doc_id, dup_2gram_frac FROM rep, thr WHERE dup_2gram_frac <= t ORDER BY doc_id"""))
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), base AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg FROM tok WHERE len(ws) >= 1), rep AS (SELECT doc_id, ROUND(CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0 END, 4) AS dup_2gram_frac FROM base), hist AS (SELECT dup_2gram_frac AS v, COUNT(*) AS c FROM rep GROUP BY 1), cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER () AS n FROM hist), thr AS (SELECT MIN(v) AS t FROM cum WHERE cm >= CEIL(0.9 * n)) SELECT doc_id, dup_2gram_frac FROM rep, thr WHERE dup_2gram_frac <= t ORDER BY doc_id""")),
+
+    // Per-domain adaptive gate — each source trimmed against its OWN
+    // 0.8-quantile of token count (per-group bounded histograms, per-group
+    // one-row thresholds broadcast back)
+    ("qe19_gate_by_source", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.QuantileGate.atOrBelowPerGroup(docs, "source", "n_tok", 0.8)
+        .select("doc_id", "source", "n_tok").orderBy("doc_id")
+    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), hist AS (SELECT source, n_tok AS v, COUNT(*) AS c FROM t GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.8 * n) GROUP BY source) SELECT doc_id, t.source, n_tok FROM t JOIN thr ON t.source = thr.source AND n_tok <= thr ORDER BY doc_id"""))
   )
 }

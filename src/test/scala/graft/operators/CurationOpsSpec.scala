@@ -191,4 +191,15 @@ class CurationOpsSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet
     assert(ch == Set(1L, 3L, 4L))
   }
+
+  test("per-group quantile gate applies each group's own threshold") {
+    // g1 metrics 1..10 (q=0.5 -> thr 5, keep 5); g2 metrics 100..104
+    // (q=0.5 -> ceil(2.5)=3rd value 102, keep 3): global gating would
+    // never keep any g2 row
+    val df = ((1L to 10L).map(i => (i, "g1", i.toDouble)) ++
+      (100L to 104L).map(i => (i, "g2", i.toDouble))).toDF("id", "grp", "m")
+    val got = QuantileGate.atOrBelowPerGroup(df, "grp", "m", 0.5)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ((1L to 5L).map("g1" -> _) ++ Seq(100L, 101L, 102L).map("g2" -> _)).toSet)
+  }
 }
