@@ -45,6 +45,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // reps run back-to-back deliberately: interleaving them round-robin was
+    // tried and inflates every number ~20% — a query's later reps lose
+    // their generated-code JIT state to the codegen LRU once 69 other
+    // queries' plans pass through, so every rep measures cold. Warm
+    // back-to-back medians are also what every prior round recorded.
     def exec(name: String): Double = {
       val ts = (1 to reps).map(_ => execOnce(name))
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
