@@ -135,10 +135,29 @@ class HttpPollTable(rawProps: Map[String, String]) extends Table with SupportsRe
 class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
   extends MicroBatchStream {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // throttles ATTEMPTS, not successes: a failing endpoint must wait out the
   // interval like the reference's loop does (hko.cpp sleeps a full tick
   // between tries), not re-block the driver's microbatch thread every trigger
   private var lastAttemptMs = 0L
+
+  /** A crash between tmp write and atomic move orphans a `.poll-*.tmp`;
+    * age them out like MqttLike.repair does for its spool scratch. Runs at
+    * most once per attempt interval. */
+  private def ageTmps(): Unit =
+    if (Files.isDirectory(cacheDir)) {
+      val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+      val s = Files.list(cacheDir)
+      try s.iterator().asScala
+        .filter { p => val n = p.getFileName.toString
+          n.startsWith(".poll-") && n.endsWith(".tmp") }
+        .foreach { p =>
+          try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      finally s.close()
+    }
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
@@ -152,6 +171,7 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
     val next = polls.lastOption.fold(0L)(_ + 1)
     if (now - lastAttemptMs >= minIntervalMs) {
       lastAttemptMs = now
+      ageTmps()
       try {
         val body = HttpPoll.fetch(url)
         Files.createDirectories(cacheDir)
@@ -160,7 +180,12 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
         Files.move(tmp, cacheDir.resolve(s"$next.poll"), StandardCopyOption.ATOMIC_MOVE)
         return SeqOffset(next + 1)
       } catch {
-        case _: Exception => () // fetch failed: hold the offset, retry next tick
+        // hold the offset and retry next interval — but SAY so (the
+        // reference logs before looping, hko.cpp:127-129): a misconfigured
+        // url would otherwise be indistinguishable from "no data yet"
+        case e: Exception =>
+          log.warn(s"graft-http: poll of $url failed, offset held " +
+            s"(retry in ${minIntervalMs} ms): $e")
       }
     }
     SeqOffset(next)

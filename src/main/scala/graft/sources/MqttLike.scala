@@ -91,13 +91,22 @@ object MqttLike {
     * publish with zero contention — the high-rate alternative to the
     * single-broker-session `coalesce(1)` model. The reader merges lanes
     * with a per-lane offset vector. */
-  def publish(spoolDir: String, topic: String, payload: String, substream: String): Long = {
-    val base = Paths.get(spoolDir, sanitize(topic))
-    val dir = if (substream.isEmpty) base else base.resolve(sanitize(substream))
+  def publish(spoolDir: String, topic: String, payload: String, substream: String): Long =
+    publishFrom(spoolDir, topic, payload, substream,
+      nextSeq(laneDirOf(spoolDir, topic, substream)))
+
+  /** Publish starting the claim walk at a caller-cached seq hint, skipping
+    * the per-message directory listing `publish` pays — the sink hot path:
+    * a ForeachWriter lists once in open() ([[nextSeqIn]]) and feeds each
+    * publish's returned seq + 1 back in. A stale hint only costs claim
+    * collisions, which the resync path below already absorbs. */
+  def publishFrom(spoolDir: String, topic: String, payload: String,
+                  substream: String, startSeq: Long): Long = {
+    val dir = laneDirOf(spoolDir, topic, substream)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, payload)
-    var seq = nextSeq(dir)
+    var seq = math.max(0L, startSeq)
     var claimed = false
     // repair lazily: an eager repair() here is a full directory listing per
     // message (O(n), O(n²) over a topic's life). The reader already repairs
@@ -136,15 +145,25 @@ object MqttLike {
     * and publish) and age out orphaned tmp files. Idempotent, safe to race
     * with live publishers: claims are contentful by construction, so
     * promoting an in-flight claim merely publishes it a moment early. */
-  def repair(dir: Path): Unit = {
-    if (!Files.isDirectory(dir)) return
-    val s = Files.list(dir)
-    val names = try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
-    val msgs = names.filter(_.endsWith(".msg")).map(_.stripSuffix(".msg")).toSet
-    names.filter(n => n.startsWith(".") && n.endsWith(".claim"))
-      .map(_.stripPrefix(".").stripSuffix(".claim"))
+  def repair(dir: Path): Unit = { repairFrom(dir, listNames(dir)); () }
+
+  private def listNames(dir: Path): Vector[String] =
+    if (!Files.isDirectory(dir)) Vector.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
+    }
+
+  /** Repair from an already-taken listing; returns the visible msg seq set
+    * INCLUDING newly promoted claims, so callers that also need the dense
+    * prefix pay one directory listing, not two. */
+  private def repairFrom(dir: Path, names: Vector[String]): Set[Long] = {
+    val msgs = names.filter(_.endsWith(".msg"))
+      .map(_.stripSuffix(".msg").toLong).toSet
+    val promoted = names.filter(n => n.startsWith(".") && n.endsWith(".claim"))
+      .map(_.stripPrefix(".").stripSuffix(".claim").toLong)
       .filterNot(msgs)
-      .foreach(n => promote(dir, n.toLong))
+      .map { n => promote(dir, n); n }
     // tmp files are pre-claim scratch: an orphan older than this was a
     // publisher that died before claiming — its message was never made
     // durable, so deletion is the correct QoS-1 outcome (sender retries).
@@ -154,6 +173,15 @@ object MqttLike {
       try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
       catch { case _: java.io.IOException => () }
     }
+    msgs ++ promoted
+  }
+
+  /** The reader's per-trigger lane poll: repair wedges AND compute the
+    * dense prefix from the SAME listing (two full listings per lane per
+    * trigger otherwise — O(spool) driver work doubled for nothing). */
+  def repairAndDensePrefix(dir: Path): Long = {
+    val visible = repairFrom(dir, listNames(dir))
+    Iterator.from(0).takeWhile(i => visible.contains(i.toLong)).size.toLong
   }
 
   private val TmpOrphanMs = 15L * 60 * 1000
@@ -179,6 +207,30 @@ object MqttLike {
     listSeqs(dir).zipWithIndex.takeWhile { case (s, i) => s == i }.size.toLong
 
   private def nextSeq(dir: Path): Long = listSeqs(dir).lastOption.fold(0L)(_ + 1)
+
+  private def laneDirOf(spoolDir: String, topic: String, substream: String): Path = {
+    val base = Paths.get(spoolDir, sanitize(topic))
+    if (substream.isEmpty) base else base.resolve(sanitize(substream))
+  }
+
+  /** The next free seq in a lane — the one listing a cached-seq publisher
+    * ([[publishFrom]]) pays, at open() instead of per message. */
+  def nextSeqIn(spoolDir: String, topic: String, substream: String): Long =
+    nextSeq(laneDirOf(spoolDir, topic, substream))
+
+  /** Record the publisher's QoS as lane metadata (`.qos`, dot-hidden so
+    * readers ignore it) — K1/K2's QoS-1-vs-2 distinction made observable.
+    * First writer wins; the transport substitute delivers exactly-once
+    * either way (dense offsets + checkpoints). */
+  def recordQos(spoolDir: String, topic: String, substream: String, qos: Int): Unit = {
+    val dir = laneDirOf(spoolDir, topic, substream)
+    Files.createDirectories(dir)
+    val f = dir.resolve(".qos")
+    if (!Files.exists(f)) {
+      try Files.writeString(f, qos.toString, java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
 }
 
 class MqttLikeTable(rawProps: Map[String, String]) extends Table with SupportsRead {
@@ -242,9 +294,7 @@ class MqttLikeMicroBatchStream(spoolDir: String, topic: String) extends MicroBat
   // the reader side (see MqttLike.publish docs)
   override def latestOffset(): Offset = {
     SeqOffset(MqttLike.listSubstreams(dir).map { lane =>
-      val d = laneDir(lane)
-      MqttLike.repair(d)
-      lane -> MqttLike.densePrefix(d)
+      lane -> MqttLike.repairAndDensePrefix(laneDir(lane))
     }.filter(_._2 > 0).toMap)
   }
   override def commit(end: Offset): Unit = () // spool retained for replay

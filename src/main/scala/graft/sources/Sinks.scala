@@ -29,12 +29,19 @@ object Sinks {
                               partitioned: Boolean = false)
       extends ForeachWriter[Row] {
     private var lane: String = ""
+    private var nextSeq = 0L
     override def open(partitionId: Long, epochId: Long): Boolean = { // connect here
       lane = if (partitioned) s"w-$partitionId" else ""
+      MqttLike.recordQos(spoolDir, topic, lane, qos)
+      // list the lane ONCE per task, then walk the cached seq forward:
+      // per-message nextSeq listings are O(spool) each, O(spool²) per lane
+      // lifetime — the same cost class the lazy-repair change removed
+      nextSeq = MqttLike.nextSeqIn(spoolDir, topic, lane)
       true
     }
     override def process(row: Row): Unit =
-      MqttLike.publish(spoolDir, topic, row.getAs[String]("payload"), lane)
+      nextSeq = MqttLike.publishFrom(spoolDir, topic,
+        row.getAs[String]("payload"), lane, nextSeq) + 1
     override def close(errorOrNull: Throwable): Unit = () // disconnect here
   }
 
@@ -55,8 +62,12 @@ object Sinks {
       latest.foreach { r =>
         val k = r.getString(0)
         val ts = r.getTimestamp(1)
-        val old = view.get(k)
-        if (old == null || old._1.before(ts)) view.put(k, (ts, r.getDouble(2)))
+        // a key whose batch rows all carry null ts/value (valid JSON,
+        // missing fields) must not poison the view or NPE the query
+        if (k != null && ts != null && !r.isNullAt(2)) {
+          val old = view.get(k)
+          if (old == null || old._1.before(ts)) view.put(k, (ts, r.getDouble(2)))
+        }
       }
       ()
     }

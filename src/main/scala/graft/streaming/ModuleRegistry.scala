@@ -48,7 +48,9 @@ object ModuleRegistry {
       df => Pipelines.ch(df
         .withColumn("j", from_json(col("payload"), Pipelines.ChSchema))
         .withColumn("ts", graft.functions.ScalarOps.isoParse(col("j.timestamp")))
-        .withColumn("raw_tenths", (col("j.temp_celsius") * 10).cast("int"))),
+        // round, not truncate: 21.9 parses as 21.899999..., *10 casts to
+        // 218 and the module would republish 21.8 for an input of 21.9
+        .withColumn("raw_tenths", round(col("j.temp_celsius") * 10).cast("int"))),
       sink,
       df => to_json(struct(df("timestamp"), df("temp_celsius"))), triggerMs)
 

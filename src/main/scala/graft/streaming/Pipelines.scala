@@ -99,10 +99,20 @@ object Pipelines {
       // element (interpreted, no CSE)
       .select(fetchTs.as("_fts"), col("j.temperature.recordTime").as("hko_timestamp"),
         col("j.temperature.data").as("data"))
+      // last-match selection via explode(slice(filter, -1, 1)): documents
+      // with no matching entry explode to zero rows, so no Filter node
+      // exists for pushdown to rewrite — an isNotNull filter above this
+      // projection would be predicate-pushed through it and re-evaluate
+      // the interpreted array filter per row (the recorded
+      // filter-through-HOF-projection trap)
       .select(col("_fts"), col("hko_timestamp"),
-        try_element_at(filter(col("data"),
+        explode(slice(filter(col("data"),
           d => d.getField("place") === place && d.getField("unit") === "C"),
-          lit(-1)).getField("value").as("temp_celsius"))
+          -1, 1)).as("m"))
+      .select(col("_fts"), col("hko_timestamp"),
+        col("m").getField("value").as("temp_celsius"))
+      // references only the generated attribute — cannot push below the
+      // Generate, stays a cheap field-null check
       .filter(col("temp_celsius").isNotNull)
       .select(isoFormat(col("_fts")).as("fh_timestamp"), col("hko_timestamp"),
         col("temp_celsius"))

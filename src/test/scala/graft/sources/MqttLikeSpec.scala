@@ -183,4 +183,21 @@ class MqttLikeSpec extends SparkTestBase {
     assert(view.get("outdoor") != null)
     assert(view.get("outdoor")._2 == 23.5) // latest published reading (i=3)
   }
+
+  test("dashboard upsert survives keys whose rows carry null ts/value") {
+    import spark.implicits._
+    val (view, upsert) = Sinks.dashboardSink(
+      Seq(("a", Some(new java.sql.Timestamp(1000L)), Some(1.5)),
+        ("b", None: Option[java.sql.Timestamp], None: Option[Double]))
+        .toDF("key", "ts", "v"), "key", "ts", "v")
+    upsert(Seq(("a", Some(new java.sql.Timestamp(1000L)), Some(1.5)),
+      ("b", None: Option[java.sql.Timestamp], None: Option[Double]))
+      .toDF("key", "ts", "v"), 0L)
+    assert(view.get("a") == ((new java.sql.Timestamp(1000L), 1.5)))
+    assert(view.get("b") == null, "all-null key must not poison the view or NPE")
+    // a later batch with real values for b lands normally
+    upsert(Seq(("b", Some(new java.sql.Timestamp(2000L)), Some(9.0)))
+      .toDF("key", "ts", "v"), 1L)
+    assert(view.get("b")._2 == 9.0)
+  }
 }

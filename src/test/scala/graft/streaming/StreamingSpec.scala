@@ -164,7 +164,13 @@ class ModuleRegistrySpec extends SparkTestBase {
       """{"timestamp": "2024-12-23T08:00:00Z", "temp_celsius": 23.4}""")
     val q = ModuleRegistry.start(spark, "ch", spool)
     try q.processAllAvailable() finally q.stop()
-    assert(MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_ch")).size == 1)
+    val chDir = java.nio.file.Paths.get(spool, "sensors_ch")
+    assert(MqttLike.listSeqs(chDir).size == 1)
+    // round-trip must preserve the reading: 23.4 parses as 23.39999...,
+    // and truncating tenths instead of rounding republished 23.3
+    val chOut = java.nio.file.Files.readString(chDir.resolve("0.msg"))
+    assert(chOut.contains(""""temp_celsius":23.4"""),
+      s"ch module corrupted the reading round-trip: $chOut")
     MqttLike.publish(spool, "sensors/sample", "passthrough")
     val q2 = ModuleRegistry.start(spark, "sample", spool)
     try q2.processAllAvailable() finally q2.stop()
