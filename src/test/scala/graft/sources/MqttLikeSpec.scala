@@ -200,4 +200,17 @@ class MqttLikeSpec extends SparkTestBase {
       .toDF("key", "ts", "v"), 1L)
     assert(view.get("b")._2 == 9.0)
   }
+
+  test("publishFrom with a stale seq hint resyncs through collision repair") {
+    val spool = java.nio.file.Files.createTempDirectory("stale").toString
+    (0 until 5).foreach(i => MqttLike.publish(spool, "t/stale", s"m$i"))
+    // hint far behind reality: the claim walk must collide, resync, and
+    // land on the next free slot without overwriting anything
+    val seq = MqttLike.publishFrom(spool, "t/stale", "late", "", startSeq = 0L)
+    assert(seq == 5L, s"stale hint must resync to the next free seq, got $seq")
+    val dir = java.nio.file.Paths.get(spool, "t_stale")
+    assert(MqttLike.densePrefix(dir) == 6L)
+    assert(java.nio.file.Files.readString(dir.resolve("5.msg")) == "late")
+    assert(java.nio.file.Files.readString(dir.resolve("0.msg")) == "m0")
+  }
 }
