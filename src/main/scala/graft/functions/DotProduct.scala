@@ -105,5 +105,9 @@ object DotProduct {
   /** SQL registration: `SELECT dot_product(a.embedding, b.embedding) ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => {
+        require(exprs.length == 2,
+          s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }, "built-in")
 }

@@ -94,13 +94,14 @@ object Dedup {
     * (~1e-11 at 1M distinct shingles) the result is still oracle-exact. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     // The shingle relation feeds four plan branches (a-side, b-side, two
-    // count joins); without persist Spark re-derives the expensive
-    // shingling expressions once per branch (observed 4x cost). Cached it
-    // is an 8-byte-pair relation, MEMORY_AND_DISK so executors can evict.
+    // count joins); unmaterialized, Spark re-derives the expensive
+    // shingling expressions once per branch (observed 4x cost).
+    // localCheckpoint, not persist: eager (no branch can race the fill)
+    // and freed by the ContextCleaner when unreachable, where a persist's
+    // CacheManager entry would leak for the session's lifetime (one per
+    // qe2/qe13 invocation).
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager fill: the four consumer branches (incl. broadcast
-               // jobs) otherwise race the cache and each recompute shingling
+      .localCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

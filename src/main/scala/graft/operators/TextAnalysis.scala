@@ -32,7 +32,12 @@ object TextAnalysis {
     * no CSE — 3 splits/row measured before this shape). */
   def textStats(docs: DataFrame): DataFrame = {
     val ws = col("__ws")
-    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__ws"))
+    docs
+      // zero-token / empty docs would hit ANSI DIVIDE_BY_ZERO in the ratio
+      // columns; the trim-length scan predicate excludes them cheaply
+      // (same pushdown-safe gate repetitionStats uses)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__ws"))
       .select(
         col("doc_id"),
         size(ws).cast("long").as("n_tokens"),

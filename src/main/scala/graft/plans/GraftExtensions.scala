@@ -18,10 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object ReplaceCosineHof extends Rule[LogicalPlan] {
 
-  /** Strip the to-double cast VectorOps inserts; CosineSim reads float
-    * elements as double natively with identical results. */
+  /** Strip the to-double cast VectorOps inserts — but ONLY when the cast's
+    * source is already a float/double array, which CosineSim reads natively
+    * with identical results. Stripping unconditionally would hand CosineSim
+    * e.g. an array<int> child inside the optimizer, where
+    * checkInputDataTypes never re-runs — its element reads would then pull
+    * 8 bytes from 4-byte slots, returning garbage with no error. Any other
+    * source type keeps the cast, so the kernel still sees array<double>. */
   private def base(e: Expression): Expression = e match {
-    case Cast(c, ArrayType(DoubleType, _), _, _) => c
+    case Cast(c, ArrayType(DoubleType, _), _, _) => c.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _) => c
+      case _ => e
+    }
     case other => other
   }
 
@@ -102,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }))
   }
 }

@@ -93,7 +93,7 @@ object Extensions {
     // E4 — per-document quality stats
     ("qe4a_textstats", (s: SparkSession, d: String) => {
       TextAnalysis.textStats(Engine.Tables(s, d).documents).orderBy("doc_id")
-    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, ROUND(CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 4) AS avg_token_len, ROUND(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio FROM documents ORDER BY doc_id""")),
+    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, ROUND(CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 4) AS avg_token_len, ROUND(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio FROM documents WHERE len(trim(text)) > 0 ORDER BY doc_id""")),
 
     // E4 — n-gram-heuristic language ID (same marker sets in both engines)
     ("qe4b_langid", (s: SparkSession, d: String) => {
@@ -164,7 +164,7 @@ object Extensions {
           col("lang_guess") === "en")
       Dedup.exactDedup(kept, Seq("text"), "doc_id")
         .select(col("keep_id").as("doc_id")).orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
 
     // Sequence packing — concat-then-chunk token bins (integer-exact oracle)
     ("qe11_seqpack", (s: SparkSession, d: String) => {

@@ -221,7 +221,7 @@ object Parity {
         .select(col("user_id"), date_format(col("w.start"), TsFmt).as("session_start"),
           col("cnt"))
         .orderBy("user_id", "session_start")
-    }, oracle("""WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+    }, oracle("""WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // Q18 — rollup with grouping flags
     ("q18_rollup", (s: SparkSession, d: String) => {
@@ -351,7 +351,9 @@ object Parity {
             org.apache.spark.sql.types.IntegerType)))
         .select(col("event_id"),
           concat_ws(",", map_keys(col("m"))).as("ks"),
-          element_at(col("m"), "k").cast("long").as("k_val"),
+          // try_: under ANSI a missing key THROWS from element_at, while
+          // the oracle's json_extract_string yields NULL for the same row
+          try_element_at(col("m"), lit("k")).cast("long").as("k_val"),
           size(col("m")).cast("long").as("n_keys"))
         .orderBy("event_id")
     }, oracle("""SELECT event_id, list_aggregate(json_keys(props), 'string_agg', ',') AS ks, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, CAST(len(json_keys(props)) AS BIGINT) AS n_keys FROM events ORDER BY event_id""")),
@@ -418,12 +420,15 @@ object Parity {
           (col("value") - 100).as("current_ma"), col("value").as("batt_pct"))
         .as[graft.streaming.StatefulOps.UpsReading]
       graft.streaming.StatefulOps.upsDerivedBatch(readings)
-        .orderBy("device_id", "ts")
+        // batt_pct/status tiebreak (device_id, ts) collisions: without them
+        // the sort is not total and the driver's order-sensitive hash could
+        // diverge on tied timestamps
+        .orderBy("device_id", "ts", "batt_pct", "status")
         .select(col("device_id"), date_format(col("ts"), TsFmt).as("ts"),
           r4(col("batt_pct")).as("batt_pct"), col("status"),
           r4(col("batt_use_per_sec")).as("rate"),
           r4(col("remaining_hrs")).as("remaining_hrs"), col("eta"))
-    }, oracle("""WITH r AS (SELECT user_id AS device_id, ts, value - 100 AS current_ma, value AS batt_pct, epoch_us(ts) // 1000000 AS tsec FROM events), s AS (SELECT *, CASE WHEN current_ma > 0 THEN 1 ELSE -1 END AS sign FROM r), f AS (SELECT *, sign <> COALESCE(LAG(sign) OVER (PARTITION BY device_id ORDER BY ts, current_ma), 0) AS flip FROM s), b AS (SELECT *, LAST_VALUE(CASE WHEN flip THEN tsec END IGNORE NULLS) OVER wr AS t0, LAST_VALUE(CASE WHEN flip THEN batt_pct END IGNORE NULLS) OVER wr AS pct0 FROM f WINDOW wr AS (PARTITION BY device_id ORDER BY ts, current_ma ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), c AS (SELECT *, (pct0 - batt_pct) / (tsec - t0 + 1) AS rate FROM b) SELECT device_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, ROUND(batt_pct, 4) AS batt_pct, CASE WHEN sign > 0 THEN 'Charging' ELSE 'Discharging' END AS status, CASE WHEN rate > 0 THEN ROUND(rate, 4) END AS rate, CASE WHEN rate > 0 THEN ROUND(batt_pct / rate / 3600.0, 4) END AS remaining_hrs, CASE WHEN rate > 0 AND batt_pct / rate < 3.15e9 THEN strftime(make_timestamp((tsec + CAST(FLOOR(batt_pct / rate) AS BIGINT)) * 1000000), '%Y-%m-%dT%H:%M:%S') END AS eta FROM c ORDER BY device_id, c.ts""")),
+    }, oracle("""WITH r AS (SELECT user_id AS device_id, ts, value - 100 AS current_ma, value AS batt_pct, epoch_us(ts) // 1000000 AS tsec FROM events), s AS (SELECT *, CASE WHEN current_ma > 0 THEN 1 ELSE -1 END AS sign FROM r), f AS (SELECT *, sign <> COALESCE(LAG(sign) OVER (PARTITION BY device_id ORDER BY ts, current_ma), 0) AS flip FROM s), b AS (SELECT *, LAST_VALUE(CASE WHEN flip THEN tsec END IGNORE NULLS) OVER wr AS t0, LAST_VALUE(CASE WHEN flip THEN batt_pct END IGNORE NULLS) OVER wr AS pct0 FROM f WINDOW wr AS (PARTITION BY device_id ORDER BY ts, current_ma ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), c AS (SELECT *, (pct0 - batt_pct) / (tsec - t0 + 1) AS rate FROM b) SELECT device_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, ROUND(batt_pct, 4) AS batt_pct, CASE WHEN sign > 0 THEN 'Charging' ELSE 'Discharging' END AS status, CASE WHEN rate > 0 THEN ROUND(rate, 4) END AS rate, CASE WHEN rate > 0 THEN ROUND(batt_pct / rate / 3600.0, 4) END AS remaining_hrs, CASE WHEN rate > 0 AND batt_pct / rate < 3.15e9 THEN strftime(make_timestamp((tsec + CAST(FLOOR(batt_pct / rate) AS BIGINT)) * 1000000), '%Y-%m-%dT%H:%M:%S') END AS eta FROM c ORDER BY device_id, c.ts, c.batt_pct, status""")),
 
     // Q22 — to_json ∘ from_json round trip (T7+T8); oracle is the identity
     ("q22_json_roundtrip", (s: SparkSession, d: String) => {

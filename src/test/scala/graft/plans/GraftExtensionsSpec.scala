@@ -74,4 +74,25 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(df.count() == 5)
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("rewrite over int arrays keeps the to-double cast (no type-unsound kernel)") {
+    spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
+    try {
+      import spark.implicits._
+      // ints cast to array<double> produce EXACTLY the matched pattern;
+      // stripping the cast would hand CosineSim 4-byte elements it reads
+      // as 8-byte doubles — garbage with no error
+      val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("ia", "ib")
+        .select(col("ia").cast("array<double>").as("a"),
+          col("ib").cast("array<double>").as("b"))
+        .select((aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)) *
+            sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x)))).as("c"))
+      val got = df.head().getDouble(0)
+      val want = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+      assert(math.abs(got - want) < 1e-12,
+        s"int-array cosine must stay numerically correct, got $got want $want")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }
