@@ -221,7 +221,7 @@ object Parity {
         .select(col("user_id"), date_format(col("w.start"), TsFmt).as("session_start"),
           col("cnt"))
         .orderBy("user_id", "session_start")
-    }, oracle("""WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+    }, oracle("""WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // Q18 — rollup with grouping flags
     ("q18_rollup", (s: SparkSession, d: String) => {

@@ -349,6 +349,22 @@ class WindowedAggsSpec extends SparkTestBase {
       assert(w0.get.getLong(1) == 2L, "late row must not be counted")
     } finally q.stop()
   }
+
+  test("session window MERGES at exactly the gap — the q17b oracle's > mirrors it") {
+    import spark.implicits._
+    // empirically pinned: two events exactly 30 minutes apart stay in ONE
+    // session (Spark merges when nextStart <= currentEnd), one second more
+    // splits — so the q17b oracle must use `gap > INTERVAL 30 minutes`,
+    // NOT >=. This test exists because a review claimed the opposite.
+    val t0 = java.sql.Timestamp.valueOf("2024-12-23 08:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val exact = Seq(("u1", t0), ("u1", at(1800))).toDF("user_id", "ts")
+    assert(WindowedAggs.session(exact).count() == 1,
+      "events exactly gap apart must merge")
+    val over = Seq(("u1", t0), ("u1", at(1801))).toDF("user_id", "ts")
+    assert(WindowedAggs.session(over).count() == 2,
+      "events gap+1s apart must split")
+  }
 }
 
 class StreamJoinsSpec extends SparkTestBase {
