@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** Left as-of-join right. Output: all left columns + right columns as a
-    * nullable struct `asof` (null when no prior right row exists). */
+    * nullable struct `asof` (null when no prior right row exists).
+    *
+    * `rightTieCols`: when the right side can hold several rows at the SAME
+    * (key, ts), name columns that order them — the as-of pick is then the
+    * LAST row in that order. Without it, equal-timestamp right rows are
+    * picked in shuffle-dependent (nondeterministic) order. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String,
+               rightTieCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val keyCols = keys.map(col)
     val lType = StructType(left.schema.fields)
@@ -32,7 +38,10 @@ object AsofJoin {
     val r = right.select(keyCols :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
       lit(null).cast(lType).as("__l") :+
       struct(right.columns.map(col): _*).as("__r"): _*)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__side"))
+    // tie columns read through the __r struct: null for left rows, which
+    // cannot reorder relative to right rows (side already separates them)
+    val order = col("__ts") +: col("__side") +: rightTieCols.map(c => col("__r").getField(c))
+    val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

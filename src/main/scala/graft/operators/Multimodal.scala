@@ -25,7 +25,8 @@ object Multimodal {
   object FakeCodec {
     def decode(payload: Array[Byte]): MediaMeta = {
       val n = payload.length
-      MediaMeta("image/fake", 16 + n % 640, 16 + (n * 7) % 480, 1 + n % 30)
+      // long arithmetic: n * 7 overflows Int negative past ~307 MB payloads
+      MediaMeta("image/fake", 16 + n % 640, 16 + (n.toLong * 7 % 480).toInt, 1 + n % 30)
     }
     def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
       val out = new Array[Float](dim)

@@ -23,6 +23,7 @@ object SeqPack {
   /** Adds `bin` (long) to each row — global document order, single-task
     * sort. Use [[packSharded]] at scale. */
   def pack(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"pack: token budget must be positive, got $budget")
     val w = Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", expr(s"__cum div $budget"))
@@ -35,6 +36,7 @@ object SeqPack {
     * shard's bins are (`shardCol`, `bin`). */
   def packSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
                   budget: Long): DataFrame = {
+    require(budget > 0, s"packSharded: token budget must be positive, got $budget")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))

@@ -24,12 +24,7 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // fused codegen'd kernel (graft.functions.CosineSim): one pass per pair,
     // no intermediate array — bit-identical to the composable VectorOps form
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** Fixed seeded hyperplanes for sign-random-projection bucketing. */
@@ -44,27 +39,51 @@ object Similarity {
     * interpreted per element, an intermediate array per hyperplane). */
   private[operators] def srpBucket(v: org.apache.spark.sql.Column,
                                    nbits: Int, dim: Int, seed: Long = 42L)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    // > 64 would wrap 1L << i (shift mod 64) and the sum-packing would
+    // CARRY across aliased bits, colliding unrelated sign patterns
+    require(nbits >= 1 && nbits <= 64, s"srpBucket: nbits must be in [1,64], got $nbits")
     hyperplanes(nbits, dim, seed).zipWithIndex.map { case (hp, i) =>
       when(graft.functions.DotProduct.dot_product(v, typedlit(hp)) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
-  /** Approximate top-k: bucket = packed sign bits of `nbits` random
-    * projections; candidates join queries on bucket equality only. Recall
-    * trades off with nbits; the join is a plain shuffle equi-join that
-    * survives any scale. Output: qid, cid, cos, rnk within bucket. */
-  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nbits: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      srpBucket(col("embedding"), nbits, dim).as("bucket"))
-    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      srpBucket(col("embedding"), nbits, dim).as("bucket"))
-    val scored = c.join(q, "bucket")
+  /** The shared score-rank tail: self-pair filter → fused cosine → per-query
+    * top-k (deterministic cid tiebreak). One definition so the ranking
+    * contract cannot drift between the exact and bucketed paths. */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Approximate top-k: bucket = packed sign bits of `nbits` random
+    * projections; candidates join queries on bucket equality only. Recall
+    * trades off with nbits; the join is a plain shuffle equi-join that
+    * survives any scale. Output: qid, cid, cos, rnk within bucket.
+    *
+    * `dim = 0` (default) infers the embedding width from the data — a
+    * mismatched fixed dim would null every hyperplane dot product, collapse
+    * every vector into bucket 0, and silently degenerate the equi-join into
+    * the full cross product this operator exists to avoid; a row whose
+    * width differs from the inferred one fails fast in the value path
+    * (same contract as [[Dedup.embeddingNearDupsBlocked]]). */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nbits: Int = 8, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim
+      else candidates.select(size(col("embedding"))).head().getInt(0)
+    def checked(v: org.apache.spark.sql.Column) =
+      when(size(v) === d, v).otherwise(raise_error(concat(
+        lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
+        size(v).cast("string"))))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
+    rankTopK(c.join(q, "bucket"), k)
   }
 }

@@ -44,8 +44,12 @@ object Skew {
     * (e.g. collect-like ops) or when the reduce side must be widened. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 buckets: Int): DataFrame = {
+    // row-based salt, NOT a hash of the value: a hot key whose values are
+    // constant (status=200, amount=0) would hash to ONE salt and re-create
+    // the single-reducer hot spot; sum/count are order-insensitive, so the
+    // nondeterministic row id is safe (same argument as saltedJoin's salt)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(valueCol)), lit(buckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count("*").as("__pcnt"))

@@ -68,10 +68,14 @@ object StatefulOps {
     val sign = if (r.current_ma > 0) 1 else -1
     val tSec = r.ts.getTime / 1000
     val base = st match {
-      case Some(s) if s.prevSign == sign => s.copy(prevSign = sign)
+      case Some(s) if s.prevSign == sign => s // keep baseline (no flip)
       case _                             => UpsState(sign, tSec, r.batt_pct)
     }
-    val rate = (base.pct0 - r.batt_pct) / (tSec - base.t0 + 1)
+    // a late cross-batch row (ts before the baseline) would make the
+    // denominator <= 0 and emit Infinity/garbage rates; no meaningful rate
+    // exists for it, same as the rate<=0 case
+    val elapsed = tSec - base.t0 + 1
+    val rate = if (elapsed > 0) (base.pct0 - r.batt_pct) / elapsed else 0.0
     val (use, rem) =
       if (rate > 0) (Some(rate), Some(r.batt_pct / rate / 3600.0)) else (None, None)
     (base, UpsDerived(r.device_id, r.ts, r.batt_pct,
@@ -100,6 +104,11 @@ object StatefulOps {
     * functions — the flip baseline is the last sign-change row ≤ current. */
   def upsDerivedBatch(readings: Dataset[UpsReading]): DataFrame = {
     val df = readings.toDF()
+    // eta formats through date_format (session-timezone dependent) while
+    // the streaming twin pins UTC in EtaFmt — fail fast rather than let
+    // batch/stream parity silently depend on a session conf
+    require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "upsDerivedBatch requires spark.sql.session.timeZone=UTC (the streaming twin formats eta in UTC)")
     val w = Window.partitionBy("device_id").orderBy(col("ts"), col("current_ma"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val signed = df.withColumn("sign", when(col("current_ma") > 0, 1).otherwise(-1))

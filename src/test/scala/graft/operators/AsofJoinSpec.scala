@@ -29,4 +29,17 @@ class AsofJoinSpec extends SparkTestBase {
       .select(col("asof.v")).head()
     assert(out.getDouble(0) == 9.0)
   }
+
+  test("equal-timestamp right rows pick deterministically via rightTieCols") {
+    import spark.implicits._
+    val left = Seq(("k", 10L, "L")).toDF("key", "ts", "lv")
+    val right = Seq(("k", 10L, 1L, "A"), ("k", 10L, 2L, "B"))
+      .toDF("key", "ts", "rid", "rv")
+    (1 to 5).foreach { i =>
+      val got = AsofJoin.asofJoin(left, right.repartition(i % 3 + 1),
+          Seq("key"), "ts", "ts", rightTieCols = Seq("rid"))
+        .select("asof.rv").head().getString(0)
+      assert(got == "B", "highest tie column must win deterministically")
+    }
+  }
 }

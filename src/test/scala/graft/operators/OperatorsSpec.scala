@@ -160,6 +160,22 @@ class SimilaritySpec extends SparkTestBase {
       assert(sorted.map(_.getAs[Double]("cos")).toSeq.reverse == sorted.map(_.getAs[Double]("cos")).toSeq.sorted)
     }
   }
+
+  test("lshTopK infers embedding dim and fails fast on a mismatched row") {
+    import spark.implicits._
+    val ok = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // inference: dim=2 corpus works with the default dim=0
+    assert(Similarity.lshTopK(ok, ok.filter($"vec_id" === 1L), 2).count() >= 1)
+    val mixed = ok.union(Seq((9L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      Similarity.lshTopK(mixed, mixed.filter($"vec_id" === 1L), 2).collect()
+    }
+    assert(e.getMessage.contains("dim mismatch") ||
+      (e.getCause != null && e.getCause.getMessage.contains("dim mismatch")),
+      s"mismatched row must fail fast, got: ${e.getMessage}")
+  }
+
 }
 
 class TextAnalysisSpec extends SparkTestBase {
