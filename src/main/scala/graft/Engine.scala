@@ -25,6 +25,11 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-nanos parquet columns (events.ts) read as Long; set at
+      // session construction so read behavior never depends on whether
+      // Tables.events ran first (events keeps a defensive set for
+      // driver-built sessions that bypass this factory)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -16,10 +16,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val out = Paths.get(s"$outDir/$name")
+      // stale output from a previous run must never stand in for a query
+      // that now throws — delete FIRST so a failure leaves no dir and the
+      // driver's compare reports the failure instead of old results
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+      rmTree(out)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(out) // a partial write must not look like a result either
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -25,6 +25,16 @@ object Parity {
   private def oracle(sql: String): Option[String] =
     Some(sql.replace("FROM events", s"FROM $EvCast"))
 
+  /** The q18/q18b star-join input (orders→customer→nation→region revenue
+    * rows): ONE definition so a join-condition fix cannot reach rollup but
+    * miss cube. */
+  private def revenueFlat(t: Engine.Tables): DataFrame =
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+
   /** (name, spark builder, duckdb oracle) triples. */
   val all: Seq[(String, QueryFn, Option[String])] = Seq(
 
@@ -78,9 +88,9 @@ object Parity {
 
     // Q7 — latest-value hold per key (T9)
     ("q07_latest", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-      Engine.Tables(s, d).events
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // the operator itself (T9 batch form) — not a re-implementation, so
+      // the streaming-equivalence tests and this oracle pin the SAME plan
+      graft.streaming.StatefulOps.latestValueBatch(Engine.Tables(s, d).events)
         .select(col("user_id"), date_format(col("ts"), TsFmt).as("ts_s"),
           r4(col("value")).as("v"))
         .orderBy("user_id")
@@ -108,12 +118,8 @@ object Parity {
 
     // Q10 — staleness predicate (X3, X4): users > 3600 s behind global max ts
     ("q10_stale", (s: SparkSession, d: String) => {
-      val ev = Engine.Tables(s, d).events
-      val perUser = ev.groupBy("user_id").agg(max(epochUs(col("ts"))).as("umax"))
-      val global = ev.agg(max(epochUs(col("ts"))).as("gmax"))
-      perUser.crossJoin(broadcast(global))
-        .filter(col("gmax") - col("umax") > 3600L * 1000000L)
-        .select("user_id").orderBy("user_id")
+      graft.streaming.StatefulOps.staleKeysBatch(Engine.Tables(s, d).events, 3600L)
+        .orderBy("user_id")
     }, oracle("""SELECT user_id FROM (SELECT user_id, MAX(epoch_us(ts)) AS umax FROM events GROUP BY user_id), (SELECT MAX(epoch_us(ts)) AS gmax FROM events) WHERE gmax - umax > 3600000000 ORDER BY user_id""")),
 
     // Q11 — hash aggregation, multiple aggregates
@@ -225,15 +231,9 @@ object Parity {
 
     // Q18 — rollup with grouping flags
     ("q18_rollup", (s: SparkSession, d: String) => {
-      val t = Engine.Tables(s, d)
       // via the engine's SQL surface: DataFrame-side grouping() currently
       // trips the analyzer's ambiguous-self-join check under rollup
-      t.orders
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "o_totalprice")
-        .createOrReplaceTempView("q18_flat")
+      revenueFlat(Engine.Tables(s, d)).createOrReplaceTempView("q18_flat")
       s.sql("""SELECT r_name, n_name, FLOOR(SUM(o_totalprice) * 1e4 + 5e-1) / 1e4 AS revenue,
                       CAST(GROUPING(r_name) AS BIGINT) AS g_r,
                       CAST(GROUPING(n_name) AS BIGINT) AS g_n
@@ -243,13 +243,7 @@ object Parity {
 
     // Q18b — cube with grouping flags (same flat input as Q18)
     ("q18b_cube", (s: SparkSession, d: String) => {
-      val t = Engine.Tables(s, d)
-      t.orders
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "o_totalprice")
-        .createOrReplaceTempView("q18b_flat")
+      revenueFlat(Engine.Tables(s, d)).createOrReplaceTempView("q18b_flat")
       s.sql("""SELECT r_name, n_name, FLOOR(SUM(o_totalprice) * 1e4 + 5e-1) / 1e4 AS revenue,
                       CAST(GROUPING(r_name) AS BIGINT) AS g_r,
                       CAST(GROUPING(n_name) AS BIGINT) AS g_n

@@ -13,10 +13,24 @@ object Replay {
 
   /** Write `df` ordered by `tsCol` into `n` chunk files under `dir`. */
   def writeChunks(df: DataFrame, tsCol: String, dir: String, n: Int): Unit = {
+    // clear the target: mode(overwrite) only rewrites chunk_0..n-1, so a
+    // stale chunk from an earlier, larger replay would stream in as a
+    // foreign extra micro-batch (readStream globs chunk_*)
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .filter(_ != root).forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
     val total = df.count()
     val chunk = math.max(1L, (total + n - 1) / n)
-    // global row_number is single-partition — fine for test-sized replays
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
+    // global row_number is single-partition — fine for test-sized replays.
+    // xxhash64 over the full row tiebreaks equal timestamps: without it,
+    // chunk membership of ts-tied rows varies run to run, breaking the
+    // deterministic-micro-batch contract
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(tsCol), xxhash64(struct(df.columns.map(col): _*)))
     val ranked = df.withColumn("__rn", row_number().over(w).cast("long") - 1)
     // Deterministic chronological chunks; each chunk is one extra file the
     // running stream picks up as its own micro-batch (maxFilesPerTrigger=1).

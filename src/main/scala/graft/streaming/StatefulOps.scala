@@ -149,7 +149,9 @@ object StatefulOps {
             state.remove()
             Iterator(WatchOut(key, sentinel, stale = true))
           } else {
-            val latest = rows.maxBy(_.ts.getTime)
+            // (ts, value) tiebreak: bare maxBy on ts picks ts-tied rows in
+            // shuffle-iterator order — nondeterministic across runs
+            val latest = rows.maxBy(r => (r.ts.getTime, r.value))
             state.update(WatchState(latest.ts.getTime, latest.value))
             state.setTimeoutDuration(toleranceMs)
             Iterator(WatchOut(key, latest.value, stale = false))

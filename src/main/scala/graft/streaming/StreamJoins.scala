@@ -25,5 +25,9 @@ object StreamJoins {
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $windowSec SECONDS") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      // the inner-join key appears on both sides with identical values;
+      // returning both would make a bare col(key) AMBIGUOUS_REFERENCE for
+      // every caller
+      .drop(col(s"r.$key"))
   }
 }

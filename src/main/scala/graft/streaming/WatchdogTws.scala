@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.streaming.StatefulOps.{Reading, WatchOut, WatchState}
+import graft.streaming.StatefulOps.{Reading, WatchOut}
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
 
@@ -26,20 +26,22 @@ import org.apache.spark.sql.streaming._
 class WatchdogProcessor(toleranceMs: Long, sentinel: Double)
     extends StatefulProcessor[String, Reading, WatchOut] {
 
-  @transient private var state: ValueState[WatchState] = _
+  // only the armed-timer handle lives in state: unlike FMGWS (where a state
+  // value must exist for a timeout to exist), TWS timers stand alone, and a
+  // per-row "latest value" ValueState would be a RocksDB write nothing
+  // reads — the fresh emission already carries the value
   @transient private var timerSet: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    state = getHandle.getValueState[WatchState]("latest",
-      Encoders.product[WatchState], TTLConfig.NONE)
     timerSet = getHandle.getValueState[Long]("timer",
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: String, rows: Iterator[Reading],
                                timerValues: TimerValues): Iterator[WatchOut] = {
-    val latest = rows.maxBy(_.ts.getTime)
-    state.update(WatchState(latest.ts.getTime, latest.value))
+    // (ts, value) tiebreak: bare maxBy on ts picks ts-tied rows in
+    // shuffle-iterator order — nondeterministic across runs
+    val latest = rows.maxBy(r => (r.ts.getTime, r.value))
     // slide the staleness timer: drop the old one, arm a fresh tolerance
     if (timerSet.exists()) getHandle.deleteTimer(timerSet.get())
     val fireAt = timerValues.getCurrentProcessingTimeInMs() + toleranceMs
@@ -50,7 +52,6 @@ class WatchdogProcessor(toleranceMs: Long, sentinel: Double)
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[WatchOut] = {
-    state.clear()
     timerSet.clear()
     Iterator.single(WatchOut(key, sentinel, stale = true))
   }

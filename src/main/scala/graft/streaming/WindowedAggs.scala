@@ -35,8 +35,11 @@ object WindowedAggs {
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count("*").as("cnt"))
 
-  /** Render for the deterministic parity output: window start formatted. */
+  /** Render for the deterministic parity output: window start formatted
+    * with the canonical parity pattern (one definition — ScalarOps.TsFmt —
+    * so the determinism contract can't drift per query). */
   def rendered(windowed: DataFrame, keyCol: String): DataFrame =
-    windowed.select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+    windowed.select(
+      date_format(col("w.start"), graft.functions.ScalarOps.TsFmt).as("wstart"),
       col(keyCol), col("cnt"), col("avg_v"))
 }
