@@ -282,6 +282,19 @@ object Extensions {
           TextAnalysis.tokenCount(col("text")).as("n_tok"))
       graft.operators.QuantileGate.atOrBelowPerGroup(docs, "source", "n_tok", 0.8)
         .select("doc_id", "source", "n_tok").orderBy("doc_id")
-    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), hist AS (SELECT source, n_tok AS v, COUNT(*) AS c FROM t GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.8 * n) GROUP BY source) SELECT doc_id, t.source, n_tok FROM t JOIN thr ON t.source = thr.source AND n_tok <= thr ORDER BY doc_id"""))
+    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), hist AS (SELECT source, n_tok AS v, COUNT(*) AS c FROM t GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.8 * n) GROUP BY source) SELECT doc_id, t.source, n_tok FROM t JOIN thr ON t.source = thr.source AND n_tok <= thr ORDER BY doc_id""")),
+
+    // Vocab induction — the BPE pair-statistics relation (round 0): top-20
+    // adjacent symbol pairs over the char+</w> symbolized word-frequency
+    // table; multi-round merge learning is asserted in ScalaTest (the
+    // iterative argmax is not one SQL statement)
+    ("qe20_bpe_pairs", (s: SparkSession, d: String) => {
+      graft.operators.BpeVocab.pairCounts(
+          graft.operators.BpeVocab.symbolized(Engine.Tables(s, d).documents))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), w AS (SELECT unnest(ws) AS word FROM tok), wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), sy AS (SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS cs FROM wf), pr AS (SELECT freq, unnest(list_transform(range(1, len(cs)), i -> {'a': cs[i], 'b': cs[i+1]})) AS p FROM sy WHERE len(cs) >= 2), pc AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2) SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 20"""))
   )
 }

@@ -202,4 +202,36 @@ class CurationOpsSpec extends SparkTestBase {
       .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == ((1L to 5L).map("g1" -> _) ++ Seq(100L, 101L, 102L).map("g2" -> _)).toSet)
   }
+
+  // ---- BpeVocab -----------------------------------------------------------
+
+  test("BPE merge learning recovers the dominant pair chain") {
+    // corpus: "low" x5, "lower" x2, "newest" x6. Round-1 pair counts over
+    // char+</w> symbols: (w,e) = 2 (lower) + 6 (newest) = 8 is the max;
+    // then (l,o) = 5+2 = 7; then a 6-tie among newest's pairs where
+    // (e,we) wins on (a,b) ascending order.
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = BpeVocab.learnMerges(docs, 3)
+    assert(merges.map(m => (m.a, m.b, m.cnt)) ==
+      Seq(("w", "e", 8L), ("l", "o", 7L), ("e", "we", 6L)),
+      s"unexpected merge chain: $merges")
+    val lowSyms = vocab.filter(col("word") === "low")
+      .select("syms").head().getSeq[String](0)
+    assert(lowSyms == Seq("lo", "w", "</w>"), s"low must be [lo, w, </w>], got $lowSyms")
+    val newestSyms = vocab.filter(col("word") === "newest")
+      .select("syms").head().getSeq[String](0)
+    assert(newestSyms == Seq("n", "ewe", "s", "t", "</w>"),
+      s"newest must be [n, ewe, s, t, </w>], got $newestSyms")
+  }
+
+  test("greedy merge fold handles overlapping pairs left-to-right") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+    val got = df.select(BpeVocab.mergePairCol(col("syms"), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(got == Seq("aa", "a"), s"greedy left-to-right expected [aa, a], got $got")
+  }
 }
