@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact quantile gating at scale (SURVEY.md §2.4 extension): keep the rows
-  * whose metric is at or below the corpus's q-quantile — the adaptive form
-  * of a quality cutoff ("drop the most-repetitive decile"), where the
-  * threshold follows the data instead of being hand-tuned.
+  * whose metric is at or below the q-quantile — the adaptive form of a
+  * quality cutoff ("drop the most-repetitive decile"), where the threshold
+  * follows the data instead of being hand-tuned.
   *
   * Neither classic form survives both the 100 TB test and the oracle test:
   * a global `row_number` rank is a single-task sort, and interpolated
@@ -21,34 +21,54 @@ import org.apache.spark.sql.functions._
   * exact (the rounded doubles are bit-identical in any engine), so the
   * gate is deterministic and oracle-checkable.
   *
-  * Ties at the threshold are kept (the gate admits ≥ q of the corpus),
-  * matching SQL's `<=` mirror exactly.
+  * Population rules (identical in both forms): null and NaN metrics are
+  * excluded entirely — they could never be emitted (`null <= thr` filters
+  * nulls; NaN sorts ABOVE every real value in Spark, so a NaN threshold
+  * would admit the whole corpus), and engines disagree on where they
+  * cumulate, so counting them would shift the rank per engine. Ties at the
+  * threshold are kept (the gate admits ≥ q of the population), matching
+  * SQL's `<=` mirror exactly.
   */
 object QuantileGate {
 
-  /** Rows of `df` with non-null `metricCol` <= the exact q-quantile
-    * threshold. Null metrics are excluded from the population entirely
-    * (they could never be emitted — `null <= thr` filters them — and
-    * engines disagree on where nulls cumulate in a window, so counting
-    * them would shift the rank differently per engine). `metricCol` should
-    * be bounded-cardinality (e.g. r4-rounded); the histogram window is
-    * sized by distinct metric values, not rows. */
-  def atOrBelow(df: DataFrame, metricCol: String, q: Double): DataFrame = {
+  /** Rows of `df` with a real (non-null, non-NaN) `metricCol` <= the exact
+    * q-quantile threshold. `metricCol` should be bounded-cardinality (e.g.
+    * r4-rounded); the histogram window is sized by distinct metric values,
+    * not rows. */
+  def atOrBelow(df: DataFrame, metricCol: String, q: Double): DataFrame =
+    gate(df, None, metricCol, q)
+
+  /** Per-group exact quantile gate: each `groupCol` value (INCLUDING a
+    * null group — the threshold join is null-safe) gets its own q-quantile
+    * threshold — per-domain quality cutoffs, so a noisy domain is trimmed
+    * against its own distribution, not the global one. */
+  def atOrBelowPerGroup(df: DataFrame, groupCol: String, metricCol: String,
+                        q: Double): DataFrame =
+    gate(df, Some(groupCol), metricCol, q)
+
+  /** One implementation for both forms (the global gate is the grouped
+    * gate with no partition key) so the population rules and the
+    * decimal-exact rank arithmetic cannot drift between them. */
+  private def gate(df: DataFrame, group: Option[String], metricCol: String,
+                   q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     val m = col(metricCol)
-    // the frame feeds two branches (histogram + probe); materialize it ONCE
-    // with localCheckpoint, which is three fixes in one: (a) the metric
-    // derivation doesn't run per branch, (b) the null filter lands on a
-    // LogicalRDD there is nothing to push into — a filter below the caller's
-    // projections would be predicate-pushed through them, re-evaluating the
-    // whole interpreted-HOF metric per row (measured 2.9s -> 19s on qe17),
-    // and (c) unlike persist() (whose CacheManager entry outlives the query
-    // forever), checkpoint blocks are freed by the ContextCleaner once the
-    // frame is unreachable — no session-lifetime storage leak.
-    val src = df.localCheckpoint().filter(m.isNotNull)
-    val hist = src.groupBy(m.as("__v")).agg(count("*").as("__c"))
-    val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // materialize ONCE with localCheckpoint: (a) the frame feeds two
+    // branches (histogram + probe) — unmaterialized, the caller's metric
+    // derivation runs per branch; (b) the null/NaN filter lands on a
+    // LogicalRDD there is nothing to push into — below the caller's
+    // projections it would be predicate-pushed through them, re-evaluating
+    // an interpreted-HOF metric per row (measured 2.9s -> 19s on qe17);
+    // (c) unlike persist(), checkpoint blocks are freed by the
+    // ContextCleaner once unreachable — no session-lifetime storage leak.
+    val src = df.localCheckpoint()
+      .filter(m.isNotNull && !isnan(m.cast("double")))
+    val gcols = group.toSeq.map(col)
+    val hist = src.groupBy(gcols :+ m.as("__v"): _*).agg(count("*").as("__c"))
+    val wCum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // ceil in DECIMAL, not double: 0.07*100 is 7.000000000000001 in binary,
     // whose ceil (8) disagrees with the exact rank 7 the oracle computes
     val cutoff = hist
@@ -56,32 +76,16 @@ object QuantileGate {
       .withColumn("__n", sum(col("__c")).over(wAll))
       .filter(col("__cum") >= ceil(
         lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * col("__n")))
-      .agg(min(col("__v")).as("__thr"))
-    src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
-  }
-
-  /** Per-group exact quantile gate: each `groupCol` value gets its own
-    * q-quantile threshold — per-domain quality cutoffs, so a noisy domain
-    * is trimmed against its own distribution, not the global one. Same
-    * bounded-histogram construction keyed by group; the per-group one-row
-    * thresholds broadcast back onto the corpus. */
-  def atOrBelowPerGroup(df: DataFrame, groupCol: String, metricCol: String,
-                        q: Double): DataFrame = {
-    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
-    val m = col(metricCol)
-    val src = df.localCheckpoint().filter(m.isNotNull)
-    val hist = src.groupBy(col(groupCol), m.as("__v")).agg(count("*").as("__c"))
-    val wCum = Window.partitionBy(groupCol).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cutoff = hist
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .filter(col("__cum") >= ceil(
-        lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * col("__n")))
-      .groupBy(groupCol).agg(min(col("__v")).as("__thr"))
-    src.join(broadcast(cutoff), Seq(groupCol))
-      .filter(m <= col("__thr")).drop("__thr")
+      .groupBy(gcols: _*).agg(min(col("__v")).as("__thr"))
+    group match {
+      case Some(g) =>
+        // <=> keeps a null group matched to its own threshold; a plain
+        // equi-join would silently drop every null-group row
+        src.join(broadcast(cutoff), src(g) <=> cutoff(g))
+          .drop(cutoff(g))
+          .filter(m <= col("__thr")).drop("__thr")
+      case None =>
+        src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
+    }
   }
 }

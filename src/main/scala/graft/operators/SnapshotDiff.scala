@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   /** (idCol, status) for the union of both snapshots' ids, where the
-    * frames carry (idCol, fpCol) content fingerprints (e.g. md5 of text). */
+    * frames carry (idCol, fpCol) content fingerprints (e.g. md5 of text).
+    *
+    * Presence comes from explicit per-side markers, NOT fingerprint
+    * nullness — a null fingerprint (null text) is a legitimate value, and
+    * inferring presence from it would misclassify such rows (old-only with
+    * null fp would read as "added"); fingerprints compare null-safely, so
+    * null-vs-value is "changed" and null-vs-null is "same". Ids are
+    * assumed unique per snapshot (a duplicated id multiplies through the
+    * full-outer join into conflicting status rows — dedupe upstream, e.g.
+    * [[Dedup.exactDedup]]). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
            fpCol: String): DataFrame =
-    oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"))
-      .join(newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new")),
-        Seq("__id"), "full_outer")
+    oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"),
+        lit(true).as("__in_old"))
+      .join(newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new"),
+        lit(true).as("__in_new")), Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .otherwise("same").as("status"))
 
   /** Only the rows requiring action (added/removed/changed). */

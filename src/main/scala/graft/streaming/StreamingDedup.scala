@@ -44,18 +44,24 @@ object StreamingDedup {
 
     override def handleInputRows(key: (Int, Int), rows: Iterator[BandDoc],
                                  timerValues: TimerValues): Iterator[CandPair] = {
-      val existing = members.get().to(collection.mutable.LinkedHashSet)
-      val out = collection.mutable.ArrayBuffer.empty[CandPair]
+      // materialize only the MEMBERSHIP (O(members)), never the pair set:
+      // a hot bucket receiving many docs at once would otherwise buffer
+      // O(members x newDocs) CandPair objects before emitting anything —
+      // the pairs are generated lazily from prefix views instead
+      val initial = members.get().toVector
+      val seen = initial.to(collection.mutable.LinkedHashSet)
+      val fresh = collection.mutable.ArrayBuffer.empty[Long]
       rows.foreach { r =>
-        if (!existing.contains(r.doc_id)) {
-          existing.foreach { e =>
-            out += CandPair(math.min(e, r.doc_id), math.max(e, r.doc_id))
-          }
-          existing += r.doc_id
+        if (!seen.contains(r.doc_id)) {
+          seen += r.doc_id
+          fresh += r.doc_id
           members.appendValue(r.doc_id)
         }
       }
-      out.iterator
+      fresh.iterator.zipWithIndex.flatMap { case (d, i) =>
+        (initial.iterator ++ fresh.iterator.take(i)).map(e =>
+          CandPair(math.min(e, d), math.max(e, d)))
+      }
     }
   }
 

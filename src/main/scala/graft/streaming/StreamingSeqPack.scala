@@ -46,8 +46,14 @@ object StreamingSeqPack {
     }
   }
 
-  /** docs(shard, doc_id, n_tok) stream → per-doc bin assignments. */
+  /** docs(shard, doc_id, n_tok) stream → per-doc bin assignments.
+    *
+    * A shard's micro-batch rows are buffered and sorted in executor heap
+    * (`handleInputRows` below) — unlike the batch twin's spilling window
+    * sort. Backfill replays must therefore arrive in bounded micro-batches
+    * (source-side admission: maxFilesPerTrigger / maxOffsetsPerTrigger). */
   def packStream(docs: DataFrame, budget: Long): Dataset[PackedDoc] = {
+    require(budget > 0, s"packStream: token budget must be positive, got $budget")
     import docs.sparkSession.implicits._
     docs.select(col("shard").cast("long"), col("doc_id").cast("long"),
         col("n_tok").cast("long")).as[DocTok]

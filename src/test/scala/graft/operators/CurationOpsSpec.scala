@@ -234,4 +234,35 @@ class CurationOpsSpec extends SparkTestBase {
       .head().getSeq[String](0)
     assert(got == Seq("aa", "a"), s"greedy left-to-right expected [aa, a], got $got")
   }
+
+  test("snapshot diff: null fingerprints classify by presence, not fp nullness") {
+    val old = Seq((1L, Option("a")), (2L, None: Option[String]), (3L, None: Option[String]),
+      (5L, Option("e"))).toDF("id", "fp")
+    val neu = Seq((1L, Option("a")), (2L, Option("x")), (3L, None: Option[String]),
+      (4L, None: Option[String])).toDF("id", "fp")
+    val got = SnapshotDiff.diff(old, neu, "id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "same",
+      4L -> "added", 5L -> "removed"),
+      s"null-fp rows must classify by join-side presence, got $got")
+  }
+
+  test("quantile gate excludes NaN metrics from population and output") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN), (4L, Double.NaN))
+      .toDF("id", "m")
+    // population = {1.0, 2.0}; q=0.5 -> ceil(1)=1 -> threshold 1.0
+    val kept = QuantileGate.atOrBelow(df, "m", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"NaN must not shift the rank or be emitted, got $kept")
+  }
+
+  test("per-group quantile gate keeps rows of a NULL group") {
+    val df = Seq((1L, Option("g"), 1.0), (2L, Option("g"), 9.0),
+      (3L, None: Option[String], 1.0), (4L, None: Option[String], 9.0))
+      .toDF("id", "grp", "m")
+    val kept = QuantileGate.atOrBelowPerGroup(df, "grp", "m", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"the null group must gate against its own threshold, got $kept")
+  }
 }
