@@ -52,6 +52,12 @@ object QuantileGate {
   private def gate(df: DataFrame, group: Option[String], metricCol: String,
                    q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    // exact decimal form of q (shortest decimal repr of the double) — a
+    // forced setScale(6) would silently round q < 5e-7 to 0, turning the
+    // rank cutoff into ceil(0) = 0 and degenerating the gate to min-only
+    val qDec = BigDecimal(q)
+    require(qDec.scale <= 38,
+      s"quantile q=$q needs decimal scale ${qDec.scale}, beyond Spark's DecimalType range")
     val m = col(metricCol)
     // materialize ONCE with localCheckpoint: (a) the frame feeds two
     // branches (histogram + probe) — unmaterialized, the caller's metric
@@ -74,8 +80,7 @@ object QuantileGate {
     val cutoff = hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .filter(col("__cum") >= ceil(
-        lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * col("__n")))
+      .filter(col("__cum") >= ceil(lit(qDec) * col("__n")))
       .groupBy(gcols: _*).agg(min(col("__v")).as("__thr"))
     group match {
       case Some(g) =>

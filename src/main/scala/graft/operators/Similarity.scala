@@ -74,15 +74,22 @@ object Similarity {
     * (same contract as [[Dedup.embeddingNearDupsBlocked]]). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nbits: Int = 8, dim: Int = 0): DataFrame = {
-    val d = if (dim > 0) dim
-      else candidates.select(size(col("embedding"))).head().getInt(0)
+    // infer from the first row with a non-null embedding; an empty (or
+    // all-null-embedding) candidate set can never produce a match, so it
+    // yields an empty result with the full output schema instead of the
+    // head()-on-empty NoSuchElementException the inference would throw
+    val inferred = if (dim > 0) Some(dim)
+      else candidates.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).head(1).headOption.map(_.getInt(0))
+    val d = inferred.getOrElse(1)
+    val cSrc = if (inferred.isEmpty) candidates.filter(lit(false)) else candidates
     def checked(v: org.apache.spark.sql.Column) =
       when(size(v) === d, v).otherwise(raise_error(concat(
         lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
         size(v).cast("string"))))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
-    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+    val c = cSrc.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
     rankTopK(c.join(q, "bucket"), k)
   }

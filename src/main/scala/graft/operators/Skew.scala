@@ -44,12 +44,17 @@ object Skew {
     * (e.g. collect-like ops) or when the reduce side must be widened. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 buckets: Int): DataFrame = {
-    // row-based salt, NOT a hash of the value: a hot key whose values are
-    // constant (status=200, amount=0) would hash to ONE salt and re-create
-    // the single-reducer hot spot; sum/count are order-insensitive, so the
-    // nondeterministic row id is safe (same argument as saltedJoin's salt)
+    // Deterministic row-derived salt: hash of (all columns, partition id) —
+    // NOT monotonically_increasing_id (nondeterministic under task retry,
+    // and a retry-shifted salt re-groups double-typed partials, changing the
+    // FP addition grouping mid-job). Hashing the partition id in keeps a hot
+    // key whose values are constant (status=200, amount=0) spread across
+    // salts — one salt per input partition at worst, and the map-side
+    // partial aggregate already collapses same-(key,salt) rows per
+    // partition, so that residual collapse costs nothing at the reduce.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      pmod(xxhash64(df.columns.map(col) :+ spark_partition_id(): _*),
+        lit(buckets.toLong)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count("*").as("__pcnt"))

@@ -107,6 +107,17 @@ object MqttLike {
     val tmp = dir.resolve(s".pub-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, payload)
     var seq = math.max(0L, startSeq)
+    // A hint AHEAD of the claim space would claim a future slot with no
+    // collision (so the resync path never runs), leaving a permanent hole
+    // below it that stalls densePrefix forever. Claims are dense under every
+    // valid history (publish walks up from nextSeq; claims are never
+    // deleted), so "predecessor claim exists" is an O(1) validity probe; a
+    // missing predecessor means the hint is ahead — treat it like a
+    // collision and resync before claiming.
+    if (seq > 0 && !Files.exists(dir.resolve(s".${seq - 1}.claim"))) {
+      repair(dir)
+      seq = nextSeq(dir)
+    }
     var claimed = false
     // repair lazily: an eager repair() here is a full directory listing per
     // message (O(n), O(n²) over a topic's life). The reader already repairs

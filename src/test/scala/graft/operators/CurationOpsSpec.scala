@@ -164,6 +164,17 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept.length == 7, s"exact ceil(0.07*100)=7, got ${kept.length}")
   }
 
+  test("quantile gate honors q beyond 6 decimal digits (no silent scale-6 rounding)") {
+    // q=0.25000049 over distinct metrics 1..4000: exact rank is
+    // ceil(0.25000049*4000) = ceil(1000.00196) = 1001; a scale-6 HALF_UP
+    // rounding of q (0.250000) would give 1000 — off by one row
+    val df = (1L to 4000L).map(i => (i, i.toDouble)).toDF("id", "m")
+    assert(QuantileGate.atOrBelow(df, "m", 0.25000049).count() == 1001L)
+    // a sub-5e-7 q must select rank 1 (the minimum), not degenerate via
+    // a rounded-to-zero cutoff
+    assert(QuantileGate.atOrBelow(df, "m", 1e-8).count() == 1L)
+  }
+
   test("quantile gate excludes null metrics from population and output") {
     val df = Seq((1L, Some(0.1)), (2L, Some(0.2)), (3L, None), (4L, None),
       (5L, Some(0.3))).toDF("id", "m")

@@ -176,6 +176,17 @@ class SimilaritySpec extends SparkTestBase {
       s"mismatched row must fail fast, got: ${e.getMessage}")
   }
 
+  test("lshTopK on empty or all-null-embedding candidates returns empty, not a crash") {
+    import spark.implicits._
+    val qs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(qs.filter($"vec_id" < 0L), qs, 2)
+    assert(out.columns.toSeq == Seq("qid", "cid", "cos", "rnk"))
+    assert(out.count() == 0L, "empty candidates can never match anything")
+    val allNull = Seq((5L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.lshTopK(allNull, qs, 2).count() == 0L,
+      "null-embedding candidates can never match anything")
+  }
+
 }
 
 class TextAnalysisSpec extends SparkTestBase {

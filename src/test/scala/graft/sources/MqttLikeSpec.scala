@@ -213,4 +213,17 @@ class MqttLikeSpec extends SparkTestBase {
     assert(java.nio.file.Files.readString(dir.resolve("5.msg")) == "late")
     assert(java.nio.file.Files.readString(dir.resolve("0.msg")) == "m0")
   }
+
+  test("publishFrom with a too-high seq hint resyncs instead of leaving a hole") {
+    val spool = java.nio.file.Files.createTempDirectory("ahead").toString
+    (0 until 3).foreach(i => MqttLike.publish(spool, "t/ahead", s"m$i"))
+    // a hint ahead of the next free slot would claim seq 10 with no
+    // collision, leaving 3..9 as a permanent densePrefix stall
+    val seq = MqttLike.publishFrom(spool, "t/ahead", "next", "", startSeq = 10L)
+    assert(seq == 3L, s"ahead hint must resync to the next free seq, got $seq")
+    assert(MqttLike.densePrefix(java.nio.file.Paths.get(spool, "t_ahead")) == 4L)
+    // fresh lane: an ahead hint lands at 0, not at the hint
+    val s0 = MqttLike.publishFrom(spool, "t/ahead2", "first", "", startSeq = 7L)
+    assert(s0 == 0L, s"fresh-lane ahead hint must land at 0, got $s0")
+  }
 }
