@@ -56,8 +56,16 @@ object QuantileGate {
     // forced setScale(6) would silently round q < 5e-7 to 0, turning the
     // rank cutoff into ceil(0) = 0 and degenerating the gate to min-only
     val qDec = BigDecimal(q)
-    require(qDec.scale <= 38,
-      s"quantile q=$q needs decimal scale ${qDec.scale}, beyond Spark's DecimalType range")
+    // cap at 17, not DecimalType's 38: lit(qDec) * the DecimalType(20,0)
+    // count must stay inside precision 38 to multiply exactly — beyond ~17
+    // fractional digits Spark either rounds the product HALF_UP
+    // (allowPrecisionLoss=true, default) or nulls it (=false), silently
+    // corrupting the rank either way. Doubles carry <= 17 significant
+    // digits, so any double q whose shortest decimal form is this precise
+    // is indistinguishable from a representable neighbor anyway.
+    require(math.max(qDec.precision, qDec.scale) <= 17,
+      s"quantile q=$q needs ${math.max(qDec.precision, qDec.scale)} decimal digits; " +
+        "only <= 17 multiply exactly against a long count in DecimalType(38)")
     val m = col(metricCol)
     // materialize ONCE with localCheckpoint: (a) the frame feeds two
     // branches (histogram + probe) — unmaterialized, the caller's metric

@@ -81,15 +81,21 @@ object Similarity {
     val inferred = if (dim > 0) Some(dim)
       else candidates.select(size(col("embedding")).as("__d"))
         .filter(col("__d").isNotNull).head(1).headOption.map(_.getInt(0))
-    val d = inferred.getOrElse(1)
-    val cSrc = if (inferred.isEmpty) candidates.filter(lit(false)) else candidates
+    if (inferred.isEmpty) {
+      // no fabricated dim, no raise_error in the plan: both sides emptied,
+      // schema derived from the same rank tail as the non-empty path
+      val q0 = queries.limit(0).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c0 = candidates.limit(0).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      return rankTopK(c0.crossJoin(q0), k)
+    }
+    val d = inferred.get
     def checked(v: org.apache.spark.sql.Column) =
       when(size(v) === d, v).otherwise(raise_error(concat(
         lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
         size(v).cast("string"))))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
-    val c = cSrc.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
     rankTopK(c.join(q, "bucket"), k)
   }

@@ -44,16 +44,19 @@ object Skew {
     * (e.g. collect-like ops) or when the reduce side must be widened. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 buckets: Int): DataFrame = {
-    // Deterministic row-derived salt: hash of (all columns, partition id) —
-    // NOT monotonically_increasing_id (nondeterministic under task retry,
-    // and a retry-shifted salt re-groups double-typed partials, changing the
-    // FP addition grouping mid-job). Hashing the partition id in keeps a hot
+    // Deterministic row-derived salt: hash of (key cols, value col,
+    // partition id) — NOT monotonically_increasing_id (nondeterministic
+    // under task retry, and a retry-shifted salt re-groups double-typed
+    // partials, changing the FP addition grouping mid-job). Only the columns
+    // the aggregate reads are hashed: pass-through columns may be MapType
+    // (hash on maps is disallowed since Spark 3.0) or huge payloads the
+    // hash would pay for per row. Hashing the partition id in keeps a hot
     // key whose values are constant (status=200, amount=0) spread across
     // salts — one salt per input partition at worst, and the map-side
     // partial aggregate already collapses same-(key,salt) rows per
     // partition, so that residual collapse costs nothing at the reduce.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col) :+ spark_partition_id(): _*),
+      pmod(xxhash64((keyCols :+ valueCol).map(col) :+ spark_partition_id(): _*),
         lit(buckets.toLong)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)

@@ -155,6 +155,23 @@ class CurationOpsSpec extends SparkTestBase {
       "the 100 TB edge source (LSH candidates + exact verify) must yield the same clusters")
   }
 
+  test("qe13b composition: LSH-sourced survivors == exact-sourced survivors") {
+    // the registered end-to-end fuzzy-dedup query, both edge sources: the
+    // whole composition (candidates -> verify -> clusters -> anti-join
+    // survivor selection) must be source-agnostic, not just the clusters
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def survivors(pairs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val drops = DupClusters.clusters(pairs)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val exact = survivors(Dedup.jaccardPairs(docs, 3, 0.5))
+    val lsh = survivors(Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5))
+    assert(lsh == exact, "survivor set must not depend on the edge source")
+    assert(exact.size < docs.count(), "the sf0.001 corpus contains planted dups")
+  }
+
   test("quantile gate rank uses exact decimal arithmetic (q=0.07 over 100 rows)") {
     // binary double 0.07*100 = 7.000000000000001 -> ceil 8 (wrong rank);
     // exact decimal gives rank 7: with distinct metrics 1..100 the gate
