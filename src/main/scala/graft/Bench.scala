@@ -68,14 +68,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also land the JSON in a clean file: the stdout line drowns in sbt
-    // noise, which left BENCH_r01 `parsed: null` for regression tracking
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // stdout gets MILLISECOND precision: the driver keeps only the last
+    // 2000 chars of output, and the full-precision 70+-query line is ~2040
+    // chars — 36 over, so every round's BENCH parsed as null. 3 decimals
+    // is ~1650 chars (headroom for the sbt epilogue that shares the tail),
+    // and per-query run-to-run noise is ±250 ms, so nothing real is lost.
+    println(jsonLine(v => f"$v%.3f"))
+    // the full-precision line lands in a clean file — the authoritative
+    // record for regression tracking
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(_.toString) + "\n")
     spark.stop()
   }
 }

@@ -46,11 +46,83 @@ object QuantileGate {
                         q: Double): DataFrame =
     gate(df, Some(groupCol), metricCol, q)
 
+  // ---- frozen-threshold (fit in batch, apply anywhere) ---------------------
+
+  /** FIT ONLY: the one-row exact q-quantile threshold frame (`__thr`) over
+    * a batch history — the half of [[atOrBelow]] that must see the whole
+    * distribution. Freeze it once over yesterday's corpus, then gate an
+    * always-on ingest stream with [[atOrBelowFrozen]] — the adaptive-cutoff
+    * analog of [[Decontaminate.contaminationStream]]'s static benchmark. */
+  def fitThreshold(df: DataFrame, metricCol: String, q: Double): DataFrame =
+    thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Nil, metricCol, q)
+
+  /** FIT ONLY, per group: (`groupCol`, `__thr`) — one frozen cutoff per
+    * domain. */
+  def fitThresholdPerGroup(df: DataFrame, groupCol: String, metricCol: String,
+                           q: Double): DataFrame =
+    thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Seq(groupCol), metricCol, q)
+
+  /** APPLY a frozen threshold frame to any frame — batch or STREAMING.
+    * Stateless per row: the tiny threshold broadcasts, so on a stream this
+    * is a stream-static broadcast join (no watermark, no state store) and
+    * each document gates the moment it arrives. Population rules identical
+    * to [[atOrBelow]] (null/NaN metrics excluded). */
+  def atOrBelowFrozen(df: DataFrame, threshold: DataFrame, metricCol: String): DataFrame =
+    realMetric(df, metricCol)
+      .join(broadcast(threshold), col(metricCol) <= col("__thr")).drop("__thr")
+
+  /** APPLY a per-group frozen threshold frame (null-safe group match, like
+    * [[atOrBelowPerGroup]]). Rows of a group absent from the fit frame drop
+    * (inner join): a domain never seen in the history has no cutoff — at
+    * ingest that is the conservative quarantine-until-refit behavior. */
+  def atOrBelowFrozenPerGroup(df: DataFrame, threshold: DataFrame, groupCol: String,
+                              metricCol: String): DataFrame = {
+    val src = realMetric(df, metricCol)
+    src.join(broadcast(threshold), src(groupCol) <=> threshold(groupCol))
+      .drop(threshold(groupCol))
+      .filter(col(metricCol) <= col("__thr")).drop("__thr")
+  }
+
+  /** The shared population rule: real (non-null, non-NaN) metrics only. */
+  private def realMetric(df: DataFrame, metricCol: String): DataFrame = {
+    val m = col(metricCol)
+    df.filter(m.isNotNull && !isnan(m.cast("double")))
+  }
+
   /** One implementation for both forms (the global gate is the grouped
     * gate with no partition key) so the population rules and the
     * decimal-exact rank arithmetic cannot drift between them. */
   private def gate(df: DataFrame, group: Option[String], metricCol: String,
                    q: Double): DataFrame = {
+    val m = col(metricCol)
+    // materialize ONCE with localCheckpoint: (a) the frame feeds two
+    // branches (histogram + probe) — unmaterialized, the caller's metric
+    // derivation runs per branch; (b) the null/NaN filter lands on a
+    // LogicalRDD there is nothing to push into — below the caller's
+    // projections it would be predicate-pushed through them, re-evaluating
+    // an interpreted-HOF metric per row (measured 2.9s -> 19s on qe17);
+    // (c) unlike persist(), checkpoint blocks are freed by the
+    // ContextCleaner once unreachable — no session-lifetime storage leak.
+    val src = realMetric(df.localCheckpoint(), metricCol)
+    val cutoff = thresholdFrom(src, group.toSeq, metricCol, q)
+    group match {
+      case Some(g) =>
+        // <=> keeps a null group matched to its own threshold; a plain
+        // equi-join would silently drop every null-group row
+        src.join(broadcast(cutoff), src(g) <=> cutoff(g))
+          .drop(cutoff(g))
+          .filter(m <= col("__thr")).drop("__thr")
+      case None =>
+        src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
+    }
+  }
+
+  /** The exact-rank threshold over an already-filtered population:
+    * histogram → decimal-exact cumulative rank → per-group min qualifying
+    * value. One definition under both the adaptive gate and the frozen-fit
+    * path so the rank arithmetic cannot drift. */
+  private def thresholdFrom(src: DataFrame, groupCols: Seq[String], metricCol: String,
+                            q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     // exact decimal form of q (shortest decimal repr of the double) — a
     // forced setScale(6) would silently round q < 5e-7 to 0, turning the
@@ -67,17 +139,7 @@ object QuantileGate {
       s"quantile q=$q needs ${math.max(qDec.precision, qDec.scale)} decimal digits; " +
         "only <= 17 multiply exactly against a long count in DecimalType(38)")
     val m = col(metricCol)
-    // materialize ONCE with localCheckpoint: (a) the frame feeds two
-    // branches (histogram + probe) — unmaterialized, the caller's metric
-    // derivation runs per branch; (b) the null/NaN filter lands on a
-    // LogicalRDD there is nothing to push into — below the caller's
-    // projections it would be predicate-pushed through them, re-evaluating
-    // an interpreted-HOF metric per row (measured 2.9s -> 19s on qe17);
-    // (c) unlike persist(), checkpoint blocks are freed by the
-    // ContextCleaner once unreachable — no session-lifetime storage leak.
-    val src = df.localCheckpoint()
-      .filter(m.isNotNull && !isnan(m.cast("double")))
-    val gcols = group.toSeq.map(col)
+    val gcols = groupCols.map(col)
     val hist = src.groupBy(gcols :+ m.as("__v"): _*).agg(count("*").as("__c"))
     val wCum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -85,20 +147,10 @@ object QuantileGate {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // ceil in DECIMAL, not double: 0.07*100 is 7.000000000000001 in binary,
     // whose ceil (8) disagrees with the exact rank 7 the oracle computes
-    val cutoff = hist
+    hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .filter(col("__cum") >= ceil(lit(qDec) * col("__n")))
       .groupBy(gcols: _*).agg(min(col("__v")).as("__thr"))
-    group match {
-      case Some(g) =>
-        // <=> keeps a null group matched to its own threshold; a plain
-        // equi-join would silently drop every null-group row
-        src.join(broadcast(cutoff), src(g) <=> cutoff(g))
-          .drop(cutoff(g))
-          .filter(m <= col("__thr")).drop("__thr")
-      case None =>
-        src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")
-    }
   }
 }

@@ -30,18 +30,81 @@ object Sampling {
     * win, ties broken by id. A typed `Aggregator` (the engine's UDAF
     * surface, SURVEY §2.2): per-partition partial sketches merge
     * associatively, so the shuffle carries k rows per group per partition,
-    * never the group itself. */
-  class BottomKPairs(k: Int) extends Aggregator[(Long, Long), Seq[BKItem], Seq[Long]] {
-    private def trim(s: Seq[BKItem]): Seq[BKItem] =
-      s.sortBy(i => (i.priority, i.id)).take(k)
-    override def zero: Seq[BKItem] = Seq.empty
-    override def reduce(buf: Seq[BKItem], in: (Long, Long)): Seq[BKItem] =
-      trim(buf :+ BKItem(in._1, in._2))
-    override def merge(a: Seq[BKItem], b: Seq[BKItem]): Seq[BKItem] = trim(a ++ b)
-    override def finish(buf: Seq[BKItem]): Seq[Long] =
-      buf.sortBy(i => (i.priority, i.id)).map(_.id)
-    override def bufferEncoder: Encoder[Seq[BKItem]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BKItem]]()
+    * never the group itself.
+    *
+    * The buffer is a bounded binary MAX-heap kept in a mutable array (root
+    * = worst retained item): a full buffer rejects a losing row with ONE
+    * comparison and accepts in O(log k) sift — vs the O(k log k)
+    * sort-per-row of the naive `(buf :+ x).sortBy.take(k)` form, which is
+    * the whole per-group scan cost at corpus scale. Heap order is only a
+    * weak invariant of the serialized form, so merge/finish re-heapify
+    * defensively after an encoder round-trip (spill/shuffle), which
+    * happens once per partial — never per row. */
+  class BottomKPairs(k: Int)
+      extends Aggregator[(Long, Long), scala.collection.Seq[BKItem], Seq[Long]] {
+    import scala.collection.mutable.ArrayBuffer
+
+    /** item ordering: smaller (priority, id) = better = kept */
+    private def worse(a: BKItem, b: BKItem): Boolean =
+      a.priority > b.priority || (a.priority == b.priority && a.id > b.id)
+
+    private def siftDown(h: ArrayBuffer[BKItem], i0: Int): Unit = {
+      var i = i0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < h.length && worse(h(l), h(m))) m = l
+        if (r < h.length && worse(h(r), h(m))) m = r
+        if (m == i) done = true
+        else { val t = h(i); h(i) = h(m); h(m) = t; i = m }
+      }
+    }
+
+    private def siftUp(h: ArrayBuffer[BKItem], i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worse(h(i), h((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val t = h(i); h(i) = h(p); h(p) = t
+        i = p
+      }
+    }
+
+    private def offer(h: ArrayBuffer[BKItem], item: BKItem): Unit =
+      if (h.length < k) { h += item; siftUp(h, h.length - 1) }
+      else if (worse(h(0), item)) { h(0) = item; siftDown(h, 0) }
+      // else: O(1) reject — the hot path once the sketch is warm
+
+    /** Deserialized buffers come back as whatever Seq the encoder builds;
+      * rebuild the heap then (O(k), once per round-trip, never per row). */
+    private def asHeap(s: scala.collection.Seq[BKItem]): ArrayBuffer[BKItem] =
+      s match {
+        case h: ArrayBuffer[BKItem] => h
+        case other =>
+          val h = ArrayBuffer.empty[BKItem]
+          other.foreach(offer(h, _))
+          h
+      }
+
+    override def zero: scala.collection.Seq[BKItem] = ArrayBuffer.empty[BKItem]
+    override def reduce(buf: scala.collection.Seq[BKItem], in: (Long, Long))
+        : scala.collection.Seq[BKItem] = {
+      val h = asHeap(buf)
+      offer(h, BKItem(in._1, in._2))
+      h
+    }
+    override def merge(a: scala.collection.Seq[BKItem], b: scala.collection.Seq[BKItem])
+        : scala.collection.Seq[BKItem] = {
+      val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+      val h = asHeap(big)
+      small.foreach(offer(h, _))
+      h
+    }
+    override def finish(buf: scala.collection.Seq[BKItem]): Seq[Long] =
+      buf.toSeq.sortBy(i => (i.priority, i.id)).map(_.id)
+    override def bufferEncoder: Encoder[scala.collection.Seq[BKItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.Seq[BKItem]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

@@ -80,12 +80,12 @@ object Extensions {
         .orderBy("qid", "rnk")
     }, None),
 
-    // E3 (scale path) — IVF coarse-quantized ANN (rows-only; recall vs
-    // exact asserted in SimilaritySpec)
+    // E3 (scale path) — IVF coarse-quantized ANN (rows-only; recall >= 0.9
+    // at this tuned nlist/nprobe + monotone sweep asserted in SimilaritySpec)
     ("qe3c_knn_ivf", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
+          "vec_id", "embedding", 5, nlist = 8, nprobe = 6)
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),
@@ -279,6 +279,31 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), new AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp FROM documents WHERE doc_id % 5 <> 0), d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id""")),
 
+    // Incremental re-curation — the qe18 snapshot diff FEEDING the qe9
+    // curation gates: only added/changed docs of the new corpus version are
+    // re-processed (quality gate -> language gate -> exact dedup within the
+    // delta). At 100 TB this is the re-crawl budget saver: the fingerprint
+    // diff moves ~50 B/doc, and the expensive gates touch only the delta.
+    ("qe18b_incremental_recurate", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val neuDocs = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val neu = neuDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val todo = graft.operators.SnapshotDiff.changes(old, neu, "doc_id", "fp")
+        .filter(col("status") =!= "removed").select("doc_id")
+      val delta = neuDocs.join(todo, "doc_id")
+      val kept = delta
+        .join(TextAnalysis.textStats(delta), "doc_id")
+        .join(TextAnalysis.langId(delta), "doc_id")
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") <= 0.05 &&
+          col("lang_guess") === "en")
+      Dedup.exactDedup(kept, Seq("text"), "doc_id")
+        .select(col("keep_id").as("doc_id")).orderBy("doc_id")
+    }, Some("""WITH neu AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0), oldfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), newfp AS (SELECT doc_id, md5(text) AS fp FROM neu), di AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM oldfp o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id), todo AS (SELECT doc_id FROM di WHERE status IN ('added', 'changed')), delta AS (SELECT n.doc_id, n.text FROM neu n JOIN todo USING (doc_id)), tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM delta WHERE len(trim(text)) > 0), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
+
     // Adaptive quality gate — keep docs at or below the exact 0.9-quantile
     // of duplicate-bigram repetition: threshold from a bounded value
     // histogram (cardinality <= 10^4 after r4 rounding), broadcast back —
@@ -311,6 +336,21 @@ object Extensions {
         .limit(20)
         .select(col("a"), col("b"), col("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), w AS (SELECT unnest(ws) AS word FROM tok), wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), sy AS (SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS cs FROM wf), pr AS (SELECT freq, unnest(list_transform(range(1, len(cs)), i -> {'a': cs[i], 'b': cs[i+1]})) AS p FROM sy WHERE len(cs) >= 2), pc AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2) SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 20"""))
+    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), w AS (SELECT unnest(ws) AS word FROM tok), wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), sy AS (SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS cs FROM wf), pr AS (SELECT freq, unnest(list_transform(range(1, len(cs)), i -> {'a': cs[i], 'b': cs[i+1]})) AS p FROM sy WHERE len(cs) >= 2), pc AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2) SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 20""")),
+
+    // BPE ENCODE with a frozen merge list — the apply side of qe20's merge
+    // learning: 3 fixed rules (e,</w>) (t,h) (th,e</w>) in priority order,
+    // each exhaustive greedy left-to-right (rule 3 consumes the products of
+    // rules 1+2, pinning priority-order semantics). Shuffle-free map-only
+    // scan; (doc_id, n_tok) is what SeqPack packs on. Oracle: the
+    // space-joined symbol string form, where replace() IS greedy
+    // left-to-right pair merging (applied twice per rule: a match consumes
+    // the trailing delimiter, so runs of overlapping occurrences leave
+    // isolated stragglers that exactly one more pass catches).
+    ("qe20b_bpe_encode", (s: SparkSession, d: String) => {
+      graft.operators.BpeVocab.encodeCounts(Engine.Tables(s, d).documents,
+          Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>")))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents) SELECT doc_id, CAST(COALESCE(list_sum(list_transform(ws, w -> len(string_split_regex(trim(replace(replace(replace(replace(replace(replace(' ' || array_to_string(list_append(regexp_extract_all(w, '.'), '</w>'), ' ') || ' ', ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '), ' t h ', ' th '), ' t h ', ' th '), ' th e</w> ', ' the</w> '), ' th e</w> ', ' the</w> ')), '\s+')))), 0) AS BIGINT) AS n_tok FROM tok ORDER BY doc_id"""))
   )
 }

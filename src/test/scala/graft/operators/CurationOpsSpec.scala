@@ -256,6 +256,83 @@ class CurationOpsSpec extends SparkTestBase {
       s"newest must be [n, ewe, s, t, </w>], got $newestSyms")
   }
 
+  test("batched merge learning == 1-per-round on the hand corpus") {
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (seq3, seqVocab) = BpeVocab.learnMerges(docs, 3)
+    val (bat3, batVocab) = BpeVocab.learnMergesBatched(docs, 3, m = 2)
+    assert(bat3 == seq3, s"batched merges must equal sequential: $bat3 vs $seq3")
+    def syms(v: org.apache.spark.sql.DataFrame) = v.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms(batVocab) == syms(seqVocab), "final vocab state must agree")
+  }
+
+  test("batched merge learning: k=1000 in ~k/m rounds on a wide synthetic vocab") {
+    // the testdata corpus carries only 31 distinct words (~138 possible
+    // merges), so the scale demo runs on a deterministic synthetic vocab:
+    // 1500 8-char pseudo-words -> ~13k symbols, plenty for 1000 rules
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(1500)(Seq.fill(8)(('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val (merges, _) = BpeVocab.learnMergesBatched(docs, 1000, m = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"expected 1000 merges, got ${merges.size}")
+    assert(merges.map(mg => (mg.a, mg.b)).distinct.size == 1000, "rules must be unique")
+    // ~16 driver rounds; the 1-per-round form would be 1000 sequential jobs.
+    // Generous wall bound: catching a regression to per-merge pacing (which
+    // measures minutes here), not benchmarking the happy path.
+    assert(secs < 300, s"k=1000 batched learning took ${secs}s — driver-paced again?")
+  }
+
+  test("encodeCounts applies frozen rules in priority order, greedy per rule") {
+    val docs = Seq((1L, "the the fast"), (2L, "low"), (3L, "")).toDF("doc_id", "text")
+    // rules as registered in qe20b: (e,</w>) then (t,h) then (th,e</w>)
+    val rules = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"))
+    val got = BpeVocab.encodeCounts(docs, rules).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the": t h e </w> -> t h e</w> -> th e</w> -> the</w> = 1 token;
+    // "fast": f a s t </w> untouched = 5; "low": l o w </w> = 4; empty doc = 0
+    assert(got == Map(1L -> 7L, 2L -> 4L, 3L -> 0L), s"got $got")
+  }
+
+  test("native BPE encode kernel == composable HOF twin on the corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val rules = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(BpeVocab.encodeCounts(docs, rules)) == m(BpeVocab.encodeCountsHof(docs, rules)),
+      "codegen kernel must be bit-identical to the HOF reference form")
+    // null/edge semantics mirror the HOF form too
+    import spark.implicits._
+    val edge = Seq((1L, Some("")), (2L, None: Option[String])).toDF("doc_id", "text")
+    assert(m(BpeVocab.encodeCounts(edge, rules).na.fill(-1L)) ==
+      m(BpeVocab.encodeCountsHof(edge, rules).na.fill(-1L)))
+  }
+
+  test("sequence packing on real encoded tokens matches a driver-side reference") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val counts = BpeVocab.encodeCounts(docs,
+      Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>")))
+      .withColumn("shard", col("doc_id") % 4)
+    val packed = SeqPack.packSharded(counts, "shard", "doc_id", "n_tok", 512L)
+      .select("shard", "doc_id", "n_tok", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty && packed.map(_._4).max > 0, "must span several bins")
+    // reference: concat-then-chunk per shard over the same (doc_id, n_tok)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n, bin) =>
+        assert(bin == cum / 512L, s"doc $id: bin $bin != ${cum / 512L}")
+        cum += n
+      }
+    }
+  }
+
   test("greedy merge fold handles overlapping pairs left-to-right") {
     val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
     val got = df.select(BpeVocab.mergePairCol(col("syms"), "a", "a").as("m"))

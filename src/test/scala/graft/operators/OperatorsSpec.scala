@@ -129,15 +129,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(topk.map(_.getAs[Long]("cid")).toSeq == expect)
   }
 
-  test("IVF top-k: recall >= 60% of exact top-5 at nprobe=4/nlist=8") {
+  test("IVF top-k: recall >= 90% at tuned nprobe, monotone in nprobe, exact at nlist") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = IvfIndex.topK(emb, queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 4)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.6, s"IVF recall $recall too low (${ivf.size} returned)")
+    def recall(nprobe: Int): Double = {
+      val ivf = IvfIndex.topK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = nprobe)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    // the nprobe -> recall sweep: non-decreasing, >= 0.9 at the tuned
+    // setting qe3c registers (nprobe=6), exhaustive == exact at nprobe=nlist
+    val sweep = Seq(1, 2, 4, 6, 8).map(np => np -> recall(np))
+    sweep.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall must be monotone in nprobe: np=$np1:$r1 > np=$np2:$r2")
+    }
+    val tuned = sweep.toMap.apply(6)
+    assert(tuned >= 0.9, s"tuned recall $tuned below the 0.9 bar (sweep: $sweep)")
+    assert(sweep.toMap.apply(8) == 1.0, "probing every cell must be exhaustive/exact")
   }
 
   test("IVF is deterministic across runs (seeded k-means)") {

@@ -21,6 +21,28 @@ class SamplingSpec extends SparkTestBase {
     a.foreach { case (t, ids) => assert(ids.forall(byType(t).contains)) }
   }
 
+  test("bottom-k heap aggregator == sort-based reference over random splits") {
+    // property test of the heap buffer against the obvious sort-take-k
+    // reference, across random partition splits, merge orders, and an
+    // encoder-shaped round-trip (immutable Seq) that forces re-heapify
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(200)
+      // small priority range on purpose: exercises (priority, id) ties
+      val items = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      val agg = new Sampling.BottomKPairs(k)
+      val partials = items.grouped(1 + rnd.nextInt(7)).map { part =>
+        val buf = part.foldLeft(agg.zero)(agg.reduce)
+        if (rnd.nextBoolean()) Vector(buf.toSeq: _*) else buf // serialized shape
+      }.toSeq
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = items.sorted.take(k).map(_._2)
+      assert(got == want, s"trial $trial (k=$k, n=$n): $got != $want")
+    }
+  }
+
   test("splitByHash: disjoint, exhaustive, growth-stable train/val/test") {
     val ev = Engine.Tables(spark, Sf0001).events
     val split = Sampling.splitByHash(ev, "event_id",

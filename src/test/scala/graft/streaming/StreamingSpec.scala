@@ -277,6 +277,36 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got == events.count(), s"dedup left $got rows, want ${events.count()}")
   }
 
+  test("frozen-threshold streaming gate == batch adaptive gate on replay") {
+    import graft.operators.{QuantileGate, TextAnalysis}
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val metric = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    // fit once on the batch history, freeze, gate the live stream with it
+    val thr = QuantileGate.fitThreshold(metric, "n_tok", 0.8)
+    val thrG = QuantileGate.fitThresholdPerGroup(metric, "source", "n_tok", 0.8)
+    val dir = java.nio.file.Files.createTempDirectory("replay_gate").toString
+    Replay.writeChunks(metric, "doc_id", dir, 3)
+    def streamed(gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                 name: String): Set[Long] = {
+      val q = gate(Replay.readStream(spark, metric, dir))
+        .select("doc_id")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(_.getLong(0)).toSet
+    }
+    val got = streamed(QuantileGate.atOrBelowFrozen(_, thr, "n_tok"), "t_gate")
+    val want = QuantileGate.atOrBelow(metric, "n_tok", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"global frozen gate diverged: ${got.size} vs ${want.size} docs")
+    val gotG = streamed(QuantileGate.atOrBelowFrozenPerGroup(_, thrG, "source", "n_tok"),
+      "t_gate_g")
+    val wantG = QuantileGate.atOrBelowPerGroup(metric, "source", "n_tok", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotG == wantG, s"per-group frozen gate diverged: ${gotG.size} vs ${wantG.size}")
+  }
+
   test("streaming curation == batch qe9: gates + dedup over doc replay") {
     import graft.operators.{Dedup, TextAnalysis}
     val docs = Engine.Tables(spark, Sf0001).documents
