@@ -79,7 +79,9 @@ object Bench {
     // chars — 36 over, so every round's BENCH parsed as null. 3 decimals
     // is ~1650 chars (headroom for the sbt epilogue that shares the tail),
     // and per-query run-to-run noise is ±250 ms, so nothing real is lost.
-    println(jsonLine(v => f"$v%.3f"))
+    // Locale.ROOT: the default-locale f"%.3f" would print "0,123" on a
+    // comma-decimal locale (de_DE), silently breaking the JSON again
+    println(jsonLine(v => "%.3f".formatLocal(java.util.Locale.ROOT, v)))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

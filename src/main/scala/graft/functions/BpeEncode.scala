@@ -25,15 +25,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel). */
 final class BpeWordEncoder(rules: Array[Array[String]]) extends Serializable {
 
-  /** Token count of one word after applying every rule. */
+  /** Token count of one word after applying every rule. Base symbols are
+    * CODE POINTS, not UTF-16 code units: `split(word, "")` (the learner's
+    * `symbolsCol` and the HOF twin) never splits a surrogate pair — Java's
+    * regex engine advances zero-width matches by code point — so a non-BMP
+    * character (emoji, astral CJK) must be ONE symbol here too, or the
+    * kernel diverges from the documented mergePairCol contract. */
   def count(word: UTF8String): Long = {
     val w = word.toString
     val n = w.length
-    val syms = new Array[String](n + 1)
+    val syms = new Array[String](w.codePointCount(0, n) + 1)
     var i = 0
-    while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    syms(n) = BpeWordEncoder.EndOfWord
-    var len = n + 1
+    var s = 0
+    while (i < n) {
+      val cc = Character.charCount(w.codePointAt(i))
+      syms(s) = w.substring(i, i + cc)
+      s += 1
+      i += cc
+    }
+    syms(s) = BpeWordEncoder.EndOfWord
+    var len = s + 1
     var r = 0
     while (r < rules.length) {
       val a = rules(r)(0); val b = rules(r)(1); val ab = rules(r)(2)

@@ -53,14 +53,18 @@ object QuantileGate {
     * distribution. Freeze it once over yesterday's corpus, then gate an
     * always-on ingest stream with [[atOrBelowFrozen]] — the adaptive-cutoff
     * analog of [[Decontaminate.contaminationStream]]'s static benchmark. */
-  def fitThreshold(df: DataFrame, metricCol: String, q: Double): DataFrame =
+  def fitThreshold(df: DataFrame, metricCol: String, q: Double): DataFrame = {
+    validateQ(q) // before the localCheckpoint materializes the history
     thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Nil, metricCol, q)
+  }
 
   /** FIT ONLY, per group: (`groupCol`, `__thr`) — one frozen cutoff per
     * domain. */
   def fitThresholdPerGroup(df: DataFrame, groupCol: String, metricCol: String,
-                           q: Double): DataFrame =
+                           q: Double): DataFrame = {
+    validateQ(q) // before the localCheckpoint materializes the history
     thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Seq(groupCol), metricCol, q)
+  }
 
   /** APPLY a frozen threshold frame to any frame — batch or STREAMING.
     * Stateless per row: the tiny threshold broadcasts, so on a stream this
@@ -94,6 +98,7 @@ object QuantileGate {
     * decimal-exact rank arithmetic cannot drift between them. */
   private def gate(df: DataFrame, group: Option[String], metricCol: String,
                    q: Double): DataFrame = {
+    validateQ(q) // before the localCheckpoint below materializes the corpus
     val m = col(metricCol)
     // materialize ONCE with localCheckpoint: (a) the frame feeds two
     // branches (histogram + probe) — unmaterialized, the caller's metric
@@ -121,8 +126,10 @@ object QuantileGate {
     * histogram → decimal-exact cumulative rank → per-group min qualifying
     * value. One definition under both the adaptive gate and the frozen-fit
     * path so the rank arithmetic cannot drift. */
-  private def thresholdFrom(src: DataFrame, groupCols: Seq[String], metricCol: String,
-                            q: Double): DataFrame = {
+  /** Validate q BEFORE any job runs: every public entry calls this ahead
+    * of the localCheckpoint materialization, so an invalid quantile fails
+    * in microseconds instead of after a corpus-sized job. */
+  private def validateQ(q: Double): Unit = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     // exact decimal form of q (shortest decimal repr of the double) — a
     // forced setScale(6) would silently round q < 5e-7 to 0, turning the
@@ -138,6 +145,12 @@ object QuantileGate {
     require(math.max(qDec.precision, qDec.scale) <= 17,
       s"quantile q=$q needs ${math.max(qDec.precision, qDec.scale)} decimal digits; " +
         "only <= 17 multiply exactly against a long count in DecimalType(38)")
+  }
+
+  private def thresholdFrom(src: DataFrame, groupCols: Seq[String], metricCol: String,
+                            q: Double): DataFrame = {
+    validateQ(q)
+    val qDec = BigDecimal(q)
     val m = col(metricCol)
     val gcols = groupCols.map(col)
     val hist = src.groupBy(gcols :+ m.as("__v"): _*).agg(count("*").as("__c"))

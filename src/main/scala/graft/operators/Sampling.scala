@@ -72,7 +72,9 @@ object Sampling {
     }
 
     private def offer(h: ArrayBuffer[BKItem], item: BKItem): Unit =
-      if (h.length < k) { h += item; siftUp(h, h.length - 1) }
+      if (k <= 0) () // degrade to an empty sample (the pre-heap behavior);
+                     // without this, the full-buffer branch reads h(0)
+      else if (h.length < k) { h += item; siftUp(h, h.length - 1) }
       else if (worse(h(0), item)) { h(0) = item; siftDown(h, 0) }
       // else: O(1) reject — the hot path once the sketch is warm
 

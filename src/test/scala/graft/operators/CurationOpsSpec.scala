@@ -312,6 +312,15 @@ class CurationOpsSpec extends SparkTestBase {
     val edge = Seq((1L, Some("")), (2L, None: Option[String])).toDF("doc_id", "text")
     assert(m(BpeVocab.encodeCounts(edge, rules).na.fill(-1L)) ==
       m(BpeVocab.encodeCountsHof(edge, rules).na.fill(-1L)))
+    // non-BMP: split(word,"") never splits a surrogate pair (Java regex
+    // advances zero-width matches by code point), so the kernel must treat
+    // an astral char as ONE symbol too — a UTF-16 charAt loop sees two
+    val astral = Seq((1L, "a😀b 😀😀"),
+      (2L, "𝄞xy")).toDF("doc_id", "text")
+    val astralRules = rules ++ Seq(("😀", "</w>"), ("a", "😀"))
+    assert(m(BpeVocab.encodeCounts(astral, astralRules)) ==
+      m(BpeVocab.encodeCountsHof(astral, astralRules)),
+      "kernel must iterate code points, not UTF-16 units")
   }
 
   test("sequence packing on real encoded tokens matches a driver-side reference") {
@@ -350,6 +359,21 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "same",
       4L -> "added", 5L -> "removed"),
       s"null-fp rows must classify by join-side presence, got $got")
+  }
+
+  test("quantile gate validates q BEFORE materializing the input frame") {
+    // a poison frame that throws if any job touches it: if validation ran
+    // after the localCheckpoint, we'd see the raise_error, not the require
+    val poison = spark.range(3)
+      .select(raise_error(lit("corpus was materialized before q check"))
+        .cast("double").as("m"))
+    for (badQ <- Seq(0.0, 1.0, -0.5)) {
+      intercept[IllegalArgumentException] { QuantileGate.atOrBelow(poison, "m", badQ) }
+      intercept[IllegalArgumentException] { QuantileGate.fitThreshold(poison, "m", badQ) }
+      intercept[IllegalArgumentException] {
+        QuantileGate.fitThresholdPerGroup(poison.withColumn("g", lit("x")), "g", "m", badQ)
+      }
+    }
   }
 
   test("quantile gate excludes NaN metrics from population and output") {

@@ -43,6 +43,14 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("bottom-k heap with k=0 degrades to an empty sample (no heap read)") {
+    // the full-buffer branch must not read h(0) on an empty heap
+    val agg = new Sampling.BottomKPairs(0)
+    val buf = Seq((1L, 1L), (2L, 2L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(buf, agg.zero)) == Seq.empty,
+      "k=0 must yield an empty sample, matching the pre-heap sort-take form")
+  }
+
   test("splitByHash: disjoint, exhaustive, growth-stable train/val/test") {
     val ev = Engine.Tables(spark, Sf0001).events
     val split = Sampling.splitByHash(ev, "event_id",
