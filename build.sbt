@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through UNPREFIXED: sbt's default
+// LoggedOutput decorates every line with "[info] ", which breaks any
+// consumer that expects a bare machine-readable line at line start
+// (Bench's one-line JSON metric is parsed out of captured stdout).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
