@@ -35,6 +35,35 @@ object Decontaminate {
       contamination(corpus, benchmark, n).filter(col("n_hits") >= minHits),
       Seq("doc_id"), "left_anti")
 
+  /** Bloom-pre-filtered form of [[contamination]] — IDENTICAL results (the
+    * exact-join verify removes the bloom's false positives; blooms have no
+    * false negatives), different scale envelope: the corpus scan probes a
+    * megabyte-sized sketch of the benchmark shingles (a codegen'd map-only
+    * predicate, [[graft.functions.BloomMightContain]]) and only the tiny
+    * surviving slice reaches a join at all.
+    *
+    * When to prefer it over [[contamination]]'s broadcast-exact-set probe:
+    * the bloom is ~10-20x smaller than the exact distinct string set (~1.2
+    * bytes/shingle at 1% fpp vs full shingle text + hash-set overhead), so
+    * it stays shippable when the benchmark outgrows the broadcast budget —
+    * and the verify join's probe side is then contamination-sized, not
+    * corpus-sized, so AQE is free to pick any join strategy for it. The
+    * sketch is built DISTRIBUTED (partial blooms OR-merged via
+    * treeAggregate inside `stat.bloomFilter`), never by collecting
+    * shingles to the driver. */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomMightContain.bloom_might_contain
+    val b = Dedup.shingles(benchmark, n).select("s").distinct()
+      .localCheckpoint() // feeds sizing + build + verify: shingle once
+    val expected = math.max(b.count(), 64L)
+    val bloom = b.stat.bloomFilter("s", expected, fpp)
+    val candidates = Dedup.shingles(corpus, n)
+      .filter(bloom_might_contain(col("s"), bloom))
+    candidates.join(b, "s") // tiny probe side post-bloom; AQE picks the strategy
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+  }
+
   /** Streaming form of [[contamination]]: documents are checked in-flight.
     * The probe is a STATELESS stream-static broadcast join (the benchmark
     * is a static relation, so no join state accumulates), and the only

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Segment-level (paragraph-style) deduplication (SURVEY.md §2.4
+  * extension): remove duplicated SPANS of text corpus-wide while keeping
+  * the rest of each document — the Dolma/RefinedWeb-style middle ground
+  * between whole-document dedup (misses boilerplate embedded in otherwise
+  * unique pages) and n-gram fuzzy dedup (drops whole documents). Web-scale
+  * corpora mark paragraph boundaries with newlines; this corpus is
+  * single-line, so the segment unit is a fixed `w`-token chunk — the
+  * operator is the same either way (only the segmenter column differs).
+  *
+  * Scale shape: segmenting is a codegen'd per-row projection (no shuffle);
+  * choosing each segment's canonical first occurrence is ONE hash shuffle
+  * with map-side partial aggregation (`min(struct(doc_id, seg_idx))` —
+  * skew-robust where a `row_number` window over a million-fold duplicated
+  * boilerplate segment would sort one giant partition); reassembly is one
+  * shuffle back to doc_id. Two exchanges total for corpus-wide span dedup.
+  */
+object SegmentDedup {
+
+  /** (doc_id, seg_idx, seg): consecutive `w`-token chunks of each doc
+    * (last chunk may be shorter). Docs with no tokens vanish (cheap
+    * trim-length scan predicate — the pushdown-safe gate TextAnalysis
+    * uses; a size(ws) filter above the tokenize projection would re-split
+    * per row at the scan). */
+  private[operators] def segments(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val ws = col("__ws")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), ((size(ws) + lit(w - 1)) / lit(w)).cast("int") - 1),
+            i => array_join(slice(ws, i * w + 1, lit(w)), " "))))
+      .toDF("doc_id", "seg_idx", "seg")
+  }
+
+  /** Corpus with every duplicated `w`-token segment removed except its
+    * first occurrence (ordered by doc_id, then position — intra-doc
+    * repeats collapse too), surviving segments re-joined in document
+    * order. Output: doc_id, text_clean, n_segs_kept; documents whose
+    * every segment was claimed earlier disappear (no empty-text rows). */
+  def dedupSegments(docs: DataFrame, w: Int): DataFrame = {
+    val segs = segments(docs, w)
+    // first-occurrence choice as an AGGREGATE, not a window: min(struct)
+    // gets map-side partial aggregation, so a boilerplate segment repeated
+    // across millions of docs costs one partial row per input partition —
+    // a row_number window would shuffle-sort every copy into one partition
+    val survivors = segs
+      .groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__k"))
+      .select(col("__k.doc_id").as("doc_id"), col("__k.seg_idx").as("seg_idx"), col("seg"))
+    survivors
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ").as("text_clean"),
+        count("*").as("n_segs_kept"))
+  }
+}

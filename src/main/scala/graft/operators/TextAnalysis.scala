@@ -132,6 +132,64 @@ object TextAnalysis {
         .as("dup_2gram_frac"))
   }
 
+  /** PII scrub patterns, applied IN ORDER (email first: an address would
+    * otherwise leave its digit-bearing tail to the phone pattern). Kept to
+    * RE2-compatible syntax (no lookaround) so the DuckDB oracle runs the
+    * exact same regexes. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9 ()-]{8,}[0-9]" -> "<PHONE>")
+
+  /** Text with every PII pattern replaced by its typed placeholder — the
+    * standard pre-training redaction pass. Pure codegen'd regexp_replace
+    * chain: a shuffle-free linear scan at any scale. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (re, tag)) => regexp_replace(t, lit(re), lit(tag)) }
+
+  /** Per-doc scrub + redaction audit: doc_id, text_clean, n_redactions.
+    * Counts are taken stage-wise on the text state each pattern actually
+    * saw (counting all patterns against the raw text would double-count a
+    * phone-looking digit run inside an email address). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val staged = PiiPatterns.zipWithIndex.foldLeft(
+      docs.select(col("doc_id"), col("text").as("__t0"), lit(0L).as("__c0"))) {
+      case (df, ((re, tag), i)) =>
+        df.select(col("doc_id"),
+          regexp_replace(col(s"__t$i"), lit(re), lit(tag)).as(s"__t${i + 1}"),
+          (col(s"__c$i") + size(regexp_extract_all(col(s"__t$i"), lit(re), lit(0))))
+            .as(s"__c${i + 1}"))
+    }
+    val n = PiiPatterns.size
+    staged.select(col("doc_id"), col(s"__t$n").as("text_clean"),
+      col(s"__c$n").cast("long").as("n_redactions"))
+  }
+
+  /** Corpus-wide top-k word n-grams: (gram, cnt), count descending with
+    * gram as the deterministic tie-break — the corpus-statistics pass a
+    * pipeline runs before choosing filters (boilerplate discovery, stopword
+    * induction, contamination-shingle hot-spots).
+    *
+    * Scale shape: n-gram construction is a codegen'd projection; the count
+    * is ONE hash shuffle with map-side partial aggregation (gram
+    * cardinality ≪ gram occurrences at corpus scale); top-k is
+    * TakeOrdered (k rows per partition to the driver), never a global
+    * sort. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val ws = col("__ws")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(tokens(col("text")).as("__ws"))
+      .select(explode(when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(ws, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
     * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
     * only if one exact text dominates, which exact-dedup removes first. */

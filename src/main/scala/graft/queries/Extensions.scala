@@ -351,6 +351,47 @@ object Extensions {
       graft.operators.BpeVocab.encodeCounts(Engine.Tables(s, d).documents,
           Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>")))
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents) SELECT doc_id, CAST(COALESCE(list_sum(list_transform(ws, w -> len(string_split_regex(trim(replace(replace(replace(replace(replace(replace(' ' || array_to_string(list_append(regexp_extract_all(w, '.'), '</w>'), ' ') || ' ', ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '), ' t h ', ' th '), ' t h ', ' th '), ' th e</w> ', ' the</w> '), ' th e</w> ', ' the</w> ')), '\s+')))), 0) AS BIGINT) AS n_tok FROM tok ORDER BY doc_id"""))
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents) SELECT doc_id, CAST(COALESCE(list_sum(list_transform(ws, w -> len(string_split_regex(trim(replace(replace(replace(replace(replace(replace(' ' || array_to_string(list_append(regexp_extract_all(w, '.'), '</w>'), ' ') || ' ', ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '), ' t h ', ' th '), ' t h ', ' th '), ' th e</w> ', ' the</w> '), ' th e</w> ', ' the</w> ')), '\s+')))), 0) AS BIGINT) AS n_tok FROM tok ORDER BY doc_id""")),
+
+    // Segment-level (paragraph-style) dedup — duplicated 8-token spans
+    // removed corpus-wide (first occurrence by doc_id, position wins),
+    // docs reassembled from surviving spans. min(struct) aggregation, not
+    // a window: map-side combine keeps boilerplate skew off one partition.
+    ("qe21_seg_dedup", (s: SparkSession, d: String) => {
+      graft.operators.SegmentDedup.dedupSegments(Engine.Tables(s, d).documents, 8)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Corpus-wide top-k bigrams — the statistics pass run before choosing
+    // filters (boilerplate discovery, stopword induction). One map-side-
+    // combined hash shuffle + TakeOrdered; never a global sort.
+    ("qe22_top_ngrams", (s: SparkSession, d: String) => {
+      TextAnalysis.topNgrams(Engine.Tables(s, d).documents, 2, 20)
+        .orderBy(col("cnt").desc, col("gram"))
+    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), grams AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tok)) SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""")),
+
+    // Bloom-pre-filtered decontamination — IDENTICAL results to qe12 (the
+    // exact verify join removes bloom false positives; no false negatives
+    // exist), so it shares qe12's oracle. The corpus scan probes a
+    // megabyte sketch via a codegen'd predicate; only the surviving slice
+    // reaches any join — the shape that survives a benchmark too big to
+    // broadcast as an exact string set.
+    ("qe12b_decon_bloom", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 19 === 3)
+      val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+      graft.operators.Decontaminate.contaminationBloom(corpus, bench, 5)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII scrub — email/IP/phone redaction with typed placeholders + a
+    // stage-wise redaction count (each pattern counted against the text
+    // state it actually saw). This corpus is synthetic word soup with no
+    // PII, so the driver check pins the IDENTITY path (text_clean == text,
+    // n_redactions == 0) and schema/plumbing; the redaction semantics are
+    // pinned on synthetic PII rows in TextAnalysisSpec.
+    ("qe23_pii_scrub", (s: SparkSession, d: String) => {
+      TextAnalysis.piiScrub(Engine.Tables(s, d).documents).orderBy("doc_id")
+    }, Some("""WITH t1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM documents), t2 AS (SELECT doc_id, t0, t AS t1, regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM t1), t3 AS (SELECT doc_id, t0, t1, t AS t2, regexp_replace(t, '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS t FROM t2) SELECT doc_id, t AS text_clean, CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) + len(regexp_extract_all(t2, '\+?[0-9][0-9 ()-]{8,}[0-9]')) AS BIGINT) AS n_redactions FROM t3 ORDER BY doc_id"""))
   )
 }

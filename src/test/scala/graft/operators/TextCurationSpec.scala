@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Engine, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation operators: segment-level dedup, corpus n-gram stats,
+  * bloom decontamination, PII scrub. */
+class TextCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- SegmentDedup --------------------------------------------------------
+
+  test("segment dedup keeps first occurrence by (doc_id, position), drops claimed spans") {
+    val docs = Seq(
+      (1L, "a b c d"), // segs (w=2): [a b][c d] — both first
+      (2L, "a b x y"), // [a b] claimed by doc 1 -> only [x y] survives
+      (3L, "c d")      // fully claimed -> doc disappears
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.dedupSegments(docs, 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a b c d", 2L), (2L, "x y", 1L)))
+  }
+
+  test("segment dedup collapses intra-doc repeats and keeps a short tail chunk") {
+    val docs = Seq((7L, "p q p q r")).toDF("doc_id", "text") // [p q][p q][r]
+    val got = SegmentDedup.dedupSegments(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, "p q r", 2L)))
+  }
+
+  test("segment dedup is partitioning-independent on the corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def m(parts: Int) = SegmentDedup.dedupSegments(docs.repartition(parts), 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(1) == m(13))
+  }
+
+  test("segment dedup conserves segments: kept == distinct, dropped == duplicates") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val segs = SegmentDedup.segments(docs, 8)
+    val kept = SegmentDedup.dedupSegments(docs, 8)
+      .agg(sum("n_segs_kept")).head().getLong(0)
+    assert(kept == segs.select("seg").distinct().count(),
+      "exactly one survivor per distinct segment")
+    assert(kept < segs.count(), "the corpus must actually contain duplicate spans")
+  }
+
+  // ---- topNgrams -----------------------------------------------------------
+
+  test("top n-grams counts every occurrence, orders by cnt desc then gram") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b" x2, "b a", "b c"
+      (2L, "a b"),       // "a b"
+      (3L, "z")          // too short for a bigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("top n-grams at n=1 equals plain word frequency") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val viaOp = TextAnalysis.topNgrams(docs, 1, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaSql = docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("gram"))
+      .groupBy("gram").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaOp.toSeq == viaSql.toSeq)
+  }
+
+  // ---- contaminationBloom --------------------------------------------------
+
+  test("bloom decontamination == exact decontamination on the corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = m(Decontaminate.contamination(corpus, bench, 5))
+    // identical even at an absurd fpp: the verify join removes every false
+    // positive, so fpp only moves cost, never results
+    assert(m(Decontaminate.contaminationBloom(corpus, bench, 5)) == exact)
+    assert(m(Decontaminate.contaminationBloom(corpus, bench, 5, fpp = 0.5)) == exact)
+  }
+
+  test("bloom probe expression agrees with the sketch across eval paths") {
+    import graft.functions.BloomMightContain.bloom_might_contain
+    val vals = spark.range(1000).select(concat(lit("s"), col("id")).as("s"))
+    val bloom = vals.stat.bloomFilter("s", 1000, 0.03)
+    // no false negatives: every inserted value must probe true
+    assert(vals.filter(!bloom_might_contain(col("s"), bloom)).count() == 0)
+    // nulls propagate (nullSafeEval path)
+    val withNull = Seq(Some("s1"), None).toDF("s")
+    assert(withNull.select(bloom_might_contain(col("s"), bloom).as("p"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+      == Seq(true, null))
+  }
+
+  // ---- piiScrub ------------------------------------------------------------
+
+  test("PII scrub redacts emails, IPs, and phones with typed placeholders") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@ex-ample.org now"),
+      (2L, "host 10.0.255.1 down"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "clean text stays untouched"),
+      (5L, "two a@b.co c@d.io hits")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "mail <EMAIL> now", 1L),
+      (2L, "host <IP> down", 1L),
+      (3L, "call <PHONE> today", 1L),
+      (4L, "clean text stays untouched", 0L),
+      (5L, "two <EMAIL> <EMAIL> hits", 2L)))
+  }
+
+  test("PII scrub counts stage-wise: digits inside an email are not re-counted as phone") {
+    val docs = Seq((1L, "reach 12345678901@example.com ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("reach <EMAIL> ok", 1L)))
+  }
+
+  test("PII scrub is the identity on the synthetic corpus (what qe23 pins)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = TextAnalysis.piiScrub(docs).join(docs.select("doc_id", "text"), "doc_id")
+    assert(out.filter(col("n_redactions") =!= 0L || col("text_clean") =!= col("text")).count() == 0)
+    assert(out.count() == docs.count())
+  }
+}

@@ -111,6 +111,49 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"repetition stats must be a linear scan with no shuffle:\n${s.take(1500)}")
   }
 
+  test("qe21 segment dedup: two exchanges, min-aggregated (no skew-prone window)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val df = graft.operators.SegmentDedup.dedupSegments(docs, 8)
+    df.collect()
+    val s = planString(df)
+    // survivor choice must be an aggregate (map-side partial combine), not
+    // a row_number window that shuffle-sorts every copy of a hot segment
+    // into one partition
+    assert(!s.contains("Window"), s"window-based survivor choice:\n${s.take(1500)}")
+    assert(s.contains("partial_min"), s"no map-side combine:\n${s.take(1500)}")
+    // count exchange NODES in the finalized plan — the AQE plan STRING
+    // repeats them in its "== Initial Plan ==" section
+    val exchanges = collectWithSubqueries(planOf(df)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 2, s"$exchanges exchanges; segment dedup needs only seg + doc_id:\n${s.take(2000)}")
+  }
+
+  test("qe22 top n-grams: map-side combine + TakeOrdered, no global sort") {
+    val df = graft.operators.TextAnalysis.topNgrams(
+      Engine.Tables(spark, Sf0001).documents, 2, 20)
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("partial_count"), s"no map-side combine:\n${s.take(1500)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global Sort+Limit:\n${s.take(1500)}")
+  }
+
+  test("qe12b bloom probe filters the corpus scan inside codegen, before any join") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    val df = graft.operators.Decontaminate.contaminationBloom(corpus, bench, 5)
+    df.collect()
+    val s = planString(df)
+    val filterLine = s.linesIterator.find(_.contains("bloommightcontain"))
+    assert(filterLine.isDefined, s"bloom probe missing from plan:\n${s.take(2000)}")
+    // '*(n)' marks whole-stage-codegen'd operators: the probe must not be
+    // an interpreted fallback in the corpus-scan hot path
+    assert(filterLine.get.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"),
+      s"bloom probe not codegen'd: ${filterLine.get}")
+  }
+
   test("qe17 quantile gate broadcasts the one-row threshold back to the corpus") {
     val df = graft.SparkEntry.queries("qe17_quality_gate")(spark, Sf0001)
     df.collect()
