@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-quality scoring (SURVEY.md §2.4 E3 adjunct): distance of each
+  * embedding to its group's centroid — the standard screen for mislabeled
+  * / low-quality vectors before they feed dedup or retrieval (a vector far
+  * from its own cluster's center is noise or a labeling error).
+  *
+  * Scale shape: the centroid pass is posexplode → ONE map-side-combined
+  * hash aggregate on (group, pos) → a tiny (|groups|·dim) frame rebuilt
+  * into arrays; the scoring pass broadcasts that centroid table back and
+  * stays a codegen'd linear scan (fused [[graft.functions.CosineSim]]).
+  * No corpus-sized shuffle at any step.
+  *
+  * Determinism across engines (the oracle constraint): a double/float mean
+  * is partition-order-dependent (FP addition is not associative), so the
+  * centroid is aggregated in SCALED INTEGERS — each element rounds half-up
+  * to 1e-6 once (deterministic given the same input doubles), the long sum
+  * is exact and associative in any order, and the single final division
+  * back to double is IEEE-exact in every engine. The per-vector cosine is
+  * then an in-index-order array sum, which Spark's CosineSim and DuckDB's
+  * list_inner_product already compute bit-identically (qe3). */
+object EmbedQuality {
+
+  /** Per-group centroids: (groupCol, centroid: array<double>). Elements
+    * are the 1e-6-quantized mean (see class doc for why). */
+  def centroids(emb: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame = {
+    val e = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(groupCol), col(vecCol).cast("array<double>").as("__v"))
+    e.select(col(groupCol), posexplode(col("__v")))
+      .select(col(groupCol), col("pos"),
+        floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("__n"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum("__n").as("__s"), count("*").as("__c"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("__s").cast("double") / (col("__c") * lit(1e6))).as("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+
+  /** Score every embedding against its own group's centroid:
+    * (idCol, groupCol, cos_c = r4(cosine to centroid), is_outlier =
+    * cos_c < threshold as 0/1). Vectors whose group has no centroid
+    * (null/empty vectors only) are absent. */
+  def centroidOutliers(emb: DataFrame, threshold: Double,
+                       groupCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val e = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), col(groupCol), col(vecCol).cast("array<double>").as("__v"))
+    val cos = graft.functions.CosineSim.cosine_sim(col("__v"), col("centroid"))
+    val cosR = graft.functions.ScalarOps.r4(cos)
+    e.join(broadcast(centroids(emb, groupCol, vecCol)), groupCol)
+      .select(col(idCol), col(groupCol), cosR.as("cos_c"),
+        (cosR < lit(threshold)).cast("int").as("is_outlier"))
+  }
+}

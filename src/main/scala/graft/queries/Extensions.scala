@@ -392,6 +392,17 @@ object Extensions {
     // pinned on synthetic PII rows in TextAnalysisSpec.
     ("qe23_pii_scrub", (s: SparkSession, d: String) => {
       TextAnalysis.piiScrub(Engine.Tables(s, d).documents).orderBy("doc_id")
-    }, Some("""WITH t1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM documents), t2 AS (SELECT doc_id, t0, t AS t1, regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM t1), t3 AS (SELECT doc_id, t0, t1, t AS t2, regexp_replace(t, '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS t FROM t2) SELECT doc_id, t AS text_clean, CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) + len(regexp_extract_all(t2, '\+?[0-9][0-9 ()-]{8,}[0-9]')) AS BIGINT) AS n_redactions FROM t3 ORDER BY doc_id"""))
+    }, Some("""WITH t1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM documents), t2 AS (SELECT doc_id, t0, t AS t1, regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM t1), t3 AS (SELECT doc_id, t0, t1, t AS t2, regexp_replace(t, '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS t FROM t2) SELECT doc_id, t AS text_clean, CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) + len(regexp_extract_all(t2, '\+?[0-9][0-9 ()-]{8,}[0-9]')) AS BIGINT) AS n_redactions FROM t3 ORDER BY doc_id""")),
+
+    // Embedding quality — cosine of each vector to its own label's
+    // centroid, outlier flag below 0. The centroid mean aggregates SCALED
+    // INTEGERS (exact + associative in any partition order; a double mean
+    // would be order-dependent and engine-divergent); the scoring pass is
+    // a broadcast join + fused codegen cosine.
+    ("qe24_embed_outliers", (s: SparkSession, d: String) => {
+      graft.operators.EmbedQuality.centroidOutliers(
+          Engine.Tables(s, d).embeddings, 0.0)
+        .orderBy("vec_id")
+    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), ex AS (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e), centsum AS (SELECT label, i, SUM(CAST(floor(v[i] * 1e6 + 5e-1) AS BIGINT)) AS s, COUNT(*) AS c FROM ex GROUP BY label, i), cl AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1e6) ORDER BY i) AS cent FROM centsum GROUP BY label), scored AS (SELECT vec_id, e.label AS label, ROUND(list_inner_product(v, cent) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cent, cent))), 4) AS cos_c FROM e JOIN cl ON e.label = cl.label) SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS INT) AS is_outlier FROM scored ORDER BY vec_id"""))
   )
 }

@@ -98,6 +98,44 @@ class TextCurationSpec extends SparkTestBase {
       == Seq(true, null))
   }
 
+  // ---- EmbedQuality --------------------------------------------------------
+
+  test("centroid of a group is the element-wise quantized mean; outliers flag below threshold") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0), // centroid of label 0 = (0, 1/3)
+      (4L, Seq(0.0f, -1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = EmbedQuality.centroids(emb).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) == Seq(0.0, 1000000.0 / 3e6)) // quantized mean of (0,1,0)
+    assert(cents(1) == Seq(0.0, -1.0))
+    val got = EmbedQuality.centroidOutliers(emb, 0.0).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    // cos(v1, (0, 0.333333)) = 0 -> not an outlier at th 0.0 (strict <)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got(1)._2 == 1.0 && got(1)._3 == 0) // v2 parallel to centroid
+    assert(got(3)._2 == 1.0 && got(3)._3 == 0) // singleton group: self-centroid
+  }
+
+  test("centroid aggregation is partitioning-independent (exact integer sums)") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    def m(parts: Int) = EmbedQuality.centroidOutliers(emb.repartition(parts), 0.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(m(1) == m(17), "a double mean would diverge here; scaled-long sums cannot")
+  }
+
+  test("null and empty embeddings are excluded from centroids and scoring") {
+    val emb = Seq(
+      (1L, Some(Seq(1.0f, 0.0f)), 0),
+      (2L, None: Option[Seq[Float]], 0),
+      (3L, Some(Seq.empty[Float]), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbedQuality.centroidOutliers(emb, 0.0).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   // ---- piiScrub ------------------------------------------------------------
 
   test("PII scrub redacts emails, IPs, and phones with typed placeholders") {
