@@ -91,11 +91,30 @@ object TextAnalysis {
     * repetition marks boilerplate/spam for the quality gate.
     *
     * Shuffle-free by design: all three signals are per-row array math, so
-    * at 100 TB this is a linear codegen'd+HOF scan with no exchange at all
-    * (the groupBy-per-word alternative costs two shuffles). Token arrays
-    * are materialized behind their own projection so the interpreted HOF
-    * lambdas never re-evaluate the regex split per element. */
+    * at 100 TB this is a linear scan with no exchange at all (the
+    * groupBy-per-word alternative costs two shuffles). The three signals
+    * come from [[graft.functions.RepetitionKernel]] — ONE compiled pass
+    * with two hash tables per row; the HOF composition it replaced
+    * ([[repetitionStatsHof]], kept as the equality-tested reference) is
+    * CodegenFallback, interpreted per element. */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    val r4 = graft.functions.ScalarOps.r4 _
+    val st = col("__st")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.RepetitionStatsExpr.repetition_stats(tokens(col("text"))).as("__st"))
+      .select(
+        col("doc_id"),
+        r4(st.getField("dup_word_frac")).as("dup_word_frac"),
+        r4(st.getField("top_word_frac")).as("top_word_frac"),
+        r4(st.getField("dup_2gram_frac")).as("dup_2gram_frac"))
+  }
+
+  /** The composable HOF twin of [[repetitionStats]] — the readable
+    * reference form the kernel must match bit-for-bit (asserted in
+    * CurationOpsSpec). */
+  private[graft] def repetitionStatsHof(docs: DataFrame): DataFrame = {
     val ws = col("ws")
     val bigrams = transform(sequence(lit(0), size(ws) - 2),
       i => concat_ws(" ", get(ws, i), get(ws, i + lit(1))))

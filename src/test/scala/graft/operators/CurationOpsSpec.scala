@@ -77,6 +77,18 @@ class CurationOpsSpec extends SparkTestBase {
 
   // ---- repetitionStats ----------------------------------------------------
 
+  test("repetition kernel == composable HOF twin, bit-for-bit") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val corpus = spark.read.parquet(s"$Sf0001/documents.parquet")
+    assert(m(TextAnalysis.repetitionStats(corpus)) == m(TextAnalysis.repetitionStatsHof(corpus)))
+    // edges: single word, all-same, all-distinct, repeated bigrams, astral chars
+    val edge = Seq(
+      (1L, "solo"), (2L, "x x x x"), (3L, "a b c d"),
+      (4L, "p q p q p q"), (5L, "😀 z 😀 z")).toDF("doc_id", "text")
+    assert(m(TextAnalysis.repetitionStats(edge)) == m(TextAnalysis.repetitionStatsHof(edge)))
+  }
+
   test("repetition stats match hand-computed fractions") {
     val docs = Seq(
       (1L, "a a b"),           // words: 3, distinct 2; top 'a' 2/3; bigrams "a a","a b" distinct
