@@ -626,6 +626,57 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bloom contamination over a replay == batch (frozen sketch, stream-static verify)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    val want = graft.operators.Decontaminate.contamination(corpus, bench, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    // the sketch is FIT on the static benchmark at plan construction (a
+    // driver-side build, like the frozen quantile threshold); the stream
+    // only ever sees the codegen probe + a stream-static verify join
+    val stream = graft.operators.Decontaminate.contaminationBloom(
+      input.toDF().toDF("doc_id", "text"), bench, 5)
+    val q = stream.writeStream.format("memory").queryName("t_contam_bloom")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_contam_bloom").groupBy("doc_id")
+        .agg(max("n_hits").as("n_hits")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"bloom stream diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming PII scrub over a replay == batch (stateless projection)") {
+    val batch = Seq(
+      (1L, "mail a@b.co now"), (2L, "host 10.0.0.1"), (3L, "clean"))
+      .toDF("doc_id", "text")
+    val want = graft.operators.TextAnalysis.piiScrub(batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.TextAnalysis.piiScrub(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_pii")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, "mail a@b.co now"), (2L, "host 10.0.0.1")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "clean")))
+      q.processAllAvailable()
+      val got = spark.table("t_pii").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming sequence packing over an ordered replay == batch packSharded") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
