@@ -403,6 +403,27 @@ object Extensions {
       graft.operators.EmbedQuality.centroidOutliers(
           Engine.Tables(s, d).embeddings, 0.0)
         .orderBy("vec_id")
-    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), ex AS (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e), centsum AS (SELECT label, i, SUM(CAST(floor(v[i] * 1e6 + 5e-1) AS BIGINT)) AS s, COUNT(*) AS c FROM ex GROUP BY label, i), cl AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1e6) ORDER BY i) AS cent FROM centsum GROUP BY label), scored AS (SELECT vec_id, e.label AS label, ROUND(list_inner_product(v, cent) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cent, cent))), 4) AS cos_c FROM e JOIN cl ON e.label = cl.label) SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS INT) AS is_outlier FROM scored ORDER BY vec_id"""))
+    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), ex AS (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e), centsum AS (SELECT label, i, SUM(CAST(floor(v[i] * 1e6 + 5e-1) AS BIGINT)) AS s, COUNT(*) AS c FROM ex GROUP BY label, i), cl AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1e6) ORDER BY i) AS cent FROM centsum GROUP BY label), scored AS (SELECT vec_id, e.label AS label, ROUND(list_inner_product(v, cent) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cent, cent))), 4) AS cos_c FROM e JOIN cl ON e.label = cl.label) SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS INT) AS is_outlier FROM scored ORDER BY vec_id""")),
+
+    // Capstone v2 — the round-7 operators composed end-to-end: segment
+    // dedup (duplicated spans removed corpus-wide) -> PII scrub ->
+    // repetition + length gate -> curated (doc_id, n_tok). After the two
+    // seg-dedup exchanges everything is a shuffle-free codegen scan (token
+    // count + repetition kernel share one materialized token array; no
+    // corpus self-join for the gate columns).
+    ("qe25_curate2", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val clean = graft.operators.SegmentDedup.dedupSegments(docs, 8)
+      val scrub = TextAnalysis.piiScrub(
+        clean.select(col("doc_id"), col("text_clean").as("text")))
+      val feat = scrub
+        .select(col("doc_id"), TextAnalysis.tokens(col("text_clean")).as("__ws"))
+        .select(col("doc_id"), size(col("__ws")).cast("long").as("n_tok"),
+          graft.functions.ScalarOps.r4(
+            graft.functions.RepetitionStatsExpr.repetition_stats(col("__ws"))
+              .getField("dup_2gram_frac")).as("d2"))
+      feat.filter(col("n_tok") >= 20 && col("d2") <= 0.05)
+        .select("doc_id", "n_tok").orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1), clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS tc FROM surv GROUP BY doc_id), scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(tc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS tc FROM clean), t2 AS (SELECT doc_id, list_filter(string_split_regex(tc, '\s+'), t -> len(t) > 0) AS ws FROM scrub), feat AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, ROUND(CASE WHEN len(ws) >= 2 THEN 1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1) ELSE 0 END, 4) AS d2 FROM t2) SELECT doc_id, n_tok FROM feat WHERE n_tok >= 20 AND d2 <= 0.05 ORDER BY doc_id"""))
   )
 }
