@@ -232,13 +232,23 @@ object Dedup {
     * per hyperplane), the join shuffles on (table, bucket), and the verify
     * join re-reads only candidate rows — every stage is linear in
     * |vectors| + |candidates| PROVIDED buckets stay small: within-bucket
-    * candidates are quadratic in bucket occupancy, so `nbits` must grow
-    * ~log₂(n) to keep expected occupancy (n / 2^nbits) bounded. The default
-    * `nbits = 0` auto-derives ceil(log₂(n / 1024)) (floor 4, cap 24) from a
-    * count of the input — at 10⁹ vectors that is 20 bits → ~1k-row buckets
-    * instead of 16 buckets of 6×10⁷. Per-table recall falls as p^nbits
-    * (p = 1-θ/π per hyperplane), so when fixing nbits high, raise `tables`
-    * to hold P(candidate) = 1-(1-p^nbits)^tables at the target.
+    * candidate generation is n·occupancy/2 pairs per table (quadratic in
+    * occupancy), so `nbits` must grow ~log₂(n) to keep expected occupancy
+    * (n / 2^nbits) SMALL — occupancy 1024 would mean 512·n candidates per
+    * table, a ~6000× blowup over the corpus across the table union. The
+    * default `nbits = 0` auto-derives ceil(log₂(n / 32)) (floor 4, cap 28)
+    * from a count of the input — occupancy ≈ 32 bounds candidates at
+    * ~16·n per table.
+    *
+    * Per-table recall falls as p^nbits (p = 1-θ/π per hyperplane), so the
+    * TABLE COUNT is the recall knob and must follow the threshold: the
+    * default `tables = 0` auto-derives the smallest T with
+    * 1-(1-p^nbits)^T ≥ 0.95 at θ = acos(threshold) (floor 4, cap 64).
+    * A high threshold is cheap (0.9 → p≈0.856 → T≈6); a low one is
+    * honestly expensive (0.45 → p≈0.648 → T≈39 at 6 bits) — that is LSH
+    * economics, not a tuning failure: SRP discriminates poorly at wide
+    * angles, and the only sound alternatives are more bits + more tables
+    * or a different family.
     *
     * `dim = 0` (default) infers the embedding width from the first row; a
     * row whose vector width differs from the hyperplane width then raises
@@ -246,12 +256,18 @@ object Dedup {
     * DotProduct would zero every sign bit and degrade the equi-join to
     * per-table all-pairs). */
   def embeddingNearDupsBlocked(vectors: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, nbits: Int = 0, tables: Int = 12,
+                               threshold: Double, nbits: Int = 0, tables: Int = 0,
                                dim: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).head().getInt(0)
     val bits = if (nbits > 0) nbits else {
       val n = vectors.count()
-      math.min(24, math.max(4, math.ceil(math.log(math.max(1.0, n / 1024.0)) / math.log(2)).toInt))
+      math.min(28, math.max(4, math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
+    }
+    val tbls = if (tables > 0) tables else {
+      // smallest T with 1-(1-p^bits)^T >= 0.95 at the declared threshold
+      val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+      val pb = math.pow(p, bits)
+      math.min(64, math.max(4, math.ceil(math.log(0.05) / math.log1p(-pb)).toInt))
     }
     // dim guard lives in the value path (not a droppable side column), so
     // column pruning cannot eliminate it; one size() per row, codegen'd
@@ -261,7 +277,7 @@ object Dedup {
           lit(s"embedding dim mismatch: expected $d, got "),
           size(col(vecCol)).cast("string")))).as("v"))
     val bucketed = checked.select(col("id"), posexplode(array(
-      (0 until tables).map(t =>
+      (0 until tbls).map(t =>
         Similarity.srpBucket(col("v"), bits, d, seed = 1000L + t)): _*))
       .as(Seq("tbl", "bucket")))
     val cand = bucketed.as("a")

@@ -82,7 +82,9 @@ class DedupSpec extends SparkTestBase {
     assert(nExact > 0, "testdata must contain near-dup pairs for recall to mean anything")
     val missed = exact.except(blocked).count()
     val recall = (nExact - missed).toDouble / nExact
-    assert(recall >= 0.7, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
+    // auto-sizing targets P(candidate) >= 0.95 at the declared threshold;
+    // 0.85 leaves room for sample noise on the small pair set
+    assert(recall >= 0.85, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
   }
 
   test("blocked near-dup fails fast on embedding dim mismatch (no silent bucket-0 collapse)") {
