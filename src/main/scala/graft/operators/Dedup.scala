@@ -243,7 +243,10 @@ object Dedup {
     * Per-table recall falls as p^nbits (p = 1-θ/π per hyperplane), so the
     * TABLE COUNT is the recall knob and must follow the threshold: the
     * default `tables = 0` auto-derives the smallest T with
-    * 1-(1-p^nbits)^T ≥ 0.95 at θ = acos(threshold) (floor 4, cap 64).
+    * 1-(1-p^nbits)^T ≥ 0.95 at θ = acos(threshold) (floor 4; if the
+    * target would need more than 64 tables the auto mode REFUSES loudly —
+    * a silent cap would under-recall with no signal — and the caller must
+    * pick the trade-off via explicit nbits/tables).
     * A high threshold is cheap (0.9 → p≈0.856 → T≈6); a low one is
     * honestly expensive (0.45 → p≈0.648 → T≈39 at 6 bits) — that is LSH
     * economics, not a tuning failure: SRP discriminates poorly at wide
@@ -264,10 +267,22 @@ object Dedup {
       math.min(28, math.max(4, math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
     }
     val tbls = if (tables > 0) tables else {
-      // smallest T with 1-(1-p^bits)^T >= 0.95 at the declared threshold
+      // smallest T with 1-(1-p^bits)^T >= 0.95 at the declared threshold.
+      // If that needs more than 64 tables, REFUSE rather than silently cap:
+      // a capped T under-recalls without any signal (at n=1e8/threshold=0.7
+      // the occupancy-driven 22 bits would need ~1800 tables — a capped 64
+      // would quietly drop ~90% of true pairs). The caller must then pick
+      // the trade-off explicitly via nbits/tables.
       val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
       val pb = math.pow(p, bits)
-      math.min(64, math.max(4, math.ceil(math.log(0.05) / math.log1p(-pb)).toInt))
+      require(pb > 0, s"threshold $threshold gives zero per-table candidate probability")
+      val t = math.ceil(math.log(0.05) / math.log1p(-pb))
+      require(t <= 64,
+        f"auto-sized SRP blocking needs $t%.0f tables to hold candidate recall 0.95 " +
+          f"at threshold=$threshold (p=$p%.3f, nbits=$bits) — beyond the 64-table cap. " +
+          "Pass nbits/tables explicitly to choose a recall/cost trade-off, or raise " +
+          "the threshold")
+      math.max(4, t.toInt)
     }
     // dim guard lives in the value path (not a droppable side column), so
     // column pruning cannot eliminate it; one size() per row, codegen'd

@@ -24,13 +24,35 @@ import org.apache.spark.sql.functions._
   * list_inner_product already compute bit-identically (qe3). */
 object EmbedQuality {
 
+  /** Input hygiene shared by fit and score: drop null/empty and ZERO-NORM
+    * vectors (a zero vector has no direction — under ANSI mode its cosine
+    * would throw DIVIDE_BY_ZERO mid-job), and fail FAST on a row whose
+    * width differs from the group's (a silent mixed-width group would
+    * average only the wide vectors' tail positions and null out every
+    * narrow vector's score — corrupt data sliding through the very screen
+    * built to catch it; same raise_error-in-the-value-path guard as
+    * Dedup.embeddingNearDupsBlocked). */
+  private def cleaned(emb: DataFrame, groupCol: String, vecCol: String,
+                      extraCols: Seq[String]): DataFrame = {
+    val d = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).head().getInt(0)
+    val checkedV = when(size(col(vecCol)) === d, col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"embedding dim mismatch: expected $d, got "),
+        size(col(vecCol)).cast("string"))))
+    emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select((extraCols :+ groupCol).map(col) :+ checkedV.as("__v"): _*)
+      .filter(graft.functions.DotProduct.dot_product(col("__v"), col("__v")) > 0.0)
+  }
+
   /** Per-group centroids: (groupCol, centroid: array<double>). Elements
-    * are the 1e-6-quantized mean (see class doc for why). */
+    * are the 1e-6-quantized mean (see class doc for why). Groups whose
+    * quantized centroid cancels to zero norm (perfectly opposing members)
+    * are dropped — they define no direction to score against. */
   def centroids(emb: DataFrame, groupCol: String = "label",
                 vecCol: String = "embedding"): DataFrame = {
-    val e = emb
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(groupCol), col(vecCol).cast("array<double>").as("__v"))
+    val e = cleaned(emb, groupCol, vecCol, Nil)
     e.select(col(groupCol), posexplode(col("__v")))
       .select(col(groupCol), col("pos"),
         floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("__n"))
@@ -41,18 +63,19 @@ object EmbedQuality {
         array_sort(collect_list(struct(col("pos"),
           (col("__s").cast("double") / (col("__c") * lit(1e6))).as("m")))),
         s => s.getField("m")).as("centroid"))
+      // tiny frame (|groups| rows): the norm filter costs nothing here
+      .filter(graft.functions.DotProduct.dot_product(col("centroid"), col("centroid")) > 0.0)
   }
 
   /** Score every embedding against its own group's centroid:
     * (idCol, groupCol, cos_c = r4(cosine to centroid), is_outlier =
-    * cos_c < threshold as 0/1). Vectors whose group has no centroid
-    * (null/empty vectors only) are absent. */
+    * cos_c < threshold as 0/1). Null/empty/zero-norm vectors and groups
+    * with a degenerate (zero-norm) centroid are absent — they have no
+    * scorable direction; a mixed-width group raises instead of nulling. */
   def centroidOutliers(emb: DataFrame, threshold: Double,
                        groupCol: String = "label", idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val e = emb
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol), col(groupCol), col(vecCol).cast("array<double>").as("__v"))
+    val e = cleaned(emb, groupCol, vecCol, Seq(idCol))
     val cos = graft.functions.CosineSim.cosine_sim(col("__v"), col("centroid"))
     val cosR = graft.functions.ScalarOps.r4(cos)
     e.join(broadcast(centroids(emb, groupCol, vecCol)), groupCol)

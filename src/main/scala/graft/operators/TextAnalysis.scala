@@ -160,13 +160,9 @@ object TextAnalysis {
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
     "\\+?[0-9][0-9 ()-]{8,}[0-9]" -> "<PHONE>")
 
-  /** Text with every PII pattern replaced by its typed placeholder — the
-    * standard pre-training redaction pass. Pure codegen'd regexp_replace
-    * chain: a shuffle-free linear scan at any scale. */
-  def scrubPii(text: Column): Column =
-    PiiPatterns.foldLeft(text) { case (t, (re, tag)) => regexp_replace(t, lit(re), lit(tag)) }
-
   /** Per-doc scrub + redaction audit: doc_id, text_clean, n_redactions.
+    * Pure codegen'd regexp_replace/extract chain — a shuffle-free linear
+    * scan at any scale.
     * Counts are taken stage-wise on the text state each pattern actually
     * saw (counting all patterns against the raw text would double-count a
     * phone-looking digit run inside an email address). */

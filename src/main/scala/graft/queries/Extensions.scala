@@ -403,7 +403,7 @@ object Extensions {
       graft.operators.EmbedQuality.centroidOutliers(
           Engine.Tables(s, d).embeddings, 0.0)
         .orderBy("vec_id")
-    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0), ex AS (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e), centsum AS (SELECT label, i, SUM(CAST(floor(v[i] * 1e6 + 5e-1) AS BIGINT)) AS s, COUNT(*) AS c FROM ex GROUP BY label, i), cl AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1e6) ORDER BY i) AS cent FROM centsum GROUP BY label), scored AS (SELECT vec_id, e.label AS label, ROUND(list_inner_product(v, cent) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cent, cent))), 4) AS cos_c FROM e JOIN cl ON e.label = cl.label) SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS INT) AS is_outlier FROM scored ORDER BY vec_id""")),
+    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0), ex AS (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e), centsum AS (SELECT label, i, SUM(CAST(floor(v[i] * 1e6 + 5e-1) AS BIGINT)) AS s, COUNT(*) AS c FROM ex GROUP BY label, i), cl AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1e6) ORDER BY i) AS cent FROM centsum GROUP BY label), scored AS (SELECT vec_id, e.label AS label, ROUND(list_inner_product(v, cent) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cent, cent))), 4) AS cos_c FROM e JOIN cl ON e.label = cl.label) SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS INT) AS is_outlier FROM scored ORDER BY vec_id""")),
 
     // Capstone v2 — the round-7 operators composed end-to-end: segment
     // dedup (duplicated spans removed corpus-wide) -> PII scrub ->

@@ -87,6 +87,19 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.85, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
   }
 
+  test("auto table sizing refuses loudly when the 0.95 recall target is unreachable") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // threshold 0.45 at forced 22 bits needs ~thousands of tables; a
+    // silent 64-cap would under-recall with no signal
+    val thrown = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", 0.45, nbits = 22)
+    }
+    assert(thrown.getMessage.contains("tables"),
+      s"expected the table-cap refusal, got: ${thrown.getMessage.take(300)}")
+  }
+
   test("blocked near-dup fails fast on embedding dim mismatch (no silent bucket-0 collapse)") {
     import spark.implicits._
     val mixed = Seq(

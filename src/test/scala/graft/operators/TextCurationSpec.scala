@@ -126,14 +126,37 @@ class TextCurationSpec extends SparkTestBase {
     assert(m(1) == m(17), "a double mean would diverge here; scaled-long sums cannot")
   }
 
-  test("null and empty embeddings are excluded from centroids and scoring") {
+  test("null, empty, and zero-norm embeddings are excluded from centroids and scoring") {
     val emb = Seq(
       (1L, Some(Seq(1.0f, 0.0f)), 0),
       (2L, None: Option[Seq[Float]], 0),
-      (3L, Some(Seq.empty[Float]), 0)
+      (3L, Some(Seq.empty[Float]), 0),
+      (4L, Some(Seq(0.0f, 0.0f)), 0) // zero norm: no direction, would throw
     ).toDF("vec_id", "embedding", "label")
     val got = EmbedQuality.centroidOutliers(emb, 0.0).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("a group whose centroid cancels to zero norm is dropped, not crashed") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(-1.0f, 0.0f), 0), // cancel -> zero centroid
+      (3L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbedQuality.centroidOutliers(emb, 0.0).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((3L, 1.0)), "label 0 has no scorable direction")
+  }
+
+  test("mixed embedding widths fail fast instead of nulling scores") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val thrown = intercept[Exception] {
+      EmbedQuality.centroidOutliers(emb, 0.0).collect()
+    }
+    assert(thrown.getMessage.contains("dim mismatch"),
+      s"expected dim-mismatch, got: ${thrown.getMessage.take(300)}")
   }
 
   // ---- piiScrub ------------------------------------------------------------
