@@ -74,14 +74,15 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // stdout gets MILLISECOND precision: the driver keeps only the last
-    // 2000 chars of output, and the full-precision 70+-query line is ~2040
-    // chars — 36 over, so every round's BENCH parsed as null. 3 decimals
-    // is ~1650 chars (headroom for the sbt epilogue that shares the tail),
-    // and per-query run-to-run noise is ±250 ms, so nothing real is lost.
-    // Locale.ROOT: the default-locale f"%.3f" would print "0,123" on a
+    // stdout gets CENTISECOND precision: the driver keeps only the last
+    // 2000 chars of output and the sbt epilogue shares that window; at
+    // 80+ queries a 3-decimal line is ~1900 chars — one query from
+    // overflow — while 2 decimals is ~1820 with headroom. Per-query
+    // run-to-run noise is ±250 ms, so nothing real is lost; bench_out
+    // .json below keeps full precision.
+    // Locale.ROOT: the default-locale f"%.2f" would print "0,12" on a
     // comma-decimal locale (de_DE), silently breaking the JSON again
-    println(jsonLine(v => "%.3f".formatLocal(java.util.Locale.ROOT, v)))
+    println(jsonLine(v => "%.2f".formatLocal(java.util.Locale.ROOT, v)))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines.
@@ -170,6 +170,28 @@ object Sampling {
     * exhaustive, and stable under corpus growth (a row's split never
     * changes when other rows are added) — the property random splits
     * lack. Weights are percentages summing to 100. */
+  /** Budgeted per-group take: walk each group's rows in deterministic
+    * md5-priority order and keep rows while the running `weightCol` total
+    * stays within `budget` (inclusive) — the token-budget form of domain
+    * mixing ("up to N tokens per source"), where [[stratifiedTake]] counts
+    * documents. Reproducible (hash order), nested (a smaller budget's
+    * selection is a prefix of a larger one's), and oracle-expressible
+    * (exact integer cumsum, no sampling randomness).
+    *
+    * Scale shape: one hash shuffle on `groupCol` + a per-group sort for
+    * the running sum — the standard windowed-cumsum plan. Skew follows
+    * group size; at 100 TB keep groups domain-sized (the mixing use case)
+    * rather than corpus-sized. */
+  def budgetedTakePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                           weightCol: String, budget: Long,
+                           seed: Long = 42L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5Priority(col(idCol), seed), col(idCol))
+    df.withColumn("cum_w", sum(col(weightCol)).over(w))
+      .filter(col("cum_w") <= budget)
+  }
+
   def splitByHash(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                   seed: Long = 42L): DataFrame = {
     require(splits.map(_._2).sum == 100, "split weights must sum to 100")

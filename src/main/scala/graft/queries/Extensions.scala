@@ -424,6 +424,31 @@ object Extensions {
               .getField("dup_2gram_frac")).as("d2"))
       feat.filter(col("n_tok") >= 20 && col("d2") <= 0.05)
         .select("doc_id", "n_tok").orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1), clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS tc FROM surv GROUP BY doc_id), scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(tc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS tc FROM clean), t2 AS (SELECT doc_id, list_filter(string_split_regex(tc, '\s+'), t -> len(t) > 0) AS ws FROM scrub), feat AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, ROUND(CASE WHEN len(ws) >= 2 THEN 1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1) ELSE 0 END, 4) AS d2 FROM t2) SELECT doc_id, n_tok FROM feat WHERE n_tok >= 20 AND d2 <= 0.05 ORDER BY doc_id"""))
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1), clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS tc FROM surv GROUP BY doc_id), scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(tc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS tc FROM clean), t2 AS (SELECT doc_id, list_filter(string_split_regex(tc, '\s+'), t -> len(t) > 0) AS ws FROM scrub), feat AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, ROUND(CASE WHEN len(ws) >= 2 THEN 1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1) ELSE 0 END, 4) AS d2 FROM t2) SELECT doc_id, n_tok FROM feat WHERE n_tok >= 20 AND d2 <= 0.05 ORDER BY doc_id""")),
+
+    // Hash-stable train/val/test split — 80/10/10 by md5 bucket of doc_id:
+    // growth-stable (a doc's split never changes as the corpus grows),
+    // shuffle-free (pure projection), leakage-safe (id-keyed, not random).
+    ("qe26_split", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.splitByHash(
+          Engine.Tables(s, d).documents.select("doc_id"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy("doc_id")
+    }, Some("""WITH b AS (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""")),
+
+    // Token-budget domain mixing — per source, take docs in deterministic
+    // md5-priority order while the running token total stays <= 1000: the
+    // budget form of qe15's per-document stratified take.
+    ("qe27_budget_mix", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val withTok = docs
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Sampling.budgetedTakePerGroup(
+          withTok, "source", "doc_id", "n_tok", 1000L)
+        .select("source", "doc_id", "n_tok", "cum_w")
+        .orderBy("source", "doc_id")
+    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents WHERE len(trim(text)) > 0), c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_w FROM t) SELECT source, doc_id, n_tok, cum_w FROM c WHERE cum_w <= 1000 ORDER BY source, doc_id"""))
   )
 }

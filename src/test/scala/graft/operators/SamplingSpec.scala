@@ -51,6 +51,28 @@ class SamplingSpec extends SparkTestBase {
       "k=0 must yield an empty sample, matching the pre-heap sort-take form")
   }
 
+  test("budgeted take: inclusive cumsum cap, deterministic, nested in budget") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    def take(b: Long) = Sampling.budgetedTakePerGroup(docs, "source", "doc_id", "n_tok", b)
+    val got = take(1000L).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // per-group cum total stays within budget and equals the sum of kept weights
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).max <= 1000L)
+      assert(rows.map(_._4).max == rows.map(_._3).sum)
+    }
+    // nested: the 500-budget selection is a subset of the 1000-budget one
+    val small = take(500L).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(got.map(_._2).toSet))
+    // partitioning-independent
+    assert(Sampling.budgetedTakePerGroup(docs.repartition(13), "source", "doc_id", "n_tok", 1000L)
+      .collect().map(_.getLong(0)).toSet == got.map(_._2).toSet)
+  }
+
   test("splitByHash: disjoint, exhaustive, growth-stable train/val/test") {
     val ev = Engine.Tables(spark, Sf0001).events
     val split = Sampling.splitByHash(ev, "event_id",
