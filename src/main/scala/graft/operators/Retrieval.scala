@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus — the term-based complement
+  * to the embedding ANN operators ([[Similarity]]/[[IvfIndex]]): an
+  * inverted-postings view of the corpus plus BM25 top-k scoring of a small
+  * query set. This is the "find the training docs that mention X" primitive
+  * a curation pipeline runs constantly (targeted decontamination probes,
+  * eval-leak investigations, corpus spot-audits).
+  *
+  * Scale shape (the whole point):
+  *  - `postings` is ONE map-side-combined hash shuffle over the tokenized
+  *    corpus — the same shape as a word count; no sorts, no windows.
+  *  - Scoring touches only the postings SLICE matching some query term: the
+  *    tiny distinct-term frame broadcasts and rides the corpus scan as a
+  *    hash-probe filter, so corpus bytes never shuffle for terms no query
+  *    asked about. The slice materializes once (localCheckpoint) and feeds
+  *    BOTH the df (document-frequency) aggregate and the scoring branch —
+  *    the corpus is tokenized and shuffled ONCE per call (pinned in
+  *    PlanSpec: one corpus-scan subtree in the scoring plan).
+  *  - Per-query top-k goes through a rank window that Spark rewrites into
+  *    WindowGroupLimit (partial top-k per map partition BEFORE the
+  *    shuffle, Spark 3.5+ InferWindowGroupLimit) — a hot query term never
+  *    funnels its full candidate list through one task unbounded.
+  *  - All floating-point contributions quantize to scaled integers before
+  *    the per-(query, doc) sum: long addition is associative, so the score
+  *    is bit-identical under any partitioning (same pattern as
+  *    [[EmbedQuality]]'s centroid sums) and oracle-checkable.
+  *
+  * Reference tie-in: the reference has no retrieval surface at all — its
+  * closest analogue is the HKO module's substring place-filter
+  * (`/root/reference/src/modules/hko/hko.cpp:100-118`), a one-record
+  * `strcmp` scan. BM25 is the standard public formulation (Robertson &
+  * Spärck Jones; the +1 idf variant popularized by Lucene).
+  */
+object Retrieval {
+
+  /** Inverted postings: one row per (term, doc_id) with term frequency and
+    * document length. `dl` rides the groupBy keys (functionally dependent
+    * on doc_id) so no second join is needed to recover it. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k docs per query. `queries` is a SMALL frame
+    * (qid: long, qtext: string) — it broadcasts; the corpus side never
+    * does. Scores round to 4 decimals after an exact scaled-integer sum;
+    * ties break by doc_id. Output: (qid, doc_id, score, rnk), rnk 1..k.
+    *
+    * The idf is the Lucene-style non-negative variant
+    * ln((N - df + 0.5)/(df + 0.5) + 1): with the raw Robertson idf a
+    * term in >half the corpus scores negative, and a doc repeating it
+    * would be PENALIZED below docs not containing it at all. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val post = postings(docs)
+
+    // corpus stats: exact long token sum / long doc count -> one 1-row
+    // broadcast (the scale-safe global-aggregate join shape). avg() is NOT
+    // used: Spark averages integral columns over an exact long partial sum
+    // while other engines may accumulate doubles — sum/count is the form
+    // both engines compute identically.
+    val base = docs.filter(length(trim(col("text"))) > 0)
+      .select(TextAnalysis.tokenCount(col("text")).as("dl"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    // (qid, term): distinct terms PER QUERY — BM25 sums each term once
+    val qt = queries.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("term"))
+    val qterms = qt.select("term").distinct()
+
+    // postings slice: only terms some query mentions survive the scan.
+    // localCheckpoint materializes it ONCE — the df aggregate below and
+    // the scoring branch both consume it, and without the checkpoint
+    // Catalyst prunes tf from the df branch, the canonicalized subplans
+    // diverge, ReuseExchange can't fire, and the corpus is tokenized and
+    // shuffled TWICE (observed in the executed plan). The slice is the
+    // query-term-restricted sliver of the postings, bounded by
+    // |queried terms| · df — checkpointable where the postings are not.
+    val slice = post.join(broadcast(qterms), Seq("term")).localCheckpoint()
+
+    // document frequency per (queried) term — tiny output, broadcast back
+    val dfc = slice.groupBy("term").agg(count(lit(1)).cast("double").as("df_t"))
+
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val idf = log((col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)) + lit(1.0))
+    val scored = slice
+      .join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c6", floor(idf * num / den * lit(1e6) + lit(0.5)).cast("long"))
+
+    // attach qids (a term can serve several queries), exact long sum per
+    // (query, doc), then per-query top-k via the rank window Spark turns
+    // into WindowGroupLimit (partial top-k before the shuffle)
+    val perQ = scored.join(broadcast(qt), Seq("term"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("c6")).as("s6"))
+    val w = Window.partitionBy("qid").orderBy(col("s6").desc, col("doc_id"))
+    perQ.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"),
+        graft.functions.ScalarOps.r4(col("s6").cast("double") / lit(1e6)).as("score"),
+        col("rnk"))
+  }
+}

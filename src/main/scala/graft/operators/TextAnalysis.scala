@@ -205,6 +205,25 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source corpus data card — the summary table a curation run
+    * publishes alongside its output (docs, token volume, length profile,
+    * language spread per source). ONE map-side-combined hash shuffle on
+    * `source`; the median is the exact `percentile` aggregate (the oracle
+    * twin — at 100 TB swap in `approx_percentile`, the t-digest sketch,
+    * whose memory is O(1) per group instead of O(group)). avg_tok is an
+    * exact long sum / long count — never a double-accumulated mean. */
+  def corpusCard(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"), tokenCount(col("text")).as("n_tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        graft.functions.ScalarOps.r4(
+          sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"),
+        countDistinct(col("lang")).as("n_langs"),
+        graft.functions.ScalarOps.r4(expr("percentile(n_tok, 0.5)")).as("p50_tok"))
+
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
     * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
     * only if one exact text dominates, which exact-dedup removes first. */

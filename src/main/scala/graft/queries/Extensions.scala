@@ -449,6 +449,47 @@ object Extensions {
           withTok, "source", "doc_id", "n_tok", 1000L)
         .select("source", "doc_id", "n_tok", "cum_w")
         .orderBy("source", "doc_id")
-    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents WHERE len(trim(text)) > 0), c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_w FROM t) SELECT source, doc_id, n_tok, cum_w FROM c WHERE cum_w <= 1000 ORDER BY source, doc_id"""))
+    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents WHERE len(trim(text)) > 0), c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_w FROM t) SELECT source, doc_id, n_tok, cum_w FROM c WHERE cum_w <= 1000 ORDER BY source, doc_id""")),
+
+    // BM25 lexical retrieval — the term-based complement to qe3's embedding
+    // ANN: deterministic query set (every 97th doc's first 4 tokens) scored
+    // against the inverted-postings view; scaled-integer contributions so
+    // the score is partitioning-independent and oracle-exact.
+    ("qe28_bm25", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val qs = docs
+        .filter(col("doc_id") % 97 === 5 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+      graft.operators.Retrieval.bm25TopK(docs, qs, 10).orderBy("qid", "rnk")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), rk AS (SELECT qid, doc_id, s6, CAST(row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk FROM agg) SELECT qid, doc_id, ROUND(CAST(s6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
+    // Unigram-LM quality scoring (CCNet-style): fit on the corpus, score
+    // every doc's mean negative log-likelihood — the self-scoring audit
+    // form (outliers surface as high-nll rows). Scaled-integer per-token
+    // log-probs weighted by exact tf, so the mean is partitioning-
+    // independent and oracle-exact.
+    ("qe29_lm_nll", (s: SparkSession, d: String) => {
+      graft.operators.LmScore.selfScore(Engine.Tables(s, d).documents)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // LM-quality gate per source — the CCNet recipe end-to-end: score every
+    // doc's nll under the corpus unigram LM, then drop each source's worst
+    // decile against its OWN distribution (per-group exact quantile gate).
+    // Composition of qe29 (LmScore) and the qe19 gate machinery.
+    ("qe31_lm_gate", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val scored = graft.operators.LmScore.selfScore(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.operators.QuantileGate.atOrBelowPerGroup(scored, "source", "nll", 0.9)
+        .select("doc_id", "source", "nll").orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot), score AS (SELECT doc_id, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id), j AS (SELECT s.doc_id AS doc_id, d.source AS source, s.nll AS nll FROM score s JOIN documents d USING (doc_id)), hist AS (SELECT source, nll AS v, COUNT(*) AS c FROM j GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.9 * n) GROUP BY source) SELECT j.doc_id, j.source, j.nll FROM j JOIN thr ON j.source = thr.source AND j.nll <= thr ORDER BY doc_id""")),
+
+    // Per-source corpus data card — the summary a curation run publishes:
+    // docs, token volume, exact-long mean, language spread, median length.
+    ("qe30_datacard", (s: SparkSession, d: String) => {
+      TextAnalysis.corpusCard(Engine.Tables(s, d).documents).orderBy("source")
+    }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source"""))
   )
 }

@@ -188,4 +188,33 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: exact=$e approx=$a")
     }
   }
+
+  test("qe28 BM25: partial top-k before the shuffle, slice materialized once") {
+    val df = graft.SparkEntry.queries("qe28_bm25")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // per-query top-k must not funnel full candidate lists through one
+    // task: Spark's InferWindowGroupLimit plants a Partial limit map-side
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"rank window not rewritten to WindowGroupLimit:\n${s.take(2000)}")
+    // the scoring branch must consume the ONE materialized postings slice
+    // (localCheckpoint), not re-tokenize the corpus per consumer
+    assert(s.contains("Scan ExistingRDD"),
+      s"postings slice not materialized once:\n${s.take(2000)}")
+    // df/qterms/qid joins all broadcast; nothing falls to a cartesian
+    assert(s.contains("BroadcastHashJoin") && !s.contains("CartesianProduct"))
+  }
+
+  test("qe29 LM scoring: term join is NOT broadcast-pinned (vocab may exceed driver)") {
+    val df = graft.SparkEntry.queries("qe29_lm_nll")(spark, Sf0001)
+    val lp = df.queryExecution.optimizedPlan.toString
+    // the lm-frame join must stay eligible for a shuffle join at scale: no
+    // explicit broadcast hint on the vocab side (AQE may still choose to
+    // broadcast a small fitted vocab at runtime — that's the point). Only
+    // the 1-row totals cross join is hint-pinned.
+    val termJoin = lp.linesIterator.filter(_.contains("Join LeftOuter")).mkString("\n")
+    assert(termJoin.nonEmpty, s"expected the lm left join in:\n${lp.take(2000)}")
+    assert(!termJoin.contains("strategy=broadcast"),
+      s"vocab join must not be broadcast-pinned:\n$termJoin")
+  }
 }

@@ -677,6 +677,36 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LM scoring against a frozen unigram LM == batch nll") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    // freeze the LM on the batch corpus (the clean-reference fit), then
+    // score the same docs arriving as a stream — stream-static term join,
+    // one streaming aggregation, totals fixed at plan construction
+    val lm = graft.operators.LmScore.fitUnigram(docs)
+    val want = graft.operators.LmScore.nll(docs, lm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.LmScore.nllStream(input.toDF().toDF("doc_id", "text"), lm)
+      .writeStream.format("memory").queryName("t_lm_nll")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // each doc arrives whole in one chunk, so its group finalizes in that
+      // micro-batch; the last update per doc is the final score
+      val got = spark.table("t_lm_nll").groupBy("doc_id")
+        .agg(max(struct(col("n_tok"), col("nll"))).as("s"))
+        .select(col("doc_id"), col("s.n_tok"), col("s.nll")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"stream diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing over an ordered replay == batch packSharded") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
