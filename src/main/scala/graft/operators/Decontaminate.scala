@@ -64,6 +64,40 @@ object Decontaminate {
       .groupBy("doc_id").agg(count("*").as("n_hits"))
   }
 
+  /** Per-document overlap FRACTION against a reference corpus — the audit
+    * form of [[contamination]]: for every subject doc, what share of its
+    * distinct word n-grams also occurs anywhere in `reference`. Run
+    * test-split-vs-train-split it is the leakage audit published before a
+    * training run; run corpus-vs-benchmark it grades contamination severity
+    * instead of the boolean any-hit flag (pipelines gate on thresholds like
+    * "≥ 80% of the doc's 13-grams seen" rather than a single collision).
+    * Output: (doc_id, n_sh, n_leaked, leak_frac) — one row per subject doc
+    * that has at least one shingle (docs shorter than n words have no
+    * shingle set to audit, same absence semantics as [[Dedup.shingles]]).
+    *
+    * Scale shape: unlike [[contamination]], the reference side here is
+    * corpus-sized (a train split), so nothing broadcasts: both sides
+    * shuffle ONCE on an 8-byte `xxhash64(shingle)` key (≈ 2.5x less
+    * shuffle I/O than the ~20-byte shingle strings; a false merge needs a
+    * 64-bit collision between two shingles of one doc — n²/2^64, the same
+    * accepted odds as [[Dedup.jaccardPairs]]). The left join preserves
+    * non-leaked shingles so ONE pass yields both the total and the hit
+    * count — no second aggregate over the subject side, no checkpoint. */
+  def overlapFraction(subject: DataFrame, reference: DataFrame, n: Int): DataFrame = {
+    val sub = Dedup.shingles(subject, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val ref = Dedup.shingles(reference, n)
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .withColumn("__hit", lit(1L))
+    sub.join(ref, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_leaked"))
+      .select(col("doc_id"), col("n_sh"), col("n_leaked"),
+        graft.functions.ScalarOps.r4(
+          col("n_leaked").cast("double") / col("n_sh")).as("leak_frac"))
+  }
+
   /** Streaming form of [[contamination]]: documents are checked in-flight.
     * The probe is a STATELESS stream-static broadcast join (the benchmark
     * is a static relation, so no join state accumulates), and the only

@@ -113,4 +113,48 @@ object Retrieval {
         graft.functions.ScalarOps.r4(col("s6").cast("double") / lit(1e6)).as("score"),
         col("rnk"))
   }
+
+  /** Per-source distinctive terms — tf·idf where each SOURCE (domain) is
+    * the pseudo-document: tf = term occurrences inside the source, idf =
+    * ln(n_sources / n_sources_containing_term). The "what characterizes
+    * this domain" report a curation run publishes next to the data card
+    * (and the input to stopword induction: terms near idf 0 are
+    * corpus-wide boilerplate). Output: (source, term, tf, score, rnk),
+    * rnk 1..k per source, ties by term.
+    *
+    * Scale shape: tf is ONE map-side-combined hash shuffle (the word-count
+    * shape — |sources|·|vocab| out, corpus-size in). The source-frequency
+    * frame aggregates off the materialized tf slice (vocab-sized, NOT
+    * broadcast-pinned: corpus vocab can exceed the driver; AQE broadcasts
+    * small fits), and the distinct-source count is a 1-row broadcast.
+    * Idf quantizes to a scaled long BEFORE multiplying by the exact tf, so
+    * scores are bit-identical under any partitioning; per-source top-k
+    * goes through the rank window Spark rewrites to WindowGroupLimit —
+    * partial top-k per map partition, no global sort.
+    *
+    * tf materializes ONCE (localCheckpoint) for the same reason as the
+    * BM25 postings slice: unmaterialized, the df_s aggregate and the
+    * scoring branch each re-derive the full tokenize+shuffle. */
+  def domainTerms(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"domainTerms: k must be >= 1, got $k")
+    val tf = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // sources containing the term; df_s <= n_src so idf >= 0 always
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df_s"))
+    val nsrc = tf.select("source").distinct()
+      .agg(count(lit(1)).cast("double").as("n_src"))
+    val c6 = floor(log(col("n_src") / col("df_s")) * lit(1e6) + lit(0.5))
+      .cast("long") * col("tf")
+    val w = Window.partitionBy("source").orderBy(col("c6").desc, col("term"))
+    tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(nsrc))
+      .withColumn("c6", c6)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("term"), col("tf"),
+        graft.functions.ScalarOps.r4(col("c6").cast("double") / lit(1e6)).as("score"),
+        col("rnk"))
+  }
 }

@@ -490,6 +490,33 @@ object Extensions {
     // docs, token volume, exact-long mean, language spread, median length.
     ("qe30_datacard", (s: SparkSession, d: String) => {
       TextAnalysis.corpusCard(Engine.Tables(s, d).documents).orderBy("source")
-    }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source"""))
+    }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source""")),
+
+    // Per-source distinctive terms — tf·idf with each source as the
+    // pseudo-document: the "what characterizes this domain" report next to
+    // the data card, and the input to stopword induction (idf ~ 0 = corpus-
+    // wide boilerplate). Scaled-integer idf × exact tf, top-k per source
+    // via the WindowGroupLimit rank window.
+    ("qe32_domain_terms", (s: SparkSession, d: String) => {
+      graft.operators.Retrieval.domainTerms(Engine.Tables(s, d).documents, 10)
+        .orderBy("source", "rnk")
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0), tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_s FROM tf GROUP BY term), ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM tf), sc AS (SELECT source, term, tf, CAST(floor(ln(n_src / df_s) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tf JOIN dfs USING (term) CROSS JOIN ns), rk AS (SELECT source, term, tf, c6, CAST(row_number() OVER (PARTITION BY source ORDER BY c6 DESC, term) AS BIGINT) AS rnk FROM sc) SELECT source, term, tf, ROUND(CAST(c6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY source, rnk""")),
+
+    // Train→test split-leakage audit — the check published before any
+    // training run: for every test-split doc, what share of its distinct
+    // 5-gram shingles also occurs in the train split. Composes qe26's
+    // hash-stable split with the overlap-fraction audit (both sides are
+    // corpus-sized, so nothing broadcasts — one 8-byte-key shuffle each).
+    ("qe26b_split_leakage", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val sp = graft.operators.Sampling.splitByHash(
+        docs.select("doc_id"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val withSplit = docs.join(sp, "doc_id")
+      graft.operators.Decontaminate.overlapFraction(
+          withSplit.filter(col("split") === "test"),
+          withSplit.filter(col("split") === "train"), 5)
+        .orderBy("doc_id")
+    }, Some("""WITH sp AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents)), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'), te AS (SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh JOIN sp USING (doc_id) WHERE split = 'test') SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS leak_frac FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

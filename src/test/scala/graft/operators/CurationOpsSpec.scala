@@ -406,4 +406,28 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L),
       s"the null group must gate against its own threshold, got $kept")
   }
+
+  test("overlapFraction counts leaked distinct shingles per subject doc") {
+    val subject = Seq(
+      (1L, "a b c d e f"), // shingles: "a b c d e", "b c d e f"
+      (2L, "x y z"),       // < 5 tokens -> no shingle set, absent
+      (3L, "a b c d e"))   // one shingle, fully leaked
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (10L, "a b c d e"),  // the leaked shingle
+      (11L, "a b c d e"))  // duplicate in reference must not double-count
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlapFraction(subject, reference, 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)), got.toString)
+  }
+
+  test("overlapFraction: zero overlap yields frac 0.0, not absence") {
+    val subject = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val reference = Seq((9L, "u v w x y")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapFraction(subject, reference, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 1L, 0L, 0.0)), got.toString)
+  }
 }

@@ -141,4 +141,32 @@ class RetrievalSpec extends SparkTestBase {
       ("book", 1L, 3L, 3.0, 1L, 3.0),
       ("web", 4L, 12L, 3.0, 2L, 2.5)), got.toString)
   }
+
+  // ---- domainTerms --------------------------------------------------------
+
+  test("domainTerms matches the hand tf*idf exactly; boilerplate idf is 0") {
+    val docs = Seq(
+      (1L, "apple apple banana", "s1"),
+      (2L, "banana cherry cherry", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Retrieval.domainTerms(docs, 2).orderBy("source", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // n_src=2; apple/cherry in 1 source (idf ln2), banana in both (idf 0)
+    val ln2_4 = math.floor(math.floor(math.log(2.0) * 1e6 + 0.5) * 2 / 1e6 * 1e4 + 0.5) / 1e4
+    assert(got == Seq(
+      ("s1", "apple", 2L, ln2_4, 1L), ("s1", "banana", 1L, 0.0, 2L),
+      ("s2", "cherry", 2L, ln2_4, 1L), ("s2", "banana", 1L, 0.0, 2L)),
+      got.toString)
+  }
+
+  test("domainTerms: k truncates per source, ties break by term, k=0 fails fast") {
+    val docs = Seq((1L, "b a", "s1")).toDF("doc_id", "text", "source")
+    // both terms tf=1, idf ln(1)=0 -> tied at 0; term asc breaks the tie
+    val got = Retrieval.domainTerms(docs, 1).collect()
+      .map(r => (r.getString(1), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 1L)), got.toString)
+    val e = intercept[IllegalArgumentException](Retrieval.domainTerms(docs, 0))
+    assert(e.getMessage.contains("k must be >= 1"))
+  }
 }
