@@ -517,6 +517,35 @@ object Extensions {
           withSplit.filter(col("split") === "test"),
           withSplit.filter(col("split") === "train"), 5)
         .orderBy("doc_id")
-    }, Some("""WITH sp AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents)), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'), te AS (SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh JOIN sp USING (doc_id) WHERE split = 'test') SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS leak_frac FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY doc_id ORDER BY doc_id"""))
+    }, Some("""WITH sp AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents)), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'), te AS (SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh JOIN sp USING (doc_id) WHERE split = 'test') SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS leak_frac FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Capstone v3 — the whole "raw corpus → packed training bins" path in
+    // one query: hash-stable train split -> exact dedup (min-id survivor)
+    // -> benchmark decontamination (5-gram overlap) -> token-budget domain
+    // mix -> per-source sharded sequence packing. Every stage is an
+    // already-oracled operator (qe26, qe1, qe12, qe27, qe11b) composed
+    // end-to-end; the output is the per-(source, bin) packing manifest a
+    // training job consumes.
+    ("qe33_pipeline", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val train = graft.operators.Sampling.splitByHash(
+          docs.select("doc_id"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .filter(col("split") === "train").select("doc_id")
+      val surv = Dedup.exactDedup(docs.join(train, "doc_id"), Seq("text"), "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val bench = docs.filter(col("doc_id") % 19 === 3)
+      val cleaned = graft.operators.Decontaminate.clean(
+        docs.join(surv, "doc_id"), bench, 5)
+      val withTok = cleaned.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val mixed = graft.operators.Sampling.budgetedTakePerGroup(
+          withTok, "source", "doc_id", "n_tok", 1000L)
+        .select("source", "doc_id", "n_tok")
+      graft.operators.SeqPack.binStatsSharded(
+          mixed, "source", "doc_id", "n_tok", 256L)
+        .orderBy("shard", "bin")
+    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin"""))
   )
 }
