@@ -217,4 +217,50 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!termJoin.contains("strategy=broadcast"),
       s"vocab join must not be broadcast-pinned:\n$termJoin")
   }
+
+  test("qe32 domain terms: partial top-k map-side; source-frequency join not broadcast-pinned") {
+    val df = graft.SparkEntry.queries("qe32_domain_terms")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // per-source top-k must limit before the shuffle, never a global sort
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"rank window not rewritten to WindowGroupLimit:\n${s.take(2000)}")
+    assert(!s.contains("CartesianProduct"))
+    // the df_s frame is vocab-sized — it must stay eligible for a shuffle
+    // join at scale (no explicit broadcast hint; AQE may still pick one)
+    val lp = df.queryExecution.optimizedPlan.toString
+    val dfsJoin = lp.linesIterator.filter(l =>
+      l.contains("Join Inner") && !l.contains("strategy=broadcast")).mkString
+    assert(dfsJoin.nonEmpty,
+      s"expected an unpinned inner join for the df_s frame:\n${lp.take(2000)}")
+  }
+
+  test("qe26b split leakage: both sides corpus-sized — no broadcast pin, no cartesian") {
+    val df = graft.SparkEntry.queries("qe26b_split_leakage")(spark, Sf0001)
+    val lp = df.queryExecution.optimizedPlan.toString
+    // the test-shingle vs train-shingle join must not be broadcast-pinned:
+    // at scale BOTH sides are corpus-sized (AQE can still pick a broadcast
+    // when the train slice fits — that's runtime's call, not the plan's)
+    val leakJoin = lp.linesIterator.filter(_.contains("Join LeftOuter")).mkString("\n")
+    assert(leakJoin.nonEmpty, s"expected the leakage left join in:\n${lp.take(2000)}")
+    assert(!leakJoin.contains("strategy=broadcast"),
+      s"leakage join must not be broadcast-pinned:\n$leakJoin")
+    df.collect()
+    assert(!planOf(df).toString.contains("CartesianProduct"))
+  }
+
+  test("qe33 pipeline: equi-joins only, one benchmark broadcast, sharded window (no global sort)") {
+    val df = graft.SparkEntry.queries("qe33_pipeline")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    // the decontamination probe broadcasts the benchmark shingle set
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    // packing runs as a PARTITIONED window (per-source shards): a global-
+    // order window would shuffle everything into ONE task via an
+    // `Exchange SinglePartition` — the scale-killer this pin guards against
+    assert(!s.contains("SinglePartition"),
+      s"single-task exchange in the pipeline plan:\n${s.take(2000)}")
+  }
 }
