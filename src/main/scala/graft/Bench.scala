@@ -68,25 +68,32 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map(n => n -> exec(n))
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jsonLine(fmt: Double => String, key: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // stdout gets CENTISECOND precision: the driver keeps only the last
-    // 2000 chars of output and the sbt epilogue shares that window; at
-    // 80+ queries a 3-decimal line is ~1900 chars — one query from
-    // overflow — while 2 decimals is ~1820 with headroom. Per-query
-    // run-to-run noise is ±250 ms, so nothing real is lost; bench_out
-    // .json below keeps full precision.
+    // stdout must fit the driver's tail window: it keeps only the LAST
+    // 2000 chars of output and the sbt epilogue shares that window, so
+    // an oversized line loses its HEAD — the {"metric":"total",... part —
+    // and the round's bench silently parses to null. At 88 queries even a
+    // 2-decimal full-name line is ~1950 chars. stdout therefore keys each
+    // query by its unique id prefix ("q01", "qe13b" — the driver
+    // contract's own example uses "q1") at centisecond precision
+    // (~1240 chars); bench_out.json below keeps full names and full
+    // precision and is the authoritative record.
+    val shortKey: String => String = n => n.takeWhile(_ != '_')
+    val keyed = if (results.map(r => shortKey(r._1)).distinct.size == results.size)
+      shortKey else identity[String] _ // collision → full names, never ambiguity
     // Locale.ROOT: the default-locale f"%.2f" would print "0,12" on a
     // comma-decimal locale (de_DE), silently breaking the JSON again
-    println(jsonLine(v => "%.2f".formatLocal(java.util.Locale.ROOT, v)))
+    println(jsonLine(v => "%.2f".formatLocal(java.util.Locale.ROOT, v), keyed))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(_.toString) + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      jsonLine(_.toString, identity) + "\n")
     spark.stop()
   }
 }

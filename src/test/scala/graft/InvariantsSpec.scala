@@ -54,4 +54,20 @@ class InvariantsSpec extends SparkTestBase {
         abs(col("once") - col("once")) > 0.0)
     assert(bad.count() == 0)
   }
+
+  test("bench stdout stays inside the driver's 2000-char tail window") {
+    // the driver keeps only the LAST 2000 chars of bench stdout and the
+    // sbt epilogue shares that window; an oversized JSON line loses its
+    // head and the round's bench parses to null (BENCH_r06). Bench keys
+    // stdout by the unique id prefix — both properties guarded here.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val short = names.map(_.takeWhile(_ != '_'))
+    assert(short.distinct.size == names.size,
+      s"duplicate short bench keys: ${short.diff(short.distinct).distinct}")
+    val line = "{\"metric\":\"total\",\"value\":99999.99,\"unit\":\"sec\"," +
+      "\"queries\":{" + short.map(s => "\"" + s + "\":99999.99").mkString(",") +
+      "},\"sf\":\"/root/testdata/sf0.1\"}"
+    assert(line.length <= 1800,
+      s"bench stdout line ${line.length} chars — too close to the 2000-char window")
+  }
 }
