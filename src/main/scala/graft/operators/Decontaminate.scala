@@ -82,7 +82,12 @@ object Decontaminate {
     * 64-bit collision between two shingles of one doc — n²/2^64, the same
     * accepted odds as [[Dedup.jaccardPairs]]). The left join preserves
     * non-leaked shingles so ONE pass yields both the total and the hit
-    * count — no second aggregate over the subject side, no checkpoint. */
+    * count — no second aggregate over the subject side, no checkpoint.
+    *
+    * Runs unchanged on a STREAMING subject (the qe26b audit in-flight):
+    * the reference shingle set is the static side of a stream-static left
+    * join, so no join state accumulates and the only streaming state is
+    * the per-doc count pair — replay == batch asserted in StreamingSpec. */
   def overlapFraction(subject: DataFrame, reference: DataFrame, n: Int): DataFrame = {
     val sub = Dedup.shingles(subject, n)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))

@@ -737,4 +737,38 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream packing diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming leakage audit over a replay == batch overlapFraction") {
+    // the qe26b audit run in-flight: the train-split shingle set is the
+    // STATIC side of a stream-static left join (no join state accumulates);
+    // the only streaming state is the per-doc (n_sh, n_leaked) counts
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val sp = graft.operators.Sampling.splitByHash(
+      docs.select("doc_id"), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val withSplit = docs.join(sp, "doc_id")
+    val test_ = withSplit.filter(col("split") === "test")
+    val train = withSplit.filter(col("split") === "train")
+    val want = graft.operators.Decontaminate.overlapFraction(test_, train, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = graft.operators.Decontaminate.overlapFraction(
+      input.toDF().toDF("doc_id", "text"), train, 5)
+    val q = stream.writeStream.format("memory").queryName("t_leak")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = test_.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // counts only grow as updates refine: max per doc is the final state
+      val got = spark.table("t_leak").groupBy("doc_id")
+        .agg(max("n_sh").as("n_sh"), max("n_leaked").as("n_leaked")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"stream leakage diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
 }
