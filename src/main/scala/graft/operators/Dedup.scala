@@ -309,6 +309,44 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** E2 scale path, clustering form — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540, public method): k-means-cluster the embedding space
+    * (the [[IvfIndex]] coarse quantizer), verify within-cluster pairs
+    * EXACTLY with the fused cosine kernel, resolve duplicate groups via
+    * connected components, and keep only each group's min-id survivor.
+    * Returns (id, cell, keep_id, is_kept) — every input row classified, so
+    * both the survivor corpus (`is_kept`) and the drop audit are one
+    * filter away.
+    *
+    * Same precision/recall split as [[embeddingNearDupsBlocked]]: dropped
+    * rows are exact-verified (precision 1.0); recall is approximate —
+    * only pairs landing in the same cell are examined, so near-dups
+    * straddling a cell boundary survive. The blocking economics differ
+    * from SRP: ONE table (one assignment pass + one equi-join on `cell`)
+    * instead of `tables` hash tables, at the price of the quantizer fit.
+    * Within-cell pair generation is quadratic in cell occupancy — nlist
+    * must grow ~n/occupancy exactly like the SRP `nbits` knob; the fit
+    * cost stays bounded because [[IvfIndex.build]] trains on a capped
+    * deterministic sample (assignment still covers every row). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int, seed: Long = 42L): DataFrame = {
+    val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed)
+    val sides = assigned.select(col("cell"), col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint() // feeds both join sides; assign + fit run ONCE
+    val pairs = sides.select(col("cell"), col("id").as("da"), col("v").as("va"))
+      .join(sides.select(col("cell"), col("id").as("db"), col("v").as("vb")), Seq("cell"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val comp = DupClusters.clusters(pairs) // (doc_id, cluster=min id)
+    sides.select(col("id"), col("cell"))
+      .join(comp.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("cluster"), col("id")).as("keep_id"))
+      .withColumn("is_kept", (col("id") === col("keep_id")).cast("int"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit vote over xxhash64 token hashes.

@@ -64,6 +64,17 @@ object Extensions {
         .orderBy("da", "db")
     }, None),
 
+    // E2 (clustering scale path) — SemDeDup: k-means cells → within-cell
+    // exact cosine verify → connected components → min-id survivor per
+    // duplicate group. Drops are exact-verified (precision 1.0); recall is
+    // approximate (cell-boundary pairs escape) and asserted vs the exact
+    // graph in DedupSpec → rows-only driver check like qe7b.
+    ("qe7c_semantic_dedup", (s: SparkSession, d: String) => {
+      Dedup.semanticDedup(Engine.Tables(s, d).embeddings,
+          "vec_id", "embedding", 0.45, nlist = 8)
+        .orderBy("id")
+    }, None),
+
     // E3 — brute-force cosine top-5 for query vectors vec_id < 10
     ("qe3_knn_brute", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings

@@ -87,6 +87,35 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.85, s"SRP-blocked recall $recall ($missed/$nExact missed) too low")
   }
 
+  test("semanticDedup: drops are exact-verified (precision 1.0), recall measured vs exact graph") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val exactPairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+      .select("da", "db")
+    // ground-truth drop set: non-survivor members of the exact components
+    val exactDrop = DupClusters.clusters(exactPairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    assert(exactDrop.nonEmpty, "testdata must contain droppable near-dups")
+    val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45, nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // every input row classified exactly once
+    assert(sem.length == emb.count(), "semanticDedup must classify every row")
+    // precision 1.0: a dropped id must be a true member of some exact pair
+    val pairMembers = exactPairs.collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val semDrop = sem.filter(_._4 == 0).map(_._1).toSet
+    assert((semDrop -- pairMembers).isEmpty,
+      s"dropped ids with no exact near-dup: ${(semDrop -- pairMembers).take(5)}")
+    // survivors are their own keep_id; drops point at a kept survivor
+    sem.foreach { case (id, _, keep, kept) =>
+      assert(if (kept == 1) keep == id else keep != id) }
+    // recall: within-cell verification can only miss boundary-straddling
+    // pairs — the approximation SemDeDup trades for one-table blocking
+    val recall = (semDrop & exactDrop).size.toDouble / exactDrop.size
+    assert(recall >= 0.6,
+      s"SemDeDup recall $recall (${(exactDrop -- semDrop).size}/${exactDrop.size} missed)")
+  }
+
   test("auto table sizing refuses loudly when the 0.95 recall target is unreachable") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
