@@ -56,4 +56,21 @@ object SeqPack {
     packSharded(df, shardCol, idCol, tokCol, budget)
       .groupBy(col(shardCol).as("shard"), col("bin"))
       .agg(count("*").as("n_docs"), sum(col(tokCol)).as("tok"))
+
+  /** Packing-efficiency report per shard: bins used, docs and tokens
+    * packed, and fill fraction (tokens over bins × budget) — underfill is
+    * wasted accelerator time, so this is the number a packing run is
+    * actually judged on. Pure second aggregation over [[binStatsSharded]]
+    * (bin cardinality, ≪ corpus); exact long sums, one ratio at the end.
+    * Under concat-then-chunk accounting a doc's full token count lands in
+    * the bin its FIRST token falls into, so a single shard's fill can
+    * exceed 1.0 when long docs overflow their opening bin. */
+  def packEfficiency(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
+                     budget: Long): DataFrame =
+    binStatsSharded(df, shardCol, idCol, tokCol, budget)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"), sum("n_docs").as("n_docs"),
+        sum("tok").as("tok"),
+        graft.functions.ScalarOps.r4(
+          sum("tok").cast("double") / (count(lit(1)) * lit(budget))).as("fill_frac"))
 }

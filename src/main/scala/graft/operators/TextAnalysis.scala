@@ -224,6 +224,25 @@ object TextAnalysis {
         countDistinct(col("lang")).as("n_langs"),
         graft.functions.ScalarOps.r4(expr("percentile(n_tok, 0.5)")).as("p50_tok"))
 
+  /** Tokenizer-fertility report per source: chars per (BPE-ish) token and
+    * sub-tokens per whitespace word — the metric a pipeline publishes when
+    * choosing/validating a tokenizer per domain (high fertility = the
+    * tokenizer fragments this domain's text; code and non-Latin domains
+    * are the classic offenders). Exact long sums per source (ONE map-side-
+    * combined shuffle), ratios computed once from the sums — never an
+    * averaged average. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), length(col("text")).cast("long").as("n_ch"),
+        tokenCount(col("text")).as("n_w"), bpeishCount(col("text")).as("n_b"))
+      .groupBy("source")
+      .agg(sum("n_ch").as("n_chars"), sum("n_w").as("n_ws"),
+        sum("n_b").as("n_bpeish"),
+        graft.functions.ScalarOps.r4(
+          sum("n_ch").cast("double") / sum("n_b")).as("chars_per_tok"),
+        graft.functions.ScalarOps.r4(
+          sum("n_b").cast("double") / sum("n_w")).as("toks_per_word"))
+
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
     * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
     * only if one exact text dominates, which exact-dedup removes first. */

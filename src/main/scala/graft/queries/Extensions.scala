@@ -196,6 +196,17 @@ object Extensions {
         .orderBy("shard", "bin")
     }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST(doc_id % 8 AS BIGINT) AS shard, CAST((SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin FROM t) SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // Packing-efficiency report — bins, docs, tokens and fill fraction per
+    // shard (underfill = wasted accelerator time): the qe11b packing run's
+    // publishable scorecard, one more tiny aggregation over its bins.
+    ("qe11c_pack_efficiency", (s: SparkSession, d: String) => {
+      val withTok = Engine.Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      graft.operators.SeqPack.packEfficiency(withTok, "shard", "doc_id", "n_tok", 2048L)
+        .orderBy("shard")
+    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST(doc_id % 8 AS BIGINT) AS shard, CAST((SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin FROM t), s AS (SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin) SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok, ROUND(CAST(SUM(tok) AS DOUBLE) / (COUNT(*) * 2048), 4) AS fill_frac FROM s GROUP BY shard ORDER BY shard""")),
+
     // E5 — multimodal payload plumbing: binary column + deterministic
     // stub-decoded metadata (oracle checks the SQL-expressible subset)
     ("qe5_multimodal", (s: SparkSession, d: String) => {
@@ -502,6 +513,14 @@ object Extensions {
     ("qe30_datacard", (s: SparkSession, d: String) => {
       TextAnalysis.corpusCard(Engine.Tables(s, d).documents).orderBy("source")
     }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source""")),
+
+    // Tokenizer-fertility card — chars per BPE-ish token and sub-tokens
+    // per word, per source: the metric that flags domains a tokenizer
+    // fragments. Exact long sums; ratios from sums, never averaged
+    // averages.
+    ("qe34_fertility", (s: SparkSession, d: String) => {
+      TextAnalysis.fertility(Engine.Tables(s, d).documents).orderBy("source")
+    }, Some("""WITH t AS (SELECT source, CAST(len(text) AS BIGINT) AS n_ch, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_w, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_b FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(SUM(n_ch) AS BIGINT) AS n_chars, CAST(SUM(n_w) AS BIGINT) AS n_ws, CAST(SUM(n_b) AS BIGINT) AS n_bpeish, ROUND(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_b), 4) AS chars_per_tok, ROUND(CAST(SUM(n_b) AS DOUBLE) / SUM(n_w), 4) AS toks_per_word FROM t GROUP BY source ORDER BY source""")),
 
     // Per-source distinctive terms — tf·idf with each source as the
     // pseudo-document: the "what characterizes this domain" report next to

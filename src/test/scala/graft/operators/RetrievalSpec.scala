@@ -142,6 +142,21 @@ class RetrievalSpec extends SparkTestBase {
       ("web", 4L, 12L, 3.0, 2L, 2.5)), got.toString)
   }
 
+  test("fertility ratios come from exact sums, empty docs excluded") {
+    val docs = Seq(
+      (1L, "ab cd-ef", "web"),   // 8 ch; 2 words; bpeish: ab,cd,-,ef = 4
+      (2L, "x9", "web"),         // 2 ch; 1 word; bpeish: x,9 = 2
+      (3L, " ", "web"),          // blank -> excluded
+      (4L, "hello", "book"))     // 5 ch; 1 word; 1 bpeish
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.fertility(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("book", 5L, 1L, 1L, 5.0, 1.0),
+      ("web", 10L, 3L, 6L, 1.6667, 2.0)), got.toString)
+  }
+
   // ---- domainTerms --------------------------------------------------------
 
   test("domainTerms matches the hand tf*idf exactly; boilerplate idf is 0") {

@@ -43,4 +43,20 @@ class SeqPackSpec extends SparkTestBase {
     val bins = stats.map(_.getAs[Long]("bin")).toSeq
     assert(bins == (bins.min to bins.max).toSeq, "bins must be contiguous")
   }
+
+  test("packEfficiency reports bins, totals, and fill fraction per shard") {
+    import spark.implicits._
+    // concat-then-chunk: a doc belongs to the bin its FIRST token lands in.
+    // shard 0: 8-tok doc fills bin 0; the 5-tok doc starts at cum 8 -> bin 1
+    // shard 1: one 3-token doc -> one bin
+    val docs = Seq((0L, 0L, 8L), (2L, 0L, 5L), (1L, 1L, 3L))
+      .toDF("doc_id", "shard", "n_tok")
+    val got = SeqPack.packEfficiency(docs, "shard", "doc_id", "n_tok", 8L)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 13L, 0.8125), // 13/16 exact at 4 decimals
+      (1L, 1L, 1L, 3L, 0.375)), got.toString)
+  }
 }
