@@ -114,6 +114,43 @@ object Retrieval {
         col("rnk"))
   }
 
+  /** Hybrid retrieval: BM25 candidate generation re-ranked by embedding
+    * cosine — the standard two-stage "lexical recall, semantic precision"
+    * stack (BM25 → dense rerank, as popularized by public IR systems;
+    * cf. Lin et al., Pyserini). `embeddings` is (vec_id, embedding) keyed
+    * by the same id space as `docs.doc_id`; candidates without an
+    * embedding row drop out of the rerank (inner join — both engines
+    * agree), and a query doc without an embedding contributes no output.
+    *
+    * Scale shape: stage 1 is [[bm25TopK]] (corpus tokenized/shuffled
+    * once). Stage 2 never shuffles the embedding corpus: the candidate
+    * list (|queries|·kLex rows) and the query-vector slice are both tiny
+    * and BROADCAST onto one embeddings scan; scoring is the fused codegen
+    * CosineSim kernel; final top-k is the WindowGroupLimit rank window
+    * over |queries|·kLex scored rows. Ranking uses the RAW cosine
+    * (bit-identical in both engines — the qe3 contract), rounding only on
+    * output. */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                 k: Int, kLex: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"hybridTopK: k must be >= 1, got $k")
+    require(kLex >= k, s"hybridTopK: kLex ($kLex) must be >= k ($k) — " +
+      "stage 1 must supply at least as many candidates as stage 2 returns")
+    val lex = bm25TopK(docs, queries, kLex, k1, b).select(col("qid"), col("doc_id"))
+    val qv = embeddings.join(broadcast(queries.select("qid").distinct()),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qv"))
+    val cv = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+    val scored = cv.join(broadcast(lex), "doc_id")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("doc_id"),
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"),
+        graft.functions.ScalarOps.r4(col("cos")).as("cos"), col("rnk"))
+  }
+
   /** Per-source distinctive terms — tf·idf where each SOURCE (domain) is
     * the pseudo-document: tf = term occurrences inside the source, idf =
     * ln(n_sources / n_sources_containing_term). The "what characterizes

@@ -486,6 +486,21 @@ object Extensions {
       graft.operators.Retrieval.bm25TopK(docs, qs, 10).orderBy("qid", "rnk")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), rk AS (SELECT qid, doc_id, s6, CAST(row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk FROM agg) SELECT qid, doc_id, ROUND(CAST(s6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
+    // Hybrid retrieval — BM25 candidates (qe28's query set, top-30)
+    // re-ranked by embedding cosine: the standard two-stage lexical-recall
+    // / semantic-precision stack. Candidates and query vectors broadcast
+    // onto ONE embeddings scan; ranking on the raw cosine (qe3 contract).
+    ("qe28b_hybrid", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val emb = Engine.Tables(s, d).embeddings
+      val qs = docs
+        .filter(col("doc_id") % 97 === 5 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+      graft.operators.Retrieval.hybridTopK(docs, emb, qs, 10, 30)
+        .orderBy("qid", "rnk")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), lex AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS rnk FROM agg) WHERE rnk <= 30), qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IN (SELECT DISTINCT qid FROM qt)), cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc2 AS (SELECT l.qid AS qid, l.doc_id AS doc_id, list_inner_product(qv.v, cv.v) / (sqrt(list_inner_product(qv.v, qv.v)) * sqrt(list_inner_product(cv.v, cv.v))) AS cos FROM lex l JOIN cv USING (doc_id) JOIN qv ON qv.qid = l.qid), rk2 AS (SELECT qid, doc_id, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc2) SELECT qid, doc_id, ROUND(cos, 4) AS cos, rnk FROM rk2 WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
     // Unigram-LM quality scoring (CCNet-style): fit on the corpus, score
     // every doc's mean negative log-likelihood — the self-scoring audit
     // form (outliers surface as high-nll rows). Scaled-integer per-token

@@ -142,6 +142,25 @@ class RetrievalSpec extends SparkTestBase {
       ("web", 4L, 12L, 3.0, 2L, 2.5)), got.toString)
   }
 
+  test("hybridTopK reranks BM25 candidates by cosine; missing embeddings drop") {
+    // docs 1-3 all match "kiwi"; embeddings order docs 3 > 2 by cosine to
+    // the query vector, doc 1 has NO embedding and must drop from stage 2
+    val docs = Seq((1L, "kiwi a"), (2L, "kiwi b"), (3L, "kiwi c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((9L, "kiwi")).toDF("qid", "qtext")
+    val emb = Seq(
+      (9L, Seq(1.0f, 0.0f)),  // query vector
+      (2L, Seq(0.6f, 0.8f)),  // cos 0.6
+      (3L, Seq(0.8f, 0.6f)))  // cos 0.8 -> must outrank doc 2
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(docs, emb, qs, 2, 3).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq((9L, 3L, 0.8, 1L), (9L, 2L, 0.6, 2L)), got.toString)
+    val e = intercept[IllegalArgumentException](
+      Retrieval.hybridTopK(docs, emb, qs, 5, 3))
+    assert(e.getMessage.contains("kLex"))
+  }
+
   test("fertility ratios come from exact sums, empty docs excluded") {
     val docs = Seq(
       (1L, "ab cd-ef", "web"),   // 8 ch; 2 words; bpeish: ab,cd,-,ef = 4
