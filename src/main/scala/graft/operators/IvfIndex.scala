@@ -48,6 +48,34 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** APPLY-side cell assignment from a centroid FRAME — the fit/apply
+    * split for the coarse quantizer (same pattern as
+    * [[QuantileGate.fitThreshold]] / [[LmScore.fitUnigram]]): [[build]]
+    * fits ONCE, the (cell, centroid) frame persists as an ordinary table,
+    * and any later corpus — including one arriving after the fit, on a
+    * cluster that never saw the MLlib model object — is assigned by pure
+    * DataFrame ops: broadcast the nlist-row centroid frame, score every
+    * (vector, centroid) pair with the fused codegen distance, keep the
+    * argmin cell via one max_by aggregation (no window, no shuffle of the
+    * vector corpus beyond the argmin's own hash agg — and that aggregates
+    * |vectors|·nlist down to |vectors| with map-side partial combine).
+    *
+    * Assignment is by L2 distance (k-means geometry; same argmin as the
+    * squared form); ties break toward the LOWER cell id, deterministic
+    * under any partitioning.
+    * Equality with the fitted model's own `transform` is asserted in
+    * SimilaritySpec. */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("__d2", VectorOps.l2Dist(col(vecCol), col("centroid")))
+    // argmin as max_by over (-d2, -cell): associative, partial-aggregated
+    // map-side — the windowed row_number form would sort |vectors|·nlist
+    scored.groupBy(col(idCol))
+      .agg(max_by(col("cell"),
+        struct((-col("__d2")).as("nd"), (-col("cell")).as("nc"))).as("cell"))
+  }
+
   /** Top-k by cosine within the query's `nprobe` nearest cells.
     *
     * Probe cells rank by L2 distance to the centroid even though the final

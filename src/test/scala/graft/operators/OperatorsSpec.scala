@@ -242,6 +242,24 @@ class SimilaritySpec extends SparkTestBase {
       "null-embedding candidates can never match anything")
   }
 
+  test("IVF fit/apply split: assign from a persisted centroid table == model transform") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (assigned, centroids) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    // round-trip the centroids through parquet: the apply side must need
+    // only an ordinary table, never the fitted MLlib model object
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
+    centroids.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val want = assigned.select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = IvfIndex.assign(emb.select("vec_id", "embedding"), loaded,
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == want.size)
+    val diff = got.filter { case (id, c) => want(id) != c }
+    assert(diff.isEmpty, s"assign diverged from model.transform on ${diff.take(5)}")
+  }
+
 }
 
 class TextAnalysisSpec extends SparkTestBase {
