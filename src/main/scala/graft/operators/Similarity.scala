@@ -99,4 +99,31 @@ object Similarity {
       srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
     rankTopK(c.join(q, "bucket"), k)
   }
+
+  /** kNN majority-vote label propagation: predict each query row's label
+    * from the labels of its k nearest labeled neighbors by cosine — the
+    * screen that extends a small trusted label set (quality ratings,
+    * topic tags) over an unlabeled corpus before filtering on it.
+    *
+    * Scale shape: the exact top-k reuses [[bruteForceTopK]] (queries
+    * broadcast over one candidate scan; only |q|·k rows shuffle), then the
+    * tiny neighbor list BROADCASTS back onto the labeled frame to pick up
+    * labels — the corpus-sized side never shuffles. Votes are exact longs.
+    *
+    * Determinism: neighbor ties break by cid (rankTopK contract); vote
+    * ties break by (votes desc, label asc) via one max_by over a struct
+    * key — no window over the vote frame. Output (qid, pred_label, votes).
+    */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = bruteForceTopK(labeled.select("vec_id", "embedding"), queries, k)
+    val votes = labeled.select(col("vec_id").as("cid"), col("label"))
+      .join(broadcast(topk.select("qid", "cid")), Seq("cid"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("qid"))
+      .agg(max_by(struct(col("label"), col("votes")),
+        struct(col("votes"), negate(col("label")))).as("__w"))
+      .select(col("qid"), col("__w.label").as("pred_label"),
+        col("__w.votes").as("votes"))
+  }
 }

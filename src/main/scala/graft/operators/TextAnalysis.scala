@@ -111,6 +111,73 @@ object TextAnalysis {
         r4(st.getField("dup_2gram_frac")).as("dup_2gram_frac"))
   }
 
+  /** Per-document token-distribution entropy: (doc_id, n_tok, n_types,
+    * entropy) — the concentration signal next to [[repetitionStats]]'s
+    * duplication fractions (and the type count gives type/token ratio for
+    * free). One shuffle-free codegen scan via
+    * [[graft.functions.EntropyKernel]]; an explode + groupBy formulation
+    * would shuffle every token in the corpus to compute a per-row number.
+    * The aggregate twin ([[tokenEntropyAgg]]) is that shuffling form,
+    * kept as the bit-equality reference. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val st = col("__st")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.TokenEntropyExpr.token_entropy(tokens(col("text"))).as("__st"))
+      .select(
+        col("doc_id"),
+        st.getField("n_tok").as("n_tok"),
+        st.getField("n_types").as("n_types"),
+        graft.functions.ScalarOps.r4(st.getField("entropy")).as("entropy"))
+  }
+
+  /** The explode + groupBy twin of [[tokenEntropy]] — same quantized-term
+    * math through Spark's aggregate path instead of the kernel, so the
+    * per-(doc, term) contributions arrive in a different order and the
+    * scaled-long sum proves order independence (asserted bit-equal in
+    * CurationOpsSpec). */
+  private[graft] def tokenEntropyAgg(docs: DataFrame): DataFrame = {
+    val tc = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    tc.withColumn("c6",
+        floor(col("tf").cast("double") * log(col("tf").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c6")).as("c6"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        graft.functions.ScalarOps.r4(
+          (log(col("n_tok").cast("double")) - col("c6").cast("double") / lit(1e6) / col("n_tok").cast("double"))
+            / lit(Math.log(2.0))).as("entropy"))
+  }
+
+  /** Overlapping token-window chunks: each doc splits into windows of
+    * `width` tokens starting every `stride` tokens (stride < width ⇒
+    * overlap of width − stride), the RAG/context-window prep step that
+    * turns documents into model-sized passages. Output (doc_id, chunk_id,
+    * n_tok, chunk_text); trailing chunks may be short.
+    *
+    * Pure per-row explode — no shuffle, no state: output partitioning
+    * inherits the scan's, so a downstream repartition is the consumer's
+    * choice, not a tax this operator imposes. */
+  def chunk(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"chunk: width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"chunk: stride must be in [1, width=$width], got $stride")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ws")) - 1, lit(stride)),
+          st => slice(col("__ws"), st + 1, lit(width)))).as(Seq("chunk_id", "__ct")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__ct")).cast("long").as("n_tok"),
+        array_join(col("__ct"), " ").as("chunk_text"))
+  }
+
   /** The composable HOF twin of [[repetitionStats]] — the readable
     * reference form the kernel must match bit-for-bit (asserted in
     * CurationOpsSpec). */

@@ -591,6 +591,34 @@ object Extensions {
       graft.operators.SeqPack.binStatsSharded(
           mixed, "source", "doc_id", "n_tok", 256L)
         .orderBy("shard", "bin")
-    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin"""))
+    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // E3 (application) — kNN majority-vote label propagation: the first 20
+    // vectors play "unlabeled", the rest vote with their labels. Exact
+    // top-5 by cosine (qe3's bit-parity ranking), then one max_by picks
+    // (votes desc, label asc) deterministically.
+    ("qe35_knn_label", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      Similarity.knnClassify(emb.filter(col("vec_id") >= 20),
+          emb.filter(col("vec_id") < 20), 5)
+        .orderBy("qid")
+    }, Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 20), c AS (SELECT vec_id AS cid, label, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e WHERE vec_id >= 20), scored AS (SELECT qid, cid, label, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q), ranked AS (SELECT qid, cid, label, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM scored), votes AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes FROM ranked WHERE rnk <= 5 GROUP BY qid, label), best AS (SELECT qid, label, votes, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr FROM votes) SELECT qid, label AS pred_label, votes FROM best WHERE vr = 1 ORDER BY qid""")),
+
+    // E4 — overlapping token-window chunking (width 64, stride 48): the
+    // passage-prep step for context-window training / retrieval corpora.
+    // Shuffle-free per-row explode.
+    ("qe36_chunk", (s: SparkSession, d: String) => {
+      TextAnalysis.chunk(Engine.Tables(s, d).documents, 64, 48)
+        .orderBy("doc_id", "chunk_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
+
+    // E4 — per-doc token-distribution entropy + type count: the
+    // concentration quality signal next to qe14's repetition fractions.
+    // Shuffle-free kernel scan; per-term contributions quantize to scaled
+    // longs so hash-map order and the oracle's GROUP BY order agree.
+    ("qe37_entropy", (s: SparkSession, d: String) => {
+      TextAnalysis.tokenEntropy(Engine.Tables(s, d).documents)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), sc AS (SELECT doc_id, tf, CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM tc) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS n_types, ROUND((ln(CAST(SUM(tf) AS DOUBLE)) - CAST(SUM(c6) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE)) / ln(2), 4) AS entropy FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

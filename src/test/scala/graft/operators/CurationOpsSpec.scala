@@ -430,4 +430,75 @@ class CurationOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == Seq((1L, 1L, 0L, 0.0)), got.toString)
   }
+
+  // ---- tokenEntropy -------------------------------------------------------
+
+  test("token entropy matches hand-computed bits") {
+    val docs = Seq(
+      (1L, "a a b b"),        // uniform over 2 types -> 1 bit
+      (2L, "a b c d"),        // uniform over 4 types -> 2 bits
+      (3L, "x x x x"),        // degenerate -> 0 bits
+      (4L, "solo"),           // single token -> 0 bits
+      (5L, "a a a b")         // 3/4,1/4 -> 0.8113
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 2L, 1.0)))
+    assert(got(2L) == ((4L, 4L, 2.0)))
+    assert(got(3L) == ((4L, 1L, 0.0)))
+    assert(got(4L) == ((1L, 1L, 0.0)))
+    assert(got(5L) == ((4L, 2L, 0.8113)))
+  }
+
+  test("entropy kernel == explode/groupBy aggregate twin, bit-for-bit") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val corpus = spark.read.parquet(s"$Sf0001/documents.parquet")
+    assert(m(TextAnalysis.tokenEntropy(corpus)) == m(TextAnalysis.tokenEntropyAgg(corpus)))
+    // the quantized-term sum makes hash-map order vs shuffle order moot;
+    // astral chars exercise the UTF8String identity path
+    val edge = Seq((1L, "😀 z 😀 z"), (2L, "α β α γ")).toDF("doc_id", "text")
+    assert(m(TextAnalysis.tokenEntropy(edge)) == m(TextAnalysis.tokenEntropyAgg(edge)))
+  }
+
+  test("token entropy plan is one shuffle-free scan (kernel), agg twin shuffles") {
+    val corpus = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val kernelPlan = TextAnalysis.tokenEntropy(corpus).queryExecution.executedPlan.toString
+    assert(!kernelPlan.contains("Exchange"),
+      s"kernel form must not shuffle, got:\n$kernelPlan")
+  }
+
+  // ---- chunk --------------------------------------------------------------
+
+  test("chunking covers every token with the declared width/stride/overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, 4, 3).orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // starts 0,3,6,9 -> [t1..t4] [t4..t7] [t7..t10] [t10]
+    assert(got.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"),
+      (3L, 1L, "t10")))
+  }
+
+  test("chunking with stride == width tiles without overlap and rebuilds the doc") {
+    val text = (1 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, 4, 4).orderBy("chunk_id").collect()
+    assert(got.map(_.getString(3)).mkString(" ") == text,
+      "non-overlapping tiles must concatenate back to the original token stream")
+    assert(got.map(_.getLong(2)).sum == 11L)
+  }
+
+  test("chunking rejects invalid stride and skips empty docs") {
+    val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.chunk(docs, 4, 5))
+    intercept[IllegalArgumentException](TextAnalysis.chunk(docs, 0, 1))
+    val got = TextAnalysis.chunk(docs, 4, 3)
+    assert(got.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "whitespace-only docs emit no chunks")
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must stay a per-row explode — no shuffle")
+  }
 }

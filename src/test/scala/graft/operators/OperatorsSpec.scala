@@ -329,3 +329,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count() == 20)
   }
 }
+
+class KnnClassifySpec extends SparkTestBase {
+
+  test("knnClassify: majority vote over the exact top-k, deterministic ties") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val labeled = emb.filter(col("vec_id") >= 20)
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = Similarity.knnClassify(labeled, queries, 5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // reference: rank by (cos desc, cid), count labels, pick (votes desc,
+    // label asc) — independent plain-Scala reimplementation
+    val labels = labeled.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Similarity.bruteForceTopK(labeled, queries, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = topk.groupBy(_._1).map { case (qid, nbrs) =>
+      val votes = nbrs.map(n => labels(n._2)).groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      val (bl, bv) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      qid -> (bl, bv)
+    }
+    assert(got == expect)
+    assert(got.size == 20, "every query row must get a prediction")
+  }
+
+  test("knnClassify: corpus-sized label frame is probed by a broadcast of the tiny neighbor list") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val df = Similarity.knnClassify(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label pickup must be a broadcast join, got:\n$plan")
+  }
+}
