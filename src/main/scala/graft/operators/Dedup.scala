@@ -291,9 +291,13 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit(s"embedding dim mismatch: expected $d, got "),
           size(col(vecCol)).cast("string")))).as("v"))
-    val bucketed = checked.select(col("id"), posexplode(array(
-      (0 until tbls).map(t =>
-        Similarity.srpBucket(col("v"), bits, d, seed = 1000L + t)): _*))
+    // ONE fused kernel pass computes every table's bucket (array index =
+    // table id): the composable per-table srpBucket form is tables×nbits
+    // separate DotProduct subtrees — 234 at the qe7b auto-sizing — whose
+    // generated projection overflows JIT budgets. Bit-parity with the
+    // composable form is asserted in DedupSpec.
+    val bucketed = checked.select(col("id"), posexplode(
+      graft.functions.SrpBucketsExpr.srp_buckets(col("v"), tbls, bits, d, 1000L))
       .as(Seq("tbl", "bucket")))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),

@@ -27,16 +27,18 @@ object Similarity {
     rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
-  /** Fixed seeded hyperplanes for sign-random-projection bucketing. */
-  private[operators] def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Fixed seeded hyperplanes for sign-random-projection bucketing —
+    * delegates to the kernel's generator so the composable form and
+    * [[graft.functions.SrpBuckets]] can never drift. */
+  private[operators] def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    graft.functions.SrpBuckets.hyperplanes(nbits, dim, seed)
 
-  /** Packed sign bits of `nbits` random projections — the SRP bucket id.
-    * Each projection is one fused codegen'd [[graft.functions.DotProduct]]
-    * (the HOF `aggregate(zip_with(...))` form is CodegenFallback:
-    * interpreted per element, an intermediate array per hyperplane). */
+  /** Packed sign bits of `nbits` random projections — the SRP bucket id,
+    * composed from per-hyperplane [[graft.functions.DotProduct]] kernels.
+    * This is the READABLE twin kept for the bit-parity test; the hot paths
+    * ([[lshTopK]], [[Dedup.embeddingNearDupsBlocked]]) use the fused
+    * multi-table [[graft.functions.SrpBucketsExpr]] kernel, which computes
+    * the identical buckets in one compiled pass. */
   private[operators] def srpBucket(v: org.apache.spark.sql.Column,
                                    nbits: Int, dim: Int, seed: Long = 42L)
       : org.apache.spark.sql.Column = {
@@ -93,10 +95,14 @@ object Similarity {
       when(size(v) === d, v).otherwise(raise_error(concat(
         lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
         size(v).cast("string"))))
+    // single-table fused kernel: same buckets as srpBucket(seed=42),
+    // asserted bit-equal in SimilaritySpec
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      get(graft.functions.SrpBucketsExpr.srp_buckets(v, 1, nbits, d, 42L), lit(0))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
+      bucketOf(checked(col("embedding"))).as("bucket"))
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      srpBucket(checked(col("embedding")), nbits, d).as("bucket"))
+      bucketOf(checked(col("embedding"))).as("bucket"))
     rankTopK(c.join(q, "bucket"), k)
   }
 

@@ -70,6 +70,19 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.except(exact).count() == 0, "verify step must remove false positives")
   }
 
+  test("fused srp_buckets kernel == composable per-table srpBucket form, bit-for-bit") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val d = 64; val bits = 6; val tbls = 7
+    val fused = emb.select(col("vec_id"),
+        graft.functions.SrpBucketsExpr.srp_buckets(col("embedding"), tbls, bits, d, 1000L).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val composed = emb.select(col("vec_id") +: (0 until tbls).map(t =>
+        Similarity.srpBucket(col("embedding"), bits, d, seed = 1000L + t).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to tbls).map(r.getLong(_)).toSeq).toMap
+    assert(fused == composed,
+      "every (row, table) bucket must match the DotProduct composition exactly")
+  }
+
   test("blocked embedding near-dup: exact-verified subset of the NLJ form with high recall") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
