@@ -272,6 +272,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-derived stopword induction: the `k` terms appearing in the
+    * most documents (document frequency, ties by term — fully
+    * deterministic at the cutoff). The FIT half of the Gopher-style
+    * stopword-ratio gate: run once per corpus snapshot, persist the tiny
+    * (term, df) frame like a QuantileGate threshold. One map-side-combined
+    * hash shuffle on term; top-k via orderBy+limit → TakeOrdered, never a
+    * global sort. */
+  def stopwordFit(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"stopwordFit: k must be >= 1, got $k")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Stopword-ratio quality signal (the Gopher rule: real prose carries a
+    * floor of function words; machine lists and gibberish don't): per doc
+    * the fraction of tokens — WITH multiplicity — that are corpus
+    * stopwords. APPLY half of the fit/apply split: the frozen stopword
+    * frame broadcasts onto one exploded-token pass, one groupBy(doc_id).
+    * Streaming-legal as-is (stream-static broadcast join + a single
+    * aggregation — the [[LmScore.nllStream]] shape); replay == batch is
+    * asserted in StreamingSpec. */
+  def stopwordRatio(docs: DataFrame, stopwords: DataFrame): DataFrame = {
+    val sw = broadcast(stopwords.select(col("term"), lit(1L).as("__is")))
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(sw, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("__is"), lit(0L))).as("n_stop"))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        graft.functions.ScalarOps.r4(
+          col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"))
+  }
+
+  /** Fit on the corpus, apply to the same corpus — the self-audit form. */
+  def stopwordRatioSelf(docs: DataFrame, k: Int): DataFrame =
+    stopwordRatio(docs, stopwordFit(docs, k))
+
   /** Per-source corpus data card — the summary table a curation run
     * publishes alongside its output (docs, token volume, length profile,
     * language spread per source). ONE map-side-combined hash shuffle on

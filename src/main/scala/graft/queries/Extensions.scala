@@ -612,6 +612,15 @@ object Extensions {
         .orderBy("doc_id", "chunk_id")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
 
+    // E4 — Gopher-style stopword-ratio quality signal with fit/apply
+    // split: top-20 document-frequency terms induced from the corpus
+    // (deterministic at the cutoff), then one broadcast-join pass scores
+    // every doc's stopword fraction (with multiplicity).
+    ("qe38_stopword_ratio", (s: SparkSession, d: String) => {
+      TextAnalysis.stopwordRatioSelf(Engine.Tables(s, d).documents, 20)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY term), stop AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 20), tc AS (SELECT doc_id, unnest(ws) AS term FROM tok) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, ROUND(CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS stop_ratio FROM tc LEFT JOIN stop USING (term) GROUP BY doc_id ORDER BY doc_id""")),
+
     // E4 — per-doc token-distribution entropy + type count: the
     // concentration quality signal next to qe14's repetition fractions.
     // Shuffle-free kernel scan; per-term contributions quantize to scaled

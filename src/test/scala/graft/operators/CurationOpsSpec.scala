@@ -468,6 +468,25 @@ class CurationOpsSpec extends SparkTestBase {
       s"kernel form must not shuffle, got:\n$kernelPlan")
   }
 
+  // ---- stopwordRatio ------------------------------------------------------
+
+  test("stopword fit ranks by document frequency with term tiebreak; ratio counts multiplicity") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a dog barked")).toDF("doc_id", "text")
+    // df: dog/sat/the -> 2 docs each; everything else 1. Ties break by term.
+    val stop = TextAnalysis.stopwordFit(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stop == Seq(("dog", 2L), ("sat", 2L), ("the", 2L)))
+    val got = TextAnalysis.stopwordRatioSelf(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 'the' twice + 'sat' = 3 of 6 (multiplicity, not distinct)
+    assert(got(1L) == ((6L, 3L, 0.5)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.3333)))
+  }
+
   // ---- chunk --------------------------------------------------------------
 
   test("chunking covers every token with the declared width/stride/overlap") {

@@ -771,4 +771,35 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream leakage diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming stopword ratio against a frozen stopword list == batch") {
+    // qe38 in-flight: the fit half freezes on the batch corpus; the apply
+    // half is a stream-static broadcast join + ONE aggregation, so the
+    // same function body runs unchanged on the replay
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val stop = graft.operators.TextAnalysis.stopwordFit(docs, 20)
+    val want = graft.operators.TextAnalysis.stopwordRatio(docs, stop).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.TextAnalysis.stopwordRatio(
+        input.toDF().toDF("doc_id", "text"), stop)
+      .writeStream.format("memory").queryName("t_stopword")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      // docs arrive whole per chunk: the max-n_tok update is the final one
+      val got = spark.table("t_stopword").groupBy("doc_id")
+        .agg(max(struct(col("n_tok"), col("n_stop"), col("stop_ratio"))).as("s"))
+        .select(col("doc_id"), col("s.n_tok"), col("s.n_stop"), col("s.stop_ratio"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"stream stopword diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
