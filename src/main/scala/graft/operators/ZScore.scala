@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group z-score normalization and outlier gating over an INTEGRAL
+  * metric column — the robust-scaling step before comparing or mixing
+  * quality signals across sources (each domain's length/score distribution
+  * is its own baseline; a global threshold would gate by domain identity).
+  *
+  * Determinism at any partitioning: a double-accumulated mean/variance is
+  * partition-order-dependent (the [[EmbedQuality]] lesson), so the fit
+  * aggregates EXACT sums — Σx and Σx² as decimal(38,0) (associative,
+  * overflow-safe far past 100 TB of long metrics; DuckDB's HUGEINT sum is
+  * the oracle twin) — and converts to doubles ONCE in a fixed expression
+  * sequence: μ = Σx/n, σ = sqrt(max(0, (Σx² − (Σx)²/n)/n)). The max(0,·)
+  * clamps the catastrophic-cancellation negative for constant groups, so
+  * σ = 0 and z defines to 0.0 instead of NaN.
+  *
+  * Scale shape: fit is one map-side-combined hash shuffle (one row per
+  * group); apply broadcasts the tiny stats frame — the corpus never
+  * shuffles. The apply half is a stateless projection after a
+  * stream-static broadcast join, so it runs unchanged on a stream against
+  * frozen stats (replay == batch asserted in StreamingSpec).
+  */
+object ZScore {
+
+  /** Per-group (n, sx, sxx) exact sums + derived (mu, sd). One row per
+    * group — persist like a QuantileGate threshold and re-apply to later
+    * corpora or streams. */
+  def fitStats(df: DataFrame, groupCol: String, metricCol: String): DataFrame = {
+    val x = col(metricCol).cast(DecimalType(38, 0))
+    val st = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val (n, sx, sxx) =
+      (col("n").cast("double"), col("__sx").cast("double"), col("__sxx").cast("double"))
+    st.select(col(groupCol), col("n"),
+      (sx / n).as("mu"),
+      sqrt(greatest(lit(0.0), (sxx - sx * sx / n) / n)).as("sd"))
+  }
+
+  /** z-score each row against FROZEN per-group stats and keep |z| ≤ zmax;
+    * rows of groups absent from `stats` drop (no baseline — surface them
+    * by fitting on the union instead). Output: input columns + z.
+    * Zero-variance groups z-score to 0.0 (kept), not NaN. */
+  def gateFrozen(df: DataFrame, stats: DataFrame, groupCol: String,
+                 metricCol: String, zmax: Double): DataFrame = {
+    require(zmax > 0, s"zscore gate: zmax must be > 0, got $zmax")
+    val z = when(col("sd") === 0d, lit(0.0))
+      .otherwise((col(metricCol).cast("double") - col("mu")) / col("sd"))
+    df.join(broadcast(stats.select(col(groupCol), col("mu"), col("sd"))), Seq(groupCol))
+      .withColumn("z", z)
+      .filter(abs(col("z")) <= zmax)
+      // the equi-join hoists groupCol to position 0 — restore the caller's
+      // column order so gate output is "input columns + z"
+      .select(df.columns.map(col).toIndexedSeq :+ col("z"): _*)
+  }
+
+  /** Fit on the corpus, gate the same corpus — the batch self-audit form. */
+  def gate(df: DataFrame, groupCol: String, metricCol: String,
+           zmax: Double): DataFrame =
+    gateFrozen(df, fitStats(df, groupCol, metricCol), groupCol, metricCol, zmax)
+}

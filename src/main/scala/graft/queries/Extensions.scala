@@ -621,6 +621,16 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY term), stop AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 20), tc AS (SELECT doc_id, unnest(ws) AS term FROM tok) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, ROUND(CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS stop_ratio FROM tc LEFT JOIN stop USING (term) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E4 — per-source z-score length gate: robust scaling from EXACT
+    // decimal sums (order-independent), broadcast stats, |z| <= 2 kept.
+    ("qe39_zscore_gate", (s: SparkSession, d: String) => {
+      graft.operators.ZScore.gate(
+          Engine.Tables(s, d).documents.select("doc_id", "source", "n_chars"),
+          "source", "n_chars", 2.0)
+        .select(col("doc_id"), col("source"), col("n_chars"), r4(col("z")).as("z"))
+        .orderBy("doc_id")
+    }, Some("""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents GROUP BY source), p AS (SELECT source, n, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), zed AS (SELECT doc_id, d.source AS source, n_chars, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN p ON d.source = p.source) SELECT doc_id, source, n_chars, ROUND(z, 4) AS z FROM zed WHERE abs(z) <= 2.0 ORDER BY doc_id""")),
+
     // E4 — per-doc token-distribution entropy + type count: the
     // concentration quality signal next to qe14's repetition fractions.
     // Shuffle-free kernel scan; per-term contributions quantize to scaled

@@ -487,6 +487,43 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 0.3333)))
   }
 
+  // ---- ZScore -------------------------------------------------------------
+
+  test("zscore gate: constant group scores 0 and survives; planted outlier drops") {
+    // the outlier's own mass bounds its z at (n-1)/sqrt(n): the group
+    // needs n >= 6 in-distribution rows before one wild value can cross 2
+    val inDist = (10L to 20L).map(i => (i, "b", 95L + (i % 11)))
+    val df = (Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L)        // zero variance
+    ) ++ inDist :+ ((99L, "b", 5000L))).toDF("doc_id", "source", "m")
+    val kept = ZScore.gate(df, "source", "m", 2.0).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("z")).toMap
+    assert(Seq(1L, 2L, 3L).forall(kept(_) == 0.0),
+      "zero-variance groups must z-score to 0.0, not NaN")
+    assert(!kept.contains(99L), "the 5000 outlier must gate out")
+    assert((10L to 20L).forall(kept.contains),
+      "in-distribution rows must survive")
+  }
+
+  test("zscore fit is partitioning-independent (exact decimal sums)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    def fitOf(df: org.apache.spark.sql.DataFrame) =
+      ZScore.fitStats(df, "source", "n_chars").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(fitOf(docs) == fitOf(docs.repartition(7)),
+      "mu/sd must be bit-identical under any partitioning")
+  }
+
+  test("zscore gate drops groups absent from frozen stats rather than inventing a baseline") {
+    val stats = ZScore.fitStats(
+      Seq(("a", 1L), ("a", 3L)).toDF("source", "m"), "source", "m")
+    val applied = ZScore.gateFrozen(
+      Seq((1L, "a", 2L), (2L, "zz", 2L)).toDF("doc_id", "source", "m"),
+      stats, "source", "m", 2.0)
+    assert(applied.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   // ---- chunk --------------------------------------------------------------
 
   test("chunking covers every token with the declared width/stride/overlap") {

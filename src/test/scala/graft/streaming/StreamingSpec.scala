@@ -802,4 +802,29 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream stopword diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming zscore gate against frozen stats == batch (stateless projection)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+      .select("doc_id", "source", "n_chars")
+    val stats = graft.operators.ZScore.fitStats(docs, "source", "n_chars")
+    val want = graft.operators.ZScore.gate(docs, "source", "n_chars", 2.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.operators.ZScore.gateFrozen(
+        input.toDF().toDF("doc_id", "source", "n_chars"),
+        stats, "source", "n_chars", 2.0)
+      .writeStream.format("memory").queryName("t_zscore")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_zscore").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"stream zscore diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
