@@ -263,4 +263,32 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!s.contains("SinglePartition"),
       s"single-task exchange in the pipeline plan:\n${s.take(2000)}")
   }
+
+  test("qe38 stopword ratio: stopword list broadcasts; fit is TakeOrdered, never a global sort") {
+    val df = graft.SparkEntry.queries("qe38_stopword_ratio")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // the frozen top-k stopword list rides the corpus pass as a broadcast
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    // top-k by df must be TakeOrdered (partial per partition), not a full
+    // sort of the vocabulary
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+  }
+
+  test("qe39 zscore gate: per-group stats broadcast back; corpus never shuffles for apply") {
+    val df = graft.SparkEntry.queries("qe39_zscore_gate")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      s"apply side must not shuffle the corpus into a merge join:\n${s.take(2000)}")
+  }
+
+  test("qe35 knn label pickup probes the corpus-sized label frame with a broadcast") {
+    val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
 }
