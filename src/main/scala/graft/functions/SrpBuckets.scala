@@ -152,4 +152,28 @@ object SrpBucketsExpr {
                   seedBase: Long): Column =
     ColumnShim.column(SrpBucketsExpr(ColumnShim.expression(v), tables, nbits,
       dim, seedBase))
+
+  private def litLong(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"srp_buckets: $name must be an integer literal, got $other")
+  }
+
+  /** SQL builder: srp_buckets(v, tables, nbits, dim, seed) — knob
+    * arguments must be integer literals (they parameterize the hyperplane
+    * matrix built once on the driver). */
+  def fromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5,
+      s"srp_buckets requires (v, tables, nbits, dim, seed), got ${exprs.length} args")
+    SrpBucketsExpr(exprs.head,
+      litLong(exprs(1), "tables").toInt, litLong(exprs(2), "nbits").toInt,
+      litLong(exprs(3), "dim").toInt, litLong(exprs(4), "seed"))
+  }
+
+  /** SQL registration on an existing session (production wiring goes
+    * through [[graft.plans.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_buckets", fromSql, "built-in")
 }

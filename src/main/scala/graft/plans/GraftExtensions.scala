@@ -101,19 +101,44 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
 }
 
 /** Production wiring: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
-  * registers the cosine_sim SQL function and the HOF-cosine rewrite on every
-  * session. Tests inject the rule via `spark.experimental.extraOptimizations`
-  * (runtime-settable on an existing session). */
+  * registers the engine's kernel SQL functions (cosine_sim, dot_product,
+  * repetition_stats, token_entropy, srp_buckets) and the HOF-cosine rewrite
+  * on every session — the full curation-function surface is usable from
+  * plain `spark.sql` without touching the Scala API. Tests inject the rule
+  * via `spark.experimental.extraOptimizations` (runtime-settable on an
+  * existing session) and functions via each companion's `register`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def fn(name: String, exprInfoCls: Class[_],
+                 builder: Seq[Expression] => Expression) =
+    (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new ExpressionInfo(exprInfoCls.getName, name), builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceCosineHof)
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
-        CosineSim(exprs(0), exprs(1))
+    ext.injectFunction(fn("cosine_sim", classOf[CosineSim], exprs => {
+      require(exprs.length == 2,
+        s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+      CosineSim(exprs(0), exprs(1))
+    }))
+    ext.injectFunction(fn("dot_product", classOf[graft.functions.DotProduct], exprs => {
+      require(exprs.length == 2,
+        s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+      graft.functions.DotProduct(exprs(0), exprs(1))
+    }))
+    ext.injectFunction(fn("repetition_stats",
+      classOf[graft.functions.RepetitionStatsExpr], exprs => {
+        require(exprs.length == 1,
+          s"repetition_stats requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.RepetitionStatsExpr(exprs.head)
       }))
+    ext.injectFunction(fn("token_entropy",
+      classOf[graft.functions.TokenEntropyExpr], exprs => {
+        require(exprs.length == 1,
+          s"token_entropy requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.TokenEntropyExpr(exprs.head)
+      }))
+    ext.injectFunction(fn("srp_buckets",
+      classOf[graft.functions.SrpBucketsExpr],
+      graft.functions.SrpBucketsExpr.fromSql))
   }
 }

@@ -21,6 +21,15 @@ object ExtensionsSmoke {
     val viaSql = spark.sql(
       "SELECT cosine_sim(a.embedding, b.embedding) AS c FROM emb a, emb b WHERE a.vec_id = 0 AND b.vec_id = 1")
       .head().getDouble(0)
+    // the whole kernel-function surface resolves from SQL
+    val others = spark.sql(
+      """SELECT dot_product(embedding, embedding) AS d,
+        |       srp_buckets(embedding, 2, 4, 64, 42)[0] AS b,
+        |       token_entropy(array('a','a','b')).entropy AS e,
+        |       repetition_stats(array('a','a','b')).dup_word_frac AS r
+        |FROM emb WHERE vec_id = 0""".stripMargin).head()
+    println(s"[extensions-smoke] dot=${others.getDouble(0)} bucket=${others.getLong(1)} " +
+      f"entropy=${others.getDouble(2)}%.4f dup=${others.getDouble(3)}%.4f")
 
     val hof = spark.table("emb").limit(3)
       .select(graft.functions.VectorOps.cosine(col("embedding"), col("embedding")).as("c"))

@@ -92,4 +92,30 @@ class CosineSimSpec extends SparkTestBase {
       .collect()
     assert(one.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
   }
+
+  test("SQL registration: the whole kernel-function surface resolves from spark.sql") {
+    DotProduct.register(spark)
+    RepetitionStatsExpr.register(spark)
+    TokenEntropyExpr.register(spark)
+    SrpBucketsExpr.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       repetition_stats(array('a','a','b')).dup_word_frac AS rep,
+        |       token_entropy(array('a','a','b','b')).entropy AS ent,
+        |       size(srp_buckets(array(1.0D, 2.0D), 3, 4, 2, 42)) AS nb""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9)
+    // raw kernel value: the scaled-long term quantization lands ~2.6e-7
+    // above the true 1 bit; operators round with r4
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    assert(r.getInt(3) == 3)
+  }
+
+  test("srp_buckets SQL builder rejects non-literal knob arguments") {
+    SrpBucketsExpr.register(spark)
+    val e = intercept[Exception](spark.sql(
+      "SELECT srp_buckets(array(1.0D), cast(rand()*2 AS INT) + 1, 4, 1, 42)").collect())
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
 }
