@@ -121,8 +121,13 @@ object Similarity {
     * key — no window over the vote frame. Output (qid, pred_label, votes).
     */
   def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val topk = bruteForceTopK(labeled.select("vec_id", "embedding"), queries, k)
-    val votes = labeled.select(col("vec_id").as("cid"), col("label"))
+    require(k >= 1, s"knnClassify: k must be >= 1, got $k")
+    // a null-labeled row is not a labeled neighbor: it must neither occupy
+    // a top-k slot (starving real votes) nor vote (a null group would make
+    // the max_by struct-key ordering undefined)
+    val lab = labeled.filter(col("label").isNotNull)
+    val topk = bruteForceTopK(lab.select("vec_id", "embedding"), queries, k)
+    val votes = lab.select(col("vec_id").as("cid"), col("label"))
       .join(broadcast(topk.select("qid", "cid")), Seq("cid"))
       .groupBy(col("qid"), col("label"))
       .agg(count(lit(1)).as("votes"))

@@ -30,6 +30,15 @@ object ZScore {
     * group — persist like a QuantileGate threshold and re-apply to later
     * corpora or streams. */
   def fitStats(df: DataFrame, groupCol: String, metricCol: String): DataFrame = {
+    // the exact-sum trick needs an integral metric: casting a fractional
+    // column to decimal(38,0) would silently truncate every value before
+    // the sums — refuse loudly instead
+    val dt = df.schema(metricCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+      s"zscore fitStats: $metricCol must be an integral type (exact sums), got $dt")
     val x = col(metricCol).cast(DecimalType(38, 0))
     val st = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))

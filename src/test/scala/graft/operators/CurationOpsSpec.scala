@@ -515,6 +515,12 @@ class CurationOpsSpec extends SparkTestBase {
       "mu/sd must be bit-identical under any partitioning")
   }
 
+  test("zscore fit refuses fractional metrics instead of silently truncating") {
+    val df = Seq(("a", 1.5), ("a", 2.5)).toDF("source", "m")
+    val e = intercept[IllegalArgumentException](ZScore.fitStats(df, "source", "m"))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("zscore gate drops groups absent from frozen stats rather than inventing a baseline") {
     val stats = ZScore.fitStats(
       Seq(("a", 1L), ("a", 3L)).toDF("source", "m"), "source", "m")

@@ -366,6 +366,20 @@ class KnnClassifySpec extends SparkTestBase {
     assert(got.size == 20, "every query row must get a prediction")
   }
 
+  test("knnClassify: null-labeled rows neither occupy neighbor slots nor vote") {
+    import spark.implicits._
+    val labeled = Seq(
+      (10L, Seq(1.0f, 0.0f), null.asInstanceOf[Integer]),  // closest to q, unlabeled
+      (11L, Seq(0.9f, 0.1f), Integer.valueOf(7)),
+      (12L, Seq(0.0f, 1.0f), Integer.valueOf(3))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(labeled, queries, 1).collect()
+    assert(got.length == 1 && got(0).getInt(1) == 7,
+      s"the nearest LABELED row must take the k=1 slot, got ${got.mkString}")
+    intercept[IllegalArgumentException](Similarity.knnClassify(labeled, queries, 0))
+  }
+
   test("knnClassify: corpus-sized label frame is probed by a broadcast of the tiny neighbor list") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val df = Similarity.knnClassify(emb.filter(col("vec_id") >= 20),
