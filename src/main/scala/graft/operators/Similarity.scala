@@ -111,30 +111,47 @@ object Similarity {
     * screen that extends a small trusted label set (quality ratings,
     * topic tags) over an unlabeled corpus before filtering on it.
     *
-    * Scale shape: the exact top-k reuses [[bruteForceTopK]] (queries
-    * broadcast over one candidate scan; only |q|·k rows shuffle), then the
-    * tiny neighbor list BROADCASTS back onto the labeled frame to pick up
-    * labels — the corpus-sized side never shuffles. Votes are exact longs.
+    * Scale shape matches the use case: the LABELED side is the small
+    * trusted set, so IT broadcasts (with its labels riding along — no
+    * second label-pickup join) while the potentially corpus-sized query
+    * frame streams through one scan; the only shuffle is the per-query
+    * top-k, which the rank window runs as WindowGroupLimit (partial top-k
+    * map-side, |q|·k rows into the exchange). Scoring is the same
+    * (cos desc, cid) fused-kernel ranking as [[bruteForceTopK]] — the qe3
+    * bit-parity contract. Votes are exact longs.
     *
-    * Determinism: neighbor ties break by cid (rankTopK contract); vote
-    * ties break by (votes desc, label asc) via one max_by over a struct
-    * key — no window over the vote frame. Output (qid, pred_label, votes).
-    */
-  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * Vote ties break (votes desc, label asc) via max-votes + min-label
+    * aggregations over the tiny vote frame — type-agnostic (string labels
+    * order lexically; a negate()-style numeric trick would silently cast
+    * strings to null and break determinism). Null-labeled rows are
+    * excluded BEFORE the top-k: they neither occupy neighbor slots nor
+    * vote. Output (qid, pred_label, votes).
+    *
+    * `excludeSameId` (default true) drops candidate rows whose vec_id
+    * equals the query's — right when both frames share one id space (the
+    * self-scoring audit; a row must not vote for itself). Pass false when
+    * the id spaces are unrelated, or a legitimate neighbor that happens to
+    * share an id number would be silently skipped. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+                  excludeSameId: Boolean = true): DataFrame = {
     require(k >= 1, s"knnClassify: k must be >= 1, got $k")
-    // a null-labeled row is not a labeled neighbor: it must neither occupy
-    // a top-k slot (starving real votes) nor vote (a null group would make
-    // the max_by struct-key ordering undefined)
     val lab = labeled.filter(col("label").isNotNull)
-    val topk = bruteForceTopK(lab.select("vec_id", "embedding"), queries, k)
-    val votes = lab.select(col("vec_id").as("cid"), col("label"))
-      .join(broadcast(topk.select("qid", "cid")), Seq("cid"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = lab.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("label"))
+    val pairs = q.crossJoin(broadcast(c))
+    val scored = (if (excludeSameId) pairs.filter(col("qid") =!= col("cid")) else pairs)
+      .select(col("qid"), col("cid"), col("label"),
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val votes = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
       .groupBy(col("qid"), col("label"))
       .agg(count(lit(1)).as("votes"))
-    votes.groupBy(col("qid"))
-      .agg(max_by(struct(col("label"), col("votes")),
-        struct(col("votes"), negate(col("label")))).as("__w"))
-      .select(col("qid"), col("__w.label").as("pred_label"),
-        col("__w.votes").as("votes"))
+    val best = votes.groupBy(col("qid")).agg(max(col("votes")).as("votes"))
+    best.join(votes, Seq("qid", "votes"))
+      .groupBy(col("qid"), col("votes"))
+      .agg(min(col("label")).as("pred_label"))
+      .select(col("qid"), col("pred_label"), col("votes"))
   }
 }

@@ -40,8 +40,12 @@ object ZScore {
         org.apache.spark.sql.types.ByteType).contains(dt),
       s"zscore fitStats: $metricCol must be an integral type (exact sums), got $dt")
     val x = col(metricCol).cast(DecimalType(38, 0))
+    // n must count METRIC values, not rows: sum() skips nulls, so a
+    // count(*) n would divide real sums by a larger population and
+    // fabricate mu/sd for any group with null metrics (e.g. off a left
+    // join); null-metric rows contribute to neither fit nor gate output
     val st = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+      .agg(count(col(metricCol)).as("n"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
     val (n, sx, sxx) =
       (col("n").cast("double"), col("__sx").cast("double"), col("__sxx").cast("double"))
     st.select(col(groupCol), col("n"),

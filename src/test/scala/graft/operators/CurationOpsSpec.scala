@@ -515,6 +515,15 @@ class CurationOpsSpec extends SparkTestBase {
       "mu/sd must be bit-identical under any partitioning")
   }
 
+  test("zscore fit: null metrics join neither n nor the sums (no fabricated variance)") {
+    val df = Seq(("a", Some(10L)), ("a", Some(10L)), ("a", None))
+      .toDF("source", "m")
+    val fit = ZScore.fitStats(df, "source", "m").collect().head
+    assert(fit.getLong(1) == 2L, "n must count metric values, not rows")
+    assert(fit.getDouble(2) == 10.0 && fit.getDouble(3) == 0.0,
+      s"constant group with a null row must fit mu=10 sd=0, got $fit")
+  }
+
   test("zscore fit refuses fractional metrics instead of silently truncating") {
     val df = Seq(("a", 1.5), ("a", 2.5)).toDF("source", "m")
     val e = intercept[IllegalArgumentException](ZScore.fitStats(df, "source", "m"))

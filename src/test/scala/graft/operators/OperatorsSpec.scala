@@ -380,13 +380,42 @@ class KnnClassifySpec extends SparkTestBase {
     intercept[IllegalArgumentException](Similarity.knnClassify(labeled, queries, 0))
   }
 
-  test("knnClassify: corpus-sized label frame is probed by a broadcast of the tiny neighbor list") {
+  test("knnClassify: labeled side broadcasts; per-query top-k is a partial WindowGroupLimit") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val df = Similarity.knnClassify(emb.filter(col("vec_id") >= 20),
       emb.filter(col("vec_id") < 20), 5)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"label pickup must be a broadcast join, got:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the small labeled frame must broadcast over the query scan, got:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must prune map-side before the qid shuffle, got:\n$plan")
+  }
+
+  test("knnClassify: string labels vote deterministically (lexical min on tie)") {
+    import spark.implicits._
+    // q is equidistant-ish from two pairs; k=4 forces a 2-2 vote tie
+    val labeled = Seq(
+      (10L, Seq(1.0f, 0.02f), "politics"), (11L, Seq(1.0f, -0.02f), "politics"),
+      (12L, Seq(1.0f, 0.03f), "ball"), (13L, Seq(1.0f, -0.03f), "ball")
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(labeled, queries, 4).collect()
+    assert(got.length == 1 && got(0).getString(1) == "ball" && got(0).getLong(2) == 2L,
+      s"2-2 tie must resolve to the lexically smaller label, got ${got.mkString}")
+  }
+
+  test("knnClassify: excludeSameId=false lets an id-colliding neighbor compete") {
+    import spark.implicits._
+    val labeled = Seq((1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(0.0f, 1.0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val withFilter = Similarity.knnClassify(labeled, queries, 1).collect()
+    assert(withFilter(0).getString(1) == "y",
+      "same-id-space mode must skip the identical id")
+    val without = Similarity.knnClassify(labeled, queries, 1, excludeSameId = false)
+      .collect()
+    assert(without(0).getString(1) == "x",
+      "disjoint-id-space mode must let the colliding id vote")
   }
 }

@@ -284,11 +284,12 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"apply side must not shuffle the corpus into a merge join:\n${s.take(2000)}")
   }
 
-  test("qe35 knn label pickup probes the corpus-sized label frame with a broadcast") {
+  test("qe35 knn: labeled side broadcasts over the query scan, top-k prunes map-side") {
     val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
     df.collect()
     val s = planOf(df).toString
-    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(s.contains("WindowGroupLimit"), s.take(2000))
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 }
