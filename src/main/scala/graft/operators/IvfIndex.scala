@@ -68,7 +68,7 @@ object IvfIndex {
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("__d2", VectorOps.l2Dist(col(vecCol), col("centroid")))
+      .withColumn("__d2", graft.functions.L2Dist.l2_dist(col(vecCol), col("centroid")))
     // argmin as max_by over (-d2, -cell): associative, partial-aggregated
     // map-side — the windowed row_number form would sort |vectors|·nlist
     scored.groupBy(col(idCol))
@@ -92,7 +92,7 @@ object IvfIndex {
     val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist", VectorOps.l2Dist(col("qv"), col("centroid")))
+      .withColumn("dist", graft.functions.L2Dist.l2_dist(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
     val cands = assigned.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))

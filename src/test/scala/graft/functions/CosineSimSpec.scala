@@ -93,6 +93,23 @@ class CosineSimSpec extends SparkTestBase {
     assert(one.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
   }
 
+  test("fused L2 distance == composable HOF form, bit-exact, on real embeddings") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(2000)
+    val diff = pairs.select(
+      L2Dist.l2_dist(col("va"), col("vb")).as("fused"),
+      VectorOps.l2Dist(col("va"), col("vb")).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0, "fused L2 kernel diverged from composable form")
+    // null semantics mirror the HOF: length mismatch -> null
+    import spark.implicits._
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(L2Dist.l2_dist(col("a"), col("b"))).collect()
+    assert(mm.forall(_.isNullAt(0)))
+  }
+
   test("SQL registration: the whole kernel-function surface resolves from spark.sql") {
     DotProduct.register(spark)
     RepetitionStatsExpr.register(spark)
