@@ -68,6 +68,16 @@ object Retrieval {
     // used: Spark averages integral columns over an exact long partial sum
     // while other engines may accumulate doubles — sum/count is the form
     // both engines compute identically.
+    //
+    // This IS a second tokenize pass over the corpus — deliberately: it
+    // projects only text, map-side aggregates to ONE row, and never
+    // shuffles. The alternatives are worse at scale: deriving (n_docs,
+    // avgdl) from `post` would re-run the postings exchange in this
+    // action (the slice's localCheckpoint below runs in its OWN action,
+    // so the exchange is not reusable here), and checkpointing the full
+    // postings or the tokenized corpus to share one pass is exactly the
+    // corpus-sized materialization the slice checkpoint exists to avoid.
+    // "Tokenized once" below refers to the postings/scoring path.
     val base = docs.filter(length(trim(col("text"))) > 0)
       .select(TextAnalysis.tokenCount(col("text")).as("dl"))
     val stats = base.agg(
