@@ -284,6 +284,17 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"apply side must not shuffle the corpus into a merge join:\n${s.take(2000)}")
   }
 
+  test("qe40 gated pipeline: equi-joins only, stats broadcast, no single-partition exchange") {
+    val df = graft.SparkEntry.queries("qe40_pipeline_gated")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SinglePartition"),
+      s"single-task exchange in the gated pipeline plan:\n${s.take(2000)}")
+  }
+
   test("qe35 knn: labeled side broadcasts over the query scan, top-k prunes map-side") {
     val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
     df.collect()
