@@ -803,6 +803,39 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming chunk + entropy replay == batch (stateless per-row transforms)") {
+    // qe36/qe37 in-flight: both are pure projections/explodes, so the
+    // SAME operator bodies run unchanged on a stream with Append mode and
+    // no state store at all
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val wantChunks = graft.operators.TextAnalysis.chunk(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val wantEnt = graft.operators.TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val sdocs = input.toDF().toDF("doc_id", "text")
+    val qc = graft.operators.TextAnalysis.chunk(sdocs, 64, 48)
+      .writeStream.format("memory").queryName("t_chunk")
+      .outputMode(OutputMode.Append()).start()
+    val qe = graft.operators.TextAnalysis.tokenEntropy(sdocs)
+      .writeStream.format("memory").queryName("t_entropy")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); qc.processAllAvailable(); qe.processAllAvailable()
+      }
+      val gotChunks = spark.table("t_chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val gotEnt = spark.table("t_entropy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotChunks == wantChunks, "streamed chunks diverged from batch")
+      assert(gotEnt == wantEnt, "streamed entropy diverged from batch")
+    } finally { qc.stop(); qe.stop() }
+  }
+
   test("streaming zscore gate against frozen stats == batch (stateless projection)") {
     val docs = Engine.Tables(spark, Sf0001).documents
       .select("doc_id", "source", "n_chars")
