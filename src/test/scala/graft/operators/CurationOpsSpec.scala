@@ -562,6 +562,46 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).sum == 11L)
   }
 
+  test("chunk/entropy properties hold over seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tokensOf = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+
+    for ((w, s) <- Seq((4, 3), (5, 5), (7, 2), (1, 1))) {
+      val chunks = TextAnalysis.chunk(docs, w, s).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+      tokensOf.foreach { case (id, toks) =>
+        val got = chunks(id)
+        // chunk_ids are contiguous from 0; starts tile by stride
+        assert(got.map(_.getLong(1)).toSeq == got.indices.map(_.toLong))
+        // every chunk is the exact slice it claims to be
+        got.zipWithIndex.foreach { case (r, ci) =>
+          val expect = toks.slice(ci * s, ci * s + w)
+          assert(r.getString(3) == expect.mkString(" ") && r.getLong(2) == expect.size)
+        }
+        // coverage: the union of [start, start+w) windows reaches every token
+        val covered = got.indices.flatMap(ci => ci * s until math.min(ci * s + w, toks.size)).toSet
+        assert(covered == toks.indices.toSet, s"doc $id under-covered at w=$w s=$s")
+      }
+    }
+
+    // entropy bounds: 0 <= H <= log2(n_types), 0 iff a single type
+    val ents = TextAnalysis.tokenEntropy(docs).collect()
+    ents.foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      // +1e-4 headroom: the operator rounds to 4 decimals (and quantizes
+      // terms at 1e-6), so a maximal-entropy doc can land one r4 step
+      // above the real log2 bound
+      assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-4,
+        s"entropy $h out of [0, log2($types)]")
+      assert((types == 1L) == (h == 0.0))
+    }
+  }
+
   test("chunking rejects invalid stride and skips empty docs") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](TextAnalysis.chunk(docs, 4, 5))
