@@ -313,6 +313,38 @@ object TextAnalysis {
   def stopwordRatioSelf(docs: DataFrame, k: Int): DataFrame =
     stopwordRatio(docs, stopwordFit(docs, k))
 
+  /** Frozen-vocabulary induction: the `k` terms with the highest TOTAL
+    * occurrence count (term frequency — the closed-vocab criterion, vs
+    * [[stopwordFit]]'s document frequency), ties by term. Fit half of the
+    * out-of-vocabulary card. */
+  def vocabFit(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"vocabFit: k must be >= 1, got $k")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Per-source out-of-vocabulary rate against a FROZEN vocab — with
+    * [[fertility]], the two cards a tokenizer team reads before committing
+    * to a vocab: which domains fall outside it and by how much. Token
+    * occurrences (with multiplicity) outside `vocab` count as OOV; one
+    * broadcast join + one map-side-combined groupBy(source); exact long
+    * sums, the rate derived once from the sums. */
+  def oovRate(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val vw = broadcast(vocab.select(col("term"), lit(1L).as("__in")))
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .join(vw, Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tok"), col("n_oov"),
+        graft.functions.ScalarOps.r4(
+          col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
+  }
+
   /** Per-source corpus data card — the summary table a curation run
     * publishes alongside its output (docs, token volume, length profile,
     * language spread per source). ONE map-side-combined hash shuffle on

@@ -660,6 +660,14 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents GROUP BY source), p AS (SELECT source, n, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), zed AS (SELECT doc_id, d.source AS source, n_chars, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN p ON d.source = p.source) SELECT doc_id, source, n_chars, ROUND(z, 4) AS z FROM zed WHERE abs(z) <= 2.0 ORDER BY doc_id""")),
 
+    // E4 — per-source OOV rate against a frozen top-200-tf vocabulary:
+    // the tokenizer-coverage card next to qe34's fertility card.
+    ("qe41_oov_rate", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      TextAnalysis.oovRate(docs, TextAnalysis.vocabFit(docs, 200))
+        .orderBy("source")
+    }, Some("""WITH tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), voc AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 200), tc AS (SELECT source, unnest(ws) AS term FROM tok) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, ROUND(CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate FROM tc LEFT JOIN voc USING (term) GROUP BY source ORDER BY source""")),
+
     // E4 — per-doc token-distribution entropy + type count: the
     // concentration quality signal next to qe14's repetition fractions.
     // Shuffle-free kernel scan; per-term contributions quantize to scaled

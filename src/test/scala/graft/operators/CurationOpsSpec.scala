@@ -539,6 +539,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(applied.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  // ---- oovRate ------------------------------------------------------------
+
+  test("oov rate counts occurrences outside the frozen vocab, per source") {
+    val docs = Seq(
+      (1L, "the the cat", "web"),
+      (2L, "the dog", "web"),
+      (3L, "zebra quagga", "books")).toDF("doc_id", "text", "source")
+    // vocab k=1: top tf term is 'the' (3 occurrences)
+    val vocab = TextAnalysis.vocabFit(docs, 1)
+    assert(vocab.collect().map(_.getString(0)).toSeq == Seq("the"))
+    val got = TextAnalysis.oovRate(docs, vocab).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("web") == ((5L, 2L, 0.4)), s"got $got")     // cat, dog OOV
+    assert(got("books") == ((2L, 2L, 1.0)), s"got $got")   // fully OOV
+  }
+
   // ---- chunk --------------------------------------------------------------
 
   test("chunking covers every token with the declared width/stride/overlap") {
