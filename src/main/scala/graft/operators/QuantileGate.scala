@@ -82,8 +82,14 @@ object QuantileGate {
   def atOrBelowFrozenPerGroup(df: DataFrame, threshold: DataFrame, groupCol: String,
                               metricCol: String): DataFrame = {
     val src = realMetric(df, metricCol)
-    src.join(broadcast(threshold), src(groupCol) <=> threshold(groupCol))
-      .drop(threshold(groupCol))
+    // the fit frame usually DERIVES from df (self-fit), so a
+    // src(groupCol) <=> threshold(groupCol) condition hits Spark's
+    // ambiguous-self-join machinery (it resolves correctly but warns
+    // "trivially true predicate"); renaming the fit side's key makes the
+    // sides structurally distinct — no resolver heroics required
+    val thr = threshold.withColumnRenamed(groupCol, "__g")
+    src.join(broadcast(thr), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .filter(col(metricCol) <= col("__thr")).drop("__thr")
   }
 
