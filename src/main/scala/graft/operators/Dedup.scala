@@ -210,12 +210,27 @@ object Dedup {
     * [[Similarity.lshTopK]]-style buckets and verify candidates here. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("da"), col(vecCol).as("va"))
-    val b = vectors.select(col(idCol).as("db"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("da") < col("db"))
-      .select(col("da"), col("db"),
-        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+    // norms precompute ONCE per row (|rows| sqrt-of-self-dots) instead of
+    // twice per PAIR inside the fused cosine — 3x less kernel work across
+    // the n² pairs. Bit-identical to CosineSim: dot_product accumulates
+    // the same ascending xi*xi / xi*yi sums, and na*nb multiplies the same
+    // sqrt values in the same order as the kernel's
+    // sqrt(na2)*sqrt(nb2) denominator (also the DuckDB oracle's
+    // dot/(qn*cn) form); ANSI Divide throws on a zero denominator exactly
+    // like the kernel. Equality asserted in DedupSpec.
+    import graft.functions.DotProduct.dot_product
+    val a = vectors.select(col(idCol).as("da"), col(vecCol).as("va"),
+      sqrt(dot_product(col(vecCol), col(vecCol))).as("__na"))
+    val b = vectors.select(col(idCol).as("db"), col(vecCol).as("vb"),
+      sqrt(dot_product(col(vecCol), col(vecCol))).as("__nb"))
+    val cos = dot_product(col("va"), col("vb")) / (col("__na") * col("__nb"))
+    // ONE conjunction with the cheap id comparison FIRST: written as a
+    // separate join condition + filter, Catalyst pushes the cosine
+    // predicate into the join AHEAD of da < db, and the dot product then
+    // runs for all n² ordered pairs instead of short-circuiting away the
+    // mirrored half (observed in the executed plan)
+    a.join(broadcast(b), col("da") < col("db") && cos >= threshold)
+      .select(col("da"), col("db"), cos.as("cos"))
   }
 
   /** E2 scale path — blocked embedding near-dup pairs: `tables` independent
@@ -335,14 +350,23 @@ object Dedup {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int, seed: Long = 42L): DataFrame = {
     val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed)
+    // norm precomputed once per row and checkpointed with the vector —
+    // within-cell verification touches each row occupancy-many times, so
+    // the per-pair cosine reduces to dot + one multiply + one divide
+    // (bit-identical to the fused kernel, see embeddingNearDups)
     val sides = assigned.select(col("cell"), col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__n",
+        sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
       .localCheckpoint() // feeds both join sides; assign + fit run ONCE
-    val pairs = sides.select(col("cell"), col("id").as("da"), col("v").as("va"))
-      .join(sides.select(col("cell"), col("id").as("db"), col("v").as("vb")), Seq("cell"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+    val cos = graft.functions.DotProduct.dot_product(col("va"), col("vb")) /
+      (col("__na") * col("__nb"))
+    // one conjunction, cheap id comparison first (the embeddingNearDups
+    // lesson): the equi key extracts to the join, and the residual
+    // condition short-circuits the mirrored half before its dot product
+    val pairs = sides.select(col("cell"), col("id").as("da"), col("v").as("va"), col("__n").as("__na"))
+      .join(sides.select(col("cell").as("__cb"), col("id").as("db"), col("v").as("vb"), col("__n").as("__nb")),
+        col("cell") === col("__cb") && col("da") < col("db") && cos >= threshold)
+      .select(col("da"), col("db"), cos.as("cos"))
     val comp = DupClusters.clusters(pairs) // (doc_id, cluster=min id)
     sides.select(col("id"), col("cell"))
       .join(comp.select(col("doc_id").as("id"), col("cluster")), Seq("id"), "left")

@@ -93,6 +93,22 @@ class CosineSimSpec extends SparkTestBase {
     assert(one.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
   }
 
+  test("precomputed-norm cosine (dot/(na*nb)) == fused kernel, bit-exact") {
+    // the form embeddingNearDups/semanticDedup use to amortize norms
+    // across n² pairs must equal CosineSim exactly, not just approximately
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      sqrt(DotProduct.dot_product(col("embedding"), col("embedding"))).as("n"))
+    val pairs = withN.select(col("vec_id").as("a"), col("embedding").as("va"), col("n").as("na"))
+      .crossJoin(withN.select(col("vec_id").as("b"), col("embedding").as("vb"), col("n").as("nb")))
+      .filter(col("a") < col("b")).limit(2000)
+    val diff = pairs.select(
+      (DotProduct.dot_product(col("va"), col("vb")) / (col("na") * col("nb"))).as("pre"),
+      CosineSim.cosine_sim(col("va"), col("vb")).as("fused"))
+      .filter(col("pre") =!= col("fused"))
+    assert(diff.count() == 0, "precomputed-norm cosine diverged from the fused kernel")
+  }
+
   test("fused L2 distance == composable HOF form, bit-exact, on real embeddings") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
