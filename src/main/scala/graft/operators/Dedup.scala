@@ -115,6 +115,21 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Per-source exact-duplication audit card: docs, distinct texts, and
+    * the duplicate fraction — the before/after report a dedup run
+    * publishes per domain. One map-side-combined shuffle.
+    *
+    * countDistinct here runs over the raw text (the oracle-exact twin);
+    * at 100 TB swap the argument for `xxhash64(text)` so the distinct
+    * shuffles 8-byte keys instead of documents (collision odds ~2⁻⁶⁴ per
+    * pair — the count is the same number in practice). */
+  def dedupCard(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_uniq"))
+      .select(col("source"), col("n_docs"), col("n_uniq"),
+        graft.functions.ScalarOps.r4(lit(1.0) -
+          col("n_uniq").cast("double") / col("n_docs")).as("dup_frac"))
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Universal-hash parameters h_i(x) = (a_i·x + b_i) mod P, fixed seed so

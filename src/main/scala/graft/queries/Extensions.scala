@@ -660,6 +660,12 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents GROUP BY source), p AS (SELECT source, n, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), zed AS (SELECT doc_id, d.source AS source, n_chars, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN p ON d.source = p.source) SELECT doc_id, source, n_chars, ROUND(z, 4) AS z FROM zed WHERE abs(z) <= 2.0 ORDER BY doc_id""")),
 
+    // E1 (audit) — per-source exact-duplication card: the before/after
+    // report a dedup run publishes per domain.
+    ("qe42_dedup_card", (s: SparkSession, d: String) => {
+      Dedup.dedupCard(Engine.Tables(s, d).documents).orderBy("source")
+    }, Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq, ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 4) AS dup_frac FROM documents GROUP BY source ORDER BY source""")),
+
     // E4 — per-source OOV rate against a frozen top-200-tf vocabulary:
     // the tokenizer-coverage card next to qe34's fertility card.
     ("qe41_oov_rate", (s: SparkSession, d: String) => {
