@@ -1,12 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types._
 
 /** Fused dot product over two float/double array columns — the codegen'd
   * sibling of [[CosineSim]] (SURVEY §4.2 extension point c).
@@ -16,85 +12,22 @@ import org.apache.spark.sql.types._
   * CodegenFallback (interpreted per element, intermediate array per call),
   * which the builder measured at ~38x vs a fused kernel for the cosine case.
   * This expression is the projection hot path for [[graft.operators.Similarity]]
-  * LSH buckets and the blocked embedding near-dup.
+  * LSH buckets, the blocked embedding near-dup, and the precomputed-norm
+  * cosine form in [[graft.operators.Dedup]].
   *
-  * Null semantics mirror the HOF composition: null if either array is null,
-  * lengths differ, or any element is null (checks emitted only when the
-  * static array type has `containsNull = true`).
+  * Loop scaffold, type checks, and null semantics live in
+  * [[BinaryArrayFoldKernel]] (shared with [[L2Dist]]); this class supplies
+  * only the `acc += xi·yi` accumulation.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryArrayFoldKernel {
+  override protected def fnName: String = "dot_product"
+  override protected def update(acc: Double, xi: Double, yi: Double): Double = acc + xi * yi
+  override protected def finish(acc: Double): Double = acc
+  override protected def updateCode(acc: String): String = s"$acc += xi * yi;"
+  override protected def finishCode(acc: String): String = acc
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(lt, _), ArrayType(rt, _))
-      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects array<float|double>, got ${left.dataType} and ${right.dataType}")
-  }
-
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  private def mayHaveNullElems(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].containsNull
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val (lt, rt) = (elemType(left), elemType(right))
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    if (mayHaveNullElems(left) || mayHaveNullElems(right)) {
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        i += 1
-      }
-    }
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xi * yi
-      i += 1
-    }
-    dot
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def read(arr: String, t: DataType, i: String): String =
-      if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
-    val (lt, rt) = (elemType(left), elemType(right))
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
-      val nullElemCheck =
-        if (mayHaveNullElems(left) || mayHaveNullElems(right))
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
-      s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullElemCheck
-         |    double xi = ${read(a, lt, i)};
-         |    double yi = ${read(b, rt, i)};
-         |    $dot += xi * yi;
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
-         |}
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
-      : Expression = copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object DotProduct {

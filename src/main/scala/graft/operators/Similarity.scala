@@ -53,12 +53,16 @@ object Similarity {
 
   /** The shared score-rank tail: self-pair filter → fused cosine → per-query
     * top-k (deterministic cid tiebreak). One definition so the ranking
-    * contract cannot drift between the exact and bucketed paths. */
-  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
-    val scored = joined
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
+    * contract cannot drift between the exact, bucketed, and classifying
+    * paths. `carry` columns ride through scoring into the output (e.g.
+    * knnClassify's label); `excludeSameId = false` keeps qid == cid pairs
+    * (disjoint id spaces). */
+  private def rankTopK(joined: DataFrame, k: Int, carry: Seq[String] = Nil,
+                       excludeSameId: Boolean = true): DataFrame = {
+    val base = if (excludeSameId) joined.filter(col("qid") =!= col("cid")) else joined
+    val scored = base
+      .select(Seq(col("qid"), col("cid")) ++ carry.map(col) :+
+        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"): _*)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
@@ -139,13 +143,9 @@ object Similarity {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = lab.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       col("label"))
-    val pairs = q.crossJoin(broadcast(c))
-    val scored = (if (excludeSameId) pairs.filter(col("qid") =!= col("cid")) else pairs)
-      .select(col("qid"), col("cid"), col("label"),
-        graft.functions.CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val votes = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // the one shared rank tail (qe3 bit-parity contract), label carried
+    val votes = rankTopK(q.crossJoin(broadcast(c)), k,
+        carry = Seq("label"), excludeSameId = excludeSameId)
       .groupBy(col("qid"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val best = votes.groupBy(col("qid")).agg(max(col("votes")).as("votes"))
