@@ -203,6 +203,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Row-local twin of [[minhashSignature]]: the same k min-hashes
+    * computed per ROW from the shingle-set array (transform + array_min)
+    * instead of explode + groupBy — identical signatures (min is
+    * insensitive to the aggregation route; asserted bit-equal in
+    * DedupSpec), but STREAMING-LEGAL: a pure projection with no shuffle
+    * and no aggregation state, so an increment stream can band-hash
+    * against a frozen index. At batch scale prefer [[minhashSignature]]
+    * when the shingle relation is already materialized for other passes;
+    * this form when signatures are the only consumer (it never shuffles
+    * the shingles at all). */
+  def minhashSignatureRowLocal(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sh"),
+        s => pmod(pmod(hash(s).cast("long"), lit(P)) * a + b, lit(P)))).as(s"mh_$i")
+    }
+    shingleSets(docs, n).select(col("doc_id") +: cols: _*)
+  }
+
+  /** The PERSISTABLE half of incremental fuzzy dedup: each doc's
+    * (band, bucket) rows — an ordinary table a daily job writes once per
+    * corpus snapshot (the QuantileGate/IvfIndex.assign fit/apply pattern
+    * applied to MinHash-LSH). Signatures are seeded-deterministic, so an
+    * increment banded later with the same (n, k, bands) joins consistently
+    * against an index written months earlier. */
+  def minhashIndex(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    bandBuckets(minhashSignature(docs, n, k), k, bands)
+
+  /** Incremental fuzzy-dedup candidates: band-hash ONLY the increment and
+    * equi-join it against a frozen [[minhashIndex]] — the corpus is never
+    * re-shingled or re-signed when daily increments arrive. Emits
+    * (da = indexed doc, db = increment doc) pairs for [[jaccardVerify]].
+    * Streaming-legal: the index is the static side of a stream-static
+    * equi-join and the per-pair verify is stateless row math (replay ==
+    * batch asserted in StreamingSpec). */
+  def minhashCandidatesAgainst(increment: DataFrame, index: DataFrame,
+                               n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    // row-local signatures: the increment side must stay aggregation-free
+    // (streaming) and is usually small enough that sharing a shingle
+    // relation buys nothing
+    val inc = bandBuckets(minhashSignatureRowLocal(increment, n, k), k, bands)
+      .select(col("band"), col("bucket"), col("doc_id").as("db"))
+    index.select(col("band"), col("bucket"), col("doc_id").as("da"))
+      .join(inc, Seq("band", "bucket"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"))
+      // dropDuplicates, not distinct(): identical batch semantics, but
+      // distinct() analyzes as a streaming AGGREGATION (watermark-bound in
+      // Append mode) while dropDuplicates is streaming dedup state —
+      // exactly the right primitive for pair de-dup on an increment stream
+      .dropDuplicates("da", "db")
+  }
+
   /** Verify LSH candidates with exact Jaccard — candidates are few, so this
     * join + per-pair set math is cheap. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double): DataFrame = {

@@ -660,6 +660,22 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents GROUP BY source), p AS (SELECT source, n, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), zed AS (SELECT doc_id, d.source AS source, n_chars, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN p ON d.source = p.source) SELECT doc_id, source, n_chars, ROUND(z, 4) AS z FROM zed WHERE abs(z) <= 2.0 ORDER BY doc_id""")),
 
+    // E2 (incremental scale path) — fuzzy dedup of an increment against a
+    // FROZEN MinHash band index: the corpus is never re-shingled when
+    // daily increments arrive. Candidates from the stream-static-shaped
+    // band join, then exact-Jaccard verified (precision 1.0). Approximate
+    // candidates -> rows-only driver check; cross-snapshot recall vs the
+    // exact pair graph asserted in DedupSpec.
+    ("qe43_incremental_fuzzy", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val inc = docs.filter(col("doc_id") % 10 === 7)
+      val cand = Dedup.minhashCandidatesAgainst(inc, Dedup.minhashIndex(old))
+      Dedup.jaccardVerify(docs, cand, 3, 0.5)
+        .select(col("da"), col("db"), r4(col("j")).as("j"))
+        .orderBy("da", "db")
+    }, None),
+
     // E1 (audit) — per-source exact-duplication card: the before/after
     // report a dedup run publishes per domain.
     ("qe42_dedup_card", (s: SparkSession, d: String) => {

@@ -70,6 +70,34 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.except(exact).count() == 0, "verify step must remove false positives")
   }
 
+  test("row-local minhash signatures == explode/groupBy signatures, bit-for-bit") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq).toMap
+    assert(m(Dedup.minhashSignature(docs, 3, 16)) ==
+      m(Dedup.minhashSignatureRowLocal(docs, 3, 16)))
+  }
+
+  test("incremental fuzzy dedup vs a frozen band index: full cross-snapshot recall, exact precision") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val got = Dedup.jaccardVerify(docs,
+        Dedup.minhashCandidatesAgainst(inc, Dedup.minhashIndex(old)), 3, 0.5)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // ground truth: the exact >= 0.5 pairs straddling the snapshot split
+    val oldIds = old.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => oldIds(a) != oldIds(b) }.toSet
+    assert(exact.nonEmpty, "testdata must contain cross-snapshot near-dup pairs")
+    assert(exact.subsetOf(got),
+      s"index path missed cross pairs: ${(exact -- got).take(5)}")
+    assert(got.subsetOf(exact),
+      s"verify must remove false positives: ${(got -- exact).take(5)}")
+  }
+
   test("fused srp_buckets kernel == composable per-table srpBucket form, bit-for-bit") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val d = 64; val bits = 6; val tbls = 7

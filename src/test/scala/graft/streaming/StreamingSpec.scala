@@ -836,6 +836,35 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally { qc.stop(); qe.stop() }
   }
 
+  test("streaming increment vs frozen MinHash band index == batch candidates") {
+    // qe43 in-flight: the band index is the STATIC side; the increment
+    // band-hashes per row (seeded-deterministic signatures) and the only
+    // streaming state is the pair dedup
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val index = graft.operators.Dedup.minhashIndex(old).localCheckpoint()
+    val want = graft.operators.Dedup.minhashCandidatesAgainst(inc, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.Dedup.minhashCandidatesAgainst(
+        input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("t_inc_fuzzy")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = inc.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_inc_fuzzy").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"streamed candidates diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming zscore gate against frozen stats == batch (stateless projection)") {
     val docs = Engine.Tables(spark, Sf0001).documents
       .select("doc_id", "source", "n_chars")
