@@ -555,6 +555,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got("books") == ((2L, 2L, 1.0)), s"got $got")   // fully OOV
   }
 
+  test("gate/card invariants hold on the real corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    // stopword ratio: bounded, stop count never exceeds token count
+    TextAnalysis.stopwordRatioSelf(docs, 20).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // oov rate: bounded, and non-increasing as the vocab grows
+    def totalOov(k: Int): Long =
+      TextAnalysis.oovRate(docs, TextAnalysis.vocabFit(docs, k)).collect()
+        .map { r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0); r.getLong(2) }.sum
+    assert(totalOov(200) <= totalOov(20),
+      "a larger vocabulary cannot increase out-of-vocabulary occurrences")
+    // zscore gate: output subset-sized, every surviving |z| within the bar
+    val in = docs.select("doc_id", "source", "n_chars")
+    val out = ZScore.gate(in, "source", "n_chars", 2.0).collect()
+    assert(out.length <= in.count())
+    out.foreach(r => assert(math.abs(r.getDouble(3)) <= 2.0))
+  }
+
   // ---- chunk --------------------------------------------------------------
 
   test("chunking covers every token with the declared width/stride/overlap") {
