@@ -119,9 +119,15 @@ object QuantileGate {
     group match {
       case Some(g) =>
         // <=> keeps a null group matched to its own threshold; a plain
-        // equi-join would silently drop every null-group row
-        src.join(broadcast(cutoff), src(g) <=> cutoff(g))
-          .drop(cutoff(g))
+        // equi-join would silently drop every null-group row. The cutoff
+        // frame derives from src, so a src(g) <=> cutoff(g) condition rides
+        // Spark's ambiguous-self-join resolution (correct today, but it
+        // emits "trivially true equals predicate" WARNs and is one resolver
+        // change away from a wrong join); renaming the threshold side's key
+        // makes the sides structurally distinct, as the frozen form does.
+        val thr = cutoff.withColumnRenamed(g, "__g")
+        src.join(broadcast(thr), col(g) <=> col("__g"))
+          .drop("__g")
           .filter(m <= col("__thr")).drop("__thr")
       case None =>
         src.join(broadcast(cutoff), m <= col("__thr")).drop("__thr")

@@ -91,12 +91,32 @@ object Extensions {
         .orderBy("qid", "rnk")
     }, None),
 
-    // E3 (scale path) — IVF coarse-quantized ANN (rows-only; recall >= 0.9
-    // at this tuned nlist/nprobe + monotone sweep asserted in SimilaritySpec)
+    // E3 (build path) — IVF coarse-quantized ANN with the k-means fit
+    // INLINE (rows-only; recall >= 0.9 at this tuned nlist/nprobe +
+    // monotone sweep asserted in SimilaritySpec). This is the
+    // index-construction form; qe3d below is the frozen-artifact apply
+    // form you would actually ship at 100 TB.
     ("qe3c_knn_ivf", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5, nlist = 8, nprobe = 6)
+        .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rnk")
+    }, None),
+
+    // E3 (100 TB apply path) — IVF ANN against a FROZEN centroid artifact:
+    // the quantizer fits once per process (frozenCentroids cache = the
+    // sandbox stand-in for a persisted centroid table), and the executed
+    // plan contains NO k-means fit — a map-only codegen cell assignment,
+    // an equi-join probe, and a per-query top-k window. Result-equal to
+    // qe3c at the same knobs (asserted in OperatorsSpec); plan shape
+    // pinned fit-free in PlanSpec.
+    ("qe3d_knn_ivf_frozen", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val cents = graft.operators.IvfIndex.frozenCentroids(
+        emb, cacheKey = d, "vec_id", "embedding", nlist = 8)
+      graft.operators.IvfIndex.topKFrozen(emb, cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nprobe = 6)
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),

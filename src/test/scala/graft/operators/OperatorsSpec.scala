@@ -301,6 +301,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.isEmpty, s"assign diverged from model.transform on ${diff.take(5)}")
   }
 
+  test("IVF assignInline (map-only codegen argmin) == model transform, keeps all columns") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (assigned, centroids) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val want = assigned.select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inline = IvfIndex.assignInline(emb, centroids, "embedding")
+    // every input column survives (the map-only form decorates, never projects)
+    assert(inline.columns.toSeq == emb.columns.toSeq :+ "cell")
+    val got = inline.select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == want.size)
+    val diff = got.filter { case (id, c) => want(id) != c }
+    assert(diff.isEmpty, s"assignInline diverged from model.transform on ${diff.take(5)}")
+  }
+
+  test("frozen-centroid topK (qe3d path) == inline-fit topK (qe3c path) at same knobs") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    val inlineFit = IvfIndex.topK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 6)
+      .select("qid", "rnk", "cid").orderBy("qid", "rnk")
+      .collect().map(_.toString).toSeq
+    val cents = IvfIndex.frozenCentroids(emb, cacheKey = "spec-" + Sf0001,
+      "vec_id", "embedding", nlist = 8)
+    val frozen = IvfIndex.topKFrozen(emb, cents, queries, "vec_id", "embedding",
+        5, nprobe = 6)
+      .select("qid", "rnk", "cid").orderBy("qid", "rnk")
+      .collect().map(_.toString).toSeq
+    assert(frozen == inlineFit,
+      "the frozen-artifact apply path must reproduce the inline-fit results exactly")
+    // second call replays the cached artifact rows (same results, no refit)
+    val cents2 = IvfIndex.frozenCentroids(emb, cacheKey = "spec-" + Sf0001,
+      "vec_id", "embedding", nlist = 8)
+    assert(cents2.collect().map(_.toString).sorted.toSeq ==
+      cents.collect().map(_.toString).sorted.toSeq)
+  }
+
 }
 
 class TextAnalysisSpec extends SparkTestBase {

@@ -295,6 +295,31 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"single-task exchange in the gated pipeline plan:\n${s.take(2000)}")
   }
 
+  test("qe3d frozen IVF: no k-means fit in the executed plan (no ScalaUDF), no cartesian") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    // contrast pin: the inline-fit form (qe3c) assigns cells through the
+    // fitted MLlib model's prediction UDF — that is exactly what the frozen
+    // form must NOT contain
+    val inline = graft.SparkEntry.queries("qe3c_knn_ivf")(spark, Sf0001)
+    inline.collect()
+    val inlineUdfs = collectWithSubqueries(planOf(inline)) { case p =>
+      p.expressions.flatMap(_.collect { case e: ScalaUDF => e })
+    }.flatten
+    assert(inlineUdfs.nonEmpty,
+      "expected the inline-fit plan to carry the model's prediction UDF — " +
+        "if MLlib stopped planning a UDF, re-derive this pin")
+    val df = graft.SparkEntry.queries("qe3d_knn_ivf_frozen")(spark, Sf0001)
+    df.collect()
+    val udfs = collectWithSubqueries(planOf(df)) { case p =>
+      p.expressions.flatMap(_.collect { case e: ScalaUDF => e })
+    }.flatten
+    assert(udfs.isEmpty,
+      s"frozen apply plan must be UDF-free (no fit, no model transform): " +
+        s"${udfs.map(_.udfName).mkString(",")}")
+    val s = planOf(df).toString
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("qe35 knn: labeled side broadcasts over the query scan, top-k prunes map-side") {
     val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
     df.collect()
