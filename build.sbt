@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the collector + region size so bench numbers aren't at the mercy
+  // of JVM ergonomics deciding differently across runs (the BENCH_r07
+  // 94 s-vs-69.5 s environmental swing); G1 is the JDK17 default but an
+  // explicit pin survives ergonomic heuristics on odd container shapes
+  "-XX:+UseG1GC", "-XX:G1HeapRegionSize=16m",
 )

@@ -17,6 +17,28 @@ import org.apache.spark.sql.SparkSession
   * reps into cache reads.
   */
 object Bench {
+
+  /** stdout keys each query by its unique id prefix — see the tail-window
+    * comment in main; uniqueness is guarded in InvariantsSpec. */
+  val shortKey: String => String = n => n.takeWhile(_ != '_')
+
+  /** Locale-pinned centisecond formatter: the default-locale f"%.2f" would
+    * print "0,12" on a comma-decimal locale (de_DE), breaking the JSON. */
+  val centi: Double => String = v => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Render the one-line JSON metric — factored out so InvariantsSpec can
+    * assert the exact line main prints PARSES as JSON, sums correctly, and
+    * fits the driver's tail window. `extra` lands before the closing brace
+    * (the file form appends reps + per-query spread). */
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+                 fmt: Double => String, key: String => String,
+                 extra: String = ""): String = {
+    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,9 +72,13 @@ object Bench {
     // their generated-code JIT state to the codegen LRU once 69 other
     // queries' plans pass through, so every rep measures cold. Warm
     // back-to-back medians are also what every prior round recorded.
-    def exec(name: String): Double = {
+    // (median, max-min spread): the spread lands in bench_out.json so an
+    // environmental outlier (the BENCH_r07 94 s vs 69.5/71.4 s episode) is
+    // visible in the artifact itself instead of needing a re-run to detect
+    def exec(name: String): (Double, Double) = {
       val ts = (1 to reps).map(_ => execOnce(name))
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+      if (ts.exists(_ < 0)) (-1.0, -1.0)
+      else (ts.sorted.apply(ts.size / 2), ts.max - ts.min)
     }
 
     // warmup: parquet footers + vectorized-reader init for every table,
@@ -67,13 +93,9 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val results = names.map(n => n -> exec(n))
-    def jsonLine(fmt: Double => String, key: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
+    val timed = names.map(n => n -> exec(n))
+    val results = timed.map { case (n, (med, _)) => n -> med }
+    val spreads = timed.map { case (n, (_, sp)) => n -> sp }
     // stdout must fit the driver's tail window: it keeps only the LAST
     // 2000 chars of output and the sbt epilogue shares that window, so
     // an oversized line loses its HEAD — the {"metric":"total",... part —
@@ -83,17 +105,19 @@ object Bench {
     // contract's own example uses "q1") at centisecond precision
     // (~1240 chars); bench_out.json below keeps full names and full
     // precision and is the authoritative record.
-    val shortKey: String => String = n => n.takeWhile(_ != '_')
     val keyed = if (results.map(r => shortKey(r._1)).distinct.size == results.size)
       shortKey else identity[String] _ // collision → full names, never ambiguity
-    // Locale.ROOT: the default-locale f"%.2f" would print "0,12" on a
-    // comma-decimal locale (de_DE), silently breaking the JSON again
-    println(jsonLine(v => "%.2f".formatLocal(java.util.Locale.ROOT, v), keyed))
+    println(renderLine(results, sfDir, centi, keyed))
     // the full-precision line lands in a clean file — the authoritative
-    // record for regression tracking
+    // record for regression tracking; it also carries the rep count and the
+    // per-query (max-min) spread across reps so environment noise is
+    // distinguishable from regression without a re-run
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v.toString }
+      .mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      jsonLine(_.toString, identity) + "\n")
+      renderLine(results, sfDir, _.toString, identity,
+        extra = s""","reps":$reps,"spread":$spreadJson""") + "\n")
     spark.stop()
   }
 }

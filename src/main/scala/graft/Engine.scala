@@ -65,4 +65,28 @@ object Engine {
     def documents: DataFrame  = rd("documents")
     def embeddings: DataFrame = rd("embeddings")
   }
+
+  /** Row count from parquet FOOTER metadata — the stand-in for catalog
+    * table statistics (what a real deployment would read from the
+    * metastore or transaction log): O(files) driver-side footer reads, no
+    * Spark job, no corpus scan. Feeds blocking-knob derivation (SRP nbits,
+    * k-means training-sample rates) so auto-sizing never costs an extra
+    * full pass over the data. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .flatMap(files)
+    files(fs.getFileStatus(root))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 }

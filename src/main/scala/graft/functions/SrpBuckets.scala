@@ -73,7 +73,11 @@ object SrpBuckets {
     var j = 0
     while (j < n) {
       // null element -> every hyperplane dot is null -> every bit's
-      // when(dot > 0) folds to 0: all-zero buckets, same as the HOF form
+      // when(dot > 0) folds to 0: all-zero buckets, same as the HOF form.
+      // HAZARD: every such row therefore lands in bucket 0 of EVERY table,
+      // forming a quadratic hot bucket if many reach candidate generation —
+      // callers must pre-filter null-element vectors (as
+      // Dedup.embeddingNearDupsBlocked does); they can never verify anyway
       if (arr.isNullAt(j)) return ArrayData.toArrayData(out)
       j += 1
     }

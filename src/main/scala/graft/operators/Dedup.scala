@@ -203,24 +203,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Row-local twin of [[minhashSignature]]: the same k min-hashes
-    * computed per ROW from the shingle-set array (transform + array_min)
-    * instead of explode + groupBy — identical signatures (min is
-    * insensitive to the aggregation route; asserted bit-equal in
-    * DedupSpec), but STREAMING-LEGAL: a pure projection with no shuffle
-    * and no aggregation state, so an increment stream can band-hash
-    * against a frozen index. At batch scale prefer [[minhashSignature]]
-    * when the shingle relation is already materialized for other passes;
-    * this form when signatures are the only consumer (it never shuffles
-    * the shingles at all). */
-  def minhashSignatureRowLocal(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("sh"),
-        s => pmod(pmod(hash(s).cast("long"), lit(P)) * a + b, lit(P)))).as(s"mh_$i")
-    }
-    shingleSets(docs, n).select(col("doc_id") +: cols: _*)
-  }
-
   /** The PERSISTABLE half of incremental fuzzy dedup: each doc's
     * (band, bucket) rows — an ordinary table a daily job writes once per
     * corpus snapshot (the QuantileGate/IvfIndex.assign fit/apply pattern
@@ -242,7 +224,7 @@ object Dedup {
     // row-local signatures: the increment side must stay aggregation-free
     // (streaming) and is usually small enough that sharing a shingle
     // relation buys nothing
-    val inc = bandBuckets(minhashSignatureRowLocal(increment, n, k), k, bands)
+    val inc = bandBuckets(minhashSignatureRowwise(increment, n, k), k, bands)
       .select(col("band"), col("bucket"), col("doc_id").as("db"))
     index.select(col("band"), col("bucket"), col("doc_id").as("da"))
       .join(inc, Seq("band", "bucket"))
@@ -251,7 +233,14 @@ object Dedup {
       // dropDuplicates, not distinct(): identical batch semantics, but
       // distinct() analyzes as a streaming AGGREGATION (watermark-bound in
       // Append mode) while dropDuplicates is streaming dedup state —
-      // exactly the right primitive for pair de-dup on an increment stream
+      // exactly the right primitive for pair de-dup on an increment stream.
+      // LONG-RUNNING STREAMS: without a watermark this dedup state grows
+      // with every distinct pair for the stream's lifetime. A daily
+      // micro-batch replay (the registered qe43 shape) is bounded by the
+      // increment; an always-on ingest stream should instead carry an event
+      // time column, call withWatermark on it BEFORE this operator, and
+      // dedup via dropDuplicatesWithinWatermark("da","db") so pair state
+      // ages out with the watermark.
       .dropDuplicates("da", "db")
   }
 
@@ -342,10 +331,14 @@ object Dedup {
     * per-table all-pairs). */
   def embeddingNearDupsBlocked(vectors: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, nbits: Int = 0, tables: Int = 0,
-                               dim: Int = 0): DataFrame = {
+                               dim: Int = 0, nHint: Long = 0L): DataFrame = {
     val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).head().getInt(0)
     val bits = if (nbits > 0) nbits else {
-      val n = vectors.count()
+      // nHint (from catalog/footer statistics, e.g. Engine.parquetRowCount)
+      // spares the full-scan count(): at 100 TB an extra corpus pass just
+      // to size a knob is real money, and the derivation only needs the
+      // order of magnitude (log2)
+      val n = if (nHint > 0) nHint else vectors.count()
       math.min(28, math.max(4, math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
     }
     val tbls = if (tables > 0) tables else {
@@ -373,12 +366,18 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit(s"embedding dim mismatch: expected $d, got "),
           size(col(vecCol)).cast("string")))).as("v"))
+    // null-ELEMENT vectors hash to all-zero sign bits in EVERY table (the
+    // documented HOF-parity rule in SrpBuckets), so they would all pile
+    // into bucket 0 of every table — a quadratic hot bucket. They can
+    // never survive the verify step anyway (null cosine), so dropping
+    // them from candidate generation changes cost, not results.
+    val clean = checked.filter(!exists(col("v"), e => e.isNull))
     // ONE fused kernel pass computes every table's bucket (array index =
     // table id): the composable per-table srpBucket form is tables×nbits
     // separate DotProduct subtrees — 234 at the qe7b auto-sizing — whose
     // generated projection overflows JIT budgets. Bit-parity with the
     // composable form is asserted in DedupSpec.
-    val bucketed = checked.select(col("id"), posexplode(
+    val bucketed = clean.select(col("id"), posexplode(
       graft.functions.SrpBucketsExpr.srp_buckets(col("v"), tbls, bits, d, 1000L))
       .as(Seq("tbl", "bucket")))
     val cand = bucketed.as("a")
@@ -415,8 +414,9 @@ object Dedup {
     * cost stays bounded because [[IvfIndex.build]] trains on a capped
     * deterministic sample (assignment still covers every row). */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nlist: Int, seed: Long = 42L): DataFrame = {
-    val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed)
+                    threshold: Double, nlist: Int, seed: Long = 42L,
+                    nHint: Long = 0L): DataFrame = {
+    val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)
     // norm precomputed once per row and checkpointed with the vector —
     // within-cell verification touches each row occupancy-many times, so
     // the per-pair cosine reduces to dot + one multiply + one divide

@@ -28,12 +28,16 @@ object IvfIndex {
     * one codegen'd transform pass. Below the cap the sample is the whole
     * input, so small-scale results are unchanged. */
   def build(vectors: DataFrame, idCol: String, vecCol: String, nlist: Int,
-            seed: Long = 42L, maxTrain: Long = 200000L): (DataFrame, DataFrame) = {
+            seed: Long = 42L, maxTrain: Long = 200000L,
+            nHint: Long = 0L): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val withVec = vectors.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val n = withVec.count()
+    // nHint (catalog/footer statistics, e.g. Engine.parquetRowCount) spares
+    // the full count() — the sample-rate derivation only needs a row-count
+    // estimate, not an exact corpus pass
+    val n = if (nHint > 0) nHint else withVec.count()
     val train =
       if (n <= maxTrain) withVec
       else Sampling.deterministicSample(withVec, idCol,
@@ -86,8 +90,9 @@ object IvfIndex {
     * nprobe = nlist (probing every cell = exhaustive scan); tune nprobe
     * against a sampled exact top-k, as the spec's sweep does. */
   def topK(candidates: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = build(candidates, idCol, vecCol, nlist, seed)
+           k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+           nHint: Long = 0L): DataFrame = {
+    val (assigned, centroids) = build(candidates, idCol, vecCol, nlist, seed, nHint = nHint)
     probeTopK(assigned, centroids, queries, idCol, vecCol, k, nprobe)
   }
 
@@ -125,11 +130,12 @@ object IvfIndex {
     * (qe3d) and a real deployment both read centroids as plain data, with NO
     * k-means fit anywhere in the executed plan. */
   def frozenCentroids(vectors: DataFrame, cacheKey: String, idCol: String,
-                      vecCol: String, nlist: Int, seed: Long = 42L): DataFrame = {
+                      vecCol: String, nlist: Int, seed: Long = 42L,
+                      nHint: Long = 0L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val rows = centroidCache.computeIfAbsent(s"$cacheKey|$vecCol|$nlist|$seed", _ => {
-      val (_, cents) = build(vectors, idCol, vecCol, nlist, seed)
+      val (_, cents) = build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)
       cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     })
     rows.toDF("cell", "centroid")

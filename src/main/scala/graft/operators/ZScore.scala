@@ -60,9 +60,18 @@ object ZScore {
   def gateFrozen(df: DataFrame, stats: DataFrame, groupCol: String,
                  metricCol: String, zmax: Double): DataFrame = {
     require(zmax > 0, s"zscore gate: zmax must be > 0, got $zmax")
-    val z = when(col("sd") === 0d, lit(0.0))
-      .otherwise((col(metricCol).cast("double") - col("mu")) / col("sd"))
-    df.join(broadcast(stats.select(col(groupCol), col("mu"), col("sd"))), Seq(groupCol))
+    // the output contract is "input columns + z" — a pre-existing z would
+    // be silently overwritten by withColumn, so refuse loudly
+    require(!df.columns.contains("z"),
+      "zscore gateFrozen appends a z column; the input already has one — rename it first")
+    // the stats columns join the corpus under collision-safe internal names:
+    // an input frame that itself carries mu/sd (e.g. the output of another
+    // fit) must not make the gate arithmetic ambiguous
+    val st = stats.select(col(groupCol),
+      col("mu").as("__zs_mu"), col("sd").as("__zs_sd"))
+    val z = when(col("__zs_sd") === 0d, lit(0.0))
+      .otherwise((col(metricCol).cast("double") - col("__zs_mu")) / col("__zs_sd"))
+    df.join(broadcast(st), Seq(groupCol))
       .withColumn("z", z)
       .filter(abs(col("z")) <= zmax)
       // the equi-join hoists groupCol to position 0 — restore the caller's

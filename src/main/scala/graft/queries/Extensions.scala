@@ -59,7 +59,10 @@ object Extensions {
     // bucket equi-join candidates → exact fused-kernel verify. Approximate
     // recall (asserted vs qe7 in DedupSpec) → rows-only driver check.
     ("qe7b_embed_neardup_blocked", (s: SparkSession, d: String) => {
-      Dedup.embeddingNearDupsBlocked(Engine.Tables(s, d).embeddings, "vec_id", "embedding", 0.45)
+      // knob auto-sizing reads the row count from parquet footer statistics
+      // (no extra corpus pass) — at scale this hint comes from the catalog
+      Dedup.embeddingNearDupsBlocked(Engine.Tables(s, d).embeddings, "vec_id", "embedding", 0.45,
+          nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
         .select(col("da"), col("db"), r4(col("cos")).as("cos"))
         .orderBy("da", "db")
     }, None),
@@ -71,7 +74,8 @@ object Extensions {
     // graph in DedupSpec → rows-only driver check like qe7b.
     ("qe7c_semantic_dedup", (s: SparkSession, d: String) => {
       Dedup.semanticDedup(Engine.Tables(s, d).embeddings,
-          "vec_id", "embedding", 0.45, nlist = 8)
+          "vec_id", "embedding", 0.45, nlist = 8,
+          nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
         .orderBy("id")
     }, None),
 
@@ -99,7 +103,8 @@ object Extensions {
     ("qe3c_knn_ivf", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5, nlist = 8, nprobe = 6)
+          "vec_id", "embedding", 5, nlist = 8, nprobe = 6,
+          nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),
@@ -114,7 +119,8 @@ object Extensions {
     ("qe3d_knn_ivf_frozen", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       val cents = graft.operators.IvfIndex.frozenCentroids(
-        emb, cacheKey = d, "vec_id", "embedding", nlist = 8)
+        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+        nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
       graft.operators.IvfIndex.topKFrozen(emb, cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nprobe = 6)
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))

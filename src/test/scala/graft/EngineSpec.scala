@@ -25,6 +25,15 @@ class EngineSpec extends SparkTestBase {
     assert(graft.sources.MqttLike.sanitize("plain.topic-name_0") == "plain.topic-name_0")
   }
 
+  test("parquetRowCount (footer statistics) matches the scanned count, file and directory layouts") {
+    val p = s"$Sf0001/embeddings.parquet"
+    assert(graft.Engine.parquetRowCount(spark, p) == spark.read.parquet(p).count())
+    // multi-file directory layout (the cluster shape): counts sum across parts
+    val dir = java.nio.file.Files.createTempDirectory("prc").toString
+    spark.read.parquet(p).repartition(3).write.mode("overwrite").parquet(dir)
+    assert(graft.Engine.parquetRowCount(spark, dir) == spark.read.parquet(p).count())
+  }
+
   test("dashboard upsert keeps newest reading per key regardless of arrival order") {
     import spark.implicits._
     val (view, upsert) = graft.sources.Sinks.dashboardSink(

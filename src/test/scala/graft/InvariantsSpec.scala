@@ -64,10 +64,37 @@ class InvariantsSpec extends SparkTestBase {
     val short = names.map(_.takeWhile(_ != '_'))
     assert(short.distinct.size == names.size,
       s"duplicate short bench keys: ${short.diff(short.distinct).distinct}")
-    val line = "{\"metric\":\"total\",\"value\":99999.99,\"unit\":\"sec\"," +
-      "\"queries\":{" + short.map(s => "\"" + s + "\":99999.99").mkString(",") +
-      "},\"sf\":\"/root/testdata/sf0.1\"}"
+    // render through the EXACT code main prints with (renderLine + centi +
+    // shortKey), at the worst-case width every query can reach (99999.99)
+    val results = names.map(_ -> 99999.99)
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.centi, Bench.shortKey)
     assert(line.length <= 1800,
       s"bench stdout line ${line.length} chars — too close to the 2000-char window")
+  }
+
+  test("bench JSON line parses, total == sum of queries, file form carries reps+spread") {
+    // guards the BENCH_r06 failure mode (driver silently parsing null) at
+    // its source: the exact rendering main uses must be valid JSON whose
+    // total is the sum of the per-query values, in both the stdout form
+    // (centi + short keys) and the bench_out.json form (full precision +
+    // reps + spread). Jackson ships with Spark — same parser family the
+    // driver's python json.loads models.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) => n -> (0.01 + i * 0.01) }
+    val stdoutLine = Bench.renderLine(results, "/x", Bench.centi, Bench.shortKey)
+    val node = mapper.readTree(stdoutLine)
+    assert(node.get("metric").asText == "total" && node.get("unit").asText == "sec")
+    val qs = node.get("queries")
+    val sum = names.map(n => qs.get(Bench.shortKey(n)).asDouble).sum
+    assert(math.abs(node.get("value").asDouble - sum) <= 0.005 * names.size,
+      s"stdout total ${node.get("value").asDouble} != per-query sum $sum")
+    val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
+      extra = s""","reps":3,"spread":{"q01_project":0.05}""")
+    val fnode = mapper.readTree(fileLine)
+    assert(fnode.get("reps").asInt == 3)
+    assert(fnode.get("spread").get("q01_project").asDouble == 0.05)
+    assert(math.abs(fnode.get("value").asDouble -
+      names.map(n => fnode.get("queries").get(n).asDouble).sum) < 1e-9)
   }
 }

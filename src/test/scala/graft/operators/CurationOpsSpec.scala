@@ -539,6 +539,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(applied.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("zscore gateFrozen is collision-safe: input mu/sd columns ride through, pre-existing z refused") {
+    val stats = ZScore.fitStats(
+      Seq(("a", 1L), ("a", 3L)).toDF("source", "m"), "source", "m")
+    // an input frame that itself carries mu/sd (e.g. another fit's output)
+    // must neither confuse the gate arithmetic nor be overwritten
+    val in = Seq((1L, "a", 2L, 99.0, 88.0)).toDF("doc_id", "source", "m", "mu", "sd")
+    val out = ZScore.gateFrozen(in, stats, "source", "m", 2.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(3) == 99.0 && r.getDouble(4) == 88.0,
+      s"caller's mu/sd columns must survive untouched: $r")
+    assert(r.getDouble(5) == 0.0, s"z must come from the FROZEN stats (mu=2, m=2): $r")
+    // a pre-existing z would be silently overwritten — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      ZScore.gateFrozen(Seq((1L, "a", 2L, 0.5)).toDF("doc_id", "source", "m", "z"),
+        stats, "source", "m", 2.0)
+    }
+    assert(e.getMessage.contains("z column"), e.getMessage)
+  }
+
   // ---- oovRate ------------------------------------------------------------
 
   test("oov rate counts occurrences outside the frozen vocab, per source") {
@@ -596,6 +616,36 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got.map(_.getString(3)).mkString(" ") == text,
       "non-overlapping tiles must concatenate back to the original token stream")
     assert(got.map(_.getLong(2)).sum == 11L)
+  }
+
+  test("property: segment dedup reassembly == first-occurrence reference over seeded ScalaCheck corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet + short docs force heavy cross- and intra-doc segment
+    // collisions — the regime where survivor choice and reassembly can drift
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(0, 11).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, docGen))
+    for (trial <- 1 to 5) {
+      val w = 1 + (trial % 4)
+      val texts = corpusGen.pureApply(Gen.Parameters.default, Seed(1000L + trial))
+      val corpus = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      // reference model: stream segments in (doc_id, seg_idx) order, keep
+      // each segment's first occurrence, reassemble survivors in doc order
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = corpus.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val kept = toks.grouped(w).map(_.mkString(" ")).filter(seen.add).toSeq
+        if (kept.nonEmpty) Some(id -> (kept.mkString(" "), kept.size.toLong)) else None
+      }.toMap
+      val got = SegmentDedup.dedupSegments(corpus.toDF("doc_id", "text"), w).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == expect, s"trial=$trial w=$w:\n got=$got\n want=$expect")
+      // no document ever gains text
+      val orig = corpus.toMap
+      got.foreach { case (id, (clean, _)) =>
+        assert(clean.length <= orig(id).length, s"doc $id grew: '$clean' vs '${orig(id)}'") }
+    }
   }
 
   test("chunk/entropy properties hold over seeded random corpora") {

@@ -70,12 +70,12 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.except(exact).count() == 0, "verify step must remove false positives")
   }
 
-  test("row-local minhash signatures == explode/groupBy signatures, bit-for-bit") {
+  test("row-wise minhash signatures == explode/groupBy signatures, bit-for-bit") {
     val docs = Engine.Tables(spark, Sf0001).documents
     def m(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq).toMap
     assert(m(Dedup.minhashSignature(docs, 3, 16)) ==
-      m(Dedup.minhashSignatureRowLocal(docs, 3, 16)))
+      m(Dedup.minhashSignatureRowwise(docs, 3, 16)))
   }
 
   test("incremental fuzzy dedup vs a frozen band index: full cross-snapshot recall, exact precision") {
@@ -182,6 +182,26 @@ class DedupSpec extends SparkTestBase {
     }
     assert(thrown.getMessage.contains("dim mismatch"),
       s"expected a dim-mismatch error, got: ${thrown.getMessage.take(300)}")
+  }
+
+  test("blocked near-dup excludes null-element vectors from candidate generation (no hot bucket)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val nullRows = Seq(
+      (10L, Seq[java.lang.Float](null, 1.0f, 1.0f)),
+      (11L, Seq[java.lang.Float](null, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDupsBlocked(df, "vec_id", "embedding", 0.9,
+          nbits = 4, tables = 8)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withNulls = pairs(base.union(nullRows))
+    // results identical to the clean frame: null-element rows neither pair
+    // with each other (the all-zero hot bucket) nor with anything else
+    assert(withNulls == pairs(base), s"null-element rows leaked into pairs: $withNulls")
+    assert(!withNulls.exists { case (a, b) => a >= 10L || b >= 10L })
   }
 
   test("simhash: identical docs have identical fingerprints, hamming 0") {
