@@ -82,4 +82,30 @@ object EmbedQuality {
       .select(col(idCol), col(groupCol), cosR.as("cos_c"),
         (cosR < lit(threshold)).cast("int").as("is_outlier"))
   }
+
+  /** Per-group L2-norm distribution card: (groupCol, n, mean_norm,
+    * min_norm, max_norm, n_zero) — the first screen run on a new embedding
+    * drop (an un-normalized batch, a zero-vector encoder failure, or a
+    * clipped export all show up here before anything downstream consumes
+    * the vectors).
+    *
+    * Determinism across engines (oracle constraint): norms round to 4
+    * decimals ONCE per row, then aggregate as DECIMAL(20,4) — the sums are
+    * exact and associative under any partitioning (the same discipline as
+    * [[centroids]]' scaled-integer means; a double sum would be partition-
+    * order-dependent). One codegen'd linear scan + one tiny hash aggregate;
+    * the corpus never shuffles beyond the per-group partials. */
+  def normsCard(emb: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame = {
+    val nrm = round(sqrt(graft.functions.DotProduct.dot_product(
+        col(vecCol).cast("array<double>"), col(vecCol).cast("array<double>"))), 4)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 4))
+    emb.select(col(groupCol), nrm.as("__nrm"))
+      .groupBy(col(groupCol))
+      .agg(count("*").as("n"),
+        round(sum(col("__nrm")).cast("double") / count("*"), 4).as("mean_norm"),
+        min(col("__nrm")).cast("double").as("min_norm"),
+        max(col("__nrm")).cast("double").as("max_norm"),
+        sum(when(col("__nrm") === 0, 1L).otherwise(0L)).as("n_zero"))
+  }
 }

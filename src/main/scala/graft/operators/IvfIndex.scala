@@ -156,6 +156,26 @@ object IvfIndex {
     probeTopK(assignInline(candidates, centroids, vecCol), centroids, queries,
       idCol, vecCol, k, nprobe)
 
+  /** Index-health card for a frozen IVF index: per-cell occupancy
+    * (cell, n, frac) ordered by cell. The number every IVF deployment
+    * watches — a hot cell means the quantizer no longer fits the data
+    * distribution (probe cost grows quadratically with occupancy) and it
+    * is time to refit. One map-only [[assignInline]] pass + one tiny hash
+    * aggregate; the frac window runs over the nlist-row card, never the
+    * corpus. */
+  def occupancyCard(vectors: DataFrame, centroids: DataFrame,
+                    vecCol: String): DataFrame = {
+    // localCheckpoint: counts feeds both the card and its total — without
+    // it the corpus-assignment scan would run once per consumer
+    val counts = assignInline(vectors, centroids, vecCol)
+      .groupBy("cell").agg(count("*").as("n")).localCheckpoint()
+    // total via a broadcast 1-row cross join, not an empty-partition window
+    // (which would emit the single-partition WARN even on this tiny card)
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+      .withColumn("frac", round(col("n") / col("__t"), 4)).drop("__t")
+      .orderBy("cell")
+  }
+
   /** Shared probe/score/top-k stage over an already-cell-assigned corpus.
     * Probe list is the query's nprobe nearest centroids (tiny |q| x nlist
     * broadcast cross join); candidate scoring joins EQUI on the cell id;

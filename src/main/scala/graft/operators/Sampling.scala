@@ -202,4 +202,27 @@ object Sampling {
     }._1
     df.withColumn("split", expr)
   }
+
+  /** Leakage-FREE train/val/test split: every near-dup CLUSTER lands
+    * wholly in one split. `clusters` is a (doc_id, cluster) frame
+    * ([[DupClusters.clusters]]); the split decision hashes the cluster
+    * REPRESENTATIVE (a doc outside any cluster represents itself), so two
+    * near-duplicate documents can never straddle train/test — the
+    * structural prevention of the leakage [[Decontaminate.splitLeakage]]-
+    * style audits only detect after the fact.
+    *
+    * Scale shape: one equi left join against the cluster map (|clustered
+    * docs| rows — a small fraction of the corpus; AQE broadcasts it when
+    * it fits) plus the same stateless md5-bucket projection as
+    * [[splitByHash]]. Output: input columns + split. */
+  def splitByCluster(df: DataFrame, clusters: DataFrame, idCol: String,
+                     splits: Seq[(String, Int)], seed: Long = 42L): DataFrame = {
+    val cl = clusters.select(col("doc_id").as("__cid"), col("cluster").as("__rep"))
+    splitByHash(
+      df.join(cl, col(idCol) === col("__cid"), "left")
+        .withColumn("__rep", coalesce(col("__rep"), col(idCol)))
+        .drop("__cid"),
+      "__rep", splits, seed)
+      .drop("__rep")
+  }
 }

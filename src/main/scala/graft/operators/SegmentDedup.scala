@@ -62,4 +62,35 @@ object SegmentDedup {
             s => s.getField("seg")), " ").as("text_clean"),
         count("*").as("n_segs_kept"))
   }
+
+  /** Corpus with every HIGH-DOCUMENT-FREQUENCY `w`-token segment removed
+    * from ALL documents — the CCNet/Dolma-style boilerplate strip:
+    * a segment appearing in >= `minDocs` DISTINCT documents is boilerplate
+    * (navigation chrome, cookie banners, license headers), and unlike
+    * [[dedupSegments]] even its first occurrence goes. Output matches
+    * dedupSegments (doc_id, text_clean, n_segs_kept); documents that were
+    * pure boilerplate disappear.
+    *
+    * Scale shape: document frequency is one two-phase distinct-count hash
+    * aggregate with map-side partials; the boilerplate set is at most
+    * |segments|/minDocs rows — small BY CONSTRUCTION, shrinking as the
+    * threshold rises — so the anti join is broadcast-eligible (left
+    * unpinned: AQE converts it at runtime when it fits); reassembly is the
+    * same per-doc aggregation as dedupSegments. */
+  def removeBoilerplate(docs: DataFrame, w: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would drop everything), got $minDocs")
+    val segs = segments(docs, w)
+    val boiler = segs
+      .groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("seg")
+    segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ").as("text_clean"),
+        count("*").as("n_segs_kept"))
+  }
 }

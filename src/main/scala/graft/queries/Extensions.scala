@@ -723,6 +723,53 @@ object Extensions {
     ("qe37_entropy", (s: SparkSession, d: String) => {
       TextAnalysis.tokenEntropy(Engine.Tables(s, d).documents)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), sc AS (SELECT doc_id, tf, CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM tc) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS n_types, ROUND((ln(CAST(SUM(tf) AS DOUBLE)) - CAST(SUM(c6) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE)) / ln(2), 4) AS entropy FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), sc AS (SELECT doc_id, tf, CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM tc) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS n_types, ROUND((ln(CAST(SUM(tf) AS DOUBLE)) - CAST(SUM(c6) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE)) / ln(2), 4) AS entropy FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E2 (boilerplate strip) — remove every >= minDocs-document segment
+    // from ALL documents (CCNet/Dolma-style): unlike qe21 (keep first
+    // occurrence) even the first copy of navigation chrome / license
+    // headers goes. DF pass is one two-phase distinct-count aggregate; the
+    // boilerplate set is small by construction (<= |segs|/minDocs).
+    ("qe44_boilerplate", (s: SparkSession, d: String) => {
+      graft.operators.SegmentDedup.removeBoilerplate(
+          Engine.Tables(s, d).documents, 8, 3)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), boiler AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3), surv AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E3 (index health) — per-group embedding L2-norm distribution card:
+    // the first screen on a new embedding drop (un-normalized batches,
+    // zero-vector encoder failures). Decimal-exact sums -> deterministic
+    // under any partitioning.
+    ("qe45_embed_norms", (s: SparkSession, d: String) => {
+      graft.operators.EmbedQuality.normsCard(Engine.Tables(s, d).embeddings)
+        .orderBy("label")
+    }, Some("""WITH e AS (SELECT label, CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(20,4)) AS nrm FROM embeddings) SELECT label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 4) AS mean_norm, CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM e GROUP BY label ORDER BY label""")),
+
+    // E5 (leakage-free split) — near-dup clusters land WHOLLY in one
+    // split: the structural prevention of the train/test leakage qe26b
+    // audits after the fact. Pairs via the verified LSH path (components
+    // == exact components, asserted in CurationOpsSpec), split by md5 of
+    // the cluster representative — both engines reproduce it exactly.
+    ("qe46_cluster_split", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val pairs = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+      graft.operators.Sampling.splitByCluster(
+          docs.select("doc_id"), graft.operators.DupClusters.clusters(pairs),
+          "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy("doc_id")
+    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id), rep AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rp FROM documents d LEFT JOIN cl ON d.doc_id = cl.id), b AS (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(rp AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM rep) SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""")),
+
+    // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
+    // refit tripwire every IVF deployment watches (a hot cell makes probe
+    // cost quadratic in occupancy). Map-only assignment + tiny aggregate;
+    // k-means cells -> no SQL oracle -> rows-only; sum(n) == corpus and
+    // frac normalization asserted in SimilaritySpec.
+    ("qe47_ivf_occupancy", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val cents = graft.operators.IvfIndex.frozenCentroids(
+        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+        nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
+      graft.operators.IvfIndex.occupancyCard(emb, cents, "embedding")
+    }, None)
   )
 }

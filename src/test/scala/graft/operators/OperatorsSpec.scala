@@ -336,6 +336,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.isEmpty, s"assignInline diverged from model.transform on ${diff.take(5)}")
   }
 
+  test("IVF occupancy card: cells partition the corpus, frac normalizes to 1") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (_, centroids) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val card = IvfIndex.occupancyCard(emb, centroids, "embedding").collect()
+    assert(card.map(_.getLong(1)).sum == emb.count(),
+      "every vector lands in exactly one cell")
+    assert(card.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    val fracSum = card.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) <= 0.001, s"frac sums to $fracSum")
+    card.foreach(r => assert(r.getLong(1) > 0L, "empty cells are absent, not zero rows"))
+  }
+
+  test("embedding norms card: exact decimal norms, zero vectors counted per group") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),      // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),      // zero vector
+      (3L, Seq(6.0f, 8.0f), 1)       // norm 10
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbedQuality.normsCard(emb).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == Seq((0, 2L, 2.5, 0.0, 5.0, 1L), (1, 1L, 10.0, 10.0, 10.0, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("frozen-centroid topK (qe3d path) == inline-fit topK (qe3c path) at same knobs") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val queries = emb.filter(col("vec_id") < 10)

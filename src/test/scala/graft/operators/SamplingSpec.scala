@@ -130,4 +130,29 @@ class SamplingSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "PPS sample must plan as TakeOrdered")
   }
+
+  test("splitByCluster: whole near-dup clusters share a split; singletons match splitByHash") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5)
+    val clusters = DupClusters.clusters(pairs)
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = Sampling.splitByCluster(docs.select("doc_id"), clusters, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs.count(), "every doc gets exactly one split")
+    // every cluster is wholly inside one split — the leakage-free property
+    val byCluster = clusters.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSeq }
+    assert(byCluster.exists(_._2.size > 1), "testdata must contain multi-doc clusters")
+    byCluster.foreach { case (c, members) =>
+      val ss = members.map(got).distinct
+      assert(ss.size == 1, s"cluster $c straddles splits $ss")
+    }
+    // docs outside any cluster split exactly as splitByHash of their own id
+    val clustered = clusters.collect().map(_.getLong(0)).toSet
+    val loneIds = got.keySet -- clustered
+    val plain = Sampling.splitByHash(loneIds.toSeq.toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    loneIds.foreach(id => assert(got(id) == plain(id)))
+  }
 }

@@ -45,6 +45,40 @@ class TextCurationSpec extends SparkTestBase {
     assert(kept < segs.count(), "the corpus must actually contain duplicate spans")
   }
 
+  test("boilerplate strip removes ALL occurrences of high-df segments, keeps the rest") {
+    val docs = Seq(
+      (1L, "nav bar a b"),   // segs (w=2): [nav bar][a b]
+      (2L, "nav bar c d"),
+      (3L, "nav bar e f"),   // [nav bar] df=3 -> boilerplate everywhere
+      (4L, "a b g h")        // [a b] df=2 -> below threshold, stays
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.removeBoilerplate(docs, 2, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a b", 1L), (2L, "c d", 1L), (3L, "e f", 1L),
+      (4L, "a b g h", 2L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("boilerplate strip on the corpus: only >=minDocs segments vanish, no doc gains text") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val segs = SegmentDedup.segments(docs, 8)
+    val boilerSegs = segs.groupBy("seg").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 3).collect().map(_.getString(0)).toSet
+    assert(boilerSegs.nonEmpty, "testdata must contain >=3-doc boilerplate at w=8")
+    val out = SegmentDedup.removeBoilerplate(docs, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // kept segment count = all segments minus boilerplate occurrences
+    val boilerOcc = segs.filter(col("seg").isInCollection(boilerSegs)).count()
+    assert(out.map(_._3).sum == segs.count() - boilerOcc)
+    // no surviving text contains a boilerplate segment at a chunk boundary
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, clean, _) =>
+      assert(clean.nonEmpty, "empty documents must vanish, not emit")
+      assert(clean.length <= orig(id).length, s"doc $id grew")
+    }
+  }
+
   // ---- topNgrams -----------------------------------------------------------
 
   test("top n-grams counts every occurrence, orders by cnt desc then gram") {
