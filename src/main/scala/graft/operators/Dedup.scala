@@ -417,6 +417,26 @@ object Dedup {
                     threshold: Double, nlist: Int, seed: Long = 42L,
                     nHint: Long = 0L): DataFrame = {
     val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)
+    semanticDedupFromAssigned(assigned, idCol, vecCol, threshold)
+  }
+
+  /** SemDeDup against a FROZEN coarse quantizer — the qe3d pattern applied
+    * to dedup: cells assign via [[IvfIndex.assignInline]] (map-only codegen,
+    * no k-means fit in the executed plan), then the identical within-cell
+    * verify → components → survivor stages. At 100 TB the quantizer is a
+    * persisted artifact refit on its own cadence; daily dedup runs never
+    * pay (or re-randomize) the fit. Result-equal to [[semanticDedup]] when
+    * `centroids` comes from the same build (asserted in DedupSpec). */
+  def semanticDedupFrozen(vectors: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double): DataFrame =
+    semanticDedupFromAssigned(IvfIndex.assignInline(vectors, centroids, vecCol),
+      idCol, vecCol, threshold)
+
+  /** Shared verify/cluster/survivor stages over an already-cell-assigned
+    * frame — one body so the inline-fit and frozen forms cannot drift. */
+  private def semanticDedupFromAssigned(assigned: DataFrame, idCol: String,
+                                        vecCol: String, threshold: Double): DataFrame = {
     // norm precomputed once per row and checkpointed with the vector —
     // within-cell verification touches each row occupancy-many times, so
     // the per-pair cosine reduces to dot + one multiply + one divide

@@ -79,6 +79,19 @@ object Extensions {
         .orderBy("id")
     }, None),
 
+    // E2 (100 TB apply path) — SemDeDup against the FROZEN coarse
+    // quantizer: no k-means fit in the executed plan (assignInline is a
+    // map-only codegen projection); result-equal to qe7c at the same
+    // centroids (asserted in DedupSpec) -> rows-only like its twin.
+    ("qe7d_semantic_dedup_frozen", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val cents = graft.operators.IvfIndex.frozenCentroids(
+        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+        nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
+      Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
+        .orderBy("id")
+    }, None),
+
     // E3 — brute-force cosine top-5 for query vectors vec_id < 10
     ("qe3_knn_brute", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings

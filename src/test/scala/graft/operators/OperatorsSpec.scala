@@ -157,6 +157,17 @@ class DedupSpec extends SparkTestBase {
       s"SemDeDup recall $recall (${(exactDrop -- semDrop).size}/${exactDrop.size} missed)")
   }
 
+  test("frozen-quantizer SemDeDup (qe7d path) == inline-fit SemDeDup (qe7c path)") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    val inline = m(Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45, nlist = 8))
+    val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val frozen = m(Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45))
+    assert(frozen == inline,
+      "frozen-quantizer SemDeDup must reproduce the inline-fit results exactly")
+  }
+
   test("auto table sizing refuses loudly when the 0.95 recall target is unreachable") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))

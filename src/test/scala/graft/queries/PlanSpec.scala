@@ -320,6 +320,18 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
+  test("qe7d frozen SemDeDup: no k-means fit in the executed plan (no ScalaUDF)") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = graft.SparkEntry.queries("qe7d_semantic_dedup_frozen")(spark, Sf0001)
+    df.collect()
+    val udfs = collectWithSubqueries(planOf(df)) { case p =>
+      p.expressions.flatMap(_.collect { case e: ScalaUDF => e })
+    }.flatten
+    assert(udfs.isEmpty,
+      s"frozen SemDeDup plan must be UDF-free: ${udfs.map(_.udfName).mkString(",")}")
+    assert(!planOf(df).toString.contains("CartesianProduct"))
+  }
+
   test("qe35 knn: labeled side broadcasts over the query scan, top-k prunes map-side") {
     val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
     df.collect()

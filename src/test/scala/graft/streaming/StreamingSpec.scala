@@ -889,4 +889,33 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream zscore diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming IVF cell assignment against frozen centroids == batch (map-only projection)") {
+    // the frozen-quantizer apply path (qe3d/qe7d) is a pure projection, so
+    // it is streaming-legal as-is: vectors arriving on a stream assign to
+    // the same cells the batch form computes — the ingest-time shape of
+    // cluster-blocked dedup/ANN
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val (_, cents) = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val want = graft.operators.IvfIndex.assignInline(emb, cents, "embedding")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.operators.IvfIndex.assignInline(
+        input.toDF().toDF("vec_id", "embedding"), cents, "embedding")
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("t_ivf_assign")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_ivf_assign").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"stream assignment diverged on ${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
