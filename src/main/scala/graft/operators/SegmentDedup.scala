@@ -77,20 +77,41 @@ object SegmentDedup {
     * threshold rises — so the anti join is broadcast-eligible (left
     * unpinned: AQE converts it at runtime when it fits); reassembly is the
     * same per-doc aggregation as dedupSegments. */
-  def removeBoilerplate(docs: DataFrame, w: Int, minDocs: Long): DataFrame = {
+  def removeBoilerplate(docs: DataFrame, w: Int, minDocs: Long): DataFrame =
+    applyBoilerplate(segments(docs, w), fitBoilerplate(docs, w, minDocs))
+
+  /** FIT ONLY: the boilerplate segment set — every `w`-token segment
+    * appearing in >= `minDocs` distinct documents of the history corpus.
+    * One two-phase distinct-count aggregate; the result is small by
+    * construction (<= |segments|/minDocs rows). Persist it like a
+    * [[QuantileGate.fitThreshold]] artifact and strip later corpora or an
+    * ingest stream with [[stripBoilerplateFrozen]] — boilerplate churns
+    * slowly (site chrome, license headers), so a daily refit guards a
+    * continuously-arriving crawl. */
+  def fitBoilerplate(docs: DataFrame, w: Int, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (1 would drop everything), got $minDocs")
-    val segs = segments(docs, w)
-    val boiler = segs
+    segments(docs, w)
       .groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("seg")
-    segs.join(boiler, Seq("seg"), "left_anti")
+  }
+
+  /** APPLY a frozen boilerplate set to any frame — batch or STREAMING.
+    * Per document this is segment → anti-join the (small, broadcastable)
+    * boilerplate set → reassemble within the document's own row group;
+    * on a stream the anti join is stream-static and the reassembly
+    * aggregation is per-doc (keyed state bounded by the micro-batch when
+    * documents arrive whole, as in a crawl feed). */
+  def stripBoilerplateFrozen(docs: DataFrame, boilerplate: DataFrame, w: Int): DataFrame =
+    applyBoilerplate(segments(docs, w), boilerplate)
+
+  private def applyBoilerplate(segs: DataFrame, boiler: DataFrame): DataFrame =
+    segs.join(boiler.select("seg"), Seq("seg"), "left_anti")
       .groupBy("doc_id")
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             s => s.getField("seg")), " ").as("text_clean"),
         count("*").as("n_segs_kept"))
-  }
 }

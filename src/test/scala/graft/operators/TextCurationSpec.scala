@@ -79,6 +79,18 @@ class TextCurationSpec extends SparkTestBase {
     }
   }
 
+  test("boilerplate fit/apply: the frozen set round-trips parquet and reproduces the inline strip") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val want = SegmentDedup.removeBoilerplate(docs, 8, 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the apply side must need only an ordinary table, never the fit lineage
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    SegmentDedup.fitBoilerplate(docs, 8, 3).write.mode("overwrite").parquet(dir)
+    val got = SegmentDedup.stripBoilerplateFrozen(docs, spark.read.parquet(dir), 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   // ---- topNgrams -----------------------------------------------------------
 
   test("top n-grams counts every occurrence, orders by cnt desc then gram") {

@@ -918,4 +918,30 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(got == want, s"stream assignment diverged on ${(got.toSet -- want.toSet).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming boilerplate strip against a frozen segment set == batch (stream-static anti join)") {
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val boiler = graft.operators.SegmentDedup.fitBoilerplate(docs, 8, 3)
+    val want = graft.operators.SegmentDedup.stripBoilerplateFrozen(docs, boiler, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    // complete mode: the per-doc reassembly aggregation re-emits the full
+    // state each batch (at scale a crawl feed delivers documents whole, so
+    // an event-time watermark + append is the production form)
+    val q = graft.operators.SegmentDedup.stripBoilerplateFrozen(
+        input.toDF().toDF("doc_id", "text"), boiler, 8)
+      .writeStream.format("memory").queryName("t_boiler")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_boiler").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"stream strip diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
