@@ -648,6 +648,72 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("property: boilerplate strip == df-threshold reference over seeded ScalaCheck corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(0, 11).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, docGen))
+    for (trial <- 1 to 5) {
+      val w = 1 + (trial % 3)
+      val minDocs = 2 + (trial % 2)
+      val texts = corpusGen.pureApply(Gen.Parameters.default, Seed(2000L + trial))
+      val corpus = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      // reference: segment every doc, count df per segment, drop all
+      // occurrences of >= minDocs segments, reassemble in position order
+      val segsOf = corpus.map { case (id, text) =>
+        id -> text.split("\\s+").filter(_.nonEmpty).grouped(w).map(_.mkString(" ")).toSeq
+      }
+      val df = segsOf.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+      val boiler = df.filter(_._2 >= minDocs).keySet
+      val expect = segsOf.flatMap { case (id, ss) =>
+        val kept = ss.filterNot(boiler)
+        if (kept.nonEmpty) Some(id -> (kept.mkString(" "), kept.size.toLong)) else None
+      }.toMap
+      val got = SegmentDedup.removeBoilerplate(corpus.toDF("doc_id", "text"), w, minDocs)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == expect, s"trial=$trial w=$w minDocs=$minDocs:\n got=$got\n want=$expect")
+    }
+  }
+
+  test("property: splitByCluster == union-find reference over seeded ScalaCheck pair graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val edgeGen = Gen.listOfN(n / 2, for {
+        a <- Gen.chooseNum(1L, n.toLong); b <- Gen.chooseNum(1L, n.toLong)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(3000L + trial), 1000).distinct
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rep = (1L to n.toLong).map(id => id -> find(id)).toMap
+      val docs = (1L to n.toLong).toDF("doc_id")
+      val cl = DupClusters.clusters(edges.toDF("da", "db"))
+      val got = Sampling.splitByCluster(docs, cl, "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every doc splits exactly as the md5 bucket of its component's min id
+      val wantSplit = Sampling.splitByHash(
+          rep.values.toSeq.distinct.toDF("doc_id"), "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      (1L to n.toLong).foreach { id =>
+        assert(got(id) == wantSplit(rep(id)),
+          s"trial=$trial doc $id (rep ${rep(id)}): got ${got(id)}, want ${wantSplit(rep(id))}")
+      }
+    }
+  }
+
   test("chunk/entropy properties hold over seeded random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g")

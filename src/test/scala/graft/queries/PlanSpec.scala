@@ -332,6 +332,27 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!planOf(df).toString.contains("CartesianProduct"))
   }
 
+  test("qe44 boilerplate strip: anti join on the small df-filtered set, no cartesian, min-agg reassembly") {
+    val df = graft.SparkEntry.queries("qe44_boilerplate")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(s.contains("LeftAnti"), s"boilerplate removal must plan as an anti join:\n${s.take(1500)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(1500))
+    // survivor reassembly is an aggregate, not a window
+    assert(!s.contains("Window"), s"window in the reassembly plan:\n${s.take(1500)}")
+  }
+
+  test("qe46 cluster split: equi-joins only, split projection adds no extra exchange") {
+    val df = graft.SparkEntry.queries("qe46_cluster_split")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"cluster split degenerated to a cross product:\n${s.take(2000)}")
+    assert(!s.contains("SinglePartition"),
+      s"single-task exchange in the split plan:\n${s.take(2000)}")
+  }
+
   test("qe35 knn: labeled side broadcasts over the query scan, top-k prunes map-side") {
     val df = graft.SparkEntry.queries("qe35_knn_label")(spark, Sf0001)
     df.collect()
