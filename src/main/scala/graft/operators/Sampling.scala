@@ -203,6 +203,26 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic SHARDED training order — the export step between
+    * curation and the trainer: shard = md5 bucket of the id, ord = rank of
+    * the md5 priority WITHIN the shard. Together they give a reproducible
+    * global shuffle (adjacent source documents scatter across shards and
+    * positions, so no same-domain runs reach the optimizer) that any
+    * engine can replay bit-identically — rerunning the export after a
+    * crash yields byte-identical shards.
+    *
+    * Scale shape: the rank window partitions BY SHARD, so each shard
+    * sorts independently (max task = corpus/shards rows) — never a global
+    * order-by; writers then emit one file per shard. */
+  def trainOrder(df: DataFrame, idCol: String, shards: Int,
+                 seed: Long = 42L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val pri = md5Priority(col(idCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(pri, col(idCol))
+    df.withColumn("shard", pmod(pri, lit(shards)).cast("int"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+  }
+
   /** Leakage-FREE train/val/test split: every near-dup CLUSTER lands
     * wholly in one split. `clusters` is a (doc_id, cluster) frame
     * ([[DupClusters.clusters]]); the split decision hashes the cluster

@@ -131,6 +131,25 @@ class SamplingSpec extends SparkTestBase {
       "PPS sample must plan as TakeOrdered")
   }
 
+  test("trainOrder: shards partition the corpus, per-shard ranks contiguous, stable across partitioning") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet").select("doc_id")
+    def run(parts: Int) = Sampling.trainOrder(docs.repartition(parts), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(1)
+    assert(a.map(_._1).distinct.length == a.length, "every doc ordered exactly once")
+    assert(a.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    // ranks are contiguous 1..n within every shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong),
+        s"shard $sh ranks not contiguous")
+    }
+    // deterministic under any input partitioning — the reproducible-export property
+    assert(run(13).toSet == a.toSet)
+    // the shuffle actually scatters: no shard is a contiguous doc_id range
+    val byShard = a.groupBy(_._2).map { case (_, rows) => rows.map(_._1).sorted.toSeq }
+    assert(byShard.exists(ids => ids.zip(ids.tail).exists { case (x, y) => y != x + 1 }))
+  }
+
   test("splitByCluster: whole near-dup clusters share a split; singletons match splitByHash") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
