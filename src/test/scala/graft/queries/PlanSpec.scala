@@ -177,6 +177,26 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "partition column predicates must not degrade to row-level filters")
   }
 
+  test("qe22 adjunct: count-min sketch token counts within epsilon of exact (mergeable at scale)") {
+    // the sketch form of heavy-hitter counting: at 100 TB a count-min
+    // sketch merges associatively across partitions in O(sketch) memory
+    // where the exact groupBy shuffles the full vocabulary; here we pin
+    // Spark's built-in CMS against exact counts within its declared eps*N
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val toks = docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    val exact = toks.groupBy("t").count().orderBy(desc("count"), col("t"))
+      .limit(20).collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = toks.count()
+    val eps = 0.001
+    val cms = toks.stat.countMinSketch(col("t"), eps = eps, confidence = 0.99, seed = 42)
+    exact.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"CMS must never undercount: $t exact=$c est=$est")
+      assert(est <= c + (eps * n).toLong,
+        s"CMS overcount beyond eps*N: $t exact=$c est=$est n=$n")
+    }
+  }
+
   test("Q12 adjunct: approx_count_distinct within 5% of exact (HLL)") {
     val ev = Engine.Tables(spark, Sf0001).events
     val rows = ev.groupBy("event_type")
@@ -318,6 +338,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         s"${udfs.map(_.udfName).mkString(",")}")
     val s = planOf(df).toString
     assert(!s.contains("CartesianProduct"), s.take(2000))
+    // the map-only assignment must ride whole-stage codegen end to end:
+    // no interpreted fallback expressions anywhere in the frozen ANN plan
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val fallbacks = collect(planOf(df)) { case p =>
+      p.expressions.flatMap(_.collect { case e: CodegenFallback => e })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"interpreted expressions in the frozen ANN path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
   test("qe7d frozen SemDeDup: no k-means fit in the executed plan (no ScalaUDF)") {
