@@ -22,9 +22,13 @@ object Bench {
     * comment in main; uniqueness is guarded in InvariantsSpec. */
   val shortKey: String => String = n => n.takeWhile(_ != '_')
 
-  /** Locale-pinned centisecond formatter: the default-locale f"%.2f" would
-    * print "0,12" on a comma-decimal locale (de_DE), breaking the JSON. */
-  val centi: Double => String = v => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+  /** Locale-pinned formatters: the default-locale f"%.1f" would print
+    * "0,1" on a comma-decimal locale (de_DE), breaking the JSON. stdout
+    * uses DECIsecond precision — at 109 queries a centisecond line
+    * overflows the driver's 2000-char tail window headroom (guarded in
+    * InvariantsSpec); bench_out.json keeps full precision and is the
+    * authoritative record. */
+  val deci: Double => String = v => "%.1f".formatLocal(java.util.Locale.ROOT, v)
 
   /** Render the one-line JSON metric — factored out so InvariantsSpec can
     * assert the exact line main prints PARSES as JSON, sums correctly, and
@@ -99,15 +103,15 @@ object Bench {
     // stdout must fit the driver's tail window: it keeps only the LAST
     // 2000 chars of output and the sbt epilogue shares that window, so
     // an oversized line loses its HEAD — the {"metric":"total",... part —
-    // and the round's bench silently parses to null. At 88 queries even a
-    // 2-decimal full-name line is ~1950 chars. stdout therefore keys each
-    // query by its unique id prefix ("q01", "qe13b" — the driver
-    // contract's own example uses "q1") at centisecond precision
-    // (~1240 chars); bench_out.json below keeps full names and full
-    // precision and is the authoritative record.
+    // and the round's bench silently parses to null. stdout therefore
+    // keys each query by its unique id prefix ("q01", "qe13b" — the
+    // driver contract's own example uses "q1") at decisecond precision
+    // (109 queries fit with headroom; centiseconds no longer did);
+    // bench_out.json below keeps full names and full precision and is
+    // the authoritative record.
     val keyed = if (results.map(r => shortKey(r._1)).distinct.size == results.size)
       shortKey else identity[String] _ // collision → full names, never ambiguity
-    println(renderLine(results, sfDir, centi, keyed))
+    println(renderLine(results, sfDir, deci, keyed))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the
     // per-query (max-min) spread across reps so environment noise is

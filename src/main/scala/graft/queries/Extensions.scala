@@ -772,6 +772,19 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id), rep AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rp FROM documents d LEFT JOIN cl ON d.doc_id = cl.id), b AS (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(rp AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM rep) SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""")),
 
+    // E5 (skew) — hot-key-safe salted join in the correctness gate: the
+    // events fact keys over only 15 users (every key hot by construction),
+    // the big side salts 8-fold, the dim side replicates — identical
+    // results to the plain join the oracle computes, no reducer sees a
+    // whole key.
+    ("qe49_salted_join", (s: SparkSession, d: String) => {
+      val t = Engine.Tables(s, d)
+      graft.operators.Skew.saltedJoin(t.events, t.customer, "user_id", "c_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count("*").as("cnt"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("c_mktsegment")
+    }, Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS sum_v FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // E5 (export) — deterministic sharded training order: reproducible
     // global shuffle via md5 shard + within-shard md5 rank; each shard
     // sorts independently (partitioned window — never a global order-by).
