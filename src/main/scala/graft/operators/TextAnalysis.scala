@@ -393,4 +393,38 @@ object TextAnalysis {
       .join(byFp, "fp")
       .select(col("doc_id"), col("fp"), col("fp_dups"))
   }
+
+  /** Per-document top-`k` keywords by TF-IDF — the keyword/tag extraction
+    * pass a curation pipeline runs for topic routing and domain-mix
+    * accounting. Ratio idf (`score_ppm = tf * 1e6 * N div df`) instead of
+    * the textbook `tf * ln(N/df)`: the ranking signal is the same
+    * (monotone in both tf and N/df) but the arithmetic is EXACT long
+    * multiply/divide, so any engine reproduces it bit-for-bit — `ln` is
+    * correctly-rounded nowhere and a last-ulp divergence at a rank
+    * boundary would flip the emitted row set. Ties break on the word.
+    *
+    * Scale shape: ONE hash shuffle builds tf(doc, word) with map-side
+    * combine; df and N derive from that frame (vocab ≪ corpus — df is a
+    * second small aggregate, N a scalar). The idf side then BROADCASTS
+    * back onto tf (the fit/apply pattern: the corpus-sized frame never
+    * re-shuffles; at vocabularies past broadcast size, swap the hint for a
+    * shuffle join on `word` — the tf frame is already word-keyed). The
+    * rank window rewrites to WindowGroupLimit: partial top-k per map
+    * partition before the per-doc shuffle. */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"tfidfTopK: k must be >= 1, got $k")
+    val tf = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("word"))
+    tf.join(broadcast(idf), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(tf * 1000000L * n) DIV df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "word", "tf", "score_ppm", "rnk")
+  }
 }

@@ -794,6 +794,34 @@ object Extensions {
         .orderBy("shard", "ord")
     }, Some("""WITH p AS (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pri FROM documents) SELECT doc_id, CAST(pri % 8 AS INTEGER) AS shard, CAST(row_number() OVER (PARTITION BY pri % 8 ORDER BY pri, doc_id) AS BIGINT) AS ord FROM p ORDER BY shard, ord""")),
 
+    // E4 (keywords) — per-doc top-5 TF-IDF terms, ratio idf in exact long
+    // arithmetic (ln's last-ulp divergence across engines would flip rank
+    // boundaries; the ranking is monotone-identical). tf is the one
+    // corpus-sized shuffle; df/N derive from it and broadcast back; the
+    // rank window is WindowGroupLimit (partial top-k before the shuffle).
+    ("qe50_tfidf", (s: SparkSession, d: String) => {
+      TextAnalysis.tfidfTopK(Engine.Tables(s, d).documents, 5)
+        .orderBy("doc_id", "rnk")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), w AS (SELECT doc_id, unnest(ws) AS word FROM tok), tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), sc AS (SELECT doc_id, word, tf, CAST((tf * 1000000 * n) // df AS BIGINT) AS score_ppm FROM tf CROSS JOIN nn JOIN dfq USING (word)) SELECT doc_id, word, tf, score_ppm, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rnk FROM sc QUALIFY rnk <= 5 ORDER BY doc_id, rnk""")),
+
+    // E5 (layout) — Z-order data-skipping card: min/max-quantize
+    // (partkey, suppkey) into 16-bit grid coords (the fit/apply shape: a
+    // scalar min/max aggregate broadcasts back — exact long arithmetic,
+    // sf-independent), bucket by the top 6 Morton bits — the file a
+    // 64-file z-sorted write would place each row in — and report the
+    // per-bucket min/max rectangle a pruning scan would read from parquet
+    // footers. Pure bitwise codegen projection + one small aggregate.
+    ("qe51_zorder_card", (s: SparkSession, d: String) => {
+      val raw = Engine.Tables(s, d).lineitem
+        .select(col("l_partkey").as("xr"), col("l_suppkey").as("yr"))
+      val mm = raw.agg(min("xr").as("x0"), max("xr").as("x1"),
+                       min("yr").as("y0"), max("yr").as("y1"))
+      val q = raw.crossJoin(broadcast(mm))
+        .select(expr("((xr - x0) * 65535L) DIV greatest(x1 - x0, 1L)").as("x"),
+                expr("((yr - y0) * 65535L) DIV greatest(y1 - y0, 1L)").as("y"))
+      graft.operators.Layout.zorderCard(q, "x", "y", 6).orderBy("bucket")
+    }, Some("""WITH raw AS (SELECT l_partkey AS xr, l_suppkey AS yr FROM lineitem), mm AS (SELECT MIN(xr) AS x0, MAX(xr) AS x1, MIN(yr) AS y0, MAX(yr) AS y1 FROM raw), base AS (SELECT ((xr - x0) * 65535) // greatest(x1 - x0, 1) AS x, ((yr - y0) * 65535) // greatest(y1 - y0, 1) AS y FROM raw CROSS JOIN mm), s1 AS (SELECT x, y, (x & 65535) AS ax, (y & 65535) AS ay FROM base), s2 AS (SELECT x, y, ((ax | (ax << 8)) & 16711935) AS bx, ((ay | (ay << 8)) & 16711935) AS cy FROM s1), s3 AS (SELECT x, y, ((bx | (bx << 4)) & 252645135) AS dx, ((cy | (cy << 4)) & 252645135) AS dy FROM s2), s4 AS (SELECT x, y, ((dx | (dx << 2)) & 858993459) AS ex, ((dy | (dy << 2)) & 858993459) AS ey FROM s3), s5 AS (SELECT x, y, ((ex | (ex << 1)) & 1431655765) AS fx, ((ey | (ey << 1)) & 1431655765) AS fy FROM s4), z AS (SELECT x, y, (fx | (fy << 1)) AS zv FROM s5) SELECT CAST(zv >> 26 AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM z GROUP BY 1 ORDER BY 1""")),
+
     // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
     // refit tripwire every IVF deployment watches (a hot cell makes probe
     // cost quadratic in occupancy). Map-only assignment + tiny aggregate;

@@ -238,4 +238,41 @@ class TextCurationSpec extends SparkTestBase {
     assert(out.filter(col("n_redactions") =!= 0L || col("text_clean") =!= col("text")).count() == 0)
     assert(out.count() == docs.count())
   }
+
+  // ---- tfidfTopK -----------------------------------------------------------
+
+  test("tfidf ranks rare-and-frequent terms first with exact ratio-idf scores") {
+    val docs = Seq(
+      (1L, "apple banana apple"),  // apple tf=2 df=1; banana tf=1 df=3
+      (2L, "banana cherry"),       // cherry tf=1 df=2
+      (3L, "cherry banana banana")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, 5).orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // score_ppm = tf * 1e6 * N div df with N = 3
+    assert(got.toSeq == Seq(
+      (1L, "apple", 2L, 6000000L, 1L), (1L, "banana", 1L, 1000000L, 2L),
+      (2L, "cherry", 1L, 1500000L, 1L), (2L, "banana", 1L, 1000000L, 2L),
+      (3L, "banana", 2L, 2000000L, 1L), (3L, "cherry", 1L, 1500000L, 2L)))
+  }
+
+  test("tfidf breaks score ties on the word and truncates to k") {
+    val docs = Seq((1L, "y x z"), (2L, "x y z")).toDF("doc_id", "text")
+    // every term: tf=1, df=2 -> all scores equal -> rank by word asc
+    val all = TextAnalysis.tfidfTopK(docs, 5).orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(all.toSeq == Seq(
+      (1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L),
+      (2L, "x", 1L), (2L, "y", 2L), (2L, "z", 3L)))
+    val top1 = TextAnalysis.tfidfTopK(docs, 1).collect()
+    assert(top1.length == 2 && top1.forall(_.getString(1) == "x"))
+  }
+
+  test("tfidf skips empty docs and N counts only tokenized docs") {
+    val docs = Seq((1L, "solo"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // N = 1 (docs 2 and 3 never tokenize) -> solo: 1 * 1e6 * 1 / 1
+    assert(got.toSeq == Seq((1L, "solo", 1000000L)))
+  }
 }

@@ -389,4 +389,32 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(s.contains("WindowGroupLimit"), s.take(2000))
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
+
+  test("qe50 tfidf: idf broadcasts onto tf, top-k prunes map-side, exact long math") {
+    val df = graft.SparkEntry.queries("qe50_tfidf")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // the corpus-sized tf frame must not re-shuffle for the idf join
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"rank window not rewritten to WindowGroupLimit:\n${s.take(2000)}")
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    // ratio-idf is long multiply/divide only — a ScalaUDF or a double in
+    // the score would break bit-exact cross-engine ranking
+    assert(!s.contains("ScalaUDF"), s.take(2000))
+  }
+
+  test("qe51 zorder card: pure bitwise codegen projection, no UDF, bounded exchanges") {
+    val df = graft.SparkEntry.queries("qe51_zorder_card")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    assert(!s.contains("ScalaUDF") && !s.contains("CartesianProduct"), s.take(2000))
+    assert(s.contains("WholeStageCodegen") || s.contains("*(1)"),
+      s"interleave fell out of codegen:\n${s.take(2000)}")
+    // min/max fit + bucket aggregate only — the corpus scans once per side
+    val exchanges = collectWithSubqueries(planOf(df)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 3, s"$exchanges exchanges in the z-order card plan:\n${s.take(2000)}")
+  }
 }
