@@ -478,6 +478,76 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Per-document duplicated-PASSAGE card — the substring-level dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): a window is duplicated when its positional n-gram
+    * occurs at ≥ 2 (doc, pos) sites anywhere in the corpus (another doc,
+    * or a repeat inside the same one); adjacent duplicated windows merge
+    * into spans. This is the Spark-shaped stand-in for a suffix array —
+    * corpora dedupe repeated PASSAGES (licence blocks, navigation chrome,
+    * quoted tweets) that whole-document near-dup never sees.
+    *
+    * Output, one row per doc with ≥ 1 window (docs shorter than n words
+    * have nothing to audit — same absence semantics as [[shingles]]):
+    * (doc_id, n_windows, n_dup, dup_frac, n_spans, longest_span_tokens).
+    * `longest_span_tokens` counts TOKENS covered (windows + n - 1).
+    *
+    * Scale shape: positional windows are NOT distinct'd (position is the
+    * payload), hashed to 8-byte xxhash64 keys, and localCheckpoint'd —
+    * the expensive shingling projection runs once and feeds all three
+    * consumers (occurrence count, flag join, per-doc totals). Occurrence
+    * counting is one map-side-combined hash shuffle; the flag join is a
+    * shuffle join on the same 8-byte key against the occ ≥ 2 slice —
+    * deliberately a JOIN and not a collect_list-per-gram, because a
+    * degenerate hot gram (a million repeats of boilerplate) would build a
+    * million-struct row under collect_list but is just a large join
+    * fan-out here, which AQE splits. The span merge is the classic
+    * gaps-and-islands rewrite (pos - row_number), windowed PER DOC — state
+    * bounded by document length, never corpus size. */
+  def dupSpans(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"dupSpans: n must be >= 1, got $n")
+    val ws = col("ws")
+    val sh = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", (0 until n).map(k => get(ws, i + lit(k))): _*)))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("s")).as("h"))
+      .localCheckpoint()
+    val dupGrams = sh.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2L).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = sh.join(dupGrams, "h")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("p0"), max("pos").as("p1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("p1") - col("p0") + lit(1L)).as("n_dup"),
+        max(col("p1") - col("p0") + lit(n.toLong)).as("longest_span_tokens"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        graft.functions.ScalarOps.r4(
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .as("dup_frac"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_span_tokens"), lit(0L)).as("longest_span_tokens"))
+  }
+
+  /** Gate form of [[dupSpans]]: keep documents whose duplicated-window
+    * fraction stays ≤ `maxFrac` (docs shorter than n words carry no
+    * evidence and are KEPT). Left-join + filter, so the corpus frame
+    * passes through with its full schema. */
+  def dupSpanGate(docs: DataFrame, n: Int, maxFrac: Double): DataFrame =
+    docs.join(dupSpans(docs, n).select("doc_id", "dup_frac"), Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_frac"), lit(0.0)) <= maxFrac)
+      .drop("dup_frac")
+
   /** SimHash near-dup pairs: block on 16-bit chunks (two pairs within
     * hamming distance d share a chunk when d < 4 chunks), verify with
     * `bit_count(xor) <= maxHamming`. */

@@ -822,6 +822,17 @@ object Extensions {
       graft.operators.Layout.zorderCard(q, "x", "y", 6).orderBy("bucket")
     }, Some("""WITH raw AS (SELECT l_partkey AS xr, l_suppkey AS yr FROM lineitem), mm AS (SELECT MIN(xr) AS x0, MAX(xr) AS x1, MIN(yr) AS y0, MAX(yr) AS y1 FROM raw), base AS (SELECT ((xr - x0) * 65535) // greatest(x1 - x0, 1) AS x, ((yr - y0) * 65535) // greatest(y1 - y0, 1) AS y FROM raw CROSS JOIN mm), s1 AS (SELECT x, y, (x & 65535) AS ax, (y & 65535) AS ay FROM base), s2 AS (SELECT x, y, ((ax | (ax << 8)) & 16711935) AS bx, ((ay | (ay << 8)) & 16711935) AS cy FROM s1), s3 AS (SELECT x, y, ((bx | (bx << 4)) & 252645135) AS dx, ((cy | (cy << 4)) & 252645135) AS dy FROM s2), s4 AS (SELECT x, y, ((dx | (dx << 2)) & 858993459) AS ex, ((dy | (dy << 2)) & 858993459) AS ey FROM s3), s5 AS (SELECT x, y, ((ex | (ex << 1)) & 1431655765) AS fx, ((ey | (ey << 1)) & 1431655765) AS fy FROM s4), z AS (SELECT x, y, (fx | (fy << 1)) AS zv FROM s5) SELECT CAST(zv >> 26 AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // E2 (passages) — duplicated-passage card: a positional 3-gram window
+    // is duplicated when it occurs at >= 2 (doc, pos) sites corpus-wide;
+    // adjacent duplicated windows merge into spans (gaps-and-islands).
+    // The suffix-array-style substring signal whole-document near-dup
+    // misses. One 8-byte-key shuffle counts occurrences; the flag join is
+    // skew-robust (join fan-out, not collect_list); span windows are
+    // per-doc only.
+    ("qe52_dup_spans", (s: SparkSession, d: String) => {
+      Dedup.dupSpans(Engine.Tables(s, d).documents, 3).orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
     // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
     // refit tripwire every IVF deployment watches (a hot cell makes probe
     // cost quadratic in occupancy). Map-only assignment + tiny aggregate;

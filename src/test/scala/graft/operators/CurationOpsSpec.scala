@@ -764,4 +764,45 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
       "chunking must stay a per-row explode — no shuffle")
   }
+
+  // ---- Dedup.dupSpans -----------------------------------------------------
+
+  test("dupSpans merges adjacent duplicated windows into spans with token lengths") {
+    // docs 1 and 2 share the 5-token passage "a b c d e" (3 windows at
+    // positions 0..2 of doc 1, 2..4 of doc 2); everything else is unique.
+    val docs = Seq(
+      (1L, "a b c d e unique1 unique2 unique3"),
+      (2L, "pre1 pre2 a b c d e post1"),
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // doc 1: 6 windows, 3 dup (one span of 3 windows = 5 tokens)
+    // doc 2: 6 windows, 3 dup, same span shape; doc 3: clean
+    assert(got.toSeq == Seq(
+      (1L, 6L, 3L, 1L, 5L), (2L, 6L, 3L, 1L, 5L), (3L, 4L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpans counts a within-doc repeat and splits non-adjacent spans") {
+    // "x y z" appears twice INSIDE doc 1 (positions 0 and 4) — both sites
+    // are duplicated, and the gap at positions 1..3 keeps them two spans.
+    val docs = Seq((1L, "x y z q x y z")).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, 3).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)) == (5L, 2L, 2L, 3L),
+      s"expected 2 single-window spans of 3 tokens each, got $r")
+  }
+
+  test("dupSpans drops short docs and the gate keeps them plus clean docs") {
+    val docs = Seq(
+      (1L, "a b"),                                   // < n words: no evidence
+      (2L, "common phrase here tail2"),
+      (3L, "common phrase here tail3"),              // shares all but 1 window
+      (4L, "all unique tokens in this document")
+    ).toDF("doc_id", "text")
+    val card = Dedup.dupSpans(docs, 3).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!card.contains(1L) && card(4L) == 0.0 && card(2L) == 0.5 && card(3L) == 0.5)
+    val kept = Dedup.dupSpanGate(docs, 3, maxFrac = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), "short and clean docs pass; 50%-duplicated docs gate out")
+  }
 }

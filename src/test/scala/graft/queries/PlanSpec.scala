@@ -404,6 +404,23 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!s.contains("ScalaUDF"), s.take(2000))
   }
 
+  test("qe52 dup spans: 8-byte-key equi-joins only, per-doc windows, bounded exchanges") {
+    val df = graft.SparkEntry.queries("qe52_dup_spans")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // the flag join and the totals join must both be equi-joins — a
+    // BNLJ/Cartesian here is quadratic in corpus windows
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(2000))
+    assert(!s.contains("ScalaUDF"), s.take(2000))
+    // occurrence count, flag-join re-key, span window, totals, final join
+    // + sort: the corpus-window relation must not shuffle more than that
+    val exchanges = collectWithSubqueries(planOf(df)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 6, s"$exchanges exchanges in the dup-span plan:\n${s.take(2000)}")
+  }
+
   test("qe51 zorder card: pure bitwise codegen projection, no UDF, bounded exchanges") {
     val df = graft.SparkEntry.queries("qe51_zorder_card")(spark, Sf0001)
     df.collect()
