@@ -192,6 +192,49 @@ object Sampling {
       .filter(col("cum_w") <= budget)
   }
 
+  /** Temperature-smoothed mixture targets (the multilingual "alpha
+    * sampling" of mC4/XLM-R at T = 2, i.e. alpha = 1/2): allocate a
+    * document `budget` across groups proportionally to sqrt(group size)
+    * instead of size, upsampling rare domains relative to proportional
+    * allocation while never exceeding a group's actual count. Output:
+    * (groupCol, n_docs, w, target).
+    *
+    * alpha = 1/2 specifically because it is EXACT across engines: IEEE
+    * sqrt is correctly rounded (pow/ln are not), and sqrt of a long below
+    * 2^52 floors to the exact integer root, so `w = floor(sqrt(n))` and
+    * everything downstream is order-independent long arithmetic — the
+    * allocation is bit-reproducible and oracle-checkable. For other
+    * temperatures, precompute a weight column and use [[stratifiedTake]];
+    * the take stays exact, only the target derivation inherits pow's
+    * last-ulp engine variance. Keeps `budget * w` within long range —
+    * fine for any budget up to ~2^62 / sqrt(largest group).
+    *
+    * Scale shape: one map-side-combined count per group (output is
+    * domain-cardinality-sized, i.e. tiny), a one-row total broadcast back
+    * — the corpus itself is never touched here. */
+  def temperatureTargets(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"temperatureTargets: budget must be >= 0, got $budget")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = counts.agg(sum("w").as("sum_w"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("w"),
+        least(col("n_docs"), expr(s"(${budget}L * w) DIV sum_w")).as("target"))
+  }
+
+  /** Temperature-smoothed domain mix: [[temperatureTargets]] joined back
+    * (broadcast — domain-cardinality rows) and taken per group with the
+    * deterministic md5-priority [[stratifiedTake]]. Inherits its nesting:
+    * a smaller budget's selection is a subset of a larger one's (targets
+    * are monotone in budget, the per-group priority order is fixed), so
+    * mixture ablations stay comparable across budgets. */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     budget: Long, seed: Long = 42L): DataFrame = {
+    val t = temperatureTargets(df, groupCol, budget).select(col(groupCol), col("target"))
+    stratifiedTake(df.join(broadcast(t), Seq(groupCol)), groupCol, idCol,
+      col("target"), seed).drop("target")
+  }
+
   def splitByHash(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                   seed: Long = 42L): DataFrame = {
     require(splits.map(_._2).sum == 100, "split weights must sum to 100")

@@ -833,6 +833,18 @@ object Extensions {
       Dedup.dupSpans(Engine.Tables(s, d).documents, 3).orderBy("doc_id")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
 
+    // E2 (mixing) — temperature-smoothed domain mix at T=2: allocate a
+    // 300-doc budget across sources by floor(sqrt(n)) weights (IEEE sqrt
+    // is correctly rounded, so the whole allocation is exact long
+    // arithmetic), upsampling rare sources vs proportional, then the
+    // deterministic md5-priority stratified take. Targets derive from a
+    // tiny per-source count; the corpus shuffles once for the take.
+    ("qe53_temperature_mix", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.temperatureMix(
+          Engine.Tables(s, d).documents, "source", "doc_id", 300L)
+        .select("doc_id", "source").orderBy("doc_id")
+    }, Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), w AS (SELECT source, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w FROM c), t AS (SELECT source, LEAST(n_docs, (300 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) AS target FROM w), r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn FROM documents) SELECT doc_id, source FROM r JOIN t USING (source) WHERE rn <= target ORDER BY doc_id""")),
+
     // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
     // refit tripwire every IVF deployment watches (a hot cell makes probe
     // cost quadratic in occupancy). Map-only assignment + tiny aggregate;

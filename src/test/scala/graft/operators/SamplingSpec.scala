@@ -174,4 +174,42 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     loneIds.foreach(id => assert(got(id) == plain(id)))
   }
+
+  // ---- temperature mix ----------------------------------------------------
+
+  test("temperatureTargets allocates by sqrt weights, capped at group size") {
+    import spark.implicits._
+    // A: 100 docs (w=10), B: 4 docs (w=2) -> sum_w = 12; budget 60:
+    // A = min(100, 60*10/12) = 50, B = min(4, 60*2/12) = 4 (cap binds).
+    // Proportional would give B only 60*4/104 ≈ 2 — temperature upsamples it.
+    val df = ((1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 104).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val t = Sampling.temperatureTargets(df, "source", 60L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(t == Map("A" -> (100L, 10L, 50L), "B" -> (4L, 2L, 4L)))
+  }
+
+  test("temperatureMix is nested across budgets and honors per-group targets") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      (i.toLong, if (i <= 320) "big" else if (i <= 390) "mid" else "tiny")
+    }.toDF("doc_id", "source")
+    val small = Sampling.temperatureMix(df, "source", "doc_id", 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.temperatureMix(df, "source", "doc_id", 250L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "smaller budget must select a subset of a larger one")
+    val byGroup = Sampling.temperatureMix(df, "source", "doc_id", 100L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Sampling.temperatureTargets(df, "source", 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byGroup == targets.filter(_._2 > 0L), s"take must hit targets: $byGroup vs $targets")
+  }
+
+  test("temperatureTargets: zero budget selects nothing, singleton group survives") {
+    import spark.implicits._
+    val df = Seq((1L, "only")).toDF("doc_id", "source")
+    assert(Sampling.temperatureTargets(df, "source", 0L).head().getLong(3) == 0L)
+    assert(Sampling.temperatureMix(df, "source", "doc_id", 10L).count() == 1L)
+  }
 }

@@ -421,6 +421,16 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(exchanges <= 6, s"$exchanges exchanges in the dup-span plan:\n${s.take(2000)}")
   }
 
+  test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
+    val df = graft.SparkEntry.queries("qe53_temperature_mix")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // the per-source target table must come back as a broadcast, never a
+    // shuffle join against the corpus
+    assert(s.contains("BroadcastExchange"), s.take(2000))
+    assert(!s.contains("CartesianProduct") && !s.contains("ScalaUDF"), s.take(2000))
+  }
+
   test("qe51 zorder card: pure bitwise codegen projection, no UDF, bounded exchanges") {
     val df = graft.SparkEntry.queries("qe51_zorder_card")(spark, Sf0001)
     df.collect()
