@@ -506,8 +506,18 @@ object Dedup {
     * bounded by document length, never corpus size. */
   def dupSpans(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"dupSpans: n must be >= 1, got $n")
+    // the positional-shingle projection feeds both the gram count and the
+    // flag join — materialize it once (same rationale as jaccardPairs)
+    val sh = posShingles(docs, n).localCheckpoint()
+    dupSpansFrom(sh, dupGramsFrom(sh), n)
+  }
+
+  /** Positional (NOT distinct'd — position is the payload) n-gram windows
+    * as (doc_id, pos, h) with h = xxhash64 of the window text. Same
+    * generator-child and short-doc guards as [[shingles]]. */
+  private def posShingles(docs: DataFrame, n: Int): DataFrame = {
     val ws = col("ws")
-    val sh = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         posexplode(when(size(ws) >= n,
           transform(sequence(lit(0), size(ws) - n),
@@ -515,28 +525,57 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("s")).as("h"))
-      .localCheckpoint()
-    val dupGrams = sh.groupBy("h").agg(count(lit(1)).as("occ"))
+  }
+
+  private def dupGramsFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2L).select("h")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val spans = sh.join(dupGrams, "h")
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy("doc_id", "grp")
-      .agg(min("pos").as("p0"), max("pos").as("p1"))
+
+  /** FIT side of the frozen form: the corpus's duplicated-gram set (h) —
+    * persist it and audit/gate increments against it with
+    * [[dupSpansFrozen]], the daily-crawl shape where the historical corpus
+    * is never re-shingled. */
+  def dupGramFit(docs: DataFrame, n: Int): DataFrame =
+    dupGramsFrom(posShingles(docs, n))
+
+  /** APPLY side: the [[dupSpans]] card for `docs` against a FROZEN
+    * duplicated-gram set. STREAMING-LEGAL: shingling is a stateless
+    * projection, the flag join is stream-static (no join state), and the
+    * span merge is one per-doc aggregation — replay == batch asserted in
+    * StreamingSpec. */
+  def dupSpansFrozen(docs: DataFrame, dupGrams: DataFrame, n: Int): DataFrame =
+    dupSpansFrom(posShingles(docs, n), dupGrams, n)
+
+  /** Shared tail: flag windows against the gram set (LEFT join — clean
+    * docs keep their rows) and fold each doc's sorted duplicated positions
+    * into span stats with an `aggregate` HOF. Deliberately NOT the
+    * gaps-and-islands row_number window: the HOF form is one corpus
+    * shuffle lighter (no window exchange), its per-doc state is bounded by
+    * document length, and it stays legal under streaming aggregation where
+    * window functions do not. */
+  private def dupSpansFrom(sh: DataFrame, dupGrams: DataFrame, n: Int): DataFrame = {
+    val folded = aggregate(
+      col("ps"), // sorted by the aggregation below
+      struct(lit(-2L).as("prev"), lit(0L).as("spans"),
+        lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, p) => {
+        val cont = p === acc("prev") + lit(1L)
+        val cur = when(cont, acc("cur")).otherwise(lit(0L)) + lit(1L)
+        struct(p.as("prev"),
+          (acc("spans") + when(cont, lit(0L)).otherwise(lit(1L))).as("spans"),
+          cur.as("cur"), greatest(acc("best"), cur).as("best"))
+      })
+    sh.join(dupGrams.select(col("h"), lit(1L).as("__dup")), Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("p1") - col("p0") + lit(1L)).as("n_dup"),
-        max(col("p1") - col("p0") + lit(n.toLong)).as("longest_span_tokens"))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"),
+        sort_array(collect_list(when(col("__dup") === 1L, col("pos")))).as("ps"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
         graft.functions.ScalarOps.r4(
-          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
-          .as("dup_frac"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("longest_span_tokens"), lit(0L)).as("longest_span_tokens"))
+          col("n_dup").cast("double") / col("n_windows")).as("dup_frac"),
+        folded("spans").as("n_spans"),
+        when(folded("best") > 0L, folded("best") + lit(n - 1L))
+          .otherwise(lit(0L)).as("longest_span_tokens"))
   }
 
   /** Gate form of [[dupSpans]]: keep documents whose duplicated-window

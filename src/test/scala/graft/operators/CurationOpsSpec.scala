@@ -805,4 +805,17 @@ class CurationOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L), "short and clean docs pass; 50%-duplicated docs gate out")
   }
+
+  test("dupSpansFrozen against a self-fit gram set == dupSpans (sf0.001 corpus)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+      .select("doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+    val adaptive = Dedup.dupSpans(docs, 3).collect().map(key).toSet
+    val frozen = Dedup.dupSpansFrozen(docs, Dedup.dupGramFit(docs, 3), 3)
+      .collect().map(key).toSet
+    assert(adaptive == frozen,
+      s"fit/apply split diverged: ${(adaptive -- frozen).take(3)} vs ${(frozen -- adaptive).take(3)}")
+    assert(adaptive.exists(_._3 > 0L), "testdata must contain duplicated passages")
+  }
 }

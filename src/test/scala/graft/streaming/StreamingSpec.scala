@@ -944,4 +944,31 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream strip diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming dup-span card against a frozen gram set == batch (stream-static flag join)") {
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val grams = graft.operators.Dedup.dupGramFit(docs, 3)
+    val want = graft.operators.Dedup.dupSpansFrozen(docs, grams, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    // complete mode: the per-doc span aggregation re-emits full state each
+    // batch; shingling is stateless and the gram join is stream-static
+    val q = graft.operators.Dedup.dupSpansFrozen(
+        input.toDF().toDF("doc_id", "text"), grams, 3)
+      .writeStream.format("memory").queryName("t_dupspan")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_dupspan").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want,
+        s"stream dup-span card diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
