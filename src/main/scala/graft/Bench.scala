@@ -24,7 +24,7 @@ object Bench {
 
   /** Locale-pinned formatters: the default-locale f"%.1f" would print
     * "0,1" on a comma-decimal locale (de_DE), breaking the JSON. stdout
-    * uses DECIsecond precision — at 109 queries a centisecond line
+    * uses DECIsecond precision — at 100+ queries a centisecond line
     * overflows the driver's 2000-char tail window headroom (guarded in
     * InvariantsSpec); bench_out.json keeps full precision and is the
     * authoritative record. */

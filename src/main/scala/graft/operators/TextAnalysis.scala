@@ -345,6 +345,63 @@ object TextAnalysis {
           col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
   }
 
+  /** Per-source term-distribution DRIFT vs the corpus over a FROZEN top-k
+    * vocabulary ([[vocabFit]] or any persisted (term, tf) frame):
+    * KL(source ‖ corpus) and Jensen–Shannon divergence, in nats, both
+    * distributions renormalized within the vocabulary set. The
+    * distribution-shift tripwire a curation run watches between corpus
+    * snapshots — OOV says how much of a source the vocab misses,
+    * driftCard says how differently the source USES the vocab it shares.
+    *
+    * Scale shape: the k-row vocab (and its one-row mass total) broadcast;
+    * the corpus takes one exploded-token pass with one map-side-combined
+    * shuffle on (source, term); everything after operates on <= sources×k
+    * rows. Divergence terms are folded per source over the term-sorted
+    * array (an `aggregate` HOF, k-bounded state) so the double sums have
+    * ONE deterministic order — partition-order-independent, like the
+    * entropy card. JS handles vocab terms a source never uses via the
+    * closed form: each missing term contributes q·ln 2, i.e.
+    * ln 2 · (1 − Σ_present q). KL needs no such term (p = 0 contributes
+    * 0), and q > 0 for every vocab term by construction, so both
+    * divergences are finite. */
+  def driftCard(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val vw = broadcast(vocab.select(col("term"), col("tf").as("__nw")))
+    val nset = broadcast(vocab.agg(sum(col("tf")).as("__nset")))
+    val sw = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .join(vw, Seq("term")) // inner: drift is measured within the vocab
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("__nsw"), max(col("__nw")).as("__nw"))
+    val perSrc = sw.groupBy("source")
+      .agg(sum(col("__nsw")).as("__ns"),
+        sort_array(collect_list(struct(col("term"), col("__nsw"), col("__nw"))))
+          .as("__ts"))
+      .crossJoin(nset)
+    val folded = aggregate(
+      col("__ts"),
+      struct(lit(0.0).as("kl"), lit(0.0).as("js"), lit(0.0).as("qcov")),
+      (acc, t) => {
+        val p = t("__nsw").cast("double") / col("__ns").cast("double")
+        val q = t("__nw").cast("double") / col("__nset").cast("double")
+        val m = (p + q) / lit(2.0)
+        struct(
+          (acc("kl") + p * log(p / q)).as("kl"),
+          (acc("js") + p * log(p / m) + q * log(q / m)).as("js"),
+          (acc("qcov") + q).as("qcov"))
+      })
+    perSrc.select(col("source"), col("__ns").as("n_tokens"),
+      graft.functions.ScalarOps.r4(folded("kl")).as("kl_vs_corpus"),
+      graft.functions.ScalarOps.r4(
+        lit(0.5) * folded("js")
+          + lit(0.5) * log(lit(2.0)) * (lit(1.0) - folded("qcov")))
+        .as("js_vs_corpus"))
+  }
+
+  /** Fit on the corpus, drift the corpus's own sources — the self-audit
+    * form (the registered qe54). */
+  def driftCardSelf(docs: DataFrame, k: Int): DataFrame =
+    driftCard(docs, vocabFit(docs, k))
+
   /** Per-source corpus data card — the summary table a curation run
     * publishes alongside its output (docs, token volume, length profile,
     * language spread per source). ONE map-side-combined hash shuffle on

@@ -17,6 +17,11 @@ object Extensions {
 
   import Parity.QueryFn
 
+  /** Shared by qe52 (adaptive) and qe52b (frozen, self-fit): both forms
+    * produce the identical card, so both hash-check against one oracle. */
+  private val DupSpansSql =
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   val all: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // E1 — exact dedup by full text, deterministic min-id survivor
@@ -831,7 +836,18 @@ object Extensions {
     // per-doc only.
     ("qe52_dup_spans", (s: SparkSession, d: String) => {
       Dedup.dupSpans(Engine.Tables(s, d).documents, 3).orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+    }, Some(DupSpansSql)),
+
+    // E2 (passages, 100 TB apply path) — the same card against a FROZEN
+    // duplicated-gram set (here self-fit, so the oracle is qe52's): the
+    // daily-crawl shape where history is never re-shingled. The apply plan
+    // is window-free (left flag join + one per-doc fold aggregation,
+    // pinned in PlanSpec) and streaming-legal (StreamingSpec replay twin).
+    ("qe52b_dup_spans_frozen", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      Dedup.dupSpansFrozen(docs, Dedup.dupGramFit(docs, 3), 3)
+        .orderBy("doc_id")
+    }, Some(DupSpansSql)),
 
     // E2 (mixing) — temperature-smoothed domain mix at T=2: allocate a
     // 300-doc budget across sources by floor(sqrt(n)) weights (IEEE sqrt
@@ -844,6 +860,17 @@ object Extensions {
           Engine.Tables(s, d).documents, "source", "doc_id", 300L)
         .select("doc_id", "source").orderBy("doc_id")
     }, Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), w AS (SELECT source, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w FROM c), t AS (SELECT source, LEAST(n_docs, (300 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) AS target FROM w), r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn FROM documents) SELECT doc_id, source FROM r JOIN t USING (source) WHERE rn <= target ORDER BY doc_id""")),
+
+    // E4 (drift) — per-source KL / Jensen-Shannon divergence vs the
+    // corpus term distribution over the frozen top-100 TF vocabulary: the
+    // distribution-shift tripwire between corpus snapshots. Vocab + mass
+    // total broadcast; one (source, term) shuffle; divergences folded per
+    // source over the term-sorted array so the double sums are
+    // partition-order-independent.
+    ("qe54_source_drift", (s: SparkSession, d: String) => {
+      TextAnalysis.driftCardSelf(Engine.Tables(s, d).documents, 100)
+        .orderBy("source")
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
 
     // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
     // refit tripwire every IVF deployment watches (a hot cell makes probe

@@ -818,4 +818,40 @@ class CurationOpsSpec extends SparkTestBase {
       s"fit/apply split diverged: ${(adaptive -- frozen).take(3)} vs ${(frozen -- adaptive).take(3)}")
     assert(adaptive.exists(_._3 > 0L), "testdata must contain duplicated passages")
   }
+
+  test("driftCard matches the hand-computed KL/JS on a two-source toy corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x x y"), (2L, "B", "x y y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.driftCardSelf(docs, 2).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // corpus: x=3, y=3 -> q = (0.5, 0.5); A: p = (2/3, 1/3); B mirrors A
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).collect { case (pi, qi) if pi > 0 => pi * math.log(pi / qi) }.sum
+    def js(p: Seq[Double], q: Seq[Double]) = {
+      val m = p.zip(q).map { case (pi, qi) => (pi + qi) / 2 }
+      0.5 * kl(p, m) + 0.5 * kl(q, m)
+    }
+    val (p, q) = (Seq(2.0 / 3, 1.0 / 3), Seq(0.5, 0.5))
+    def r4d(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(("A", 3L, r4d(kl(p, q)), r4d(js(p, q))),
+      ("B", 3L, r4d(kl(p.reverse, q)), r4d(js(p.reverse, q))))
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
+
+  test("driftCard divergences are bounded on the sf0.001 corpus (0 <= KL; 0 <= JS <= ln 2)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val rows = TextAnalysis.driftCardSelf(docs, 100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kl, js) = (r.getDouble(2), r.getDouble(3))
+      assert(kl >= 0.0, s"negative KL for ${r.getString(0)}: $kl")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"JS out of [0, ln 2] for ${r.getString(0)}: $js")
+    }
+    // a vocabulary covering every source identically would drift 0; real
+    // multi-source testdata must show SOME spread between sources
+    assert(rows.map(_.getDouble(3)).distinct.length > 1,
+      "all sources report identical JS — card is not discriminating")
+  }
 }

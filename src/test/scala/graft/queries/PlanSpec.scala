@@ -404,21 +404,42 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!s.contains("ScalaUDF"), s.take(2000))
   }
 
-  test("qe52 dup spans: 8-byte-key equi-joins only, per-doc windows, bounded exchanges") {
+  test("qe52 dup spans: 8-byte-key equi-joins only, window-free fold, bounded exchanges") {
     val df = graft.SparkEntry.queries("qe52_dup_spans")(spark, Sf0001)
     df.collect()
     val s = planOf(df).toString
-    // the flag join and the totals join must both be equi-joins — a
-    // BNLJ/Cartesian here is quadratic in corpus windows
+    // the flag join must be an equi-join — a BNLJ/Cartesian here is
+    // quadratic in corpus windows
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s.take(2000))
     assert(!s.contains("ScalaUDF"), s.take(2000))
-    // occurrence count, flag-join re-key, span window, totals, final join
-    // + sort: the corpus-window relation must not shuffle more than that
+    // span merge is the aggregate-HOF fold, NOT a gaps-and-islands
+    // row_number window — no per-doc window exchange in the plan
+    assert(!s.contains("Window"), s"window-based span merge:\n${s.take(2000)}")
+    // occurrence count, flag-join re-key, per-doc aggregate, final sort:
+    // the corpus-window relation must not shuffle more than that
     val exchanges = collectWithSubqueries(planOf(df)) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.size
-    assert(exchanges <= 6, s"$exchanges exchanges in the dup-span plan:\n${s.take(2000)}")
+    assert(exchanges <= 4, s"$exchanges exchanges in the dup-span plan:\n${s.take(2000)}")
+  }
+
+  test("qe52b frozen dup spans: apply side is window-free and fit-free (gram set is an input)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    // freeze the gram set first — the APPLY plan is what ships at 100 TB
+    val grams = graft.operators.Dedup.dupGramFit(docs, 3).localCheckpoint()
+    val df = graft.operators.Dedup.dupSpansFrozen(docs, grams, 3)
+    df.collect()
+    val s = planOf(df).toString
+    assert(!s.contains("Window"), s"window in the frozen apply plan:\n${s.take(2000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(2000))
+    assert(!s.contains("ScalaUDF"), s.take(2000))
+    // flag join re-key + per-doc aggregate: two corpus shuffles, no more
+    val exchanges = collectWithSubqueries(planOf(df)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 2, s"$exchanges exchanges in the frozen dup-span apply plan:\n${s.take(2000)}")
   }
 
   test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
