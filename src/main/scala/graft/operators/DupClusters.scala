@@ -86,4 +86,38 @@ object DupClusters {
     * non-survivor row is a drop candidate). */
   def clusters(pairs: DataFrame): DataFrame =
     connectedComponents(pairs).select(col("id").as("doc_id"), col("cluster"))
+
+  /** Quality-aware survivor selection — "keep the BEST copy", not the
+    * first: per duplicate cluster, the member with the highest
+    * `qualityCol` wins (ties break to the smallest doc_id, so the choice
+    * is fully deterministic). Near-dup copies genuinely differ — one is
+    * truncated, one is boilerplate-wrapped — and min-id survivor choice
+    * throws that signal away.
+    *
+    * One equi-join of the (small) membership frame onto per-doc quality
+    * and one aggregation on cluster; the survivor is a `max(struct)`
+    * argmax — map-side-combinable, never a row_number window that would
+    * sort a hot cluster's copies into one partition. Quality stays an
+    * equi-join (not broadcast-pinned): at 100 TB the quality frame is
+    * corpus-sized. Returns (cluster, keep_id, n_members, best_q). */
+  def survivorsByQuality(members: DataFrame, quality: DataFrame,
+                         qualityCol: String): DataFrame =
+    members.join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(qualityCol).as("q"), (-col("doc_id")).as("nid"))).as("__b"))
+      .select(col("cluster"), (-col("__b.nid")).as("keep_id"),
+        col("n_members"), col("__b.q").as("best_q"))
+
+  /** Gate form: `docs` minus every clustered non-survivor — unclustered
+    * documents (no near-dup edge) pass through untouched. Anti join on
+    * the drop set, which is membership-sized (edges, not corpus). */
+  def keepBestCopy(docs: DataFrame, members: DataFrame, quality: DataFrame,
+                   qualityCol: String): DataFrame = {
+    val drops = members.join(
+        survivorsByQuality(members, quality, qualityCol).select("keep_id"),
+        col("doc_id") === col("keep_id"), "left_anti")
+      .select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
 }

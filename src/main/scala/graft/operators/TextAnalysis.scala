@@ -178,6 +178,44 @@ object TextAnalysis {
         array_join(col("__ct"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking: a chunk boundary falls AFTER token i iff
+    * the token's own hash ≡ 0 (mod `target`) — so boundaries are a pure
+    * function of LOCAL content and expected chunk length is ~`target`
+    * tokens. Unlike [[chunk]]'s fixed stride, editing a document's prefix
+    * cannot move any boundary after the edit region (the rsync/LBFS
+    * property, asserted by a seeded ScalaCheck suite) — chunk-level dedup
+    * across document versions stays stable under insertions.
+    *
+    * The boundary hash is the first 8 md5 hex digits (an engine-portable
+    * integer — the [[graft.operators.Sampling]] md5-priority idiom), NOT
+    * xxhash64, so a SQL oracle can reproduce the exact boundaries. Output
+    * (doc_id, chunk_idx, n_tok, chunk_md5); like [[chunk]] a pure per-row
+    * explode — no shuffle, no state, streaming-legal as a projection. */
+  def chunkCdc(docs: DataFrame, target: Int): DataFrame = {
+    require(target >= 2, s"chunkCdc: target must be >= 2, got $target")
+    val ws = col("__ws")
+    // boundary positions strictly inside the doc (a cut at position p
+    // means tokens p+1.. start a new chunk); sequence(1, n-1) only when
+    // n > 1 — Spark's sequence(1, 0) would count DOWN, not return empty
+    val bpos = when(size(ws) > 1,
+      filter(sequence(lit(1), size(ws) - 1),
+        i => conv(substring(md5(get(ws, i - 1)), 1, 8), 16, 10)
+          .cast("long") % target === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("__ws"))
+      .withColumn("__st", concat(array(lit(0)), bpos))
+      .withColumn("__en", concat(bpos, array(size(ws))))
+      .select(col("doc_id"),
+        posexplode(zip_with(col("__st"), col("__en"),
+          (a, b) => struct((b - a).cast("long").as("n_tok"),
+            md5(array_join(slice(ws, a + 1, b - a), " ")).as("chunk_md5"))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.n_tok").as("n_tok"), col("__c.chunk_md5").as("chunk_md5"))
+  }
+
   /** The composable HOF twin of [[repetitionStats]] — the readable
     * reference form the kernel must match bit-for-bit (asserted in
     * CurationOpsSpec). */

@@ -854,4 +854,77 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rows.map(_.getDouble(3)).distinct.length > 1,
       "all sources report identical JS — card is not discriminating")
   }
+
+  test("survivorsByQuality keeps the highest-quality member, ties to min id; gate spares singletons") {
+    import spark.implicits._
+    // cluster A = {1,2,3} (best q at doc 2); cluster B = {10,11} tie on q
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq(1L -> 5L, 2L -> 9L, 3L -> 7L, 10L -> 4L, 11L -> 4L, 99L -> 1L)
+      .toDF("doc_id", "q")
+    val got = graft.operators.DupClusters.survivorsByQuality(members, quality, "q")
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 9L), (10L, 10L, 2L, 4L)),
+      s"got ${got.toSeq}")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = graft.operators.DupClusters.keepBestCopy(docs, members, quality, "q")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 99L), s"kept $kept — best copies + the unclustered doc")
+  }
+
+  test("property: CDC chunks reassemble exactly and boundaries are prefix-edit-stable") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def boundaryTok(w: String, target: Int): Boolean =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(w).take(8), 16) % target == 0
+    val tokGen = Gen.oneOf((('a' to 'z') ++ ('0' to '9')).map(_.toString))
+    val docGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, tokGen))
+    for (trial <- 1 to 5) {
+      val target = 2 + trial // small targets -> many boundaries
+      val toksPerDoc = Gen.listOfN(12, docGen)
+        .pureApply(Gen.Parameters.default, Seed(4000L + trial))
+      val corpus = toksPerDoc.zipWithIndex
+        .map { case (ts, i) => ((i + 1).toLong, ts.mkString(" ")) }
+      val got = TextAnalysis.chunkCdc(corpus.toDF("doc_id", "text"), target)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // reference model: cut after every boundary token strictly inside
+      val expect = corpus.flatMap { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val cuts = (1 until ts.size).filter(p => boundaryTok(ts(p - 1), target))
+        val edges = (0 +: cuts) :+ ts.size
+        edges.sliding(2).zipWithIndex.map { case (Seq(a, b), j) =>
+          (id, j.toLong, (b - a).toLong,
+            org.apache.commons.codec.digest.DigestUtils
+              .md5Hex(ts.slice(a, b).mkString(" ")))
+        }.toSeq
+      }
+      assert(got.toSeq == expect, s"trial=$trial target=$target diverged")
+      // chunk sizes reassemble the full token stream, in order
+      corpus.foreach { case (id, text) =>
+        val n = text.split("\\s+").count(_.nonEmpty)
+        assert(got.filter(_._1 == id).map(_._3).sum == n.toLong, s"doc $id lost tokens") }
+      // the content-defined property: prepend a random prefix to a doc —
+      // every chunk after the FIRST boundary inside the original body is
+      // byte-identical (fixed-stride chunking shifts them all)
+      val (bodyId, body) = corpus.head
+      val prefix = docGen.pureApply(Gen.Parameters.default, Seed(9000L + trial)).mkString(" ")
+      val edited = Seq((bodyId, prefix + " " + body))
+      val gotEdited = TextAnalysis.chunkCdc(edited.toDF("doc_id", "text"), target)
+        .orderBy("chunk_idx").collect().map(_.getString(3))
+      val gotBody = got.filter(_._1 == bodyId).map(_._4)
+      val bodyToks = body.split("\\s+").filter(_.nonEmpty).toSeq
+      val firstCut = (1 until bodyToks.size)
+        .find(p => boundaryTok(bodyToks(p - 1), target))
+      firstCut.foreach { _ =>
+        // chunks strictly after the first in-body cut survive the edit
+        val stable = gotBody.tail
+        assert(stable.forall(gotEdited.contains),
+          s"trial=$trial: prefix edit moved post-cut boundaries")
+      }
+    }
+  }
 }
