@@ -442,6 +442,33 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(exchanges <= 2, s"$exchanges exchanges in the frozen dup-span apply plan:\n${s.take(2000)}")
   }
 
+  test("qe55 best survivor: argmax is max(struct) aggregation — no per-cluster window, no UDF") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val members = graft.operators.DupClusters.clusters(
+      graft.operators.Dedup.jaccardPairs(docs, 3, 0.5)).localCheckpoint()
+    val quality = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("q"))
+    val df = graft.operators.DupClusters.survivorsByQuality(members, quality, "q")
+    df.collect()
+    val s = planOf(df).toString
+    // a row_number window would shuffle-sort every copy of a hot cluster
+    // into one partition; the max(struct) argmax combines map-side
+    assert(!s.contains("Window"), s"window-based survivor argmax:\n${s.take(1500)}")
+    assert(s.contains("partial_max"), s"no map-side combine:\n${s.take(1500)}")
+    assert(!s.contains("ScalaUDF") && !s.contains("CartesianProduct"), s.take(1500))
+  }
+
+  test("qe56 CDC chunking is a shuffle-free per-row explode") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val df = graft.operators.TextAnalysis.chunkCdc(docs, 16) // no orderBy:
+    // the registered sort is presentation; the operator itself must not exchange
+    df.collect()
+    val s = planString(df)
+    assert(!s.contains("Exchange"),
+      s"CDC chunking must be a linear scan with no shuffle:\n${s.take(1500)}")
+    assert(!s.contains("ScalaUDF"), s.take(1500))
+  }
+
   test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
     val df = graft.SparkEntry.queries("qe53_temperature_mix")(spark, Sf0001)
     df.collect()

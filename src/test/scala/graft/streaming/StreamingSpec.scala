@@ -971,4 +971,28 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream dup-span card diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming CDC chunking replay == batch (stateless per-row explode)") {
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val want = graft.operators.TextAnalysis.chunkCdc(docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    // append mode: chunking carries no state at all — each doc's chunks
+    // emit the moment the doc arrives
+    val q = graft.operators.TextAnalysis.chunkCdc(
+        input.toDF().toDF("doc_id", "text"), 16)
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == want,
+        s"stream CDC diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
