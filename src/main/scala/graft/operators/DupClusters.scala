@@ -99,7 +99,9 @@ object DupClusters {
     * argmax — map-side-combinable, never a row_number window that would
     * sort a hot cluster's copies into one partition. Quality stays an
     * equi-join (not broadcast-pinned): at 100 TB the quality frame is
-    * corpus-sized. Returns (cluster, keep_id, n_members, best_q). */
+    * corpus-sized. The join is INNER: a member with no quality row drops
+    * from the count and the argmax — score the corpus before resolving
+    * clusters. Returns (cluster, keep_id, n_members, best_q). */
   def survivorsByQuality(members: DataFrame, quality: DataFrame,
                          qualityCol: String): DataFrame =
     members.join(quality, "doc_id")

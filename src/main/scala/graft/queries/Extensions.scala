@@ -22,6 +22,12 @@ object Extensions {
   private val DupSpansSql =
     """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
+  /** Shared by qe55 (exact edges) and qe55b (LSH edges — component-equal
+    * on this data, asserted in CurationOpsSpec): quality-argmax survivor
+    * per connected component of the near-dup pair graph. */
+  private val BestSurvivorSql =
+    """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY id), tc AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS q FROM documents), m AS (SELECT cluster, doc_id, q, row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn FROM comp JOIN tc USING (doc_id)) SELECT cluster, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(q) AS best_q FROM m GROUP BY cluster ORDER BY cluster"""
+
   val all: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // E1 — exact dedup by full text, deterministic min-id survivor
@@ -888,7 +894,23 @@ object Extensions {
       graft.operators.DupClusters.survivorsByQuality(
           graft.operators.DupClusters.clusters(pairs), quality, "q")
         .orderBy("cluster")
-    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY id), tc AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS q FROM documents), m AS (SELECT cluster, doc_id, q, row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn FROM comp JOIN tc USING (doc_id)) SELECT cluster, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(q) AS best_q FROM m GROUP BY cluster ORDER BY cluster""")),
+    }, Some(BestSurvivorSql)),
+
+    // E2 (survivor policy, 100 TB path) — the same card from MinHash-LSH
+    // candidate edges (banded index join, never all-pairs) + exact-Jaccard
+    // verify: precision is exact, and CurationOpsSpec asserts the LSH edge
+    // set yields the same components as the exact edge set on this data,
+    // so the composition hash-checks against qe55's oracle (the qe13b
+    // argument applied to survivor choice).
+    ("qe55b_best_survivor_lsh", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val pairs = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("q"))
+      graft.operators.DupClusters.survivorsByQuality(
+          graft.operators.DupClusters.clusters(pairs), quality, "q")
+        .orderBy("cluster")
+    }, Some(BestSurvivorSql)),
 
     // E4 (chunking) — content-defined chunks (~16-token expected length):
     // boundaries are a function of local token content (md5-portable
