@@ -440,6 +440,39 @@ object TextAnalysis {
   def driftCardSelf(docs: DataFrame, k: Int): DataFrame =
     driftCard(docs, vocabFit(docs, k))
 
+  /** Per-source lexical diversity: token volume, distinct-term count, and
+    * type-token ratio (distinct/total — collapsing it flags template spam
+    * and boilerplate floods before any model sees them). EXACT form: the
+    * distinct count is a two-level aggregation ((source, term) with
+    * map-side combine, then source) — plan-transparent, no `Expand` node,
+    * and the oracle twin. At 100 TB the (source, term) shuffle carries
+    * the full vocabulary; prefer [[lexicalDiversityApprox]]. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("__tf"))
+      .groupBy("source")
+      .agg(sum(col("__tf")).as("n_tok"), count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n_tok"), col("n_terms"),
+        graft.functions.ScalarOps.r4(
+          col("n_terms").cast("double") / col("n_tok")).as("ttr"))
+
+  /** The 100 TB twin: HyperLogLog++ distinct terms (`rsd` relative error)
+    * in ONE map-side-combined shuffle on source with O(1) sketch state
+    * per group — the vocabulary never shuffles. Deterministic for fixed
+    * input (register merges are order-independent max), but approximate →
+    * register rows-only; CurationOpsSpec pins it within tolerance of the
+    * exact card. */
+  def lexicalDiversityApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"),
+        approx_count_distinct(col("term"), rsd).as("n_terms"))
+      .select(col("source"), col("n_tok"), col("n_terms"),
+        graft.functions.ScalarOps.r4(
+          col("n_terms").cast("double") / col("n_tok")).as("ttr"))
+
   /** Per-source corpus data card — the summary table a curation run
     * publishes alongside its output (docs, token volume, length profile,
     * language spread per source). ONE map-side-combined hash shuffle on

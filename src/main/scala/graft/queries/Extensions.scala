@@ -922,6 +922,23 @@ object Extensions {
         .orderBy("doc_id", "chunk_idx")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s) SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, CAST(en[j + 1] - st[j + 1] AS BIGINT) AS n_tok, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx""")),
 
+    // E4 (diversity) — per-source type-token ratio, exact: two-level
+    // aggregation ((source, term) then source), the oracle twin of the
+    // HLL form below.
+    ("qe57_lexical_diversity", (s: SparkSession, d: String) => {
+      TextAnalysis.lexicalDiversity(Engine.Tables(s, d).documents)
+        .orderBy("source")
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 4) AS ttr FROM tok GROUP BY source ORDER BY source""")),
+
+    // E4 (diversity, 100 TB path) — the same card with HLL++ distinct
+    // terms: ONE shuffle on source, O(1) sketch state per group, the
+    // vocabulary never shuffles. Approximate -> rows-only; within-5%
+    // agreement with qe57 pinned in CurationOpsSpec.
+    ("qe57b_lexical_diversity_hll", (s: SparkSession, d: String) => {
+      TextAnalysis.lexicalDiversityApprox(Engine.Tables(s, d).documents)
+        .orderBy("source")
+    }, None),
+
     // E3 (index health) — per-cell occupancy of the FROZEN IVF index: the
     // refit tripwire every IVF deployment watches (a hot cell makes probe
     // cost quadratic in occupancy). Map-only assignment + tiny aggregate;

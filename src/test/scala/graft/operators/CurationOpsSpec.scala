@@ -927,4 +927,19 @@ class CurationOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("HLL lexical-diversity card agrees with the exact card within 5% per source") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val exact = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = TextAnalysis.lexicalDiversityApprox(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (src, (nTok, nTerms)) =>
+      assert(approx(src)._1 == nTok, s"$src: token volume must be exact")
+      val err = math.abs(approx(src)._2 - nTerms).toDouble / nTerms
+      assert(err <= 0.05, s"$src: HLL distinct-term error $err > 5% " +
+        s"(exact $nTerms, approx ${approx(src)._2})")
+    }
+  }
 }
