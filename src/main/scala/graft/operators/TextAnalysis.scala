@@ -402,14 +402,32 @@ object TextAnalysis {
     * ln 2 · (1 − Σ_present q). KL needs no such term (p = 0 contributes
     * 0), and q > 0 for every vocab term by construction, so both
     * divergences are finite. */
-  def driftCard(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def driftCard(docs: DataFrame, vocab: DataFrame): DataFrame =
+    driftFromCounts(termCounts(docs, vocab), vocab)
+
+  /** The STATEFUL half of [[driftCard]], exposed for streaming: in-vocab
+    * occurrence counts per (source, term) — ONE map-side-combined
+    * aggregation whose key space (and so whose streaming state) is
+    * bounded by sources × k, never corpus size. Run it in complete mode
+    * against a frozen vocab and feed the upserted result table to
+    * [[driftFromCounts]] per micro-batch — chaining the second (tiny)
+    * aggregation into the same streaming query would trip Spark's
+    * global-watermark correctness check. Replay == batch asserted in
+    * StreamingSpec. */
+  def termCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val vw = broadcast(vocab.select(col("term"), col("tf").as("__nw")))
-    val nset = broadcast(vocab.agg(sum(col("tf")).as("__nset")))
-    val sw = docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .join(vw, Seq("term")) // inner: drift is measured within the vocab
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("__nsw"), max(col("__nw")).as("__nw"))
+  }
+
+  /** The fold tail of [[driftCard]] over a (source, term, __nsw, __nw)
+    * counts frame — sources × k rows, so this is driver-cheap wherever it
+    * runs. */
+  def driftFromCounts(sw: DataFrame, vocab: DataFrame): DataFrame = {
+    val nset = broadcast(vocab.agg(sum(col("tf")).as("__nset")))
     val perSrc = sw.groupBy("source")
       .agg(sum(col("__nsw")).as("__ns"),
         sort_array(collect_list(struct(col("term"), col("__nsw"), col("__nw"))))

@@ -995,4 +995,34 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream CDC diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming drift card against a frozen vocab == batch (bounded sources x k state)") {
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "source", "text")
+    val vocab = graft.operators.TextAnalysis.vocabFit(docs, 100).localCheckpoint()
+    val want = graft.operators.TextAnalysis.driftCard(docs, vocab).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    // the STATEFUL half streams: one complete-mode aggregation whose
+    // state is bounded by sources x k (the vocab join is stream-static);
+    // the tiny fold tail then runs per micro-batch over the upserted
+    // counts table — chaining it into the stream would trip the
+    // global-watermark correctness check
+    val q = graft.operators.TextAnalysis.termCounts(
+        input.toDF().toDF("doc_id", "source", "text"), vocab)
+      .writeStream.format("memory").queryName("t_drift_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = graft.operators.TextAnalysis.driftFromCounts(
+          spark.table("t_drift_counts"), vocab).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"stream drift diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
