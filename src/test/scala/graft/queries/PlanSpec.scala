@@ -469,6 +469,35 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!s.contains("ScalaUDF"), s.take(1500))
   }
 
+  test("qe54 drift card: vocab broadcasts onto the token scan; no window, no UDF") {
+    val df = graft.SparkEntry.queries("qe54_source_drift")(spark, Sf0001)
+    df.collect()
+    val s = planOf(df).toString
+    // the k-row vocab (and its one-row mass) must come back as broadcasts,
+    // never shuffle joins against the exploded corpus
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("Window") && !s.contains("ScalaUDF"), s.take(2000))
+    // the one-row vocab-mass crossJoin is a broadcast NLJ by design; a
+    // CartesianProduct would mean the broadcast was lost
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("qe57 exact diversity has no Expand; qe57b HLL card shuffles once") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val exact = graft.operators.TextAnalysis.lexicalDiversity(docs)
+    exact.collect()
+    val se = planOf(exact).toString
+    // two-level aggregation, not count(distinct)'s Expand rewrite
+    assert(!se.contains("Expand"), s"Expand in the exact diversity plan:\n${se.take(1500)}")
+    val approx = graft.operators.TextAnalysis.lexicalDiversityApprox(docs)
+    approx.collect()
+    val exchanges = collectWithSubqueries(planOf(approx)) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 1,
+      s"$exchanges exchanges — the HLL card must not shuffle the vocabulary:\n${planOf(approx).toString.take(1500)}")
+  }
+
   test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
     val df = graft.SparkEntry.queries("qe53_temperature_mix")(spark, Sf0001)
     df.collect()
