@@ -587,6 +587,35 @@ object Dedup {
       .filter(coalesce(col("dup_frac"), lit(0.0)) <= maxFrac)
       .drop("dup_frac")
 
+  /** Chunk-level duplication card over CONTENT-DEFINED chunks
+    * ([[TextAnalysis.chunkCdc]]): per document, how many of its chunks
+    * also appear in at least one OTHER document. Because CDC boundaries
+    * are local-content-stable, a passage shared between two document
+    * versions chunks identically in both regardless of surrounding edits
+    * — so this catches cross-version content reuse that whole-document
+    * and fixed-stride chunk hashing both miss (the [[dupSpans]] signal at
+    * chunk granularity, cheap enough to run on every snapshot).
+    *
+    * Scale shape: chunking is a shuffle-free projection (materialized
+    * once — it feeds both the occurrence count and the flag join); the
+    * shared-chunk set derives from a distinct + count on the 32-hex md5
+    * key; the flag join is LEFT (clean docs keep rows) and the tail is
+    * one per-doc aggregation. All shuffles are hash-key equi-shuffles. */
+  def cdcDupCard(docs: DataFrame, target: Int): DataFrame = {
+    val ch = TextAnalysis.chunkCdc(docs, target).localCheckpoint()
+    val shared = ch.select("doc_id", "chunk_md5").distinct()
+      .groupBy("chunk_md5").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2L)
+      .select(col("chunk_md5"), lit(1L).as("__sh"))
+    ch.join(shared, Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__sh"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        graft.functions.ScalarOps.r4(
+          col("n_shared").cast("double") / col("n_chunks")).as("shared_frac"))
+  }
+
   /** SimHash near-dup pairs: block on 16-bit chunks (two pairs within
     * hamming distance d share a chunk when d < 4 chunks), verify with
     * `bit_count(xor) <= maxHamming`. */

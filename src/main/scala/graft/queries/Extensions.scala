@@ -922,6 +922,15 @@ object Extensions {
         .orderBy("doc_id", "chunk_idx")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s) SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, CAST(en[j + 1] - st[j + 1] AS BIGINT) AS n_tok, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx""")),
 
+    // E2 (cross-version reuse) — chunk-level duplication over
+    // content-defined chunks: CDC boundaries are local-content-stable, so
+    // a passage shared between two document versions chunks identically
+    // in both regardless of surrounding edits. The dupSpans signal at
+    // chunk granularity; md5-key equi-shuffles only.
+    ("qe56b_cdc_dup_card", (s: SparkSession, d: String) => {
+      Dedup.cdcDupCard(Engine.Tables(s, d).documents, 16).orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id""")),
+
     // E4 (diversity) — per-source type-token ratio, exact: two-level
     // aggregation ((source, term) then source), the oracle twin of the
     // HLL form below.

@@ -928,6 +928,36 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 3-char tokens (~18k alphabet): tiny single-token chunks of a toy
+    // alphabet WOULD collide by chance — the card is content-based, so
+    // identical short chunks are genuinely shared; the test needs token
+    // entropy high enough that only the planted passage matches
+    val tokGen = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val body = Gen.listOfN(80, tokGen)
+      .pureApply(Gen.Parameters.default, Seed(7000L)).mkString(" ")
+    val prefixA = Gen.listOfN(15, tokGen)
+      .pureApply(Gen.Parameters.default, Seed(7001L)).mkString(" ")
+    val unrelated = Gen.listOfN(80, tokGen)
+      .pureApply(Gen.Parameters.default, Seed(7002L)).mkString(" ")
+    // docs 1 and 2 share `body` behind different prefixes — two "versions"
+    // of one article; doc 3 is unrelated
+    val docs = Seq((1L, body), (2L, prefixA + " " + body), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val card = Dedup.cdcDupCard(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(card(1L)._2 > 0L && card(2L)._2 > 0L,
+      s"shared passage not flagged across versions: $card")
+    assert(card(3L)._2 == 0L, s"unrelated doc flagged: $card")
+    // every shared chunk count is bounded by the doc's chunk count
+    card.values.foreach { case (n, sh, f) =>
+      assert(sh <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("HLL lexical-diversity card agrees with the exact card within 5% per source") {
     val docs = graft.Engine.Tables(spark, Sf0001).documents
     val exact = TextAnalysis.lexicalDiversity(docs).collect()
