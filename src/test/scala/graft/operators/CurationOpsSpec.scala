@@ -928,6 +928,47 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("property: survivorsByQuality == union-find + argmax reference over seeded pair graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val edgeGen = Gen.listOfN(n / 2, for {
+        a <- Gen.chooseNum(1L, n.toLong); b <- Gen.chooseNum(1L, n.toLong)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(5000L + trial), 1000).distinct
+      // low-cardinality quality forces argmax ties -> exercises the min-id
+      // tie-break, the part a happy-path test never touches
+      val qGen = Gen.listOfN(n, Gen.chooseNum(0L, 3L))
+      val qs = qGen.pureApply(Gen.Parameters.default, Seed(6000L + trial))
+      val quality = (1L to n.toLong).zip(qs)
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val qMap = quality.toMap
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).map { case (cluster, ms) =>
+          val keep = ms.minBy(id => (-qMap(id), id))
+          (cluster, keep, ms.size.toLong, qMap(keep))
+        }.toSet
+      val got = DupClusters.survivorsByQuality(
+          DupClusters.clusters(edges.toDF("da", "db")),
+          quality.toDF("doc_id", "q"), "q")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want,
+        s"trial=$trial: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    }
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen
