@@ -587,6 +587,38 @@ object Dedup {
       .filter(coalesce(col("dup_frac"), lit(0.0)) <= maxFrac)
       .drop("dup_frac")
 
+  /** ASYMMETRIC shingle-containment pairs: c(A → B) = |S(A) ∩ S(B)| /
+    * |S(A)| — "how much of A lives inside B". Resemblance (Jaccard)
+    * misses subset reuse: a paragraph quoted whole inside a long article
+    * scores near-zero Jaccard (the union is huge) but containment ≈ 1 —
+    * the Broder distinction. Directed output (da = contained side, db =
+    * container): each unordered overlap yields both directions, filtered
+    * independently, so A ⊂ B surfaces even when B ⊄ A.
+    *
+    * Same machinery and scale posture as [[jaccardPairs]] — one
+    * materialized shingle relation, equi-join on the 8-byte shingle hash,
+    * count joins — and the same exact-but-quadratic-per-hot-shingle
+    * caveat: this is the oracle ground truth; at 100 TB derive candidate
+    * pairs from [[minhashCandidates]] and compute containment only on
+    * candidates. */
+  def containmentPairs(docs: DataFrame, n: Int, minC: Double): DataFrame = {
+    val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
+    val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count("*").as("c"))
+    // both directions from one undirected overlap count
+    val directed = common.select(col("x").as("da"), col("y").as("db"), col("c"))
+      .union(common.select(col("y").as("da"), col("x").as("db"), col("c")))
+    directed
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= minC)
+  }
+
   /** Chunk-level duplication card over CONTENT-DEFINED chunks
     * ([[TextAnalysis.chunkCdc]]): per document, how many of its chunks
     * also appear in at least one OTHER document. Because CDC boundaries

@@ -922,6 +922,17 @@ object Extensions {
         .orderBy("doc_id", "chunk_idx")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s) SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, CAST(en[j + 1] - st[j + 1] AS BIGINT) AS n_tok, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx""")),
 
+    // E2 (subset reuse) — asymmetric shingle containment c(A->B) =
+    // |S(A) n S(B)| / |S(A)|: a paragraph quoted whole inside a long
+    // article scores near-zero Jaccard but containment ~1 (the Broder
+    // distinction). Directed pairs, both directions filtered
+    // independently. Exact oracle twin of the minhash-candidate path.
+    ("qe58_containment_pairs", (s: SparkSession, d: String) => {
+      Dedup.containmentPairs(Engine.Tables(s, d).documents, 3, 0.5)
+        .select(col("da"), col("db"), r4(col("containment")).as("containment"))
+        .orderBy("da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
+
     // E2 (cross-version reuse) — chunk-level duplication over
     // content-defined chunks: CDC boundaries are local-content-stable, so
     // a passage shared between two document versions chunks identically

@@ -969,6 +969,28 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("containmentPairs surfaces subset reuse that Jaccard misses (the Broder distinction)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val quote = Gen.listOfN(20, tokGen)
+      .pureApply(Gen.Parameters.default, Seed(8000L)).mkString(" ")
+    val article = Gen.listOfN(200, tokGen)
+      .pureApply(Gen.Parameters.default, Seed(8001L)).mkString(" ")
+    // doc 1 = the quote alone; doc 2 = a long article embedding it whole
+    val docs = Seq((1L, quote), (2L, article + " " + quote))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.get((1L, 2L)).exists(_ >= 0.99),
+      s"quote not contained in article: $cont")
+    assert(!cont.contains((2L, 1L)), s"article wrongly contained in quote: $cont")
+    // the same pair is invisible to resemblance at any useful threshold
+    val j = Dedup.jaccardPairs(docs, 3, 0.5).collect()
+    assert(j.isEmpty, "Jaccard should miss the subset pair — that is the point of containment")
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen
