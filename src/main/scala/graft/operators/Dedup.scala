@@ -619,6 +619,39 @@ object Dedup {
       .filter(col("containment") >= minC)
   }
 
+  /** The 100 TB containment path: bottom-k sketch probing. MinHash-LSH
+    * CANNOT serve here — its bands recall by RESEMBLANCE, and the pairs
+    * containment exists for (small A quoted inside large B) have
+    * near-zero resemblance by construction. Instead each document's k
+    * smallest shingle hashes form a probe sketch (a uniform sample of
+    * S(A) — hashes are exchangeable, so the bottom-k is unbiased); the
+    * probes equi-join the corpus shingle index and the per-(A, B) hit
+    * fraction estimates c(A → B) with ~1/√k error. Docs with ≤ k
+    * shingles probe their FULL set, so their estimate is exact.
+    *
+    * Per-doc sketch state is bounded by k (the collect_list aggregates at
+    * most the doc's own shingles before the slice); the probe join is an
+    * 8-byte-hash equi-join fanning out k rows per document, not |S(A)|.
+    * Estimator accuracy and recall vs [[containmentPairs]] are asserted
+    * in CurationOpsSpec. */
+  def containmentCandidates(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
+    require(k >= 1, s"containmentCandidates: k must be >= 1, got $k")
+    val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
+    val sk = sh.groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(col("s"))), 1, k).as("__probe"),
+        count(lit(1)).as("__na"))
+    sk.select(col("doc_id").as("da"), col("__na"), explode(col("__probe")).as("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db", "__na")
+      .agg(count(lit(1)).as("__hits"))
+      .select(col("da"), col("db"),
+        (col("__hits").cast("double") / least(col("__na"), lit(k.toLong)))
+          .as("containment_est"))
+      .filter(col("containment_est") >= minC)
+  }
+
   /** Chunk-level duplication card over CONTENT-DEFINED chunks
     * ([[TextAnalysis.chunkCdc]]): per document, how many of its chunks
     * also appear in at least one OTHER document. Because CDC boundaries

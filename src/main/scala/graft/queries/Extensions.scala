@@ -933,6 +933,19 @@ object Extensions {
         .orderBy("da", "db")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
 
+    // E2 (subset reuse, 100 TB path) — bottom-k containment sketch:
+    // MinHash-LSH recalls by resemblance and so structurally misses the
+    // low-Jaccard/high-containment pairs containment exists for; instead
+    // each doc's k smallest shingle hashes (an unbiased sample of its
+    // shingle set, bounded state) probe the corpus shingle index via an
+    // 8-byte equi-join. ~1/sqrt(k) estimator -> rows-only; recall +
+    // accuracy vs the exact form asserted in CurationOpsSpec.
+    ("qe58b_containment_sketch", (s: SparkSession, d: String) => {
+      Dedup.containmentCandidates(Engine.Tables(s, d).documents, 3, 64, 0.3)
+        .select(col("da"), col("db"), r4(col("containment_est")).as("containment_est"))
+        .orderBy("da", "db")
+    }, None),
+
     // E2 (cross-version reuse) — chunk-level duplication over
     // content-defined chunks: CDC boundaries are local-content-stable, so
     // a passage shared between two document versions chunks identically

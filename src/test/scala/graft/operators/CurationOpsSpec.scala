@@ -991,6 +991,27 @@ class CurationOpsSpec extends SparkTestBase {
     assert(j.isEmpty, "Jaccard should miss the subset pair — that is the point of containment")
   }
 
+  test("bottom-k containment sketch: recall and accuracy vs exact on the sf0.001 corpus") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val exact = Dedup.containmentPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "testdata must contain containment pairs")
+    val est = Dedup.containmentCandidates(docs, 3, 64, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: every strongly-contained pair must surface well below its
+    // exact score (0.5-threshold pairs probed at 0.3 leaves 1/sqrt(64)
+    // estimator noise plenty of margin)
+    val missed = exact.filter { case (p, c) => c >= 0.6 && !est.contains(p) }
+    assert(missed.isEmpty, s"strong pairs missed by the sketch: ${missed.take(3)}")
+    // accuracy: estimates stay within sketch noise of the exact value
+    val exactAll = Dedup.containmentPairs(docs, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (p, e) =>
+      val c = exactAll.getOrElse(p, 0.0)
+      assert(math.abs(e - c) <= 0.25, s"pair $p: est $e vs exact $c")
+    }
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen
