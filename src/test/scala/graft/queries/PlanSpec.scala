@@ -498,6 +498,23 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"$exchanges exchanges — the HLL card must not shuffle the vocabulary:\n${planOf(approx).toString.take(1500)}")
   }
 
+  test("qe56b/qe58/qe58b reuse signals: hash-key equi-joins only, no window, no UDF") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    for ((name, df) <- Seq(
+        ("qe56b", graft.operators.Dedup.cdcDupCard(docs, 16)),
+        ("qe58", graft.operators.Dedup.containmentPairs(docs, 3, 0.5)),
+        ("qe58b", graft.operators.Dedup.containmentCandidates(docs, 3, 64, 0.3)))) {
+      df.collect()
+      val s = planOf(df).toString
+      // every join in the reuse family keys on an 8-byte or 32-hex hash —
+      // a BNLJ/Cartesian would be quadratic in corpus chunks/shingles
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name: non-equi join:\n${s.take(1500)}")
+      assert(!s.contains("Window"), s"$name: window in the plan:\n${s.take(1500)}")
+      assert(!s.contains("ScalaUDF"), s"$name: UDF in the plan:\n${s.take(1500)}")
+    }
+  }
+
   test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
     val df = graft.SparkEntry.queries("qe53_temperature_mix")(spark, Sf0001)
     df.collect()
