@@ -955,6 +955,19 @@ object Extensions {
       Dedup.cdcDupCard(Engine.Tables(s, d).documents, 16).orderBy("doc_id")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E4 (drift, cross-snapshot form) — the fit/apply split in the gate:
+    // the vocab freezes over the even-doc_id half ("yesterday's
+    // snapshot") and today's odd half drifts against it. The shape every
+    // recurring-crawl deployment runs: history is never re-tokenized,
+    // only the increment scans.
+    ("qe54b_drift_cross_snapshot", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val vocab = TextAnalysis.vocabFit(docs.filter(col("doc_id") % 2 === 0), 100)
+        .localCheckpoint() // the persisted-artifact stand-in
+      TextAnalysis.driftCard(docs.filter(col("doc_id") % 2 === 1), vocab)
+        .orderBy("source")
+    }, Some("""WITH tok0 AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok0 GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 1), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
+
     // E4 (diversity) — per-source type-token ratio, exact: two-level
     // aggregation ((source, term) then source), the oracle twin of the
     // HLL form below.
