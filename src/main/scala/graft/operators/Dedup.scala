@@ -668,18 +668,37 @@ object Dedup {
     * one per-doc aggregation. All shuffles are hash-key equi-shuffles. */
   def cdcDupCard(docs: DataFrame, target: Int): DataFrame = {
     val ch = TextAnalysis.chunkCdc(docs, target).localCheckpoint()
-    val shared = ch.select("doc_id", "chunk_md5").distinct()
+    cdcDupCardFrom(ch, sharedFrom(ch))
+  }
+
+  private def sharedFrom(ch: DataFrame): DataFrame =
+    ch.select("doc_id", "chunk_md5").distinct()
       .groupBy("chunk_md5").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2L)
-      .select(col("chunk_md5"), lit(1L).as("__sh"))
-    ch.join(shared, Seq("chunk_md5"), "left")
+      .select("chunk_md5")
+
+  /** FIT side of the frozen form: the corpus's cross-document shared-chunk
+    * set — persist it and audit increments with [[cdcDupCardFrozen]]
+    * without re-chunking history (the [[dupGramFit]] pattern at chunk
+    * granularity). */
+  def cdcSharedFit(docs: DataFrame, target: Int): DataFrame =
+    sharedFrom(TextAnalysis.chunkCdc(docs, target))
+
+  /** APPLY side: the [[cdcDupCard]] for `docs` against a FROZEN
+    * shared-chunk set. STREAMING-LEGAL: chunking is a stateless
+    * projection, the flag join is stream-static, and the tail is one
+    * per-doc aggregation — replay == batch asserted in StreamingSpec. */
+  def cdcDupCardFrozen(docs: DataFrame, shared: DataFrame, target: Int): DataFrame =
+    cdcDupCardFrom(TextAnalysis.chunkCdc(docs, target), shared)
+
+  private def cdcDupCardFrom(ch: DataFrame, shared: DataFrame): DataFrame =
+    ch.join(shared.select(col("chunk_md5"), lit(1L).as("__sh")), Seq("chunk_md5"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("__sh"), lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_chunks"), col("n_shared"),
         graft.functions.ScalarOps.r4(
           col("n_shared").cast("double") / col("n_chunks")).as("shared_frac"))
-  }
 
   /** SimHash near-dup pairs: block on 16-bit chunks (two pairs within
     * hamming distance d share a chunk when d < 4 chunks), verify with

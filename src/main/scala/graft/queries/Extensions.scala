@@ -28,6 +28,12 @@ object Extensions {
   private val BestSurvivorSql =
     """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY id), tc AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS q FROM documents), m AS (SELECT cluster, doc_id, q, row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn FROM comp JOIN tc USING (doc_id)) SELECT cluster, MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(q) AS best_q FROM m GROUP BY cluster ORDER BY cluster"""
 
+  /** Shared by qe56b (adaptive) and qe56c (frozen, self-fit — identical
+    * card): per-doc fraction of content-defined chunks appearing in other
+    * documents. */
+  private val CdcDupSql =
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Seq[(String, QueryFn, Option[String])] = Seq(
 
     // E1 — exact dedup by full text, deterministic min-id survivor
@@ -953,7 +959,18 @@ object Extensions {
     // chunk granularity; md5-key equi-shuffles only.
     ("qe56b_cdc_dup_card", (s: SparkSession, d: String) => {
       Dedup.cdcDupCard(Engine.Tables(s, d).documents, 16).orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some(CdcDupSql)),
+
+    // E2 (cross-version reuse, 100 TB apply path) — the same card against
+    // a FROZEN shared-chunk set (self-fit here, so qe56b's oracle
+    // applies): increments audit without re-chunking history, and the
+    // apply plan is streaming-legal (19th replay==batch equivalence).
+    ("qe56c_cdc_dup_frozen", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      Dedup.cdcDupCardFrozen(docs,
+          Dedup.cdcSharedFit(docs, 16).localCheckpoint(), 16)
+        .orderBy("doc_id")
+    }, Some(CdcDupSql)),
 
     // E4 (drift, cross-snapshot form) — the fit/apply split in the gate:
     // the vocab freezes over the even-doc_id half ("yesterday's

@@ -502,6 +502,8 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val docs = Engine.Tables(spark, Sf0001).documents
     for ((name, df) <- Seq(
         ("qe56b", graft.operators.Dedup.cdcDupCard(docs, 16)),
+        ("qe56c", graft.operators.Dedup.cdcDupCardFrozen(docs,
+          graft.operators.Dedup.cdcSharedFit(docs, 16).localCheckpoint(), 16)),
         ("qe58", graft.operators.Dedup.containmentPairs(docs, 3, 0.5)),
         ("qe58b", graft.operators.Dedup.containmentCandidates(docs, 3, 64, 0.3)))) {
       df.collect()

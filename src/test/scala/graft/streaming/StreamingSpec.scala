@@ -1025,4 +1025,29 @@ class StreamingDedupSpec extends SparkTestBase {
         s"stream drift diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming CDC dup card against a frozen shared-chunk set == batch") {
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val shared = graft.operators.Dedup.cdcSharedFit(docs, 16).localCheckpoint()
+    val want = graft.operators.Dedup.cdcDupCardFrozen(docs, shared, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    // complete mode: the per-doc aggregation re-emits full state each
+    // batch; chunking is stateless and the flag join is stream-static
+    val q = graft.operators.Dedup.cdcDupCardFrozen(
+        input.toDF().toDF("doc_id", "text"), shared, 16)
+      .writeStream.format("memory").queryName("t_cdc_dup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_cdc_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"stream CDC dup card diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
 }
