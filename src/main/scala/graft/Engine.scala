@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table catalog over a TESTDATA.md scale-factor directory.
   *
@@ -36,6 +37,41 @@ object Engine {
     s
   }
 
+  /** Normalize one event-time column to `TimestampType` regardless of the
+    * parquet footer shape it arrived in. A real user's files carry all
+    * three shapes, and the shape has changed under us between test-data
+    * generations — so ingestion defends against every one:
+    *
+    *  - parquet TIMESTAMP(NANOS), surfaced as `Long` under
+    *    `spark.sql.legacy.parquet.nanosAsLong`: floor-divide to µs (the
+    *    data is µs-aligned, so lossless) and rebuild the timestamp;
+    *  - parquet `timestamp[us]` without a timezone, surfaced as
+    *    TIMESTAMP_NTZ: cast to TIMESTAMP. The session is pinned to UTC
+    *    (see [[session]]), so the wall-clock reinterpretation is the
+    *    identity on the instant — identical to DuckDB reading the same
+    *    naive value;
+    *  - TIMESTAMP (µs, tz-adjusted): passthrough.
+    *
+    * Event-time operators downstream (watermarks, `unix_micros`, typed
+    * `java.sql.Timestamp` encoders) all require TIMESTAMP and reject NTZ,
+    * so this is THE ingestion contract: normalize here, never per-operator.
+    */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
+
+  /** Blanket form of [[normalizeTs]] for streaming entry points: cast every
+    * TIMESTAMP_NTZ column to TIMESTAMP (UTC session ⇒ lossless), so
+    * `withWatermark` — which rejects NTZ event-time columns outright — can
+    * never meet one regardless of which reader produced the frame. */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+
   /** Readers for the driver-generated tables (FIXTURES.md §A). Schemas come
     * from the parquet footers — no runtime inference cost, and filters and
     * projections push down to the scan.
@@ -43,14 +79,6 @@ object Engine {
   final case class Tables(spark: SparkSession, dir: String) {
     private def rd(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-    /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
-      * not read natively. We read it as a long (legacy conf) and floor-divide
-      * to microseconds — the driver data is µs-aligned so this is lossless,
-      * and matches the DuckDB oracle's `CAST(ts AS TIMESTAMP)` truncation. */
-    private def nanosTsToMicros(df: DataFrame, c: String): DataFrame =
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else df
     def region: DataFrame     = rd("region")
     def nation: DataFrame     = rd("nation")
     def customer: DataFrame   = rd("customer")
@@ -60,7 +88,7 @@ object Engine {
     def lineitem: DataFrame   = rd("lineitem")
     def events: DataFrame = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      nanosTsToMicros(rd("events"), "ts")
+      normalizeTs(rd("events"), "ts")
     }
     def documents: DataFrame  = rd("documents")
     def embeddings: DataFrame = rd("embeddings")

@@ -69,8 +69,14 @@ object ScalarOps {
     unix_timestamp(newer) - unix_timestamp(older)
 
   /** Microsecond-precision epoch — parity queries do all epoch arithmetic in
-    * microseconds because the test timestamps carry sub-second precision. */
-  def epochUs(ts: Column): Column = unix_micros(ts)
+    * microseconds because the test timestamps carry sub-second precision.
+    * Casts through TIMESTAMP first so a TIMESTAMP_NTZ column (parquet
+    * `timestamp[us]` without a timezone) is accepted too — `unix_micros`
+    * itself rejects NTZ, and under the engine's pinned-UTC session the cast
+    * is the identity on the instant. Operators calling this never depend on
+    * the reader having normalized the column first. */
+  def epochUs(ts: Column): Column =
+    unix_micros(ts.cast(org.apache.spark.sql.types.TimestampType))
 
   /** Binary-faithful ROUND(x, 4) for oracle-matched outputs.
     *

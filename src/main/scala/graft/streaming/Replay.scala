@@ -44,10 +44,13 @@ object Replay {
     } finally ranked.unpersist()
   }
 
-  /** Open the chunk directory as a file stream, one chunk per micro-batch. */
+  /** Open the chunk directory as a file stream, one chunk per micro-batch.
+    * Event time is normalized at this ingest boundary (NTZ → TIMESTAMP), so
+    * downstream watermarks can never meet a TIMESTAMP_NTZ column. */
   def readStream(spark: SparkSession, schemaOf: DataFrame, dir: String): DataFrame =
-    spark.readStream
-      .schema(schemaOf.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/chunk_*")
+    graft.Engine.normalizeEventTime(
+      spark.readStream
+        .schema(schemaOf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/chunk_*"))
 }

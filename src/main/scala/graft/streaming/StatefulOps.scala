@@ -162,8 +162,11 @@ object StatefulOps {
   /** Batch X3 (oracle form, = parity q10): keys whose latest event is more
     * than `toleranceSec` behind the global maximum. */
   def staleKeysBatch(events: DataFrame, toleranceSec: Long): DataFrame = {
-    val perKey = events.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("umax"))
-    val global = events.agg(max(unix_micros(col("ts"))).as("gmax"))
+    // epochUs (not raw unix_micros): tolerant of TIMESTAMP_NTZ input, so
+    // this operator works on un-normalized frames too
+    val eus = graft.functions.ScalarOps.epochUs _
+    val perKey = events.groupBy("user_id").agg(max(eus(col("ts"))).as("umax"))
+    val global = events.agg(max(eus(col("ts"))).as("gmax"))
     perKey.crossJoin(broadcast(global))
       .filter(col("gmax") - col("umax") > toleranceSec * 1000000L)
       .select("user_id")

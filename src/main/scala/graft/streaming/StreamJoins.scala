@@ -19,8 +19,9 @@ object StreamJoins {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, windowSec: Long,
                    watermark: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark).as("l")
-    val r = right.withWatermark(rightTs, watermark).as("r")
+    // normalize first: withWatermark rejects TIMESTAMP_NTZ event time
+    val l = graft.Engine.normalizeEventTime(left).withWatermark(leftTs, watermark).as("l")
+    val r = graft.Engine.normalizeEventTime(right).withWatermark(rightTs, watermark).as("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $windowSec SECONDS") &&

@@ -13,8 +13,11 @@ object WindowedAggs {
   private def agged(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     grouped.agg(count("*").as("cnt"), graft.functions.ScalarOps.r4(avg(col("value"))).as("avg_v"))
 
-  private def maybeWatermark(events: DataFrame, watermark: Option[String]): DataFrame =
-    watermark.fold(events)(w => events.withWatermark("ts", w))
+  private def maybeWatermark(events: DataFrame, watermark: Option[String]): DataFrame = {
+    // normalize first: withWatermark rejects TIMESTAMP_NTZ event time
+    val ev = graft.Engine.normalizeEventTime(events)
+    watermark.fold(ev)(w => ev.withWatermark("ts", w))
+  }
 
   /** Tumbling windows per (window, event_type) — Q16. */
   def tumbling(events: DataFrame, width: String = "10 minutes",

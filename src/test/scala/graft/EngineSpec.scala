@@ -20,6 +20,41 @@ class EngineSpec extends SparkTestBase {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("normalizeTs accepts all three driver timestamp shapes and agrees on the instant") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the driver has shipped events.ts as TIMESTAMP(NANOS) (reads as Long
+    // under the legacy conf), as timestamp[us] without tz (reads as
+    // TIMESTAMP_NTZ), and could ship plain TIMESTAMP — write a fixture per
+    // shape so the next format change fails THIS test, not six queries
+    val dir = java.nio.file.Files.createTempDirectory("tsshapes").toString
+    val usEpoch = Seq(1700000000000000L, 1700000123456789L)
+
+    // shape 1: int64 column (what a NANOS column surfaces as under
+    // spark.sql.legacy.parquet.nanosAsLong), carrying nanosecond values
+    usEpoch.map(_ * 1000L).toDF("ts").write.mode("overwrite").parquet(s"$dir/nanos")
+    // shape 2: TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false)
+    usEpoch.toDF("us").select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // shape 3: TIMESTAMP (µs, tz-adjusted)
+    usEpoch.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/tz")
+
+    val shapes = Seq("nanos" -> LongType, "ntz" -> TimestampNTZType, "tz" -> TimestampType)
+    val normalized = shapes.map { case (name, raw) =>
+      val df = spark.read.parquet(s"$dir/$name")
+      assert(df.schema("ts").dataType == raw, s"fixture $name lost its raw shape")
+      val out = Engine.normalizeTs(df, "ts")
+      assert(out.schema("ts").dataType == TimestampType, s"shape $name not normalized")
+      name -> out.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+    }.toMap
+    // all three shapes decode to the SAME instants (UTC session => lossless)
+    assert(normalized.values.toSet.size == 1 && normalized("tz") == usEpoch)
+    // blanket streaming-boundary form: every NTZ column normalized
+    val ntz = spark.read.parquet(s"$dir/ntz")
+    assert(Engine.normalizeEventTime(ntz).schema("ts").dataType == TimestampType)
+  }
+
   test("mqtt topic sanitization maps slashes and odd chars to filesystem-safe names") {
     assert(graft.sources.MqttLike.sanitize("sensors/dd+x #1") == "sensors_dd_x__1")
     assert(graft.sources.MqttLike.sanitize("plain.topic-name_0") == "plain.topic-name_0")

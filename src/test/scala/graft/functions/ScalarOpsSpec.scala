@@ -12,6 +12,14 @@ class ScalarOpsSpec extends SparkTestBase {
   private def one(c: org.apache.spark.sql.Column): Any =
     spark.range(1).select(c.as("v")).head().get(0)
 
+  test("epochUs accepts TIMESTAMP and TIMESTAMP_NTZ and agrees (UTC session)") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val us = 1700000123456789L
+    val tz = one(epochUs(timestamp_micros(lit(us))))
+    val ntz = one(epochUs(timestamp_micros(lit(us)).cast(TimestampNTZType)))
+    assert(tz == us && ntz == us)
+  }
+
   test("T1 unit scale: 234 tenths -> 23.4 C (ref producer.c:260)") {
     assert(one(unitScale(lit(234))) == 23.4)
   }
