@@ -629,17 +629,19 @@ object Dedup {
     * fraction estimates c(A → B) with ~1/√k error. Docs with ≤ k
     * shingles probe their FULL set, so their estimate is exact.
     *
-    * Per-doc sketch state is bounded by k (the collect_list aggregates at
-    * most the doc's own shingles before the slice); the probe join is an
-    * 8-byte-hash equi-join fanning out k rows per document, not |S(A)|.
-    * Estimator accuracy and recall vs [[containmentPairs]] are asserted
-    * in CurationOpsSpec. */
+    * Per-doc sketch state is TRULY bounded by k: the sketch aggregates
+    * through [[graft.functions.BottomK]], a k-slot-heap
+    * TypedImperativeAggregate with map-side partial aggregation — never
+    * `collect_list`, whose buffer is the whole shingle set before any
+    * slice. The probe join is an 8-byte-hash equi-join fanning out k rows
+    * per document, not |S(A)|. Estimator accuracy and recall vs
+    * [[containmentPairs]] are asserted in CurationOpsSpec. */
   def containmentCandidates(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
     require(k >= 1, s"containmentCandidates: k must be >= 1, got $k")
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
       .localCheckpoint()
     val sk = sh.groupBy("doc_id")
-      .agg(slice(sort_array(collect_list(col("s"))), 1, k).as("__probe"),
+      .agg(graft.functions.BottomK.bottom_k(col("s"), k).as("__probe"),
         count(lit(1)).as("__na"))
     sk.select(col("doc_id").as("da"), col("__na"), explode(col("__probe")).as("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
@@ -650,6 +652,33 @@ object Dedup {
         (col("__hits").cast("double") / least(col("__na"), lit(k.toLong)))
           .as("containment_est"))
       .filter(col("containment_est") >= minC)
+  }
+
+  /** Estimator-quality certificate for the bottom-k containment sketch:
+    * every pair the EXACT form ([[containmentPairs]]) surfaces, re-scored
+    * by the sketch ([[containmentCandidates]]), with a per-pair
+    * `within_bound` flag asserting |c_est − c_exact| ≤ 2/√k. The
+    * hypergeometric estimator's std is ≤ 0.5/√k, so 2/√k is a ≥4σ bound —
+    * on deterministic hashes it holds for every pair, and the flag column
+    * lets the DRIVER's oracle certify it (the oracle emits the exact pairs
+    * with a literal TRUE flag; any pair the sketch misses or mis-scores
+    * hash-mismatches loudly instead of hiding in a ScalaTest-only claim).
+    *
+    * Scale shape: exactly the union of the two ingredients' plans — the
+    * candidate side stays a bounded-k probe join; the exact side is the
+    * oracle anchor, so this query belongs to the sf-small certification
+    * tier, not the 100 TB production path. */
+  def containmentAgreement(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
+    val bound = 2.0 / math.sqrt(k.toDouble)
+    val exact = containmentPairs(docs, n, minC)
+    // candidate threshold minC − bound: anything the exact form keeps but
+    // the sketch scores below that violates the bound anyway, so no
+    // agreeing pair can be lost to the candidate filter
+    val est = containmentCandidates(docs, n, k, math.max(0.0, minC - bound))
+    exact.join(est, Seq("da", "db"), "left")
+      .select(col("da"), col("db"), col("containment"),
+        (abs(coalesce(col("containment_est"), lit(0.0)) - col("containment"))
+          <= lit(bound)).as("within_bound"))
   }
 
   /** Chunk-level duplication card over CONTENT-DEFINED chunks

@@ -952,6 +952,19 @@ object Extensions {
         .orderBy("da", "db")
     }, None),
 
+    // E2 (subset reuse, estimator certificate) — every exact containment
+    // pair re-scored by the bottom-k sketch with a per-pair
+    // |c_est - c_exact| <= 2/sqrt(k) flag. The oracle emits the exact
+    // pairs with a literal TRUE, so the sketch's accuracy claim is
+    // DRIVER-certified per pair: a missed or mis-scored pair
+    // hash-mismatches instead of living only in ScalaTest.
+    ("qe58c_containment_agreement", (s: SparkSession, d: String) => {
+      Dedup.containmentAgreement(Engine.Tables(s, d).documents, 3, 64, 0.5)
+        .select(col("da"), col("db"), r4(col("containment")).as("containment"),
+          col("within_bound"))
+        .orderBy("da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS within_bound FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
+
     // E2 (cross-version reuse) — chunk-level duplication over
     // content-defined chunks: CDC boundaries are local-content-stable, so
     // a passage shared between two document versions chunks identically

@@ -1012,6 +1012,14 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("containmentAgreement certifies the 2/sqrt(k) bound on every exact pair (qe58c form)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val rows = Dedup.containmentAgreement(docs, 3, 64, 0.5).collect()
+    assert(rows.nonEmpty, "testdata must contain containment pairs")
+    val bad = rows.filterNot(_.getBoolean(3))
+    assert(bad.isEmpty, s"bound violated on: ${bad.take(3).mkString("; ")}")
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen
