@@ -654,6 +654,77 @@ object Dedup {
       .filter(col("containment_est") >= minC)
   }
 
+  /** FIT side of the frozen containment form: the corpus shingle index
+    * `(db, s)` — persist it once and probe every increment against it with
+    * [[containmentCandidatesFrozen]] without re-shingling history (the
+    * [[dupGramFit]] / [[cdcSharedFit]] pattern applied to subset reuse:
+    * the shape a recurring crawl runs daily). */
+  def containmentIndexFit(docs: DataFrame, n: Int): DataFrame =
+    shingles(docs, n).select(col("doc_id").as("db"), xxhash64(col("s")).as("s"))
+
+  /** APPLY side: bottom-k containment probes of `increment` against a
+    * FROZEN corpus shingle index — c(A → B) for A in the increment, B in
+    * the indexed corpus. Same estimator as [[containmentCandidates]], but
+    * the probe sketch derives ROW-WISE (each document's distinct shingle
+    * array sorts and slices inside one projection — a document is one
+    * row, so no aggregation is needed to see its whole shingle set): zero
+    * shuffles before the probe join, vs the exploded-relation form's
+    * sketch shuffle. [[graft.functions.BottomK]] remains the right tool
+    * when the input is ALREADY an exploded (doc, hash) relation — here
+    * the un-exploded row is in hand, so the projection wins.
+    *
+    * The probe join is stream-static and the only stateful op is the
+    * keyed hit count, so the operator is STREAMING-LEGAL — replay ==
+    * batch asserted in StreamingSpec. Self-pairs are dropped when the
+    * increment overlaps the indexed corpus. */
+  def containmentCandidatesFrozen(increment: DataFrame, index: DataFrame,
+                                  n: Int, k: Int, minC: Double): DataFrame = {
+    require(k >= 1, s"containmentCandidatesFrozen: k must be >= 1, got $k")
+    val probes = shingleSets(increment, n)
+      .select(col("doc_id").as("da"),
+        least(size(col("sh")).cast("long"), lit(k.toLong)).as("__nk"),
+        explode(slice(array_sort(transform(col("sh"), s => xxhash64(s))),
+          1, k)).as("s"))
+    probes.join(index, Seq("s"))
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db", "__nk")
+      .agg(count(lit(1)).as("__hits"))
+      .select(col("da"), col("db"),
+        (col("__hits").cast("double") / col("__nk")).as("containment_est"))
+      .filter(col("containment_est") >= minC)
+  }
+
+  /** Cross-snapshot agreement certificate (the qe58c idea on the FROZEN
+    * path): exact directed containment of `increment` docs inside `corpus`
+    * docs, re-scored by the frozen-index sketch, flagged
+    * `within_bound = |c_est − c_exact| ≤ 2/√k` per pair. The oracle emits
+    * the exact increment→corpus pairs with literal TRUE, so BOTH the
+    * frozen apply plan's recall and its estimator accuracy are
+    * driver-certified. The exact side is the certification anchor; the
+    * production path is [[containmentCandidatesFrozen]] alone. */
+  def containmentFrozenAgreement(increment: DataFrame, corpus: DataFrame,
+                                 n: Int, k: Int, minC: Double): DataFrame = {
+    val bound = 2.0 / math.sqrt(k.toDouble)
+    val shA = shingles(increment, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
+    val shB = containmentIndexFit(corpus, n).localCheckpoint()
+    val cnt = shA.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val exact = shA.as("a").join(shB.as("b"), Seq("s"))
+      .filter(col("doc_id") =!= col("db"))
+      .groupBy(col("doc_id").as("da"), col("db"))
+      .agg(count("*").as("c"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= minC)
+    val est = containmentCandidatesFrozen(increment, shB, n, k,
+      math.max(0.0, minC - bound))
+    exact.join(est, Seq("da", "db"), "left")
+      .select(col("da"), col("db"), col("containment"),
+        (abs(coalesce(col("containment_est"), lit(0.0)) - col("containment"))
+          <= lit(bound)).as("within_bound"))
+  }
+
   /** Estimator-quality certificate for the bottom-k containment sketch:
     * every pair the EXACT form ([[containmentPairs]]) surfaces, re-scored
     * by the sketch ([[containmentCandidates]]), with a per-pair

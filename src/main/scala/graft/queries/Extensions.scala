@@ -965,6 +965,23 @@ object Extensions {
         .orderBy("da", "db")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS within_bound FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
 
+    // E2 (subset reuse, cross-snapshot frozen form) — the fit/apply split
+    // on containment: the shingle index freezes over the even-doc_id half
+    // ("yesterday's corpus") and the odd half probes it with bounded
+    // bottom-k sketches — history is never re-shingled, only the
+    // increment scans. Registered through the agreement certificate, so
+    // the frozen apply's recall AND estimator accuracy both hash-check
+    // against the exact increment->corpus containment oracle.
+    ("qe58d_containment_frozen", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      Dedup.containmentFrozenAgreement(
+          docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+          3, 64, 0.5)
+        .select(col("da"), col("db"), r4(col("containment")).as("containment"),
+          col("within_bound"))
+        .orderBy("da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), a AS (SELECT * FROM sh WHERE doc_id % 2 = 1), b AS (SELECT * FROM sh WHERE doc_id % 2 = 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM a JOIN b ON a.s = b.s GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS within_bound FROM common JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
+
     // E2 (cross-version reuse) — chunk-level duplication over
     // content-defined chunks: CDC boundaries are local-content-stable, so
     // a passage shared between two document versions chunks identically

@@ -1020,6 +1020,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(bad.isEmpty, s"bound violated on: ${bad.take(3).mkString("; ")}")
   }
 
+  test("frozen containment apply == exact increment->corpus pairs within 2/sqrt(k) (qe58d form)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val rows = Dedup.containmentFrozenAgreement(inc, corpus, 3, 64, 0.5).collect()
+    assert(rows.nonEmpty, "testdata must contain cross-half containment pairs")
+    val bad = rows.filterNot(_.getBoolean(3))
+    assert(bad.isEmpty, s"bound violated on: ${bad.take(3).mkString("; ")}")
+    // the row-wise probe derivation must agree with the exploded-relation
+    // sketch on fully-probed docs: an under-k doc probes its WHOLE shingle
+    // set, so its frozen estimate of containment in the corpus is exact
+    val est = Dedup.containmentCandidatesFrozen(inc,
+        Dedup.containmentIndexFit(corpus, 3), 3, 64, 0.5).collect()
+    assert(est.nonEmpty)
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -865,6 +865,34 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming containment probes against a frozen shingle index == batch (qe58d apply)") {
+    // the frozen containment apply in flight: probes derive row-wise
+    // (stateless projection), the index join is stream-static, and the
+    // only state is the keyed (da, db) hit count — complete mode
+    val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.Dedup.containmentIndexFit(
+      docs.filter(col("doc_id") % 2 === 0), 3).localCheckpoint()
+    val want = graft.operators.Dedup.containmentCandidatesFrozen(inc, index, 3, 64, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.Dedup.containmentCandidatesFrozen(
+        input.toDF().toDF("doc_id", "text"), index, 3, 64, 0.5)
+      .writeStream.format("memory").queryName("t_cont_frozen")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val rows = inc.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_cont_frozen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"stream containment diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming zscore gate against frozen stats == batch (stateless projection)") {
     val docs = Engine.Tables(spark, Sf0001).documents
       .select("doc_id", "source", "n_chars")
