@@ -505,7 +505,11 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         ("qe56c", graft.operators.Dedup.cdcDupCardFrozen(docs,
           graft.operators.Dedup.cdcSharedFit(docs, 16).localCheckpoint(), 16)),
         ("qe58", graft.operators.Dedup.containmentPairs(docs, 3, 0.5)),
-        ("qe58b", graft.operators.Dedup.containmentCandidates(docs, 3, 64, 0.3)))) {
+        ("qe58b", graft.operators.Dedup.containmentCandidates(docs, 3, 64, 0.3)),
+        ("qe58c", graft.operators.Dedup.containmentAgreement(docs, 3, 64, 0.5)),
+        ("qe58d", graft.operators.Dedup.containmentFrozenAgreement(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), 3, 64, 0.5)))) {
       df.collect()
       val s = planOf(df).toString
       // every join in the reuse family keys on an 8-byte or 32-hex hash —
@@ -515,6 +519,27 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(!s.contains("Window"), s"$name: window in the plan:\n${s.take(1500)}")
       assert(!s.contains("ScalaUDF"), s"$name: UDF in the plan:\n${s.take(1500)}")
     }
+  }
+
+  test("qe58d frozen apply: probe derivation is shuffle-free (join + hit-count exchanges only)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val idx = graft.operators.Dedup.containmentIndexFit(
+      docs.filter(col("doc_id") % 2 === 0), 3).localCheckpoint()
+    val df = graft.operators.Dedup.containmentCandidatesFrozen(
+      docs.filter(col("doc_id") % 2 === 1), idx, 3, 64, 0.5)
+    df.collect()
+    val plan = planOf(df)
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("Window") && !s.contains("ScalaUDF"), s.take(2000))
+    // the row-wise sketch claim, pinned: the ONLY shuffles are the probe
+    // join's two key exchanges and the (da, db) hit-count aggregation —
+    // no aggregation exchange exists before the join (the exploded-
+    // relation form pays one there)
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges <= 3, s"$exchanges exchanges in the frozen apply plan:\n${s.take(2000)}")
   }
 
   test("qe53 temperature mix: tiny targets broadcast back; corpus takes one window shuffle") {
