@@ -25,6 +25,14 @@ object Engine {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's partition coalescer sizes a stage by its input shuffle
+      // BYTES; bounded-sketch pipelines (bottom-k probes, band indexes)
+      // ship tiny shuffles into fan-out stages whose work is proportional
+      // to the CORPUS, and the 1 MB default collapsed those stages to 1-3
+      // tasks (qe58b: 2.3 s -> 0.7 s at sf0.1 from this floor alone).
+      // 64k keeps parallelism for cheap-input/expensive-compute stages
+      // while still merging genuinely empty partitions.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       // INT64-nanos parquet columns (events.ts) read as Long; set at
       // session construction so read behavior never depends on whether

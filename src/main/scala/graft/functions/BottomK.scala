@@ -106,7 +106,8 @@ case class BottomK(
   }
 
   override def eval(buffer: BottomKHeap): Any =
-    new GenericArrayData(buffer.sortedAscending)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buffer.sortedAscending)
 
   override def serialize(buffer: BottomKHeap): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.size)

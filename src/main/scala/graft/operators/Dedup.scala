@@ -640,6 +640,15 @@ object Dedup {
     require(k >= 1, s"containmentCandidates: k must be >= 1, got $k")
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
       .localCheckpoint()
+    // NOTE on AQE: the sketch's shuffle is tiny BY DESIGN (k longs per
+    // doc), and AQE's partition coalescer sizes the next stage by those
+    // bytes — at the 1 MB default minPartitionSize it collapsed the stage
+    // that merges the partials, explodes k probes per doc and joins the
+    // corpus index down to 1-3 tasks (measured 2-3x wall at sf0.1 with
+    // executor time unchanged). The engine floors
+    // spark.sql.adaptive.coalescePartitions.minPartitionSize at 64k
+    // (Engine.session) so cheap-input/expensive-compute stages keep their
+    // width; parallelism must follow the corpus, not the sketch.
     val sk = sh.groupBy("doc_id")
       .agg(graft.functions.BottomK.bottom_k(col("s"), k).as("__probe"),
         count(lit(1)).as("__na"))
