@@ -203,6 +203,49 @@ object Dedup {
       .distinct()
   }
 
+  /** [[minhashCandidates]] with a HOT-BUCKET CAP — the guard the clique
+    * join needs against mega-duplicate families. A crawl with F copies of
+    * one boilerplate page puts all F in the same band bucket, and the
+    * within-bucket self-join emits F²/2 pairs per band: at F = 10⁶ that
+    * is 10¹² rows from ONE page. Buckets at or under `cap` keep the exact
+    * clique (unchanged recall); buckets over it are CHAIN-LINKED instead —
+    * members sort by doc_id and only consecutive pairs emit, F−1 edges —
+    * which preserves the bucket's connectivity exactly (a chain spans the
+    * same connected component the clique does), so downstream duplicate
+    * CLUSTERS ([[graft.operators.DupClusters.clusters]]) are unchanged
+    * whenever within-bucket members verify against each other — the
+    * overwhelmingly-common shape of an oversized bucket (a true duplicate
+    * family, where every pairwise Jaccard ≈ 1). The trade is documented
+    * recall on the pathological remainder: a hot bucket mixing sub-
+    * threshold neighbors relies on OTHER bands to recover their pairs.
+    * Planted-family behavior (linear edge count, identical clusters)
+    * asserted in CurationOpsSpec. */
+  def minhashCandidatesCapped(docs: DataFrame, n: Int = 3, k: Int = 16,
+                              bands: Int = 4, cap: Int = 1024): DataFrame = {
+    require(cap >= 2, s"minhashCandidatesCapped: cap must be >= 2, got $cap")
+    val banded = bandBuckets(minhashSignature(docs, n, k), k, bands)
+      .localCheckpoint()
+    val sized = banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bs")),
+      Seq("band", "bucket"))
+    val small = sized.filter(col("__bs") <= cap)
+    val clique = small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("doc_id")
+    val hot = sized.filter(col("__bs") > cap)
+      .withColumn("__rn", row_number().over(w))
+    val chain = hot.as("a")
+      .join(hot.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__rn") + 1 === col("b.__rn"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    clique.union(chain).distinct()
+  }
+
   /** The PERSISTABLE half of incremental fuzzy dedup: each doc's
     * (band, bucket) rows — an ordinary table a daily job writes once per
     * corpus snapshot (the QuantileGate/IvfIndex.assign fit/apply pattern

@@ -318,6 +318,25 @@ object Extensions {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster) ORDER BY doc_id""")),
 
+    // E2 (fuzzy e2e, hot-bucket-guarded) — qe13b's pipeline with the
+    // mega-duplicate-family guard engaged: LSH buckets over `cap` members
+    // chain-link (F-1 edges) instead of clique-joining (F²/2), the
+    // worst-case a 100 TB crawl's boilerplate families actually hit.
+    // Chains preserve bucket connectivity, and every surviving edge still
+    // passes the exact-Jaccard verify, so the CLUSTERS — and therefore
+    // this survivor set — hash-check against the same exact-edge oracle
+    // (the qe13b component-equality argument, plus planted-family
+    // linearity asserted in CurationOpsSpec).
+    ("qe13c_fuzzy_dedup_capped", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val pairs = Dedup.jaccardVerify(docs,
+        Dedup.minhashCandidatesCapped(docs, cap = 8), 3, 0.5)
+      val drops = graft.operators.DupClusters.clusters(pairs)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster) ORDER BY doc_id""")),
+
     // Repetition quality — Gopher-style duplicate-word / top-word /
     // duplicate-bigram fractions (shuffle-free per-row array math)
     ("qe14_repetition", (s: SparkSession, d: String) => {

@@ -1036,6 +1036,30 @@ class CurationOpsSpec extends SparkTestBase {
     assert(est.nonEmpty)
   }
 
+  test("hot-bucket cap: inert when unhit; linear edges + identical clusters on a planted mega-family") {
+    import spark.implicits._
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
+    // 1) cap far above any real bucket: behavior identical to the clique form
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashCandidatesCapped(docs, cap = 1 << 20)) ==
+      pairSet(Dedup.minhashCandidates(docs)))
+    // 2) mega-duplicate family: 40 identical docs (every band buckets them
+    // together) + distinct fillers
+    val fam = (0L until 40L).map(i => (i, "the same boilerplate page body repeated verbatim " * 5))
+    val fill = (100L until 120L).map(i => (i, s"unique filler document number $i with words ${i * 7} ${i * 13}"))
+    val planted = (fam ++ fill).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatesCapped(planted, cap = 8)
+    val famEdges = pairSet(capped).count { case (a, b) => a < 40 && b < 40 }
+    assert(famEdges == 39, s"expected a 39-edge chain over the family, got $famEdges")
+    // clusters must be unchanged vs the quadratic clique form
+    def clusterSets(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.DupClusters.clusters(
+          Dedup.jaccardVerify(planted, pairs, 3, 0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusterSets(capped) == clusterSets(Dedup.minhashCandidates(planted)))
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen
