@@ -55,6 +55,22 @@ class EngineSpec extends SparkTestBase {
     assert(Engine.normalizeEventTime(ntz).schema("ts").dataType == TimestampType)
   }
 
+  test("typed Dataset boundary accepts NTZ input once normalized (T9/X2 encoder path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    // the failure r8 shipped: an NTZ ts reaching as[UpsReading] blows up in
+    // the java.sql.Timestamp encoder. normalizeEventTime at the boundary
+    // must make the typed path (and its stateful ops) work unchanged.
+    val ntz = Seq((1L, 1700000000000000L, 150.0, 80.0), (1L, 1700000060000000L, 140.0, 79.0))
+      .toDF("device_id", "us", "current_ma", "batt_pct")
+      .select(col("device_id"), timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("current_ma"), col("batt_pct"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val typed = Engine.normalizeEventTime(ntz).as[graft.streaming.StatefulOps.UpsReading]
+    val out = graft.streaming.StatefulOps.upsDerivedBatch(typed).collect()
+    assert(out.length == 2 && out.forall(_.getAs[String]("status") == "Charging"))
+  }
+
   test("mqtt topic sanitization maps slashes and odd chars to filesystem-safe names") {
     assert(graft.sources.MqttLike.sanitize("sensors/dd+x #1") == "sensors_dd_x__1")
     assert(graft.sources.MqttLike.sanitize("plain.topic-name_0") == "plain.topic-name_0")
