@@ -51,6 +51,23 @@ class BottomKSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
 
+  test("property: heap == sorted.take(k) over seeded random value streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val valsGen = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    val kGen = Gen.chooseNum(1, 40)
+    (0 until 200).foreach { i =>
+      val seed = Seed(i.toLong)
+      val vs = valsGen.apply(Gen.Parameters.default, seed).get
+      val k = kGen.apply(Gen.Parameters.default, seed.next).get
+      val h = new BottomKHeap(k)
+      vs.foreach(h.insert)
+      assert(h.sortedAscending.toSeq == vs.sorted.take(k),
+        s"seed $i k=$k n=${vs.size}")
+    }
+  }
+
   test("bottom_k skips nulls like collect_list") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (1L, None), (1L, Some(2L))).toDF("g", "v")
