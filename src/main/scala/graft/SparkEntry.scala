@@ -34,4 +34,25 @@ object SparkEntry {
     * the same parquet tables. Omitted for approximate (rows-only) ops. */
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Exact-anchor → registered scale-twin pairings. The left side of each
+    * pair is an EXACT form that is deliberately quadratic (all-pairs or
+    * hot-key self-join) and exists as driver-checkable ground truth; the
+    * right side is the bucketed/sketched form that survives 100 TB and is
+    * asserted result- or component-equal to its anchor in ScalaTest. A
+    * user taking this library to production runs the twin, never the
+    * anchor — and InvariantsSpec enforces that every anchor's twin is
+    * actually registered, so no `weak-at-100x` plan can sit in `queries`
+    * without its scale path beside it. */
+  val scaleTwins: Map[String, String] = Map(
+    "qe2_jaccard_pairs"        -> "qe2b_minhash_lsh",
+    "qe7_embed_neardup"        -> "qe7b_embed_neardup_blocked",
+    "qe13_dup_clusters"        -> "qe13b_fuzzy_dedup_e2e",
+    "qe13b_fuzzy_dedup_e2e"    -> "qe13c_fuzzy_dedup_capped",
+    "qe55_best_survivor"       -> "qe55b_best_survivor_lsh",
+    "qe58_containment_pairs"   -> "qe58b_containment_sketch",
+    "qe3_knn_brute"            -> "qe3c_knn_ivf",
+    "qe3c_knn_ivf"             -> "qe3d_knn_ivf_frozen",
+    "qe7c_semantic_dedup"      -> "qe7d_semantic_dedup_frozen",
+    "qe57_lexical_diversity"   -> "qe57b_lexical_diversity_hll")
 }

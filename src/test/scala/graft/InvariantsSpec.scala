@@ -89,6 +89,17 @@ class InvariantsSpec extends SparkTestBase {
       s"SURVEY.md claims ${claims.last} registered queries; registry has ${SparkEntry.queries.size}")
   }
 
+  test("every exact anchor's scale twin is registered (no weak-at-100x plan without its path)") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.scaleTwins.foreach { case (anchor, twin) =>
+      assert(qs.contains(anchor), s"scaleTwins names unregistered anchor $anchor")
+      assert(qs.contains(twin), s"anchor $anchor's scale twin $twin is not registered")
+    }
+    // oracle keys must be a subset of the registered surface — an orphaned
+    // oracle row would make the driver compare against a missing dump
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
   test("bench JSON line parses, total == sum of queries, file form carries reps+spread") {
     // guards the BENCH_r06 failure mode (driver silently parsing null) at
     // its source: the exact rendering main uses must be valid JSON whose
