@@ -227,6 +227,25 @@ class DedupSpec extends SparkTestBase {
 
 class SimilaritySpec extends SparkTestBase {
 
+  test("embedding surface survives a float->double element-type flip (driver-regen guard)") {
+    // the ts lesson (TIMESTAMP_NTZ, round 9) applied forward: if a future
+    // test-data generation ships embeddings as array<double>, every
+    // embedding path must keep working with IDENTICAL results — the
+    // kernels upcast floats to double internally, so the flip is exact
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val dbl = emb.withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+    val qd = dbl.filter(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rnk").collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rnk"))).toSeq
+    assert(rows(Similarity.bruteForceTopK(dbl, qd, 5)) ==
+      rows(Similarity.bruteForceTopK(emb, q, 5)))
+    assert(rows(Similarity.lshTopK(dbl, qd, 5)) == rows(Similarity.lshTopK(emb, q, 5)))
+    val ivfF = IvfIndex.topK(emb, q, "vec_id", "embedding", 5, nlist = 4, nprobe = 2)
+    val ivfD = IvfIndex.topK(dbl, qd, "vec_id", "embedding", 5, nlist = 4, nprobe = 2)
+    assert(rows(ivfD) == rows(ivfF))
+  }
+
   test("brute-force top-k is exact: agrees with a driver-side reference calc") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
