@@ -57,6 +57,40 @@ object SeqPack {
       .groupBy(col(shardCol).as("shard"), col("bin"))
       .agg(count("*").as("n_docs"), sum(col(tokCol)).as("tok"))
 
+  /** Concat-then-chunk packing with DOCUMENT SPLITTING — the form training
+    * pipelines actually run: the token stream concatenates in id order and
+    * chunks at exact `budget` boundaries, so a document longer than the
+    * budget (or straddling a boundary) BREAKS across bins instead of
+    * overflowing one ([[pack]]'s whole-doc assignment trades exactness of
+    * bin loads for never splitting; this trades the other way — every bin
+    * except the shard's last carries exactly `budget` tokens, the fill
+    * fraction a training run is actually billed on). Output: one row per
+    * (doc, bin) slice — `doc_id, seg_idx` (0-based within the doc),
+    * `bin`, `n_tok` (slice tokens); slice token counts per doc sum to the
+    * doc's count, per bin to exactly `budget` (except the final bin).
+    *
+    * Shape: the cumulative offset is the [[packSharded]] window (one hash
+    * shuffle, parallel local sorts); the slice enumeration is a per-row
+    * `sequence` explode of (last_bin − first_bin + 1) rows — bounded by
+    * ceil(L/budget) + 1 per doc, arithmetic only, no second shuffle. */
+  def packSplitSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"packSplitSharded: token budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__o", sum(col(tokCol)).over(w) - col(tokCol))
+      .filter(col(tokCol) > 0)
+      .withColumn("__b0", expr(s"__o div $budget"))
+      .withColumn("__b1", expr(s"(__o + $tokCol - 1) div $budget"))
+      .select(col(shardCol), col(idCol), col("__o"), col("__b0"),
+        explode(sequence(col("__b0"), col("__b1"))).as("bin"),
+        col(tokCol).as("__L"))
+      .select(col(shardCol), col(idCol),
+        (col("bin") - col("__b0")).as("seg_idx"), col("bin"),
+        (least(col("__o") + col("__L"), (col("bin") + 1) * budget) -
+          greatest(col("__o"), col("bin") * budget)).as("n_tok"))
+  }
+
   /** Packing-efficiency report per shard: bins used, docs and tokens
     * packed, and fill fraction (tokens over bins × budget) — underfill is
     * wasted accelerator time, so this is the number a packing run is

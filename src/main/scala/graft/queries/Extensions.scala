@@ -252,6 +252,19 @@ object Extensions {
         .orderBy("shard", "bin")
     }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST(doc_id % 8 AS BIGINT) AS shard, CAST((SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin FROM t) SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // Concat-then-chunk packing WITH document splitting (the trained
+    // form): the token stream chunks at exact budget boundaries, so a
+    // long or straddling doc breaks across bins and every non-final bin
+    // carries exactly 2048 tokens. One (doc, bin) slice row per crossing;
+    // per-row sequence explode, no second shuffle. Integer-exact oracle.
+    ("qe11d_pack_split", (s: SparkSession, d: String) => {
+      val withTok = Engine.Tables(s, d).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      graft.operators.SeqPack.packSplitSharded(withTok, "shard", "doc_id", "n_tok", 2048L)
+        .orderBy("shard", "doc_id", "seg_idx")
+    }, Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), b AS (SELECT doc_id, n_tok, CAST(doc_id % 8 AS BIGINT) AS shard, CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS o FROM t WHERE n_tok > 0), s AS (SELECT shard, doc_id, o, n_tok, o // 2048 AS b0, (o + n_tok - 1) // 2048 AS b1 FROM b), e AS (SELECT shard, doc_id, o, n_tok, b0, unnest(range(b0, b1 + 1)) AS bin FROM s) SELECT shard, doc_id, CAST(bin - b0 AS BIGINT) AS seg_idx, CAST(bin AS BIGINT) AS bin, CAST(LEAST(o + n_tok, (bin + 1) * 2048) - GREATEST(o, bin * 2048) AS BIGINT) AS n_tok FROM e ORDER BY shard, doc_id, seg_idx""")),
+
     // Packing-efficiency report — bins, docs, tokens and fill fraction per
     // shard (underfill = wasted accelerator time): the qe11b packing run's
     // publishable scorecard, one more tiny aggregation over its bins.

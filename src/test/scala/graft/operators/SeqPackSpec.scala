@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class SeqPackSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("packSplit: slices sum to doc tokens; every non-final bin carries exactly the budget") {
+    // budget 10, one shard: offsets 0,6,12,15,24 — doc 2 straddles 10,
+    // doc 4 straddles 20, doc 5 (25 tokens) spans bins 2..4
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 3L), (4L, 9L), (5L, 25L))
+      .toDF("doc_id", "n_tok").withColumn("shard", lit(0L))
+    val out = SeqPack.packSplitSharded(docs, "shard", "doc_id", "n_tok", 10L).collect()
+    // per-doc slice sums == the doc's token count
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    assert(perDoc == Map(1L -> 6L, 2L -> 6L, 3L -> 3L, 4L -> 9L, 5L -> 25L))
+    // per-bin loads: total 49 tokens -> bins 0..3 exactly 10, final bin 9
+    val perBin = out.groupBy(_.getAs[Long]("bin"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    assert(perBin == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 9L))
+    // seg_idx is 0-based and contiguous per doc (doc 5: three slices)
+    val doc5 = out.filter(_.getAs[Long]("doc_id") == 5L)
+      .map(r => (r.getAs[Long]("seg_idx"), r.getAs[Long]("bin"), r.getAs[Long]("n_tok")))
+      .sortBy(_._1).toSeq
+    assert(doc5 == Seq((0L, 2L, 6L), (1L, 3L, 10L), (2L, 4L, 9L)))
+    // zero-token docs contribute no slice rows
+    val withEmpty = docs.union(Seq((6L, 0L)).toDF("doc_id", "n_tok")
+      .withColumn("shard", lit(0L)))
+    assert(SeqPack.packSplitSharded(withEmpty, "shard", "doc_id", "n_tok", 10L)
+      .filter(col("doc_id") === 6L).isEmpty)
+  }
+
   test("packing: doc assigned to bin of its first token; bins fill in order") {
     // budget 10: cum-before = 0,6,12,15,24 -> bins 0,0,1,1,2
     val docs = Seq((1L, 6L), (2L, 6L), (3L, 3L), (4L, 9L), (5L, 2L))
