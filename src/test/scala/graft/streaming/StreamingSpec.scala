@@ -738,6 +738,37 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming split-packing over an ordered replay == batch packSplitSharded (qe11d)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Engine.Tables(spark, Sf0001).documents
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", col("doc_id") % 4)
+    val want = graft.operators.SeqPack
+      .packSplitSharded(docs, "shard", "doc_id", "n_tok", 2048L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("seg_idx"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tok"))).toSet
+    assert(want.exists(_._3 > 0), "corpus must contain at least one straddling doc")
+
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val stream = StreamingSeqPack.packSplitStream(
+      input.toDF().toDF("shard", "doc_id", "n_tok"), 2048L)
+    val q = stream.toDF().writeStream.format("memory").queryName("t_spsplit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.select("shard", "doc_id", "n_tok").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_spsplit").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("seg_idx"),
+          r.getAs[Long]("bin"), r.getAs[Long]("n_tok"))).toSet
+      assert(got == want,
+        s"stream split-packing diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming leakage audit over a replay == batch overlapFraction") {
     // the qe26b audit run in-flight: the train-split shingle set is the
     // STATIC side of a stream-static left join (no join state accumulates);
