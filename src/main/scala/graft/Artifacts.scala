@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted fit-artifact store: the production half of every fit/apply
+  * split in the engine (frozen IVF centroids, duplicated-gram sets, drift
+  * vocabularies, shared-chunk sets, containment shingle indexes, …).
+  *
+  * The reference recomputes its derived state on every boot
+  * (the `/root/reference/src/modules` handlers keep it in process memory); a 100 TB
+  * deployment cannot — a fit over yesterday's corpus is a TABLE, written
+  * once and read by every later apply job, on executors that never saw the
+  * fitting job. [[getOrFit]] is that contract in miniature: the first call
+  * per (kind, key) runs the fit plan and writes the result as parquet under
+  * the artifact root; every later call — including in a NEW JVM — reads the
+  * parquet back and never re-runs the fit. The registered frozen queries
+  * (qe3d/qe7d/qe47/qe52b/qe54b/qe56c/qe58d) all consume artifacts through
+  * this store, so the plan they bench is the honest pure-apply shape.
+  *
+  * Staleness is handled by CONTENT KEYING, not invalidation: callers build
+  * `key` from [[inputFingerprint]] (size + mtime of every input data file)
+  * plus the fit parameters, so a regenerated input or changed knob lands on
+  * a fresh path and can never be served a stale fit. Old keys are pruned
+  * lazily ([[getOrFit]] drops sibling keys of the one it writes) so the
+  * store does not grow across test-data regenerations.
+  */
+object Artifacts {
+
+  /** Artifact root. Resolution order: session conf `spark.graft.artifacts.dir`,
+    * env `SPARK_GRAFT_ARTIFACTS_DIR`, then `spark-warehouse/graft_artifacts`
+    * (CWD-relative, beside Spark's own default warehouse; gitignored). */
+  def root(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.artifacts.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR"))
+      .getOrElse("spark-warehouse/graft_artifacts")
+
+  /** Fingerprint of the files backing a fit: md5 over the sorted
+    * (file name, length, mtime) triples of every data file under `paths`.
+    * Driver-side FS metadata only — no Spark job, no data read (the same
+    * stand-in-for-catalog posture as [[Engine.parquetRowCount]]). A
+    * regenerated input (new mtime) or appended file changes the
+    * fingerprint, so artifact keys derived from it self-invalidate. */
+  def inputFingerprint(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isFile) Seq(st)
+        else fs.listStatus(st.getPath).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+          .flatMap(files)
+      files(fs.getFileStatus(path))
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Key for a fit artifact: input fingerprint + human-readable parameter
+    * suffix ("nlist8-seed42"). Params are part of the path, so two fits of
+    * the same input at different knobs coexist. */
+  def fitKey(spark: SparkSession, inputs: Seq[String], params: String): String =
+    s"${inputFingerprint(spark, inputs)}-$params"
+
+  /** Read the artifact at (kind, key), fitting and persisting it first if
+    * absent. The write is ATOMIC at the directory level: the fit lands in a
+    * `.tmp-*` sibling and renames into place, so a reader never sees a
+    * half-written artifact and a concurrent loser simply discards its tmp
+    * and reads the winner. In-process races are serialized per key. The
+    * returned frame is always the PARQUET READ-BACK — even on the fitting
+    * call — so every consumer plan is the true apply shape (a parquet scan,
+    * no fit lineage). */
+  def getOrFit(spark: SparkSession, kind: String, key: String,
+               fit: => DataFrame): DataFrame = {
+    val dest = s"${root(spark)}/$kind/$key"
+    val conf = spark.sessionState.newHadoopConf()
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    def ready: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))
+    if (!ready) {
+      val lock = locks.computeIfAbsent(s"$kind/$key", _ => new Object)
+      lock.synchronized {
+        if (!ready) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"${root(spark)}/$kind/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+          fit.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, destPath)) {
+            // a concurrent writer (other JVM) won the rename — use theirs
+            fs.delete(tmp, true)
+            require(ready, s"artifact $dest: rename failed and no winner present")
+          }
+          prune(fs, destPath.getParent)
+        }
+      }
+    }
+    spark.read.parquet(dest)
+  }
+
+  /** Bound the store: keep the 8 most-recently-written keys per kind and
+    * drop older ones — stale fits of prior test-data generations. The
+    * bound is above the live working set (one key per scale factor and
+    * knob set), so live keys are never evicted; a concurrent reader of a
+    * pruned stale key at worst refits. Best-effort. */
+  private def prune(fs: org.apache.hadoop.fs.FileSystem,
+                    kindDir: org.apache.hadoop.fs.Path): Unit =
+    try fs.listStatus(kindDir).toSeq
+      .filterNot(_.getPath.getName.startsWith(".tmp-"))
+      .sortBy(-_.getModificationTime)
+      .drop(8)
+      .foreach(st => fs.delete(st.getPath, true))
+    catch { case _: java.io.IOException => }
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}

@@ -66,7 +66,20 @@ object Engine {
     */
   def normalizeTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
-      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case LongType =>
+        // Long usually means TIMESTAMP(NANOS) surfaced under nanosAsLong,
+        // but a plain INT64 epoch-MICROS column surfaces as Long too — and
+        // dividing that by 1000 would silently shift every instant 1000x.
+        // Disambiguate per value by magnitude: epoch-nanos for any instant
+        // after 1973-03 exceeds 1e17, while epoch-micros stays below 1e17
+        // until year 5138 — so within either encoding's sane range the
+        // branch is unambiguous. (Pre-1973 nanos values would misread as
+        // micros; the fixtures and any post-2000 feed sit 5 orders of
+        // magnitude inside the safe zone.)
+        df.withColumn(c, timestamp_micros(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.abs(col(c)) >= 100000000000000000L,
+            expr(s"$c div 1000")).otherwise(col(c))))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }

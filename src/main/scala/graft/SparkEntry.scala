@@ -54,5 +54,13 @@ object SparkEntry {
     "qe3_knn_brute"            -> "qe3c_knn_ivf",
     "qe3c_knn_ivf"             -> "qe3d_knn_ivf_frozen",
     "qe7c_semantic_dedup"      -> "qe7d_semantic_dedup_frozen",
-    "qe57_lexical_diversity"   -> "qe57b_lexical_diversity_hll")
+    "qe57_lexical_diversity"   -> "qe57b_lexical_diversity_hll",
+    // single-task global-window packer → sharded one-shuffle packer
+    "qe11_seqpack"             -> "qe11b_seqpack_sharded",
+    // exact in-memory benchmark join → bloom-filter scan predicate
+    "qe12_decontaminate"       -> "qe12b_decon_bloom",
+    // adaptive (self-fit) forms → frozen persisted-artifact apply forms
+    "qe52_dup_spans"           -> "qe52b_dup_spans_frozen",
+    "qe54_source_drift"        -> "qe54b_drift_cross_snapshot",
+    "qe56b_cdc_dup_card"       -> "qe56c_cdc_dup_frozen")
 }

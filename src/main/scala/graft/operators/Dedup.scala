@@ -225,9 +225,13 @@ object Dedup {
     require(cap >= 2, s"minhashCandidatesCapped: cap must be >= 2, got $cap")
     val banded = bandBuckets(minhashSignature(docs, n, k), k, bands)
       .localCheckpoint()
+    // sized is checkpointed too: it feeds BOTH the small/clique and the
+    // hot/chain branches, and without the checkpoint the groupBy-count
+    // join would recompute once per branch
     val sized = banded.join(
       banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bs")),
       Seq("band", "bucket"))
+      .localCheckpoint()
     val small = sized.filter(col("__bs") <= cap)
     val clique = small.as("a")
       .join(small.as("b"),
@@ -755,11 +759,24 @@ object Dedup {
     * driver-certified. The exact side is the certification anchor; the
     * production path is [[containmentCandidatesFrozen]] alone. */
   def containmentFrozenAgreement(increment: DataFrame, corpus: DataFrame,
-                                 n: Int, k: Int, minC: Double): DataFrame = {
+                                 n: Int, k: Int, minC: Double): DataFrame =
+    containmentFrozenAgreementIndexed(increment,
+      containmentIndexFit(corpus, n).localCheckpoint(), n, k, minC)
+
+  /** [[containmentFrozenAgreement]] against an ALREADY-MATERIALIZED corpus
+    * shingle index — the form the registered qe58d runs, with the index a
+    * persisted [[graft.Artifacts]] parquet table: history is shingled once
+    * at fit time and both the exact certification side and the sketch probe
+    * read the same artifact scan. */
+  def containmentFrozenAgreementIndexed(increment: DataFrame, shB: DataFrame,
+                                        n: Int, k: Int, minC: Double): DataFrame = {
     val bound = 2.0 / math.sqrt(k.toDouble)
+    require(bound < minC,
+      s"containment agreement: 2/sqrt(k) = $bound >= minC = $minC — the " +
+        "certificate would be vacuous (a pair the sketch misses entirely " +
+        "still scores within_bound); raise k above (2/minC)^2")
     val shA = shingles(increment, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
       .localCheckpoint()
-    val shB = containmentIndexFit(corpus, n).localCheckpoint()
     val cnt = shA.groupBy("doc_id").agg(count("*").as("n_sh"))
     val exact = shA.as("a").join(shB.as("b"), Seq("s"))
       .filter(col("doc_id") =!= col("db"))
@@ -793,6 +810,10 @@ object Dedup {
     * tier, not the 100 TB production path. */
   def containmentAgreement(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
     val bound = 2.0 / math.sqrt(k.toDouble)
+    require(bound < minC,
+      s"containment agreement: 2/sqrt(k) = $bound >= minC = $minC — the " +
+        "certificate would be vacuous (a pair the sketch misses entirely " +
+        "still scores within_bound); raise k above (2/minC)^2")
     val exact = containmentPairs(docs, n, minC)
     // candidate threshold minC − bound: anything the exact form keeps but
     // the sketch scores below that violates the bound anyway, so no

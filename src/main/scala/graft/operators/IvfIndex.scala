@@ -144,6 +144,25 @@ object IvfIndex {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
 
+  /** PERSISTED frozen centroid table — the production form of
+    * [[frozenCentroids]]: the first call per (input fingerprint, vecCol,
+    * nlist, seed) fits the seeded k-means and writes the (cell, centroid)
+    * frame as a parquet artifact ([[graft.Artifacts]]); every later call —
+    * in THIS process or a fresh one — reads the artifact back, so the
+    * quantizer fit survives restarts exactly as a centroid table in a real
+    * deployment would. The returned frame is always the parquet read-back:
+    * consumer plans contain a tiny scan, never k-means lineage. Keyed by
+    * content fingerprint of `dataPath`, so a regenerated input refits
+    * instead of serving stale centroids. */
+  def persistedCentroids(vectors: DataFrame, dataPath: String, idCol: String,
+                         vecCol: String, nlist: Int, seed: Long = 42L,
+                         nHint: Long = 0L): DataFrame = {
+    val spark = vectors.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"$vecCol-nlist$nlist-seed$seed")
+    graft.Artifacts.getOrFit(spark, "ivf_centroids", key,
+      build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)._2)
+  }
+
   /** Top-k by cosine from a FROZEN centroid table ([[frozenCentroids]] or
     * any persisted (cell, centroid) frame): [[assignInline]] buckets the
     * corpus map-only, then the shared probe/score/top-k stage runs — the

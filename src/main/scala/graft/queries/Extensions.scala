@@ -102,8 +102,8 @@ object Extensions {
     // centroids (asserted in DedupSpec) -> rows-only like its twin.
     ("qe7d_semantic_dedup_frozen", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
-      val cents = graft.operators.IvfIndex.frozenCentroids(
-        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8,
         nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
       Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
         .orderBy("id")
@@ -140,16 +140,16 @@ object Extensions {
     }, None),
 
     // E3 (100 TB apply path) — IVF ANN against a FROZEN centroid artifact:
-    // the quantizer fits once per process (frozenCentroids cache = the
-    // sandbox stand-in for a persisted centroid table), and the executed
-    // plan contains NO k-means fit — a map-only codegen cell assignment,
-    // an equi-join probe, and a per-query top-k window. Result-equal to
-    // qe3c at the same knobs (asserted in OperatorsSpec); plan shape
-    // pinned fit-free in PlanSpec.
+    // the quantizer fits ONCE and persists as a parquet centroid table
+    // (Artifacts store, fingerprint-keyed), and the executed plan contains
+    // NO k-means fit — a map-only codegen cell assignment, an equi-join
+    // probe, and a per-query top-k window. Result-equal to qe3c at the
+    // same knobs (asserted in OperatorsSpec); plan shape pinned fit-free
+    // in PlanSpec; artifact round-trip proven in ArtifactsSpec.
     ("qe3d_knn_ivf_frozen", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
-      val cents = graft.operators.IvfIndex.frozenCentroids(
-        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8,
         nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
       graft.operators.IvfIndex.topKFrozen(emb, cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nprobe = 6)
@@ -758,7 +758,12 @@ object Extensions {
       val docs = Engine.Tables(s, d).documents
       val old = docs.filter(col("doc_id") % 10 =!= 7)
       val inc = docs.filter(col("doc_id") % 10 === 7)
-      val cand = Dedup.minhashCandidatesAgainst(inc, Dedup.minhashIndex(old))
+      // the band index is a persisted parquet artifact — the corpus is
+      // shingled and signed once at fit time; increments only probe
+      val index = graft.Artifacts.getOrFit(s, "minhash_band_index",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "mod10ne7-n3k16b4"),
+        Dedup.minhashIndex(old))
+      val cand = Dedup.minhashCandidatesAgainst(inc, index)
       Dedup.jaccardVerify(docs, cand, 3, 0.5)
         .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
@@ -889,9 +894,13 @@ object Extensions {
     // pinned in PlanSpec) and streaming-legal (StreamingSpec replay twin).
     ("qe52b_dup_spans_frozen", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      // materialize the fit (the persisted-artifact stand-in) so the
-      // benched plan is the pure apply shape PlanSpec pins
-      Dedup.dupSpansFrozen(docs, Dedup.dupGramFit(docs, 3).localCheckpoint(), 3)
+      // the duplicated-gram set is a PERSISTED parquet artifact (first
+      // call fits and writes; every later call — any process — reads), so
+      // the benched plan is the pure apply shape PlanSpec pins
+      val grams = graft.Artifacts.getOrFit(s, "dup_grams",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "n3"),
+        Dedup.dupGramFit(docs, 3))
+      Dedup.dupSpansFrozen(docs, grams, 3)
         .orderBy("doc_id")
     }, Some(DupSpansSql)),
 
@@ -1006,9 +1015,14 @@ object Extensions {
     // against the exact increment->corpus containment oracle.
     ("qe58d_containment_frozen", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      Dedup.containmentFrozenAgreement(
-          docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
-          3, 64, 0.5)
+      // the corpus shingle index is a persisted parquet artifact: history
+      // is shingled once at fit time, and both the exact certification
+      // side and the sketch probe read the same artifact scan
+      val index = graft.Artifacts.getOrFit(s, "containment_index",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "even-n3"),
+        Dedup.containmentIndexFit(docs.filter(col("doc_id") % 2 === 0), 3))
+      Dedup.containmentFrozenAgreementIndexed(
+          docs.filter(col("doc_id") % 2 === 1), index, 3, 64, 0.5)
         .select(col("da"), col("db"), r4(col("containment")).as("containment"),
           col("within_bound"))
         .orderBy("da", "db")
@@ -1029,8 +1043,12 @@ object Extensions {
     // apply plan is streaming-legal (19th replay==batch equivalence).
     ("qe56c_cdc_dup_frozen", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      Dedup.cdcDupCardFrozen(docs,
-          Dedup.cdcSharedFit(docs, 16).localCheckpoint(), 16)
+      // frozen shared-chunk set persists as a parquet artifact: history is
+      // chunked once at fit time; the apply plan reads a tiny scan
+      val shared = graft.Artifacts.getOrFit(s, "cdc_shared",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "t16"),
+        Dedup.cdcSharedFit(docs, 16))
+      Dedup.cdcDupCardFrozen(docs, shared, 16)
         .orderBy("doc_id")
     }, Some(CdcDupSql)),
 
@@ -1041,11 +1059,14 @@ object Extensions {
     // only the increment scans.
     ("qe54b_drift_cross_snapshot", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      val vocab = TextAnalysis.vocabFit(docs.filter(col("doc_id") % 2 === 0), 100)
-        .localCheckpoint() // the persisted-artifact stand-in
+      // "yesterday's" vocab is a persisted parquet artifact — history is
+      // tokenized once at fit time, never on the apply path
+      val vocab = graft.Artifacts.getOrFit(s, "drift_vocab",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "even-k100"),
+        TextAnalysis.vocabFit(docs.filter(col("doc_id") % 2 === 0), 100))
       TextAnalysis.driftCard(docs.filter(col("doc_id") % 2 === 1), vocab)
         .orderBy("source")
-    }, Some("""WITH tok0 AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok0 GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 1), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
+    },Some("""WITH tok0 AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok0 GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 1), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
 
     // E4 (diversity) — per-source type-token ratio, exact: two-level
     // aggregation ((source, term) then source), the oracle twin of the
@@ -1071,8 +1092,8 @@ object Extensions {
     // frac normalization asserted in SimilaritySpec.
     ("qe47_ivf_occupancy", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
-      val cents = graft.operators.IvfIndex.frozenCentroids(
-        emb, cacheKey = d, "vec_id", "embedding", nlist = 8,
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8,
         nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
       graft.operators.IvfIndex.occupancyCard(emb, cents, "embedding")
     }, None)

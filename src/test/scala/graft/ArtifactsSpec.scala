@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The persisted fit-artifact store (SURVEY §2.4 fit/apply splits): writes
+  * are atomic, reads survive a cold start, keys self-invalidate on input
+  * change, and the registered frozen queries genuinely consume artifacts
+  * (their second invocation runs zero fit jobs). */
+class ArtifactsSpec extends SparkTestBase {
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-spec")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  test("getOrFit fits exactly once and the read-back round-trips the fit frame") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.artifacts.dir", freshRoot())
+    try {
+      var fits = 0
+      def fit = { fits += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+      val first = Artifacts.getOrFit(spark, "spec_kind", "k1", fit)
+      val second = Artifacts.getOrFit(spark, "spec_kind", "k1", fit)
+      assert(fits == 1, s"second call re-ran the fit ($fits fits)")
+      // both calls read parquet from disk — the round-trip IS the cold
+      // start (no in-memory result cache exists to serve from)
+      assert(second.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq((1L, "a"), (2L, "b")))
+      assert(first.schema == second.schema)
+      // the returned plan is a parquet scan of the artifact, not fit lineage
+      val leaves = second.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.toString.toLowerCase.contains("parquet")),
+        s"expected a parquet artifact scan, got: ${leaves.mkString("; ")}")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("cold start: a fresh store handle (new key map, same disk) reads, never refits") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      var fits = 0
+      def fit = { fits += 1; Seq((7L, 0.5)).toDF("id", "x") }
+      Artifacts.getOrFit(spark, "spec_cold", "k1", fit)
+      assert(fits == 1)
+      // simulate the new-JVM path: bypass getOrFit entirely and read the
+      // artifact directory as a plain parquet table — what any other
+      // process (or a 1000-executor cluster job) would do
+      val external = spark.read.parquet(s"$root/spec_cold/k1")
+      assert(external.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == Seq((7L, 0.5)))
+      // and the store itself, asked again, still serves from disk
+      Artifacts.getOrFit(spark, "spec_cold", "k1", fit)
+      assert(fits == 1)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("fingerprint keying: touching the input moves the key; params move the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-fp")
+    val f = dir.resolve("part-0.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val k1 = Artifacts.fitKey(spark, Seq(dir.toString), "n3")
+    assert(k1 == Artifacts.fitKey(spark, Seq(dir.toString), "n3"), "fingerprint unstable")
+    assert(k1 != Artifacts.fitKey(spark, Seq(dir.toString), "n4"), "params not keyed")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(k1 != Artifacts.fitKey(spark, Seq(dir.toString), "n3"),
+      "regenerated input (new size+mtime) must land on a fresh key")
+  }
+
+  test("store stays bounded: old keys prune once the per-kind cap is passed") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.artifacts.dir", freshRoot())
+    try {
+      (1 to 10).foreach { i =>
+        Artifacts.getOrFit(spark, "spec_prune", s"k$i", Seq((i.toLong, i)).toDF("id", "v"))
+        Thread.sleep(2) // distinct mtimes so recency ordering is defined
+      }
+      val root = spark.conf.get("spark.graft.artifacts.dir")
+      val left = new java.io.File(s"$root/spec_prune").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".tmp-"))
+      assert(left.length <= 8, s"store grew past the cap: ${left.length} keys")
+      assert(left.contains("k10"), "the freshest key must survive pruning")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
+  test("frozen queries consume artifacts: second run of each fires zero fit-side jobs") {
+    // the honest-apply claim, machine-checked: after a warm first run has
+    // persisted every artifact, re-running each frozen registered query
+    // must execute NO job whose lineage is the fit (k-means, corpus
+    // shingling of the frozen half, vocab induction). Detectable without
+    // plan spelunking: artifact directories' mtimes don't change, and the
+    // queries still hash-agree with their pre-artifact results implicitly
+    // via CORRECTNESS — here we assert the store served every call.
+    spark.conf.set("spark.graft.artifacts.dir", freshRoot())
+    try {
+      val frozen = Seq("qe3d_knn_ivf_frozen", "qe7d_semantic_dedup_frozen",
+        "qe47_ivf_occupancy", "qe52b_dup_spans_frozen", "qe54b_drift_cross_snapshot",
+        "qe56c_cdc_dup_frozen", "qe58d_containment_frozen", "qe43_incremental_fuzzy")
+      frozen.foreach(q => SparkEntry.queries(q)(spark, Sf0001).collect())
+      val root = spark.conf.get("spark.graft.artifacts.dir")
+      def successMtimes: Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) Seq(f) else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        walk(new java.io.File(root)).filter(_.getName == "_SUCCESS")
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      // 6 artifact kinds: the three IVF consumers share one centroid table
+      val after1 = successMtimes
+      assert(after1.size >= 6, s"expected >= 6 persisted artifacts, got ${after1.keySet}")
+      val r1 = frozen.map(q => q -> SparkEntry.queries(q)(spark, Sf0001).count()).toMap
+      assert(successMtimes == after1,
+        "second run rewrote an artifact — a frozen query is still fitting")
+      r1.foreach { case (q, n) => assert(n > 0, s"$q returned no rows") }
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+}
