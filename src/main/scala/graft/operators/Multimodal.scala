@@ -1,16 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.4 E5): image/audio/video as
   * opaque `binary` payloads with a typed metadata struct, plus per-partition
   * decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real; the
-  * actual codec is STUBBED with a deterministic fake — the container has no
-  * image/audio libraries. Swap [[FakeCodec]] for a real decoder (JNI/FFI)
-  * without touching the dataflow.
+  * The decode step is REAL for image containers: width/height/type parse
+  * from PNG/JPEG/GIF header bytes via [[graft.functions.ImageHeader]] (the
+  * formats' published layouts — no codec library needed for container
+  * metadata). PIXEL decoding and feature extraction remain STUBBED with a
+  * deterministic fake ([[FakeCodec]]) — the container has no image/audio
+  * libraries. Swap [[FakeCodec]] for a real decoder (JNI/FFI) without
+  * touching the dataflow.
   */
 object Multimodal {
 
@@ -53,6 +56,37 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
       lit("text/plain").as("mime"))
 
+  /** Deterministic IMAGE corpus: per doc, a payload whose bytes are a real
+    * PNG / JPEG / GIF container header (spec-valid through the dimension
+    * fields — the JPEG even carries the APP0/JFIF segment the parser must
+    * scan past) with planted width = doc_id % 640 + 1 and height =
+    * doc_id % 480 + 1. Because the planted dims are plain arithmetic over
+    * doc_id, a DuckDB oracle can state the expected decode output without
+    * parsing bytes — so the REAL parser ([[graft.functions.ImageHeader]])
+    * is driver-certified end-to-end: any construction-offset or parse
+    * error hash-mismatches. Codegen projection, shuffle-free. */
+  def syntheticImageCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = id % 640 + 1
+    val h = id % 480 + 1
+    val w4 = lpad(hex(w), 4, "0"); val h4 = lpad(hex(h), 4, "0")
+    val w8 = lpad(hex(w), 8, "0"); val h8 = lpad(hex(h), 8, "0")
+    def le(v: Column) = concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"), lpad(hex(shiftright(v, 8)), 2, "0"))
+    // signature + IHDR(len 13) + dims + bit depth 8, RGBA + placeholder CRC
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"), w8, h8,
+      lit("0806000000DEADBEEF"))
+    // SOI + APP0/JFIF(16 bytes) + SOF0(len 17: precision 8, H, W, 3 comps) + EOI
+    val jpg = concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      h4, w4, lit("03011100021101031101FFD9"))
+    // "GIF89a" + logical-screen W/H (little-endian) + GCT flags/bg/aspect
+    val gif = concat(lit("474946383961"), le(w), le(h), lit("F70000"))
+    docs.select(id.as("doc_id"),
+      unhex(when(id % 3 === 0, png).when(id % 3 === 1, jpg).otherwise(gif))
+        .as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
   /** Decode stage: mapPartitions so a real codec amortizes per-partition
     * init (decoder contexts, GPU handles). Repartition first so decode
     * parallelism matches cluster width, not input-file layout. */
@@ -64,9 +98,18 @@ object Multimodal {
     src.mapPartitions { it =>
       // per-partition codec init would go here
       it.map { r =>
-        val m = FakeCodec.decode(r.payload)
-        DecodedRow(r.doc_id, r.mime, r.payload.length.toLong,
-          m.width, m.height, m.nFrames, FakeCodec.features(r.payload))
+        // REAL container-header parse first (PNG/JPEG/GIF dims + detected
+        // mime); the deterministic fake only backstops payloads that are
+        // not recognizable images, keeping their declared mime
+        val real = graft.functions.ImageHeader.parse(r.payload)
+        if (real != null)
+          DecodedRow(r.doc_id, real._1, r.payload.length.toLong,
+            real._2, real._3, 1, FakeCodec.features(r.payload))
+        else {
+          val m = FakeCodec.decode(r.payload)
+          DecodedRow(r.doc_id, r.mime, r.payload.length.toLong,
+            m.width, m.height, m.nFrames, FakeCodec.features(r.payload))
+        }
       }
     }
   }

@@ -140,5 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("srp_buckets",
       classOf[graft.functions.SrpBucketsExpr],
       graft.functions.SrpBucketsExpr.fromSql))
+    ext.injectFunction(fn("image_dims",
+      classOf[graft.functions.ImageDimsExpr], exprs => {
+        require(exprs.length == 1,
+          s"image_dims requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.ImageDimsExpr(exprs.head)
+      }))
   }
 }

@@ -296,6 +296,20 @@ object Extensions {
         .orderBy("doc_id", "frame_idx")
     }, Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS L, greatest(1, octet_length(encode(text)) // 4) AS flen FROM documents), i AS (SELECT unnest(range(0, 4)) AS frame_idx) SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, CAST(greatest(0, least((frame_idx + 1) * flen, L) - least(frame_idx * flen, L)) AS BIGINT) AS frame_len FROM f CROSS JOIN i ORDER BY doc_id, frame_idx""")),
 
+    // E5 — REAL image decode: PNG/JPEG/GIF container headers parsed byte-
+    // level ([[graft.functions.ImageHeader]], codegen'd expression). The
+    // corpus plants dims arithmetically derivable from doc_id inside
+    // spec-valid header bytes, so the oracle certifies the actual parse:
+    // wrong offset, endianness, or marker scan → hash mismatch.
+    ("qe5c_image_dims", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticImageCorpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.ImageDimsExpr.image_dims(col("payload")).as("dims"))
+        .select(col("doc_id"), col("dims.mime").as("mime"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime, CAST(doc_id % 640 + 1 AS INTEGER) AS width, CAST(doc_id % 480 + 1 AS INTEGER) AS height FROM documents ORDER BY doc_id""")),
+
     // Decontamination — corpus docs sharing any word 5-gram with the
     // benchmark subset (doc_id % 19 = 3 stands in for an eval suite);
     // benchmark shingles broadcast, corpus side never shuffles for the probe

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The real container-header parser (E5 decode): fixtures are hand-built
+  * per the published format specs — PNG signature+IHDR, JPEG marker stream
+  * (baseline and progressive, with APPn segments the scan must skip), GIF
+  * logical screen descriptor — plus the null paths (truncated, desynced,
+  * not-an-image). */
+class ImageDimsSpec extends SparkTestBase {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 1x1 transparent PNG, the canonical minimal file (signature, IHDR 1x1
+  // depth-8 RGBA with true CRC, IDAT, IEND) — a REAL decodable file, not
+  // just a header
+  private val png1x1 = hex(
+    "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 00 00 00 1F15C489" +
+      "0000000A 49444154 789C63000100000500010D0A2DB4 0000000049454E44AE426082")
+
+  // baseline JPEG: SOI, APP0/JFIF, COM segment (scan must skip), SOF0
+  // 8-bit 3-component 7x5 (height 7, width 5), EOI
+  private val jpegBaseline = hex(
+    "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFFE 0007 68656C6C6F" + // COM "hello", length 7 = 2 + 5
+      "FFC0 0011 08 0007 0005 03 011100 021101 031101 FFD9")
+
+  // progressive JPEG (SOF2) behind an APP1/EXIF-style segment
+  private val jpegProgressive = hex(
+    "FFD8 FFE1 000A 45786966000055AA" + // APP1 len 10: "Exif\0\0" + 2 junk
+      "FFC2 0011 08 0100 0200 03 011100 021101 031101 FFD9") // h=256 w=512
+
+  private val gif = hex("474946383961 0A00 1400 F7 00 00") // 10 x 20, LE
+
+  test("PNG / JPEG (baseline + progressive) / GIF dims parse per spec") {
+    assert(ImageHeader.parse(png1x1) == ("image/png", 1, 1))
+    assert(ImageHeader.parse(jpegBaseline) == ("image/jpeg", 5, 7))
+    assert(ImageHeader.parse(jpegProgressive) == ("image/jpeg", 512, 256))
+    assert(ImageHeader.parse(gif) == ("image/gif", 10, 20))
+  }
+
+  test("unrecognized, truncated, and desynced payloads yield null — never a guess") {
+    assert(ImageHeader.parse(null) == null)
+    assert(ImageHeader.parse("just some text".getBytes) == null)
+    assert(ImageHeader.parse(hex("89504E470D0A1A0A")) == null) // sig only
+    assert(ImageHeader.parse(hex("89504E470D0A1A0A 0000000D 49484452 000000")) == null)
+    assert(ImageHeader.parse(hex("FFD8 FFDA 0002")) == null) // SOS before SOF
+    assert(ImageHeader.parse(hex("FFD8 FFE0 0010 4A46")) == null) // truncated APP0
+    assert(ImageHeader.parse(hex("FFD8 00 C0")) == null) // desynced marker stream
+    assert(ImageHeader.parse(hex("474946383961 0A00")) == null) // GIF cut mid-LSD
+    // zero dims are invalid, not "a 0x0 image"
+    assert(ImageHeader.parse(hex(
+      "89504E470D0A1A0A 0000000D 49484452 00000000 00000001 08 06 00 00 00 00000000")) == null)
+  }
+
+  test("expression + SQL registration agree with the JVM parser; nulls propagate") {
+    import spark.implicits._
+    ImageDimsExpr.register(spark)
+    val df = Seq(
+      (1L, png1x1), (2L, jpegBaseline), (3L, gif), (4L, "nope".getBytes))
+      .toDF("id", "payload")
+    val viaCol = df.select(col("id"),
+        ImageDimsExpr.image_dims(col("payload")).as("d"))
+      .select(col("id"), col("d.mime"), col("d.width"), col("d.height"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(viaCol == Map(1L -> "image/png", 2L -> "image/jpeg",
+      3L -> "image/gif", 4L -> null))
+    df.createOrReplaceTempView("imgs")
+    val viaSql = spark.sql(
+      "SELECT id, image_dims(payload).width AS w FROM imgs ORDER BY id")
+      .collect().map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq
+    assert(viaSql == Seq(1, 5, 10, -1))
+  }
+
+  test("synthetic corpus round-trip: constructed headers parse back to planted dims") {
+    // the qe5c property, asserted directly: syntheticImageCorpus bytes →
+    // ImageHeader → exactly the arithmetic (mime, w, h) the oracle states
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val parsed = graft.operators.Multimodal.syntheticImageCorpus(docs)
+      .select(col("doc_id"), ImageDimsExpr.image_dims(col("payload")).as("d"))
+    val bad = parsed.filter(col("d").isNull ||
+      col("d.width") =!= (col("doc_id") % 640 + 1).cast("int") ||
+      col("d.height") =!= (col("doc_id") % 480 + 1).cast("int") ||
+      col("d.mime") =!= when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "image/jpeg").otherwise("image/gif"))
+    assert(bad.count() == 0)
+    // decodeAll prefers the real parse: detected mime + real dims surface
+    val dec = graft.operators.Multimodal.decodeAll(
+      graft.operators.Multimodal.syntheticImageCorpus(docs).limit(30))
+      .filter(col("mime").isin("image/png", "image/jpeg", "image/gif"))
+    assert(dec.count() == 30)
+  }
+}
