@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SkewSpec extends SparkTestBase {
   import spark.implicits._
@@ -17,6 +18,67 @@ class SkewSpec extends SparkTestBase {
       .select("k", "payload", "label")
     assert(salted.count() == plain.count())
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
+  test("planted hot key (50% of rows): salting provably bounds every reducer's input") {
+    // the property the operator CLAIMS, asserted on stage metrics rather
+    // than result parity: with one key holding half the corpus, the plain
+    // shuffle join funnels that key's whole row set through ONE reducer
+    // task (the control, which also proves this harness would catch the
+    // failure), while the salted form spreads it over `buckets` sub-keys
+    // so no task's shuffle read approaches the hot key's size.
+    // Force the shuffle path: broadcast would hide reducer distribution,
+    // AQE's own skew splitting would rescue the control, and wider
+    // reducers make the bound meaningful.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val n = 20000L
+      val hotCount = (n / 2).toInt // key 7 owns every even id
+      val big = spark.range(n)
+        .select(when(col("id") % 2 === 0, lit(7L))
+          .otherwise(col("id") % 64 + 100L).as("k"), col("id").as("payload"))
+      val small = (Seq((7L, "hot")) ++ (0L until 64L).map(k => (k + 100L, s"d$k")))
+        .toDF("sk", "label")
+
+      def maxTaskShuffleRead(action: => Unit): Long = {
+        val recs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null && m.shuffleReadMetrics != null)
+              recs.add(m.shuffleReadMetrics.recordsRead)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          action
+          // listener events are async: poll until the queue stabilizes
+          var last = -1
+          while (recs.size != last) { last = recs.size; Thread.sleep(300) }
+        } finally spark.sparkContext.removeSparkListener(listener)
+        recs.asScala.map(_.longValue).maxOption.getOrElse(0L)
+      }
+
+      val unsaltedMax = maxTaskShuffleRead(
+        big.join(small, big("k") === small("sk")).count())
+      assert(unsaltedMax >= hotCount,
+        s"control: the unsalted join should funnel the hot key's $hotCount rows " +
+          s"through one task, but max task read only $unsaltedMax — harness broken")
+      val saltedMax = maxTaskShuffleRead(
+        Skew.saltedJoin(big, small, "k", "sk", buckets = 8).count())
+      // hot key spread over 8 salts -> ~hotCount/8 per (key, salt) group;
+      // <= a few groups can hash onto one of the 16 reducers, so allow 4x
+      // the ideal share — still far below the whole hot key
+      assert(saltedMax <= hotCount / 2,
+        s"salted join still concentrates the hot key: max task read $saltedMax " +
+          s"of $hotCount hot rows")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
   }
 
   test("saltedSum == plain groupBy sum") {
