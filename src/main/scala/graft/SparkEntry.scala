@@ -53,6 +53,9 @@ object SparkEntry {
     "qe58_containment_pairs"   -> "qe58b_containment_sketch",
     "qe3_knn_brute"            -> "qe3c_knn_ivf",
     "qe3c_knn_ivf"             -> "qe3d_knn_ivf_frozen",
+    // frozen IVF (raw-vector payload) → IVF-PQ (m-byte codes, the
+    // memory-bounded form at 10⁹+ vectors)
+    "qe3d_knn_ivf_frozen"      -> "qe3e_knn_ivfpq",
     "qe7c_semantic_dedup"      -> "qe7d_semantic_dedup_frozen",
     "qe57_lexical_diversity"   -> "qe57b_lexical_diversity_hll",
     // single-task global-window packer → sharded one-shuffle packer

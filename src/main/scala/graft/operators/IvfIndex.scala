@@ -202,12 +202,7 @@ object IvfIndex {
     * ~|corpus|*nprobe/nlist. */
   private def probeTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", graft.functions.L2Dist.l2_dist(col("qv"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+    val probes = probeCells(centroids, queries, idCol, vecCol, nprobe)
     val cands = assigned.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
     val scored = cands.join(probes, "cell")
       .filter(col("qid") =!= col("cid"))
@@ -215,5 +210,20 @@ object IvfIndex {
         CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** The query-side probe list — each query expanded to its `nprobe`
+    * L2-nearest cells: (qid, qv, cell). A tiny |q| × nlist broadcast cross
+    * join; shared by the IVF scorer above and the IVF-PQ ADC scorer
+    * ([[PqIndex]]) so probe-cell selection can never drift between the
+    * full-vector and quantized paths. */
+  private[operators] def probeCells(centroids: DataFrame, queries: DataFrame,
+                                    idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", graft.functions.L2Dist.l2_dist(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
   }
 }

@@ -157,6 +157,31 @@ object Extensions {
         .orderBy("qid", "rnk")
     }, None),
 
+    // E3 (memory-bounded 10⁹⁺-vector path) — IVF-PQ: product-quantized
+    // residuals (Jégou et al., TPAMI 2011) on the frozen coarse quantizer.
+    // Both the centroid table AND the per-subspace codebooks are persisted
+    // parquet artifacts, so the executed plan contains NO k-means fit:
+    // encode is one map-only codegen projection (vectors → m tinyint codes,
+    // 8× payload compression at d=64/m=32), scoring reconstructs candidates
+    // from inlined codebook literals (asymmetric distance), and an exact
+    // re-rank of the k·refine shortlist restores tail recall. Approximate →
+    // rows-only driver check; recall floor + provable monotone-in-refine
+    // sweep asserted vs qe3 in SimilaritySpec.
+    ("qe3e_knn_ivfpq", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+      val books = graft.operators.PqIndex.persistedCodebooks(
+        emb, s"$d/embeddings.parquet", cents, "vec_id", "embedding",
+        nlist = 8, m = 32, nbits = 4, nHint = nH)
+      graft.operators.PqIndex.topK(emb, cents, books,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          nprobe = 6, refine = 4)
+        .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rnk")
+    }, None),
+
     // E4 — per-document quality stats
     ("qe4a_textstats", (s: SparkSession, d: String) => {
       TextAnalysis.textStats(Engine.Tables(s, d).documents).orderBy("doc_id")

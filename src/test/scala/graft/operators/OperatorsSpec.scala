@@ -414,6 +414,112 @@ class SimilaritySpec extends SparkTestBase {
       cents.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("IVF-PQ encode: m tinyint codes in [0, 2^nbits), raw vector dropped, deterministic") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val books = PqIndex.fitCodebooks(emb, cents, "vec_id", "embedding", m = 32, nbits = 4)
+    assert(books.count() <= 32L * 16L, "m * 2^nbits codebook rows at most")
+    val enc = PqIndex.encode(emb.select("vec_id", "embedding"), cents, books, "embedding")
+    assert(enc.columns.toSeq == Seq("vec_id", "cell", "codes"),
+      "encode must drop the raw vector — the m-byte code IS the stored payload")
+    assert(enc.schema("codes").dataType.simpleString == "array<tinyint>")
+    val rows = enc.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Byte](2)
+      assert(cs.length == 32, s"expected m=32 codes, got ${cs.length}")
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of [0,16): $cs")
+    }
+    val again = PqIndex.encode(emb.select("vec_id", "embedding"), cents, books, "embedding")
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq, "seeded fit + argmin encode is deterministic")
+  }
+
+  test("IVF-PQ quantization: reconstructed residuals strictly beat centroid-only") {
+    // the codebooks must EARN their m bytes: reconstruction error with PQ
+    // codes below the centroid-only (all-zero-residual) baseline, on average
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val books = PqIndex.fitCodebooks(emb, cents, "vec_id", "embedding", m = 32, nbits = 4)
+    val bookMap = books.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val centMap = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val enc = PqIndex.encode(emb.select("vec_id", "embedding"), cents, books, "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2))).toSeq
+    def sq(x: Double) = x * x
+    val (pqErr, baseErr) = enc.map { case (id, cell, codes) =>
+      val resid = vecs(id).zip(centMap(cell)).map { case (v, c) => v - c }
+      val decoded = codes.zipWithIndex.flatMap { case (c, j) => bookMap((j, c.toInt)) }
+      (resid.zip(decoded).map { case (r, d) => sq(r - d) }.sum,
+        resid.map(sq).sum)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(pqErr < 0.5 * baseErr,
+      s"PQ reconstruction error $pqErr not well below centroid-only $baseErr")
+  }
+
+  test("IVF-PQ top-k: recall >= 0.9 at qe3e knobs, provably monotone in refine, " +
+    "equal to full-vector IVF when the shortlist covers every probed candidate") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 20)
+    val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val books = PqIndex.fitCodebooks(emb, cents, "vec_id", "embedding", m = 32, nbits = 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(refine: Int): Double = {
+      val got = PqIndex.topK(emb, cents, books, queries, "vec_id", "embedding", 5,
+          nprobe = 6, refine = refine)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // monotone in refine: the k*refine shortlist grows by PREFIX (same ADC
+    // ordering), and the exact re-rank can only displace a true top-k item
+    // with another true top-k item — so a larger shortlist never loses one
+    val sweep = Seq(1, 2, 4, 8).map(rf => rf -> recall(rf))
+    sweep.sliding(2).foreach { case Seq((r1, v1), (r2, v2)) =>
+      assert(v2 >= v1, s"recall must be monotone in refine: rf=$r1:$v1 > rf=$r2:$v2")
+    }
+    assert(sweep.toMap.apply(4) >= 0.9,
+      s"qe3e tuned recall ${sweep.toMap.apply(4)} below 0.9 (sweep: $sweep)")
+    // refine large enough to shortlist EVERY probed candidate => the exact
+    // re-rank sees all of them and IVF-PQ == full-vector IVF at same knobs,
+    // independent of quantization quality (candidate-set equality by shared
+    // probeCells, ranking equality by the shared exact-cosine contract)
+    val ivf = IvfIndex.topK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 6)
+      .select("qid", "rnk", "cid").orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val pqAll = PqIndex.topK(emb, cents, books, queries, "vec_id", "embedding", 5,
+        nprobe = 6, refine = 1000)
+      .select("qid", "rnk", "cid").orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(pqAll == ivf, "all-candidate shortlist must reduce IVF-PQ to exact IVF")
+  }
+
+  test("PQ codebook artifact: persistedCodebooks round-trips and serves the read-back") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("pq_art").toString
+    spark.conf.set("spark.graft.artifacts.dir", dir)
+    try {
+      val cents = IvfIndex.persistedCentroids(emb, s"$Sf0001/embeddings.parquet",
+        "vec_id", "embedding", nlist = 8)
+      val books = PqIndex.persistedCodebooks(emb, s"$Sf0001/embeddings.parquet",
+        cents, "vec_id", "embedding", nlist = 8, m = 32, nbits = 4)
+      val direct = PqIndex.fitCodebooks(emb, cents, "vec_id", "embedding",
+        m = 32, nbits = 4)
+      assert(books.collect().map(_.toString).sorted.toSeq ==
+        direct.collect().map(_.toString).sorted.toSeq,
+        "artifact read-back must equal the direct fit")
+      // second call is served from parquet: a pure scan, no k-means lineage
+      val again = PqIndex.persistedCodebooks(emb, s"$Sf0001/embeddings.parquet",
+        cents, "vec_id", "embedding", nlist = 8, m = 32, nbits = 4)
+      assert(again.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.nodeName.contains("Relation")),
+        "served artifact must be a plain parquet scan")
+      assert(again.collect().map(_.toString).sorted.toSeq ==
+        books.collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
 }
 
 class TextAnalysisSpec extends SparkTestBase {
