@@ -20,10 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
+  /** The packers APPEND fixed-name output columns (`bin`; packSplitSharded
+    * also `seg_idx`/`n_tok`): an input column with one of those names would
+    * be silently shadowed or collide mid-plan, so refuse it loudly and let
+    * the caller rename. */
+  private def requireNoCollision(fn: String, inputs: Seq[String],
+                                 generated: Seq[String]): Unit = {
+    val bad = inputs.filter(generated.contains)
+    require(bad.isEmpty,
+      s"$fn: input column(s) ${bad.mkString(", ")} collide with the fixed " +
+        s"output column(s) ${generated.mkString("/")}; rename the input")
+  }
+
   /** Adds `bin` (long) to each row — global document order, single-task
     * sort. Use [[packSharded]] at scale. */
   def pack(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"pack: token budget must be positive, got $budget")
+    requireNoCollision("pack", Seq(idCol, tokCol), Seq("bin"))
     val w = Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", expr(s"__cum div $budget"))
@@ -37,6 +50,7 @@ object SeqPack {
   def packSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
                   budget: Long): DataFrame = {
     require(budget > 0, s"packSharded: token budget must be positive, got $budget")
+    requireNoCollision("packSharded", Seq(shardCol, idCol, tokCol), Seq("bin"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
@@ -66,16 +80,25 @@ object SeqPack {
     * except the shard's last carries exactly `budget` tokens, the fill
     * fraction a training run is actually billed on). Output: one row per
     * (doc, bin) slice — `doc_id, seg_idx` (0-based within the doc),
-    * `bin`, `n_tok` (slice tokens); slice token counts per doc sum to the
-    * doc's count, per bin to exactly `budget` (except the final bin).
+    * `bin`, and the slice token count under `tokCol`'s own name; slice
+    * token counts per doc sum to the doc's count, per bin to exactly
+    * `budget` (except the final bin).
     *
     * Shape: the cumulative offset is the [[packSharded]] window (one hash
     * shuffle, parallel local sorts); the slice enumeration is a per-row
     * `sequence` explode of (last_bin − first_bin + 1) rows — bounded by
-    * ceil(L/budget) + 1 per doc, arithmetic only, no second shuffle. */
+    * ceil(L/budget) + 1 per doc, arithmetic only, no second shuffle.
+    *
+    * The output schema is (shardCol, idCol, seg_idx, bin, tokCol): the
+    * slice token count REUSES `tokCol`'s name (each doc's slice counts sum
+    * to its input count, so the column keeps its meaning at slice grain);
+    * shard/id inputs named like a generated column are rejected up front. */
   def packSplitSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
                        budget: Long): DataFrame = {
     require(budget > 0, s"packSplitSharded: token budget must be positive, got $budget")
+    requireNoCollision("packSplitSharded", Seq(shardCol, idCol),
+      Seq("seg_idx", "bin", tokCol))
+    requireNoCollision("packSplitSharded", Seq(tokCol), Seq("seg_idx", "bin"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__o", sum(col(tokCol)).over(w) - col(tokCol))
@@ -88,7 +111,7 @@ object SeqPack {
       .select(col(shardCol), col(idCol),
         (col("bin") - col("__b0")).as("seg_idx"), col("bin"),
         (least(col("__o") + col("__L"), (col("bin") + 1) * budget) -
-          greatest(col("__o"), col("bin") * budget)).as("n_tok"))
+          greatest(col("__o"), col("bin") * budget)).as(tokCol))
   }
 
   /** Packing-efficiency report per shard: bins used, docs and tokens

@@ -1060,6 +1060,71 @@ class CurationOpsSpec extends SparkTestBase {
     assert(clusterSets(capped) == clusterSets(Dedup.minhashCandidates(planted)))
   }
 
+  test("hot-bucket cap on a MIXED over-cap bucket: sub-threshold member never pollutes, " +
+    "family cluster survives via the other bands") {
+    import spark.implicits._
+    // the docstring's documented trade: an over-cap bucket that MIXES a
+    // sub-threshold neighbor chain-links through it, both its chain edges
+    // fail verification, and recall of the links it interrupted relies on
+    // OTHER bands. Construct exactly that shape deterministically: an
+    // 8-copy family plus one doc that (a) lands in at least one family band
+    // bucket but (b) has exact Jaccard < 0.5 — found by probing a sweep of
+    // tailed variants through the PUBLIC candidate API (bucket membership
+    // depends only on a doc's own seeded signature, so it carries over to
+    // the planted corpus unchanged).
+    val famText = "the same boilerplate page body repeated verbatim " * 5
+    val famIds = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+    val fam = famIds.map(i => (i, famText))
+    // the repeated family text has only ~9 DISTINCT shingles, so a short
+    // tail (12-23 distinct tokens -> more new shingles than the family has)
+    // already forces j < 0.5. Collision probability: each tail survives
+    // ~29% of the 16 hash minima, so a 4-row band (the default) fully
+    // survives ~1% of the time — run this test at bands=8 (rows=2, band
+    // survival ~8%) so a mixer is found with near-certainty while the
+    // mixed-over-cap-bucket shape under test is unchanged
+    val bands = 8
+    val cands = (0 until 200).map(i => (1000L + i,
+      famText + (0 to 11 + i % 12).map(t => s"zz${i}x$t").mkString(" ")))
+    val probe = (fam ++ cands).toDF("doc_id", "text")
+    val bucketed = Dedup.minhashCandidates(probe, 3, 16, bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 1000L && b >= 1000L }
+      .map(_._2).toSet
+    def sh(s: String) = s.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    val famSh = sh(famText)
+    def jac(b: Set[String]) = (famSh & b).size.toDouble / (famSh | b).size
+    val mixer = cands.find { case (id, t) => bucketed(id) && jac(sh(t)) < 0.5 }
+    assert(mixer.nonEmpty,
+      s"construction failed: no sub-threshold tail variant landed in a family bucket " +
+        s"(${bucketed.size} bucketed, jaccards ${cands.filter(c => bucketed(c._1)).map(c => jac(sh(c._2))).take(5)})")
+    // plant the mixer MID-CHAIN (doc_id 45): chain order is doc_id, so the
+    // mixed band's chain routes 40 -> 45 -> 50 through it
+    val planted = (fam :+ (45L, mixer.get._2)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatesCapped(planted, 3, 16, bands, cap = 4)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linear edge volume even with the mixer: <= bands * (members - 1)
+    assert(cappedPairs.size <= bands * 8,
+      s"${cappedPairs.size} edges — quadratic leak through the mixed bucket")
+    val verified = Dedup.jaccardVerify(planted, capped, 3, 0.5)
+    val vp = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: the sub-threshold mixer never survives verification
+    assert(!vp.exists { case (a, b) => a == 45L || b == 45L },
+      s"sub-threshold mixer leaked into verified pairs: ${vp.filter(p => p._1 == 45L || p._2 == 45L)}")
+    // recall: both chain edges through doc 45 failed verify, yet the family
+    // resolves to ONE cluster — every other band's (also over-cap) bucket
+    // chains the 8 copies without the mixer. Clusters equal the exact
+    // clique form's: the documented recovery mechanism, pinned.
+    def clusterSets(pairs: org.apache.spark.sql.DataFrame) =
+      DupClusters.clusters(Dedup.jaccardVerify(planted, pairs, 3, 0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = clusterSets(capped)
+    assert(got == clusterSets(Dedup.minhashCandidates(planted, 3, 16, bands)))
+    assert(got.count(c => famIds.contains(c._1)) == 8 &&
+      got.filter(c => famIds.contains(c._1)).map(_._2) == Set(10L),
+      s"family must stay one cluster labeled by its min id: $got")
+  }
+
   test("cdcDupCard flags cross-version passage reuse despite differing prefixes") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -32,6 +32,33 @@ class SeqPackSpec extends SparkTestBase {
       .filter(col("doc_id") === 6L).isEmpty)
   }
 
+  test("output slice count takes tokCol's name; colliding shard/id/tok inputs are rejected") {
+    // a caller's token column named anything (here "toks") flows through:
+    // the slice count reuses that name, so downstream code keyed on the
+    // caller's own column name keeps working at slice grain
+    val docs = Seq((1L, 6L), (2L, 25L)).toDF("doc_id", "toks")
+      .withColumn("shard", lit(0L))
+    val out = SeqPack.packSplitSharded(docs, "shard", "doc_id", "toks", 10L)
+    assert(out.columns.toSeq == Seq("shard", "doc_id", "seg_idx", "bin", "toks"))
+    assert(out.agg(sum("toks")).head.getLong(0) == 31L)
+    // generated-name collisions fail loudly instead of silently shadowing
+    def renamed(to: String) = docs.withColumnRenamed("doc_id", to)
+    for (bad <- Seq("bin", "seg_idx", "toks"))
+      assert(intercept[IllegalArgumentException] {
+        SeqPack.packSplitSharded(renamed(bad), "shard", bad, "toks", 10L)
+      }.getMessage.contains("collide"), s"idCol=$bad must be rejected")
+    assert(intercept[IllegalArgumentException] {
+      SeqPack.packSplitSharded(docs.withColumnRenamed("toks", "bin"),
+        "shard", "doc_id", "bin", 10L)
+    }.getMessage.contains("collide"), "tokCol named 'bin' must be rejected")
+    assert(intercept[IllegalArgumentException] {
+      SeqPack.pack(docs.withColumnRenamed("toks", "bin"), "doc_id", "bin", 10L)
+    }.getMessage.contains("collide"), "pack: tokCol named 'bin' must be rejected")
+    assert(intercept[IllegalArgumentException] {
+      SeqPack.packSharded(docs.withColumnRenamed("doc_id", "bin"), "shard", "bin", "toks", 10L)
+    }.getMessage.contains("collide"), "packSharded: idCol named 'bin' must be rejected")
+  }
+
   test("packing: doc assigned to bin of its first token; bins fill in order") {
     // budget 10: cum-before = 0,6,12,15,24 -> bins 0,0,1,1,2
     val docs = Seq((1L, 6L), (2L, 6L), (3L, 3L), (4L, 9L), (5L, 2L))
