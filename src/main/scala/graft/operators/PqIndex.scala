@@ -124,6 +124,25 @@ object PqIndex {
       .drop("__resid", vecCol)
   }
 
+  /** PERSISTED encoded corpus — the PQ INDEX itself as a parquet artifact:
+    * (id, cell, codes) is the m-bytes-per-vector record a deployment
+    * stores, so encoding is a one-time indexing pass, not a per-query
+    * cost. First call per (input fingerprint, params) encodes and writes;
+    * later calls (any JVM) read the index back, and the serving plan
+    * ([[topKEncoded]]) contains neither a k-means fit nor an encode pass —
+    * the same discipline as [[IvfIndex.persistedCentroids]], applied one
+    * level up. Keyed with the full quantizer knobs: a refit coarse
+    * quantizer or changed codebooks must invalidate the index. */
+  def persistedEncoded(vectors: DataFrame, dataPath: String, centroids: DataFrame,
+                       codebooks: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, m: Int, nbits: Int, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
+      s"$vecCol-nlist$nlist-m$m-nbits$nbits-seed$seed")
+    graft.Artifacts.getOrFit(spark, "pq_encoded", key,
+      encode(vectors.select(col(idCol), col(vecCol)), centroids, codebooks, vecCol))
+  }
+
   /** Asymmetric top-k over an ENCODED corpus: probe cells exactly as IVF
     * ([[IvfIndex.probeCells]] — shared, so cell selection cannot drift),
     * score candidates by cosine between the EXACT query vector and the

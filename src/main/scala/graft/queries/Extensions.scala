@@ -161,7 +161,7 @@ object Extensions {
     // residuals (Jégou et al., TPAMI 2011) on the frozen coarse quantizer.
     // Both the centroid table AND the per-subspace codebooks are persisted
     // parquet artifacts, so the executed plan contains NO k-means fit:
-    // encode is one map-only codegen projection (vectors → m tinyint codes,
+    // encode is one map-only projection (vectors → m tinyint codes,
     // 8× payload compression at d=64/m=32), scoring reconstructs candidates
     // from inlined codebook literals (asymmetric distance), and an exact
     // re-rank of the k·refine shortlist restores tail recall. Approximate →
@@ -175,7 +175,13 @@ object Extensions {
       val books = graft.operators.PqIndex.persistedCodebooks(
         emb, s"$d/embeddings.parquet", cents, "vec_id", "embedding",
         nlist = 8, m = 32, nbits = 4, nHint = nH)
-      graft.operators.PqIndex.topK(emb, cents, books,
+      // the ENCODED CORPUS is the third artifact — a PQ index is a stored
+      // table, so encoding is a one-time indexing pass and the serving plan
+      // below contains no fit and no encode, only probe + decode + re-rank
+      val index = graft.operators.PqIndex.persistedEncoded(
+        emb, s"$d/embeddings.parquet", cents, books, "vec_id", "embedding",
+        nlist = 8, m = 32, nbits = 4)
+      graft.operators.PqIndex.topKEncoded(emb, index, cents, books,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
           nprobe = 6, refine = 4)
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))

@@ -517,6 +517,26 @@ class SimilaritySpec extends SparkTestBase {
         "served artifact must be a plain parquet scan")
       assert(again.collect().map(_.toString).sorted.toSeq ==
         books.collect().map(_.toString).sorted.toSeq)
+      // third artifact: the encoded corpus IS the PQ index — round-trips,
+      // and serving from it equals the encode-inline pipeline exactly
+      val index = PqIndex.persistedEncoded(emb, s"$Sf0001/embeddings.parquet",
+        cents, books, "vec_id", "embedding", nlist = 8, m = 32, nbits = 4)
+      val direct2 = PqIndex.encode(emb.select("vec_id", "embedding"), cents,
+        books, "embedding")
+      assert(index.collect().map(_.toString).sorted.toSeq ==
+        direct2.collect().map(_.toString).sorted.toSeq,
+        "encoded-corpus artifact must equal a direct encode")
+      val q = emb.filter(col("vec_id") < 5)
+      val fromIndex = PqIndex.topKEncoded(emb, index, cents, books, q,
+          "vec_id", "embedding", 5, nprobe = 6, refine = 4)
+        .select("qid", "rnk", "cid").orderBy("qid", "rnk")
+        .collect().map(_.toString).toSeq
+      val inline = PqIndex.topK(emb, cents, books, q,
+          "vec_id", "embedding", 5, nprobe = 6, refine = 4)
+        .select("qid", "rnk", "cid").orderBy("qid", "rnk")
+        .collect().map(_.toString).toSeq
+      assert(fromIndex == inline,
+        "serving from the persisted index must equal encode-inline results")
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
