@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level AUDIO-container header parser — the audio leg of the E5
+  * multimodal pipeline (SURVEY §2.4), companion to [[ImageHeader]]. Sample
+  * decoding needs a codec; stream metadata does not — channel count, sample
+  * rate, sample width, and frame count live in the container headers,
+  * published in the format specs:
+  *
+  *  - WAV (RIFF, Microsoft/IBM WAVE spec): "RIFF"<size>"WAVE", then a
+  *    LITTLE-endian chunk walk (id u32, size u32; payloads padded to even)
+  *    to the "fmt " chunk — format tag, channels u16, sample rate u32,
+  *    block align u16, bits u16 — and the "data" chunk, whose declared size
+  *    divided by block align is the frame count. Walking — not a fixed
+  *    offset — is required: real encoders emit JUNK/LIST/fact chunks before
+  *    "fmt " and "data".
+  *  - AIFF (EA IFF 85 / Apple AIFF-1.3 spec): "FORM"<size>"AIFF", then a
+  *    BIG-endian chunk walk to "COMM" — channels u16, frame count u32,
+  *    sample size u16, and the sample rate as an 80-bit IEEE 754 extended
+  *    float (1 sign, 15 exponent bits biased 16383, 64-bit mantissa with an
+  *    explicit integer bit) that must be decoded, not pattern-matched.
+  *
+  * Parsing both containers certifies both endiannesses end-to-end. Anything
+  * unrecognized, truncated mid-header, or inconsistent (zero block align,
+  * non-PCM WAV format tags other than IEEE float, unnormalized/overflowing
+  * extended floats) yields NULL, never a guess. One codegen'd call per row;
+  * bytes are read in place. */
+object AudioHeader {
+
+  /** Parse (mime, channels, sample_rate, bits, n_frames) from container
+    * header bytes; null if not a recognized, intact audio header. */
+  def compute(b: Array[Byte]): InternalRow = {
+    val r = parse(b)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r._1), r._2, r._3, r._4, r._5))
+  }
+
+  /** JVM-facing form for Dataset/mapPartitions callers. */
+  def parse(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 12) return null
+    if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) parseWav(b)
+    else if (fourcc(b, 0, "FORM") && (fourcc(b, 8, "AIFF") || fourcc(b, 8, "AIFC")))
+      parseAiff(b)
+    else null
+  }
+
+  private def parseWav(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    var off = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    // header-only scan: the "data" chunk's declared size is the stream
+    // length (a streaming reader never needs the sample bytes in hand),
+    // but every chunk header and the whole fmt payload must be present
+    while (off + 8 <= b.length && (dataSize < 0 || channels < 0)) {
+      val size = le32(b, off + 4) & 0xFFFFFFFFL
+      if (fourcc(b, off, "fmt ")) {
+        if (size < 16 || off + 8 + 16 > b.length) return null
+        val tag = le16(b, off + 8)
+        // PCM (1) and IEEE float (3); compressed/extensible tags carry
+        // their real layout elsewhere — refusing beats misreporting
+        if (tag != 1 && tag != 3) return null
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+        bits = le16(b, off + 22)
+      } else if (fourcc(b, off, "data")) {
+        dataSize = size
+      }
+      if (size > Int.MaxValue - 16L) return null // declared size can't be walked
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0)
+      return null
+    if (dataSize % blockAlign != 0) return null // torn final frame
+    ("audio/wav", channels, rate, bits, dataSize / blockAlign)
+  }
+
+  private def parseAiff(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = be32(b, off + 4) & 0xFFFFFFFFL
+      if (fourcc(b, off, "COMM")) {
+        if (size < 18 || off + 8 + 18 > b.length) return null
+        val p = off + 8
+        val channels = be16(b, p)
+        val frames = be32(b, p + 2) & 0xFFFFFFFFL
+        val bits = be16(b, p + 6)
+        val rate = extended80(b, p + 8)
+        if (channels <= 0 || bits <= 0 || rate <= 0) return null
+        return ("audio/aiff", channels, rate, bits, frames)
+      }
+      if (size > Int.MaxValue - 16L) return null
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    null
+  }
+
+  /** Decode an 80-bit IEEE extended float at offset i to a positive Int
+    * sample rate; -1 for negative, zero, non-integral-overflow, or
+    * unnormalized values (real rates are small positive integers). */
+  private def extended80(b: Array[Byte], i: Int): Int = {
+    val se = be16(b, i)
+    if ((se & 0x8000) != 0) return -1 // negative rate
+    val e = se & 0x7FFF
+    val mant = ((be32(b, i + 2) & 0xFFFFFFFFL) << 32) | (be32(b, i + 6) & 0xFFFFFFFFL)
+    if (mant == 0L) return -1
+    val shift = e - 16383 - 63 // mantissa's integer bit is bit 63
+    if (shift > 0) return -1 // >= 2^64: no real sample rate
+    if (shift <= -64) return -1 // underflows to zero
+    val v = mant >>> -shift
+    if (v <= 0 || v > Int.MaxValue) -1 else v.toInt
+  }
+
+  private def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
+    off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
+      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+}
+
+/** `audio_meta(payload)` → struct<mime string, channels int, sample_rate
+  * int, bits int, n_frames bigint>, null for unrecognized payloads — see
+  * [[AudioHeader]]. */
+case class AudioMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"audio_meta expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioHeader.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("audioMeta")
+      s"""
+         |InternalRow $out = graft.functions.AudioHeader.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioMetaExpr {
+  /** Column-level entry point. */
+  def audio_meta(payload: Column): Column =
+    ColumnShim.column(AudioMetaExpr(ColumnShim.expression(payload)))
+
+  /** SQL registration on an existing session (production wiring goes
+    * through [[graft.plans.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_meta", exprs => {
+        require(exprs.length == 1,
+          s"audio_meta requires exactly 1 argument, got ${exprs.length}")
+        AudioMetaExpr(exprs.head)
+      }, "built-in")
+}

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level VIDEO-container header parser — the video leg of the E5
+  * multimodal pipeline (SURVEY §2.4), completing the image
+  * ([[ImageHeader]]) / audio ([[AudioHeader]]) / video triple. Frame
+  * decoding needs a codec; presentation metadata does not — it lives in
+  * the MP4 movie header, published in ISO/IEC 14496-12 (ISO BMFF):
+  *
+  *  - The file is a tree of boxes: u32 big-endian size (1 → a u64
+  *    "largesize" follows; 0 → box extends to EOF), 4-char type, payload.
+  *  - The top-level walk finds "moov"; its children are walked for "mvhd"
+  *    (movie header: version u8 — v0 has u32 create/modify/duration, v1
+  *    u64 — then timescale u32 and duration in timescale units) and the
+  *    "trak" boxes (one per track), which are counted, not descended.
+  *
+  * Both mvhd versions must be handled — they move the timescale field.
+  * Anything unrecognized, truncated mid-box, or torn (a child box
+  * overrunning its parent's extent) yields NULL, never a guess. One
+  * codegen'd call per row; bytes are read in place. */
+object VideoHeader {
+
+  /** Parse (mime, timescale, duration, duration_ms, n_tracks) from MP4
+    * header bytes; null if not a recognized, intact movie header. */
+  def compute(b: Array[Byte]): InternalRow = {
+    val r = parse(b)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r._1), r._2, r._3, r._4, r._5))
+  }
+
+  /** JVM-facing form for Dataset/mapPartitions callers. */
+  def parse(b: Array[Byte]): (String, Int, Long, Long, Int) = {
+    if (b == null || b.length < 16) return null
+    // an ISO BMFF file opens with an ftyp box (the brand declaration)
+    if (!fourcc(b, 4, "ftyp")) return null
+    var off = 0
+    while (off + 8 <= b.length) {
+      val size = boxSize(b, off)
+      if (size < 0) return null
+      if (fourcc(b, off + 4, "moov")) {
+        val end = off + size
+        if (end > b.length) return null // moov torn: don't scan a lie
+        return parseMoov(b, off + headerLen(b, off), end)
+      }
+      off += size
+    }
+    null
+  }
+
+  private def parseMoov(b: Array[Byte], start: Int, end: Int): (String, Int, Long, Long, Int) = {
+    var off = start
+    var timescale = -1; var duration = -1L; var tracks = 0
+    while (off + 8 <= end) {
+      val size = boxSize(b, off)
+      if (size < 0 || off + size > end) return null // child overruns parent
+      if (fourcc(b, off + 4, "mvhd")) {
+        val p = off + headerLen(b, off)
+        if (p + 4 > end) return null
+        val version = b(p) & 0xFF
+        if (version == 0) {
+          // verflags(4) + ctime(4) + mtime(4) + timescale(4) + duration(4)
+          if (p + 20 > end) return null
+          timescale = be32(b, p + 12)
+          duration = be32(b, p + 16) & 0xFFFFFFFFL
+        } else if (version == 1) {
+          // verflags(4) + ctime(8) + mtime(8) + timescale(4) + duration(8)
+          if (p + 32 > end) return null
+          timescale = be32(b, p + 20)
+          duration = be64(b, p + 24)
+        } else return null
+      } else if (fourcc(b, off + 4, "trak")) {
+        tracks += 1
+      }
+      off += size
+    }
+    if (timescale <= 0 || duration < 0) return null
+    if (duration > Long.MaxValue / 1000L) return null // ms form would overflow
+    ("video/mp4", timescale, duration, duration * 1000L / timescale, tracks)
+  }
+
+  /** Total box length at off, or -1 if unparseable. Handles the size==1
+    * (64-bit largesize) and size==0 (to end-of-buffer) forms. */
+  private def boxSize(b: Array[Byte], off: Int): Int = {
+    val s = be32(b, off) & 0xFFFFFFFFL
+    if (s == 0L) b.length - off // last box: extends to EOF
+    else if (s == 1L) {
+      if (off + 16 > b.length) return -1
+      val ls = be64(b, off + 8)
+      if (ls < 16 || ls > Int.MaxValue) -1 else ls.toInt
+    } else if (s < 8 || s > Int.MaxValue) -1
+    else s.toInt
+  }
+
+  private def headerLen(b: Array[Byte], off: Int): Int =
+    if ((be32(b, off) & 0xFFFFFFFFL) == 1L) 16 else 8
+
+  private def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
+    off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
+      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xFFFFFFFFL) << 32) | (be32(b, i + 4) & 0xFFFFFFFFL)
+}
+
+/** `video_meta(payload)` → struct<mime string, timescale int, duration
+  * bigint, duration_ms bigint, n_tracks int>, null for unrecognized
+  * payloads — see [[VideoHeader]]. */
+case class VideoMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"video_meta expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoHeader.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("videoMeta")
+      s"""
+         |InternalRow $out = graft.functions.VideoHeader.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoMetaExpr {
+  /** Column-level entry point. */
+  def video_meta(payload: Column): Column =
+    ColumnShim.column(VideoMetaExpr(ColumnShim.expression(payload)))
+
+  /** SQL registration on an existing session (production wiring goes
+    * through [[graft.plans.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "video_meta", exprs => {
+        require(exprs.length == 1,
+          s"video_meta requires exactly 1 argument, got ${exprs.length}")
+        VideoMetaExpr(exprs.head)
+      }, "built-in")
+}

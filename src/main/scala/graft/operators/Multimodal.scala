@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with a typed metadata struct, plus per-partition
   * decode / feature-extract / frame-sample stages.
   *
-  * The decode step is REAL for image containers: width/height/type parse
-  * from PNG/JPEG/GIF header bytes via [[graft.functions.ImageHeader]] (the
-  * formats' published layouts — no codec library needed for container
-  * metadata). PIXEL decoding and feature extraction remain STUBBED with a
-  * deterministic fake ([[FakeCodec]]) — the container has no image/audio
-  * libraries. Swap [[FakeCodec]] for a real decoder (JNI/FFI) without
-  * touching the dataflow.
+  * The decode step is REAL for all three container families: image
+  * width/height/type from PNG/JPEG/GIF bytes
+  * ([[graft.functions.ImageHeader]]), audio stream parameters from
+  * WAV/AIFF bytes ([[graft.functions.AudioHeader]]), and video
+  * presentation metadata from MP4/ISO-BMFF bytes
+  * ([[graft.functions.VideoHeader]]) — the formats' published layouts; no
+  * codec library is needed for container metadata. PIXEL/SAMPLE decoding
+  * and feature extraction remain STUBBED with a deterministic fake
+  * ([[FakeCodec]]) — the container has no media libraries. Swap
+  * [[FakeCodec]] for a real decoder (JNI/FFI) without touching the
+  * dataflow.
   */
 object Multimodal {
 
@@ -83,6 +87,103 @@ object Multimodal {
     val gif = concat(lit("474946383961"), le(w), le(h), lit("F70000"))
     docs.select(id.as("doc_id"),
       unhex(when(id % 3 === 0, png).when(id % 3 === 1, jpg).otherwise(gif))
+        .as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic AUDIO corpus, the audio twin of
+    * [[syntheticImageCorpus]]: per doc, a spec-valid WAV (even doc_id,
+    * little-endian RIFF) or AIFF (odd doc_id, big-endian, sample rate as an
+    * 80-bit extended float) file whose planted stream parameters are plain
+    * arithmetic over doc_id — channels = id%3+1, rate by id%4 from
+    * {8000,16000,22050,44100}, bits = 8 or 16 by (id/2)%2, frames =
+    * id%50+1 — with real zeroed sample bytes and, every 5th doc, a JUNK /
+    * ANNO chunk planted before the format chunk so the parser's chunk WALK
+    * (not a fixed offset) is what the oracle certifies. Any endianness,
+    * offset, padding, or extended-float error in
+    * [[graft.functions.AudioHeader]] hash-mismatches against the
+    * arithmetic oracle. Codegen projection, shuffle-free. */
+  def syntheticAudioCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def b16 = (v: Column) => lpad(hex(v), 4, "0")
+    def b32 = (v: Column) => lpad(hex(v), 8, "0")
+    def l16 = (v: Column) => concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(255)), 2, "0"))
+    def l32 = (v: Column) => concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 16).bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 24).bitwiseAND(255)), 2, "0"))
+    val channels = id % 3 + 1
+    val rate = when(id % 4 === 0, 8000).when(id % 4 === 1, 16000)
+      .when(id % 4 === 2, 22050).otherwise(44100)
+    val bits = lit(8) + shiftright(id, 1).mod(2) * 8
+    val frames = id % 50 + 1
+    val blockAlign = (channels * bits / 8).cast("long") // exact: 8|ch*bits
+    val dataSize = frames * blockAlign
+    val zeros = call_function("repeat", lit("00"), dataSize.cast("int"))
+    val extra = id % 5 === 0 // plant a skippable chunk before the fmt/COMM
+    // WAV: RIFF/WAVE + [JUNK] + fmt(16: PCM, ch, rate, byteRate, align,
+    // bits) + data
+    val wavJunk = when(extra, lit("4A554E4B" + "04000000" + "DEADBEEF")).otherwise("")
+    val riffSize = lit(4) + when(extra, 12).otherwise(0) + 24 + 8 + dataSize
+    val wav = concat(lit("52494646"), l32(riffSize), lit("57415645"), wavJunk,
+      lit("666D7420" + "10000000" + "0100"), l16(channels), l32(rate),
+      l32(rate * blockAlign), l16(blockAlign), l16(bits),
+      lit("64617461"), l32(dataSize), zeros)
+    // AIFF: FORM/AIFF + [ANNO] + COMM(18: ch, frames, bits, 80-bit rate) +
+    // SSND(offset 0, blockSize 0, data)
+    val ext80 = when(id % 4 === 0, "400BFA00000000000000")
+      .when(id % 4 === 1, "400CFA00000000000000")
+      .when(id % 4 === 2, "400DAC44000000000000")
+      .otherwise("400EAC44000000000000")
+    val aiffAnno = when(extra, lit("414E4E4F" + "00000004" + "74657374")).otherwise("")
+    val formSize = lit(4) + when(extra, 12).otherwise(0) + 26 + 16 + dataSize
+    val aiff = concat(lit("464F524D"), b32(formSize), lit("41494646"), aiffAnno,
+      lit("434F4D4D" + "00000012"), b16(channels), b32(frames), b16(bits),
+      ext80, lit("53534E44"), b32(dataSize + 8),
+      lit("00000000" + "00000000"), zeros)
+    docs.select(id.as("doc_id"),
+      unhex(when(id % 2 === 0, wav).otherwise(aiff)).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic VIDEO corpus, completing the image/audio/video triple:
+    * per doc, a spec-valid ISO BMFF (MP4) header — ftyp, every 5th doc a
+    * skippable free box, then moov containing an mvhd whose VERSION
+    * alternates by doc_id (v0: u32 times/duration; v1: u64 — the version
+    * moves the timescale field, so both layouts are certified) and
+    * n_tracks empty trak boxes. Planted params are plain arithmetic over
+    * doc_id — timescale by id%3 from {600,1000,90000}, duration units =
+    * id%100000+1, tracks = id%4+1 — so the DuckDB oracle certifies the
+    * real box walk + both mvhd layouts; any size/offset/version error
+    * hash-mismatches. Codegen projection, shuffle-free. */
+  def syntheticVideoCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def b32 = (v: Column) => lpad(hex(v), 8, "0")
+    def b64 = (v: Column) => lpad(hex(v), 16, "0")
+    val timescale = when(id % 3 === 0, 600).when(id % 3 === 1, 1000).otherwise(90000)
+    val duration = id % 100000 + 1
+    val nTracks = (id % 4 + 1).cast("int")
+    val zeros80 = "00" * 80
+    // mvhd v0 (108 B): verflags 0, ctime/mtime u32, timescale, duration u32
+    val mvhdV0 = concat(lit("0000006C" + "6D766864" + "00000000" +
+      "00000000" + "00000000"), b32(timescale), b32(duration), lit(zeros80))
+    // mvhd v1 (120 B): verflags 0x01000000, ctime/mtime u64, duration u64
+    val mvhdV1 = concat(lit("00000078" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000"), b32(timescale), b64(duration),
+      lit(zeros80))
+    val mvhd = when(id % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val mvhdSize = when(id % 2 === 0, 108).otherwise(120)
+    // n empty trak boxes (8 B each): counted by the walk, not descended
+    val traks = call_function("repeat", lit("00000008" + "7472616B"), nTracks)
+    val moovSize = lit(8) + mvhdSize + nTracks * 8
+    val free = when(id % 5 === 0, lit("0000000C" + "66726565" + "DEADBEEF"))
+      .otherwise("")
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    docs.select(id.as("doc_id"),
+      unhex(concat(lit(ftyp), free, b32(moovSize), lit("6D6F6F76"), mvhd, traks))
         .as("payload"),
       lit("application/octet-stream").as("mime"))
   }

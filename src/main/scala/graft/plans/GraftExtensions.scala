@@ -146,5 +146,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"image_dims requires exactly 1 argument, got ${exprs.length}")
         graft.functions.ImageDimsExpr(exprs.head)
       }))
+    ext.injectFunction(fn("audio_meta",
+      classOf[graft.functions.AudioMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"audio_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.AudioMetaExpr(exprs.head)
+      }))
+    ext.injectFunction(fn("video_meta",
+      classOf[graft.functions.VideoMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"video_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.VideoMetaExpr(exprs.head)
+      }))
   }
 }

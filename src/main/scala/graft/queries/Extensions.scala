@@ -341,6 +341,43 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime, CAST(doc_id % 640 + 1 AS INTEGER) AS width, CAST(doc_id % 480 + 1 AS INTEGER) AS height FROM documents ORDER BY doc_id""")),
 
+    // E5 — REAL audio decode, the audio twin of qe5c: WAV (little-endian
+    // RIFF chunk walk) and AIFF (big-endian, 80-bit extended-float sample
+    // rate) headers parsed byte-level ([[graft.functions.AudioHeader]],
+    // codegen'd). The corpus plants stream parameters arithmetically
+    // derivable from doc_id inside spec-valid container bytes (with
+    // skippable JUNK/ANNO chunks every 5th doc), so the oracle certifies
+    // the actual parse: wrong endianness, chunk-walk offset, padding rule,
+    // or extended-float decode → hash mismatch.
+    ("qe5d_audio_meta", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticAudioCorpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.AudioMetaExpr.audio_meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'audio/aiff' END AS mime, CAST(doc_id % 3 + 1 AS INTEGER) AS channels, CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate, CAST(8 + ((doc_id // 2) % 2) * 8 AS INTEGER) AS bits, CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""")),
+
+    // E5 — REAL video decode, completing the image/audio/video triple:
+    // MP4/ISO-BMFF box walk to moov/mvhd ([[graft.functions.VideoHeader]],
+    // codegen'd), with the mvhd VERSION alternating per doc so both the v0
+    // (u32) and v1 (u64) field layouts are driver-certified, plus a trak
+    // count from the moov child walk. Planted params are arithmetic over
+    // doc_id; any box-size, offset, or version-layout error → hash
+    // mismatch.
+    ("qe5e_video_meta", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticVideoCorpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.VideoMetaExpr.video_meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'video/mp4' AS mime, CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INTEGER) AS timescale, CAST(doc_id % 100000 + 1 AS BIGINT) AS duration, CAST((doc_id % 100000 + 1) * 1000 // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS duration_ms, CAST(doc_id % 4 + 1 AS INTEGER) AS n_tracks FROM documents ORDER BY doc_id""")),
+
     // Decontamination — corpus docs sharing any word 5-gram with the
     // benchmark subset (doc_id % 19 = 3 stands in for an eval suite);
     // benchmark shingles broadcast, corpus side never shuffles for the probe
