@@ -76,8 +76,10 @@ object AudioHeader {
       } else if (fourcc(b, off, "data")) {
         dataSize = size
       }
-      if (size > Int.MaxValue - 16L) return null // declared size can't be walked
-      off += 8 + size.toInt + (size.toInt & 1)
+      // advance in Long space: a near-u32-max declared size must end the
+      // walk, not wrap Int into a negative index
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0)
       return null
@@ -99,8 +101,8 @@ object AudioHeader {
         if (channels <= 0 || bits <= 0 || rate <= 0) return null
         return ("audio/aiff", channels, rate, bits, frames)
       }
-      if (size > Int.MaxValue - 16L) return null
-      off += 8 + size.toInt + (size.toInt & 1)
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
     }
     null
   }

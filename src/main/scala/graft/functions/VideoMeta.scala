@@ -48,10 +48,13 @@ object VideoHeader {
       val size = boxSize(b, off)
       if (size < 0) return null
       if (fourcc(b, off + 4, "moov")) {
-        val end = off + size
+        val end = off.toLong + size
         if (end > b.length) return null // moov torn: don't scan a lie
-        return parseMoov(b, off + headerLen(b, off), end)
+        return parseMoov(b, off + headerLen(b, off), end.toInt)
       }
+      // Long-space advance: a near-Int-max size must end the walk (no
+      // moov found), not wrap into a negative index
+      if (off.toLong + size > b.length) return null
       off += size
     }
     null
@@ -62,7 +65,7 @@ object VideoHeader {
     var timescale = -1; var duration = -1L; var tracks = 0
     while (off + 8 <= end) {
       val size = boxSize(b, off)
-      if (size < 0 || off + size > end) return null // child overruns parent
+      if (size < 0 || off.toLong + size > end) return null // child overruns parent
       if (fourcc(b, off + 4, "mvhd")) {
         val p = off + headerLen(b, off)
         if (p + 4 > end) return null
