@@ -71,6 +71,13 @@ object Multimodal {
     * error hash-mismatches. Codegen projection, shuffle-free. */
   def syntheticImageCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
+    docs.select(id.as("doc_id"), unhex(imagePayloadHex(id)).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Hex string of the planted image container for one doc_id — shared by
+    * [[syntheticImageCorpus]] and [[mixedMediaCorpus]]. */
+  private[operators] def imagePayloadHex(id: Column): Column = {
     val w = id % 640 + 1
     val h = id % 480 + 1
     val w4 = lpad(hex(w), 4, "0"); val h4 = lpad(hex(h), 4, "0")
@@ -85,10 +92,7 @@ object Multimodal {
       h4, w4, lit("03011100021101031101FFD9"))
     // "GIF89a" + logical-screen W/H (little-endian) + GCT flags/bg/aspect
     val gif = concat(lit("474946383961"), le(w), le(h), lit("F70000"))
-    docs.select(id.as("doc_id"),
-      unhex(when(id % 3 === 0, png).when(id % 3 === 1, jpg).otherwise(gif))
-        .as("payload"),
-      lit("application/octet-stream").as("mime"))
+    when(id % 3 === 0, png).when(id % 3 === 1, jpg).otherwise(gif)
   }
 
   /** Deterministic AUDIO corpus, the audio twin of
@@ -105,6 +109,13 @@ object Multimodal {
     * arithmetic oracle. Codegen projection, shuffle-free. */
   def syntheticAudioCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
+    docs.select(id.as("doc_id"), unhex(audioPayloadHex(id)).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Hex string of the planted audio container for one doc_id — shared by
+    * [[syntheticAudioCorpus]] and [[mixedMediaCorpus]]. */
+  private[operators] def audioPayloadHex(id: Column): Column = {
     def b16 = (v: Column) => lpad(hex(v), 4, "0")
     def b32 = (v: Column) => lpad(hex(v), 8, "0")
     def l16 = (v: Column) => concat(
@@ -144,9 +155,7 @@ object Multimodal {
       lit("434F4D4D" + "00000012"), b16(channels), b32(frames), b16(bits),
       ext80, lit("53534E44"), b32(dataSize + 8),
       lit("00000000" + "00000000"), zeros)
-    docs.select(id.as("doc_id"),
-      unhex(when(id % 2 === 0, wav).otherwise(aiff)).as("payload"),
-      lit("application/octet-stream").as("mime"))
+    when(id % 2 === 0, wav).otherwise(aiff)
   }
 
   /** Deterministic VIDEO corpus, completing the image/audio/video triple:
@@ -161,6 +170,13 @@ object Multimodal {
     * hash-mismatches. Codegen projection, shuffle-free. */
   def syntheticVideoCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
+    docs.select(id.as("doc_id"), unhex(videoPayloadHex(id)).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Hex string of the planted video container for one doc_id — shared by
+    * [[syntheticVideoCorpus]] and [[mixedMediaCorpus]]. */
+  private[operators] def videoPayloadHex(id: Column): Column = {
     def b32 = (v: Column) => lpad(hex(v), 8, "0")
     def b64 = (v: Column) => lpad(hex(v), 16, "0")
     val timescale = when(id % 3 === 0, 600).when(id % 3 === 1, 1000).otherwise(90000)
@@ -182,10 +198,49 @@ object Multimodal {
     val free = when(id % 5 === 0, lit("0000000C" + "66726565" + "DEADBEEF"))
       .otherwise("")
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    concat(lit(ftyp), free, b32(moovSize), lit("6D6F6F76"), mvhd, traks)
+  }
+
+  /** MIXED media corpus: the family rotates by (doc_id/3)%3 —
+    * image/audio/video — deliberately decoupled from each family's
+    * internal format selectors (id%3 for png/jpeg/gif, id%2 for wav/aiff
+    * and mvhd v0/v1) so every (family, sub-format) combination occurs.
+    * The ingest-dispatch input [[mediaTriage]] is certified on. */
+  def mixedMediaCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val family = floor(id / 3) % 3
     docs.select(id.as("doc_id"),
-      unhex(concat(lit(ftyp), free, b32(moovSize), lit("6D6F6F76"), mvhd, traks))
-        .as("payload"),
+      unhex(when(family === 0, imagePayloadHex(id))
+        .when(family === 1, audioPayloadHex(id))
+        .otherwise(videoPayloadHex(id))).as("payload"),
       lit("application/octet-stream").as("mime"))
+  }
+
+  /** Ingest triage: route a mixed binary column by what its bytes
+    * actually are — ONE codegen'd projection running all three container
+    * parsers, emitting the detected kind plus the family-specific
+    * metadata a downstream curation gate filters on (nulls for the
+    * others). This is the first stage of any multimodal ingest at 100 TB:
+    * stateless, shuffle-free, and identical in batch and streaming (the
+    * replay==batch equivalence is test-asserted). Unrecognized payloads
+    * surface as kind='unknown' rather than being dropped — the
+    * dead-letter decision belongs to the caller (T11 pattern). */
+  def mediaTriage(media: DataFrame): DataFrame = {
+    val img = graft.functions.ImageDimsExpr.image_dims(col("payload"))
+    val aud = graft.functions.AudioMetaExpr.audio_meta(col("payload"))
+    val vid = graft.functions.VideoMetaExpr.video_meta(col("payload"))
+    media
+      .withColumn("__img", img).withColumn("__aud", aud).withColumn("__vid", vid)
+      .select(col("doc_id"),
+        when(col("__img").isNotNull, "image")
+          .when(col("__aud").isNotNull, "audio")
+          .when(col("__vid").isNotNull, "video")
+          .otherwise("unknown").as("kind"),
+        coalesce(col("__img.mime"), col("__aud.mime"), col("__vid.mime"))
+          .as("mime"),
+        col("__img.width").as("width"), col("__img.height").as("height"),
+        col("__aud.sample_rate").as("sample_rate"),
+        col("__vid.duration_ms").as("duration_ms"))
   }
 
   /** Decode stage: mapPartitions so a real codec amortizes per-partition

@@ -378,6 +378,18 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, 'video/mp4' AS mime, CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INTEGER) AS timescale, CAST(doc_id % 100000 + 1 AS BIGINT) AS duration, CAST((doc_id % 100000 + 1) * 1000 // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS duration_ms, CAST(doc_id % 4 + 1 AS INTEGER) AS n_tracks FROM documents ORDER BY doc_id""")),
 
+    // E5 — media triage: route a MIXED binary column by what its bytes
+    // actually are (one projection running all three real container
+    // parsers; family planted by (doc_id/3)%3, deliberately decoupled
+    // from each family's internal format selector so every combination
+    // occurs). The ingest-dispatch stage of a multimodal pipeline —
+    // stateless, shuffle-free; streaming twin test-asserted.
+    ("qe5f_media_triage", (s: SparkSession, d: String) => {
+      Multimodal.mediaTriage(
+          Multimodal.mixedMediaCorpus(Engine.Tables(s, d).documents))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CASE (doc_id // 3) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CASE (doc_id // 3) % 3 WHEN 0 THEN (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END) WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'audio/aiff' END) ELSE 'video/mp4' END AS mime, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 640 + 1 END AS INTEGER) AS width, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 480 + 1 END AS INTEGER) AS height, CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) END AS INTEGER) AS sample_rate, CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN (doc_id % 100000 + 1) * 1000 // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) END AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
+
     // Decontamination — corpus docs sharing any word 5-gram with the
     // benchmark subset (doc_id % 19 = 3 stands in for an eval suite);
     // benchmark shingles broadcast, corpus side never shuffles for the probe

@@ -1055,6 +1055,35 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming media triage replay == batch (stateless triple-parser projection)") {
+    // the multimodal ingest-dispatch stage: identical kind/metadata rows
+    // whether the mixed corpus arrives as a table or as micro-batches
+    val media = graft.operators.Multimodal.mixedMediaCorpus(
+      Engine.Tables(spark, Sf0001).documents).select("doc_id", "payload", "mime")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+      Option(r.get(6)))
+    val want = graft.operators.Multimodal.mediaTriage(media).collect().map(key).toSet
+    assert(want.nonEmpty && want.exists(_._2 == "image") &&
+      want.exists(_._2 == "audio") && want.exists(_._2 == "video"))
+
+    val input = MemoryStream[(Long, Array[Byte], String)](spark)
+    val q = graft.operators.Multimodal.mediaTriage(
+        input.toDF().toDF("doc_id", "payload", "mime"))
+      .writeStream.format("memory").queryName("t_triage")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = media.collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_triage").collect().map(key).toSet
+      assert(got == want,
+        s"stream triage diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming drift card against a frozen vocab == batch (bounded sources x k state)") {
     val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "source", "text")
     val vocab = graft.operators.TextAnalysis.vocabFit(docs, 100).localCheckpoint()
