@@ -158,5 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"video_meta requires exactly 1 argument, got ${exprs.length}")
         graft.functions.VideoMetaExpr(exprs.head)
       }))
+    ext.injectFunction(fn("utf8_stats",
+      classOf[graft.functions.Utf8StatsExpr], exprs => {
+        require(exprs.length == 1,
+          s"utf8_stats requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.Utf8StatsExpr(exprs.head)
+      }))
   }
 }

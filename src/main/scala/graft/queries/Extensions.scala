@@ -390,6 +390,30 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CASE (doc_id // 3) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CASE (doc_id // 3) % 3 WHEN 0 THEN (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END) WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'audio/aiff' END) ELSE 'video/mp4' END AS mime, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 640 + 1 END AS INTEGER) AS width, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 480 + 1 END AS INTEGER) AS height, CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) END AS INTEGER) AS sample_rate, CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN (doc_id % 100000 + 1) * 1000 // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) END AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // Encoding triage — byte-level UTF-8 validity scan (RFC 3629) over a
+    // corpus with planted mojibake: by doc_id%4, clean / trailing 0xFF
+    // bytes (invalid leads) / a leading lone continuation 0x80 / a
+    // truncated 2-byte lead 0xC3 at EOF. The injected byte counts are
+    // arithmetic over doc_id, so the oracle certifies the real RFC-range
+    // scan: any accept-range, resync, or counting error → hash mismatch.
+    // Shuffle-free one-pass kernel — the gate runs BEFORE bytes are
+    // trusted as strings.
+    ("qe59_utf8_triage", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val prefix = when(id % 4 === 2, unhex(lit("80"))).otherwise(unhex(lit("")))
+      val suffix = when(id % 4 === 1,
+          unhex(call_function("repeat", lit("FF"), (id % 3 + 1).cast("int"))))
+        .when(id % 4 === 3, unhex(lit("C3")))
+        .otherwise(unhex(lit("")))
+      val payload = concat(prefix, col("text").cast("binary"), suffix)
+      Engine.Tables(s, d).documents
+        .select(id, graft.functions.Utf8StatsExpr.utf8_stats(payload).as("u"))
+        .select(id, col("u.valid").as("valid"), col("u.n_bytes").as("n_bytes"),
+          col("u.n_chars").as("n_chars"), col("u.n_invalid").as("n_invalid"),
+          col("u.n_ascii").as("n_ascii"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, doc_id % 4 = 0 AS valid, CAST(octet_length(encode(text)) + (CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN doc_id % 3 + 1 WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END) AS INTEGER) AS n_bytes, CAST(length(text) AS INTEGER) AS n_chars, CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN doc_id % 3 + 1 WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS INTEGER) AS n_invalid, CAST(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS INTEGER) AS n_ascii FROM documents ORDER BY doc_id""")),
+
     // Decontamination — corpus docs sharing any word 5-gram with the
     // benchmark subset (doc_id % 19 = 3 stands in for an eval suite);
     // benchmark shingles broadcast, corpus side never shuffles for the probe
