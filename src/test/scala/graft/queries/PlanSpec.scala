@@ -73,6 +73,28 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"interpreted expressions in the ANN hot path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
+  test("byte-level parser queries run fully codegen'd, one shuffle (the oracle sort)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    Seq("qe5c_image_dims", "qe5d_audio_meta", "qe5e_video_meta",
+      "qe5f_media_triage", "qe59_utf8_triage").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, Sf0001)
+      df.collect() // finalize the adaptive plan in place
+      val plan = planOf(df)
+      val fallbacks = collect(plan) { case p =>
+        p.expressions.flatMap(_.collect { case e: CodegenFallback => e })
+      }.flatten
+      assert(fallbacks.isEmpty, s"$q: interpreted expressions in the ingest " +
+        s"hot path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+      // the construction + parse is a pure projection over the scan; the
+      // ONLY exchange is the rangepartitioning the oracle's total ORDER BY
+      // demands (absent at production scale, where output stays unsorted)
+      val exchanges = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+      assert(exchanges.size <= 1,
+        s"$q: expected at most the oracle-sort exchange, got ${exchanges.size}")
+    }
+  }
+
   test("qe7b blocked near-dup plans equi-joins only — no BroadcastNestedLoopJoin") {
     val df = graft.SparkEntry.queries("qe7b_embed_neardup_blocked")(spark, Sf0001)
     df.collect() // finalize the adaptive plan in place
