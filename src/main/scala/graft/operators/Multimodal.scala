@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   * WAV/AIFF bytes ([[graft.functions.AudioHeader]]), and video
   * presentation metadata from MP4/ISO-BMFF bytes
   * ([[graft.functions.VideoHeader]]) — the formats' published layouts; no
-  * codec library is needed for container metadata. PIXEL/SAMPLE decoding
-  * and feature extraction remain STUBBED with a deterministic fake
-  * ([[FakeCodec]]) — the container has no media libraries. Swap
-  * [[FakeCodec]] for a real decoder (JNI/FFI) without touching the
-  * dataflow.
+  * codec library is needed for container metadata. PIXEL decode, feature
+  * extraction, and resize are REAL for images too, via the JDK's built-in
+  * ImageIO ([[JdkImageCodec]]). Only audio SAMPLE and video FRAME decode
+  * remain stubbed ([[FakeCodec]]) — the JVM ships no decoder for those;
+  * swap in a real one (JNI/FFI) without touching the dataflow.
   */
 object Multimodal {
 
@@ -51,6 +51,66 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val len = math.max(1, payload.length / math.max(1, n))
       (0 until n).map(i => payload.slice(i * len, math.min(payload.length, (i + 1) * len)))
+    }
+  }
+
+  /** REAL pixel codec for image payloads, built on the JDK's own ImageIO
+    * (ships with every JVM — no external library): full decode including
+    * IDAT/entropy data, real per-channel pixel statistics as the feature
+    * vector, and real area-averaged resize re-encoded as PNG. Audio
+    * samples and video frames stay with [[FakeCodec]] — the JDK carries
+    * no decoder for those — so the stub boundary is now exactly "formats
+    * no JVM runtime can decode", not "we didn't implement it". */
+  object JdkImageCodec {
+    /** Decoded pixels, or null if ImageIO has no reader for these bytes
+      * (or the stream is torn mid-IDAT — header-only fixtures land here
+      * and fall back to the header parse + FakeCodec features). */
+    def read(payload: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+
+    /** Real feature vector from pixels: dim/4 luminance-histogram buckets
+      * + mean R, G, B, and luminance — deterministic given the pixels,
+      * independent of container byte layout (the same image encoded as
+      * PNG or BMP featurizes identically, which the byte-stride fake
+      * cannot claim). */
+    def features(img: java.awt.image.BufferedImage, dim: Int = 8): Array[Float] = {
+      val hBuckets = math.max(1, dim - 4)
+      val out = new Array[Float](dim)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          out(math.min(hBuckets - 1, lum * hBuckets / 256)) += 1f
+          out(hBuckets) += r; out(hBuckets + 1) += g
+          out(hBuckets + 2) += b; out(hBuckets + 3) += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { out(i) /= n; i += 1 }
+      out
+    }
+
+    /** Real resize: area-averaging scale, re-encoded as PNG (lossless, so
+      * decode(resize(x)).dims == target exactly). */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+        0, 0, null)
+      finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
     }
   }
 
@@ -255,12 +315,18 @@ object Multimodal {
       // per-partition codec init would go here
       it.map { r =>
         // REAL container-header parse first (PNG/JPEG/GIF dims + detected
-        // mime); the deterministic fake only backstops payloads that are
-        // not recognizable images, keeping their declared mime
-        val real = graft.functions.ImageHeader.parse(r.payload)
-        if (real != null)
-          DecodedRow(r.doc_id, real._1, r.payload.length.toLong,
-            real._2, real._3, 1, FakeCodec.features(r.payload))
+        // mime). If the JDK's ImageIO can decode the full pixel stream,
+        // features come from REAL pixel statistics; a header-only stream
+        // keeps the header dims with pseudo features; anything else falls
+        // to the deterministic fake, keeping its declared mime.
+        val hdr = graft.functions.ImageHeader.parse(r.payload)
+        val img = if (hdr != null) JdkImageCodec.read(r.payload) else null
+        if (img != null)
+          DecodedRow(r.doc_id, hdr._1, r.payload.length.toLong,
+            img.getWidth, img.getHeight, 1, JdkImageCodec.features(img))
+        else if (hdr != null)
+          DecodedRow(r.doc_id, hdr._1, r.payload.length.toLong,
+            hdr._2, hdr._3, 1, FakeCodec.features(r.payload))
         else {
           val m = FakeCodec.decode(r.payload)
           DecodedRow(r.doc_id, r.mime, r.payload.length.toLong,
@@ -270,13 +336,20 @@ object Multimodal {
     }
   }
 
-  /** Resize stage: per-partition like decode; emits resized payloads with
-    * recorded target dims. */
+  /** Resize stage: per-partition like decode. Decodable images get a REAL
+    * area-averaged rescale re-encoded as PNG ([[JdkImageCodec]]);
+    * undecodable payloads keep the deterministic byte-stride fake. */
   def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("mime")).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.doc_id, FakeCodec.resize(r.payload, w, h), r.mime)))
+      .mapPartitions(_.map { r =>
+        val img = JdkImageCodec.read(r.payload)
+        val out =
+          if (img != null) JdkImageCodec.resize(img, w, h)
+          else FakeCodec.resize(r.payload, w, h)
+        MediaRow(r.doc_id, out, r.mime)
+      })
       .toDF()
       .withColumn("width", lit(w)).withColumn("height", lit(h))
   }
