@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.VideoHeader]]) — the formats' published layouts; no
   * codec library is needed for container metadata. PIXEL decode, feature
   * extraction, and resize are REAL for images too, via the JDK's built-in
-  * ImageIO ([[JdkImageCodec]]). Only audio SAMPLE and video FRAME decode
-  * remain stubbed ([[FakeCodec]]) — the JVM ships no decoder for those;
-  * swap in a real one (JNI/FFI) without touching the dataflow.
+  * ImageIO ([[JdkImageCodec]]); PCM audio SAMPLE decode is real via
+  * javax.sound ([[JdkAudioCodec]]). Only compressed-audio and video FRAME
+  * decode remain stubbed ([[FakeCodec]]) — the JVM ships no decoder for
+  * those; swap in a real one (JNI/FFI) without touching the dataflow.
   */
 object Multimodal {
 
@@ -25,6 +26,8 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   case class DecodedRow(doc_id: Long, mime: String, byteLen: Long,
                         width: Int, height: Int, nFrames: Int, feature: Array[Float])
+  case class AudioFeatRow(doc_id: Long, rms: Double, zero_crossings: Long,
+                          peak: Int, n_frames: Long)
 
   /** ==== STUB ==== deterministic fake codec standing in for libjpeg/ffmpeg.
     * Derives stable pseudo-metadata and a tiny pseudo-feature vector from
@@ -57,10 +60,11 @@ object Multimodal {
   /** REAL pixel codec for image payloads, built on the JDK's own ImageIO
     * (ships with every JVM — no external library): full decode including
     * IDAT/entropy data, real per-channel pixel statistics as the feature
-    * vector, and real area-averaged resize re-encoded as PNG. Audio
-    * samples and video frames stay with [[FakeCodec]] — the JDK carries
-    * no decoder for those — so the stub boundary is now exactly "formats
-    * no JVM runtime can decode", not "we didn't implement it". */
+    * vector, and real area-averaged resize re-encoded as PNG. PCM audio
+    * samples decode via [[JdkAudioCodec]] (javax.sound); only compressed
+    * audio and video frames stay with [[FakeCodec]] — the stub boundary
+    * is exactly "formats no JVM runtime can decode", not "we didn't
+    * implement it". */
   object JdkImageCodec {
     /** Decoded pixels, or null if ImageIO has no reader for these bytes
       * (or the stream is torn mid-IDAT — header-only fixtures land here
@@ -111,6 +115,59 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(scaled, "png", out)
       out.toByteArray
+    }
+  }
+
+  /** REAL sample codec for PCM audio payloads via the JDK's javax.sound
+    * (ships with every JVM): decodes WAV/AIFF/AU sample data — signed or
+    * unsigned, either endianness — and reduces it to the waveform
+    * statistics an audio-curation gate filters on. Compressed audio
+    * (MP3/AAC) and video frames remain the only stubbed decodes: the JVM
+    * ships no codec for those. */
+  object JdkAudioCodec {
+    /** (rms, zero_crossings, peak, n_frames) over channel-0 samples
+      * normalized to integer amplitude; null if javax.sound has no reader
+      * for these bytes or the stream is torn. */
+    def features(payload: Array[Byte]): (Double, Long, Int, Long) = {
+      import javax.sound.sampled._
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => return null }
+      try {
+        val f = ais.getFormat
+        val bytesPer = (f.getSampleSizeInBits + 7) / 8
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
+          f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) return null
+        val frameSize = f.getFrameSize
+        val raw = ais.readAllBytes()
+        if (frameSize <= 0 || raw.length % frameSize != 0) return null
+        val n = raw.length / frameSize
+        var sumSq = 0.0; var zc = 0L; var peak = 0; var prevSign = 0
+        val half = 1 << (f.getSampleSizeInBits - 1)
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize // channel 0 leads each frame
+          var v = 0
+          var j = 0
+          while (j < bytesPer) {
+            val b = raw(off + j) & 0xFF
+            // assemble per container order, then sign per encoding
+            v = if (f.isBigEndian) (v << 8) | b else v | (b << (8 * j))
+            j += 1
+          }
+          val s =
+            if (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - half
+            else if (v >= half) v - (half << 1) else v // sign-extend
+          sumSq += s.toDouble * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val sign = Integer.signum(s)
+          if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+          if (sign != 0) prevSign = sign
+          i += 1
+        }
+        (math.sqrt(sumSq / math.max(1, n)), zc, peak, n.toLong)
+      } catch { case _: Exception => null }
+      finally ais.close()
     }
   }
 
@@ -259,6 +316,57 @@ object Multimodal {
       .otherwise("")
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
     concat(lit(ftyp), free, b32(moovSize), lit("6D6F6F76"), mvhd, traks)
+  }
+
+  /** Deterministic TONE corpus for the real SAMPLE decode (qe5g): per
+    * doc, a spec-valid 8-bit unsigned mono WAV whose samples are a
+    * planted square wave — amplitude A = id%100+1 alternating 128±A for
+    * n_frames = 2·(id%25+1) — so the waveform statistics are EXACT
+    * arithmetic: rms = A (sqrt of an integer square), zero crossings =
+    * n_frames−1, peak = A. The DuckDB oracle thereby certifies the
+    * actual javax.sound sample decode (unsigned conversion, frame walk,
+    * statistics), not just the header parse. */
+  def syntheticToneCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def l16 = (v: Column) => concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(255)), 2, "0"))
+    def l32 = (v: Column) => concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 16).bitwiseAND(255)), 2, "0"),
+      lpad(hex(shiftright(v, 24).bitwiseAND(255)), 2, "0"))
+    val amp = id % 100 + 1
+    val half = id % 25 + 1 // n_frames = 2 * half
+    val frames = half * 2
+    val rate = when(id % 4 === 0, 8000).when(id % 4 === 1, 16000)
+      .when(id % 4 === 2, 22050).otherwise(44100)
+    val pattern = concat(lpad(hex(lit(128) + amp), 2, "0"),
+      lpad(hex(lit(128) - amp), 2, "0"))
+    val data = call_function("repeat", pattern, half.cast("int"))
+    val wav = concat(lit("52494646"), l32(lit(36) + frames), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100" + "0100"), l32(rate), l32(rate),
+      lit("0100" + "0800"), lit("64617461"), l32(frames), data)
+    docs.select(id.as("doc_id"), unhex(wav).as("payload"),
+      lit("audio/wav").as("mime"))
+  }
+
+  /** Waveform-statistics stage over PCM payloads — REAL sample decode via
+    * [[JdkAudioCodec]] (javax.sound), mapPartitions like [[decodeAll]] so
+    * a heavier codec would amortize per-partition init. Undecodable
+    * payloads drop out (the triage/dead-letter decision happens upstream
+    * in [[mediaTriage]]). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Option(JdkAudioCodec.features(p)).map { f =>
+          AudioFeatRow(id, f._1, f._2, f._3, f._4)
+        }
+      })
+      .toDF()
   }
 
   /** MIXED media corpus: the family rotates by (doc_id/3)%3 —

@@ -390,6 +390,19 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CASE (doc_id // 3) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CASE (doc_id // 3) % 3 WHEN 0 THEN (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END) WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'audio/aiff' END) ELSE 'video/mp4' END AS mime, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 640 + 1 END AS INTEGER) AS width, CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN doc_id % 480 + 1 END AS INTEGER) AS height, CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) END AS INTEGER) AS sample_rate, CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN (doc_id % 100000 + 1) * 1000 // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) END AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // E5 — REAL audio SAMPLE decode (javax.sound, JDK built-in): waveform
+    // statistics over a planted square-wave tone corpus whose rms / zero
+    // crossings / peak are exact arithmetic over doc_id, so the oracle
+    // certifies the actual PCM decode (unsigned conversion, frame walk,
+    // statistics) — not just the container header.
+    ("qe5g_audio_features", (s: SparkSession, d: String) => {
+      Multimodal.audioFeatures(
+          Multimodal.syntheticToneCorpus(Engine.Tables(s, d).documents))
+        .select(col("doc_id"), r4(col("rms")).as("rms"),
+          col("zero_crossings"), col("peak"), col("n_frames"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, ROUND(CAST(doc_id % 100 + 1 AS DOUBLE), 4) AS rms, CAST((doc_id % 25 + 1) * 2 - 1 AS BIGINT) AS zero_crossings, CAST(doc_id % 100 + 1 AS INTEGER) AS peak, CAST((doc_id % 25 + 1) * 2 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""")),
+
     // Encoding triage — byte-level UTF-8 validity scan (RFC 3629) over a
     // corpus with planted mojibake: by doc_id%4, clean / trailing 0xFF
     // bytes (invalid leads) / a leading lone continuation 0x80 / a
