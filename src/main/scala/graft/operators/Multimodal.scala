@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
 
 /** Multimodal-column plumbing (SURVEY.md §2.4 E5): image/audio/video as
   * opaque `binary` payloads with a typed metadata struct, plus per-partition
@@ -16,9 +17,11 @@ import org.apache.spark.sql.functions._
   * codec library is needed for container metadata. PIXEL decode, feature
   * extraction, and resize are REAL for images too, via the JDK's built-in
   * ImageIO ([[JdkImageCodec]]); PCM audio SAMPLE decode is real via
-  * javax.sound ([[JdkAudioCodec]]). Only compressed-audio and video FRAME
-  * decode remain stubbed ([[FakeCodec]]) — the JVM ships no decoder for
-  * those; swap in a real one (JNI/FFI) without touching the dataflow.
+  * javax.sound ([[JdkAudioCodec]]); video FRAME decode is real for
+  * Motion-JPEG AVI ([[MjpegAvi]] + ImageIO). Only compressed audio
+  * (MP3/AAC) and inter-frame video codecs (H.26x/VP9) remain stubbed
+  * ([[FakeCodec]]) — the JVM ships no decoder for those; swap in a real
+  * one (JNI/FFI) without touching the dataflow.
   */
 object Multimodal {
 
@@ -122,8 +125,9 @@ object Multimodal {
     * (ships with every JVM): decodes WAV/AIFF/AU sample data — signed or
     * unsigned, either endianness — and reduces it to the waveform
     * statistics an audio-curation gate filters on. Compressed audio
-    * (MP3/AAC) and video frames remain the only stubbed decodes: the JVM
-    * ships no codec for those. */
+    * (MP3/AAC) and inter-frame video codecs remain the only stubbed
+    * decodes: the JVM ships no codec for those (MJPEG-AVI frames decode
+    * for real via [[MjpegAvi]] + [[JdkImageCodec]]). */
   object JdkAudioCodec {
     /** (rms, zero_crossings, peak, n_frames) over channel-0 samples
       * normalized to integer amplitude; null if javax.sound has no reader
@@ -367,6 +371,125 @@ object Multimodal {
         }
       })
       .toDF()
+  }
+
+  /** Motion-JPEG-in-AVI: the one VIDEO format a bare JVM can fully
+    * decode — AVI is a RIFF container (same chunk grammar as WAV, OpenDMA
+    * / Microsoft AVI spec), and MJPEG frames are ordinary JPEG streams
+    * ImageIO reads. This closes the video-frame stub for real: only
+    * inter-frame codecs (H.26x/VP9/AV1) remain outside JVM reach. */
+  object MjpegAvi {
+
+    /** Build a spec-shaped MJPEG AVI: RIFF('AVI ' LIST('hdrl' stub)
+      * LIST('movi' '00dc'-chunks)) — the hdrl LIST is planted so the
+      * reader's chunk walk (not a fixed offset) is exercised. Each frame
+      * is a REAL ImageIO-encoded JPEG of a painted gradient. */
+    def build(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        b.write(id.getBytes("US-ASCII")); b.write(le32(payload.length))
+        b.write(payload)
+        if (payload.length % 2 == 1) b.write(0) // RIFF even padding
+        b.toByteArray
+      }
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+        chunk("avih", new Array[Byte](56))) // stub main header, correct size
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+      out.write(body)
+      out.toByteArray
+    }
+
+    /** Extract the movi frame payloads ('00dc'/'00db' chunks) from an
+      * MJPEG AVI via the RIFF walk; null if not an AVI, empty if no movi
+      * list. Walks in Long space like [[graft.functions.AudioHeader]]. */
+    def framePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
+      def le32(i: Int): Long =
+        ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
+          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      def cc(i: Int, t: String): Boolean =
+        i + 4 <= b.length && b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+          b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+      if (b == null || b.length < 12 || !cc(0, "RIFF") || !cc(8, "AVI ")) return null
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 12
+      while (off + 8 <= b.length) {
+        val size = le32(off + 4)
+        if (cc(off, "LIST") && off + 12 <= b.length && cc(off + 8, "movi")) {
+          val end = math.min(b.length.toLong, off + 8L + size)
+          var p = off + 12
+          while (p + 8 <= end) {
+            val fs = le32(p + 4)
+            if ((cc(p, "00dc") || cc(p, "00db")) && p + 8 + fs <= end)
+              frames += java.util.Arrays.copyOfRange(b, p + 8, p + 8 + fs.toInt)
+            val nxt = p.toLong + 8L + fs + (fs & 1L)
+            p = if (nxt > end) end.toInt else nxt.toInt
+          }
+        }
+        val next = off.toLong + 8L + size + (size & 1L)
+        off = if (next > b.length) b.length else next.toInt
+      }
+      frames.toSeq
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, width: Int, height: Int)
+
+  /** REAL video-frame decode: RIFF-walk the AVI, ImageIO-decode each
+    * MJPEG frame, emit one row per frame with its decoded dimensions.
+    * Per-partition like [[decodeAll]]; non-AVI payloads and undecodable
+    * frames drop out (triage upstream). */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Option(MjpegAvi.framePayloads(p)).toSeq.flatten.zipWithIndex.flatMap {
+          case (f, i) =>
+            Option(JdkImageCodec.read(f)).map(img =>
+              FrameRow(id, i.toLong, img.getWidth, img.getHeight))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic MJPEG-AVI corpus: per doc, n = id%5+1 real JPEG frames
+    * of a painted gradient at planted dims w = id%64+8, h = id%48+8 —
+    * JPEG is lossy in pixels but EXACT in dimensions, so the qe5h oracle
+    * certifies the whole chain (RIFF walk past the hdrl LIST, frame chunk
+    * extraction, actual JPEG decode) from arithmetic alone. Built per
+    * partition with ImageIO (a real encoder, not hex literals). */
+  def syntheticMjpegCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 64 + 8).toInt; val h = (id % 48 + 8).toInt
+      val n = (id % 5 + 1).toInt
+      val frames = (0 until n).map { i =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((x * 8 + i * 16) % 256) << 16 | (y * 8 % 256) << 8)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      }
+      (id, MjpegAvi.build(frames), "video/x-msvideo")
+    }).toDF("doc_id", "payload", "mime")
   }
 
   /** MIXED media corpus: the family rotates by (doc_id/3)%3 —

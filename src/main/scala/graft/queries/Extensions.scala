@@ -403,6 +403,18 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, ROUND(CAST(doc_id % 100 + 1 AS DOUBLE), 4) AS rms, CAST((doc_id % 25 + 1) * 2 - 1 AS BIGINT) AS zero_crossings, CAST(doc_id % 100 + 1 AS INTEGER) AS peak, CAST((doc_id % 25 + 1) * 2 AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""")),
 
+    // E5 — REAL video FRAME decode: Motion-JPEG in AVI, the one video
+    // format a bare JVM fully decodes (AVI = RIFF chunk grammar; MJPEG
+    // frames = ordinary JPEGs ImageIO reads). The corpus plants n real
+    // JPEG frames per doc at arithmetic dims; JPEG is lossy in pixels but
+    // EXACT in dimensions, so the oracle certifies the RIFF walk past the
+    // hdrl stub, the movi frame extraction, and the actual JPEG decode.
+    ("qe5h_video_frames", (s: SparkSession, d: String) => {
+      Multimodal.videoFrames(
+          Multimodal.syntheticMjpegCorpus(Engine.Tables(s, d).documents))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""SELECT doc_id, CAST(unnest(range(0, doc_id % 5 + 1)) AS BIGINT) AS frame_idx, CAST(doc_id % 64 + 8 AS INTEGER) AS width, CAST(doc_id % 48 + 8 AS INTEGER) AS height FROM documents ORDER BY doc_id, frame_idx""")),
+
     // Encoding triage — byte-level UTF-8 validity scan (RFC 3629) over a
     // corpus with planted mojibake: by doc_id%4, clean / trailing 0xFF
     // bytes (invalid leads) / a leading lone continuation 0x80 / a
