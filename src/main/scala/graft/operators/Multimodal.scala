@@ -69,6 +69,12 @@ object Multimodal {
     * is exactly "formats no JVM runtime can decode", not "we didn't
     * implement it". */
   object JdkImageCodec {
+    // ImageIO defaults to FileCacheImageInputStream for InputStream
+    // sources: every read/write churns a temp FILE on disk, serializing
+    // a 32-thread codec stage on filesystem I/O (measured 2x+ on the
+    // qe5h corpus). In-memory payloads never need the disk cache.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decoded pixels, or null if ImageIO has no reader for these bytes
       * (or the stream is torn mid-IDAT — header-only fixtures land here
       * and fall back to the header parse + FakeCodec features). */
@@ -469,7 +475,11 @@ object Multimodal {
   def syntheticMjpegCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // executor-side: force JdkImageCodec's init (ImageIO disk cache off)
+      // before the first ImageIO.write — encode churns temp files otherwise
+      JdkImageCodec
+      it.map { id =>
       val w = (id % 64 + 8).toInt; val h = (id % 48 + 8).toInt
       val n = (id % 5 + 1).toInt
       val frames = (0 until n).map { i =>
@@ -489,7 +499,7 @@ object Multimodal {
         out.toByteArray
       }
       (id, MjpegAvi.build(frames), "video/x-msvideo")
-    }).toDF("doc_id", "payload", "mime")
+    }}.toDF("doc_id", "payload", "mime")
   }
 
   /** MIXED media corpus: the family rotates by (doc_id/3)%3 —
