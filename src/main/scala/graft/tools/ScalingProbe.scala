@@ -59,11 +59,14 @@ object ScalingProbe {
           rot.as("embedding"), col("label"))
       }.reduce(_ unionByName _).localCheckpoint()
 
-    def time(df: DataFrame): Double = {
-      df.write.format("noop").mode("overwrite").save() // cold: codegen+JIT
+    // construction INSIDE the timed section (Bench's own shape): eager
+    // localCheckpoint fit/assign stages run at DataFrame construction,
+    // so timing a pre-built frame would silently exclude them
+    def time(mk: => DataFrame): Double = {
+      mk.write.format("noop").mode("overwrite").save() // cold: codegen+JIT
       (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        mk.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
     }
@@ -88,6 +91,14 @@ object ScalingProbe {
       val embTwin = time(Dedup.embeddingNearDupsBlocked(
         emb, "vec_id", "embedding", 0.8, dim = dim, nHint = ne))
       println(f"${"qe7_embed exact-vs-srp"}%-34s $m%3d $ne%8d $embAnchor%9.2f $embTwin%8.2f")
+
+      // the sound scale path at WIDE angles (threshold 0.45, where the
+      // SRP auto-sizer refuses): k-means cells, nlist scaled to hold
+      // ~250 vectors/cell so within-cell verify stays constant-quadratic
+      val semTwin = time(Dedup.semanticDedup(
+        emb, "vec_id", "embedding", 0.45,
+        nlist = math.max(8, (ne / 250).toInt), nHint = ne))
+      println(f"${"qe7c_semantic kmeans-cells@0.45"}%-34s $m%3d $ne%8d ${-1.0}%9.2f $semTwin%8.2f")
 
       val jacAnchor = if (m <= anchorMaxM)
         time(Dedup.jaccardPairs(docs, 3, 0.5)) else -1.0
