@@ -73,7 +73,10 @@ object Artifacts {
     * call — so every consumer plan is the true apply shape (a parquet scan,
     * no fit lineage). */
   def getOrFit(spark: SparkSession, kind: String, key: String,
-               fit: => DataFrame): DataFrame = {
+               fit: => DataFrame): DataFrame = getOrFit(spark, kind, key, fit, 0)
+
+  private def getOrFit(spark: SparkSession, kind: String, key: String,
+                       fit: => DataFrame, attempt: Int): DataFrame = {
     val dest = s"${root(spark)}/$kind/$key"
     val conf = spark.sessionState.newHadoopConf()
     val destPath = new org.apache.hadoop.fs.Path(dest)
@@ -87,7 +90,15 @@ object Artifacts {
           val tmp = new org.apache.hadoop.fs.Path(
             s"${root(spark)}/$kind/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}")
           fit.write.mode("overwrite").parquet(tmp.toString)
-          if (!fs.rename(tmp, destPath)) {
+          val renamed = fs.rename(tmp, destPath)
+          // Cross-JVM race, POSIX-rename semantics: the loser's rename
+          // returns false. HDFS semantics: rename(src, existingDir) can
+          // "succeed" by moving src INTO the winner's directory — detect
+          // that shape (our tmp nested under dest) and clean it up, else
+          // the losing fit leaks inside every contended artifact.
+          val nested = new org.apache.hadoop.fs.Path(destPath, tmp.getName)
+          if (renamed && fs.exists(nested)) fs.delete(nested, true)
+          else if (!renamed) {
             // a concurrent writer (other JVM) won the rename — use theirs
             fs.delete(tmp, true)
             require(ready, s"artifact $dest: rename failed and no winner present")
@@ -96,7 +107,15 @@ object Artifacts {
         }
       }
     }
-    spark.read.parquet(dest)
+    // ready-check → read is a TOCTOU window: a concurrent JVM's prune can
+    // drop this key between the two (only if the working set ever exceeds
+    // the prune bound). The schema read fails loudly then — refit once
+    // rather than crash, matching the "at worst refits" contract.
+    try spark.read.parquet(dest)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException if attempt < 2 &&
+        !fs.exists(destPath) => getOrFit(spark, kind, key, fit, attempt + 1)
+    }
   }
 
   /** Bound the store: keep the 8 most-recently-written keys per kind and

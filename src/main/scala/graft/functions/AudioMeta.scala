@@ -119,6 +119,10 @@ object AudioHeader {
     val shift = e - 16383 - 63 // mantissa's integer bit is bit 63
     if (shift > 0) return -1 // >= 2^64: no real sample rate
     if (shift <= -64) return -1 // underflows to zero
+    // fractional bits below the shift point must be ZERO: a rate like
+    // 44100.5 would otherwise truncate to 44100 — a misreport where the
+    // contract ("-1 for non-integral values") says refuse
+    if (shift < 0 && (mant & ((1L << -shift) - 1)) != 0L) return -1
     val v = mant >>> -shift
     if (v <= 0 || v > Int.MaxValue) -1 else v.toInt
   }

@@ -68,7 +68,12 @@ object ImageHeader {
           val len = be16(b, j + 1)
           if (len < 2) return null
           if (isSof(m)) {
-            if (j + 7 >= b.length) return null
+            // the declared segment length must COVER the dim fields
+            // (len(2) + precision(1) + h(2) + w(2)): a truncated SOF with
+            // len < 7 would otherwise read h/w from the NEXT segment's
+            // bytes — a nonzero garbage "parse" where the contract is
+            // NULL, never a guess
+            if (len < 7 || j + 7 >= b.length) return null
             val h = be16(b, j + 4); val w = be16(b, j + 6)
             if (w <= 0 || h <= 0) return null
             return ("image/jpeg", w, h)

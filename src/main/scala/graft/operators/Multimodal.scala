@@ -88,6 +88,10 @@ object Multimodal {
       * PNG or BMP featurizes identically, which the byte-stride fake
       * cannot claim). */
     def features(img: java.awt.image.BufferedImage, dim: Int = 8): Array[Float] = {
+      // 4 mean slots (R, G, B, luminance) follow the histogram buckets, so
+      // the smallest valid layout is 1 bucket + 4 means; dim <= 4 would
+      // write past the array
+      require(dim >= 5, s"features: dim must be >= 5 (got $dim)")
       val hBuckets = math.max(1, dim - 4)
       val out = new Array[Float](dim)
       val w = img.getWidth; val h = img.getHeight
@@ -560,7 +564,11 @@ object Multimodal {
         // features come from REAL pixel statistics; a header-only stream
         // keeps the header dims with pseudo features; anything else falls
         // to the deterministic fake, keeping its declared mime.
-        val hdr = graft.functions.ImageHeader.parse(r.payload)
+        // Declared text is NOT sniffed: a text document may legitimately
+        // BEGIN with the ASCII bytes "GIF89a" — that is content, not a
+        // container, and reclassifying it would corrupt mime routing.
+        val isText = r.mime != null && r.mime.startsWith("text/")
+        val hdr = if (isText) null else graft.functions.ImageHeader.parse(r.payload)
         val img = if (hdr != null) JdkImageCodec.read(r.payload) else null
         if (img != null)
           DecodedRow(r.doc_id, hdr._1, r.payload.length.toLong,

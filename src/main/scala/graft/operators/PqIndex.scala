@@ -56,7 +56,8 @@ object PqIndex {
     require(m >= 1 && d % m == 0,
       s"fitCodebooks: subspace count m=$m must divide dim d=$d")
     require(nbits >= 1 && nbits <= 8,
-      s"fitCodebooks: nbits must be in [1,8] (codes are stored as tinyint), got $nbits")
+      s"fitCodebooks: nbits must be in [1,8] (codes are stored BIASED by -128 " +
+        s"in tinyint — see encode — so the full 8-bit range fits one byte), got $nbits")
     val ds = d / m
     val k = 1 << nbits
     val n = if (nHint > 0) nHint else vectors.count()
@@ -117,7 +118,11 @@ object PqIndex {
       val sub = slice(col("__resid"), j * ds + 1, ds)
       val dists = transform(typedlit(book.map(_.toSeq).toSeq),
         cw => L2Dist.l2_dist(sub, cw))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      // codes are stored BIASED by -128: tinyint is signed [-128, 127], so
+      // an unbiased cast wraps (or, under ANSI, throws) for codes >= 128 —
+      // i.e. the standard nbits=8 / 256-centroid configuration. The bias
+      // maps the full 8-bit range onto the byte exactly; decode un-biases.
+      (array_position(dists, array_min(dists)) - 1 - 128).cast("int")
     }
     withResidual(vectors, cents, vecCol)
       .withColumn("codes", array(codeCols.toIndexedSeq: _*).cast("array<tinyint>"))
@@ -137,8 +142,10 @@ object PqIndex {
                        codebooks: DataFrame, idCol: String, vecCol: String,
                        nlist: Int, m: Int, nbits: Int, seed: Long = 42L): DataFrame = {
     val spark = vectors.sparkSession
+    // "b128": code-bias format marker — a persisted index encoded before
+    // the bias fix must not be decoded with the un-biasing reader
     val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
-      s"$vecCol-nlist$nlist-m$m-nbits$nbits-seed$seed")
+      s"$vecCol-nlist$nlist-m$m-nbits$nbits-seed$seed-b128")
     graft.Artifacts.getOrFit(spark, "pq_encoded", key,
       encode(vectors.select(col(idCol), col(vecCol)), centroids, codebooks, vecCol))
   }
@@ -170,7 +177,7 @@ object PqIndex {
       zip_with(element_at(centroidMapLit(cents), col("cell")),
         concat(books.zipWithIndex.map { case (book, j) =>
           element_at(typedlit(book.map(_.toSeq).toSeq),
-            col("codes").getItem(j).cast("int") + 1)
+            col("codes").getItem(j).cast("int") + 128 + 1) // un-bias (see encode)
         }.toIndexedSeq: _*),
         (c, r) => c + r)
     val cands = encoded.select(col(idCol).as("cid"), col("cell"),

@@ -36,7 +36,7 @@ object SeqPack {
     * sort. Use [[packSharded]] at scale. */
   def pack(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"pack: token budget must be positive, got $budget")
-    requireNoCollision("pack", Seq(idCol, tokCol), Seq("bin"))
+    requireNoCollision("pack", Seq(idCol, tokCol), Seq("bin", "__cum"))
     val w = Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", expr(s"__cum div $budget"))
@@ -50,7 +50,7 @@ object SeqPack {
   def packSharded(df: DataFrame, shardCol: String, idCol: String, tokCol: String,
                   budget: Long): DataFrame = {
     require(budget > 0, s"packSharded: token budget must be positive, got $budget")
-    requireNoCollision("packSharded", Seq(shardCol, idCol, tokCol), Seq("bin"))
+    requireNoCollision("packSharded", Seq(shardCol, idCol, tokCol), Seq("bin", "__cum"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
@@ -99,15 +99,25 @@ object SeqPack {
     requireNoCollision("packSplitSharded", Seq(shardCol, idCol),
       Seq("seg_idx", "bin", tokCol))
     requireNoCollision("packSplitSharded", Seq(tokCol), Seq("seg_idx", "bin"))
+    // internal temporaries: an input column with one of these names would
+    // be silently shadowed by withColumn — same hole the fixed-output
+    // guard closes, one layer down
+    requireNoCollision("packSplitSharded", Seq(shardCol, idCol, tokCol),
+      Seq("__o", "__b0", "__b1", "__L"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tokCol is re-aliased to the internal __L BEFORE any expr() so no
+    // caller-supplied name is ever spliced into a SQL string (a name
+    // needing backticks would parse wrong or not at all); the exprs are
+    // integer `div` over internal names and a literal only
     df.withColumn("__o", sum(col(tokCol)).over(w) - col(tokCol))
-      .filter(col(tokCol) > 0)
+      .withColumn("__L", col(tokCol))
+      .filter(col("__L") > 0)
       .withColumn("__b0", expr(s"__o div $budget"))
-      .withColumn("__b1", expr(s"(__o + $tokCol - 1) div $budget"))
+      .withColumn("__b1", expr(s"(__o + __L - 1) div $budget"))
       .select(col(shardCol), col(idCol), col("__o"), col("__b0"),
         explode(sequence(col("__b0"), col("__b1"))).as("bin"),
-        col(tokCol).as("__L"))
+        col("__L"))
       .select(col(shardCol), col(idCol),
         (col("bin") - col("__b0")).as("seg_idx"), col("bin"),
         (least(col("__o") + col("__L"), (col("bin") + 1) * budget) -

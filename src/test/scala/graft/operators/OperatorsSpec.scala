@@ -428,11 +428,33 @@ class SimilaritySpec extends SparkTestBase {
     rows.foreach { r =>
       val cs = r.getSeq[Byte](2)
       assert(cs.length == 32, s"expected m=32 codes, got ${cs.length}")
-      assert(cs.forall(c => c >= 0 && c < 16), s"code out of [0,16): $cs")
+      // stored biased by -128 so the full 8-bit range fits tinyint
+      assert(cs.forall(c => c + 128 >= 0 && c + 128 < 16),
+        s"unbiased code out of [0,16): $cs")
     }
     val again = PqIndex.encode(emb.select("vec_id", "embedding"), cents, books, "embedding")
       .collect().map(_.toString).sorted.toSeq
     assert(again == rows.map(_.toString).sorted.toSeq, "seeded fit + argmin encode is deterministic")
+  }
+
+  test("IVF-PQ nbits=8: the full 256-codeword range round-trips through tinyint storage") {
+    // the classic 8-bits-per-subspace configuration: codes 128..255 would
+    // wrap (or throw under ANSI) in an unbiased tinyint cast — the -128
+    // bias stores the full range in one byte and the decode path un-biases
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 5)
+    val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 4)
+    val books = PqIndex.fitCodebooks(emb, cents, "vec_id", "embedding", m = 8, nbits = 8)
+    val enc = PqIndex.encode(emb.select("vec_id", "embedding"), cents, books, "embedding")
+    val codes = enc.collect().flatMap(_.getSeq[Byte](2)).map(_.toInt + 128)
+    assert(codes.forall(c => c >= 0 && c < 256), "unbiased code out of [0,256)")
+    assert(codes.exists(_ > 127),
+      "fixture never exercised the high half of the code range — the wrap case is untested")
+    val top = PqIndex.topKEncoded(emb, enc, cents, books, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+    val perQ = top.groupBy("qid").count().collect()
+    assert(perQ.length == 5 && perQ.forall(_.getLong(1) == 5L),
+      "decode path must serve full top-k per query from biased codes")
   }
 
   test("IVF-PQ quantization: reconstructed residuals strictly beat centroid-only") {
@@ -451,7 +473,7 @@ class SimilaritySpec extends SparkTestBase {
     def sq(x: Double) = x * x
     val (pqErr, baseErr) = enc.map { case (id, cell, codes) =>
       val resid = vecs(id).zip(centMap(cell)).map { case (v, c) => v - c }
-      val decoded = codes.zipWithIndex.flatMap { case (c, j) => bookMap((j, c.toInt)) }
+      val decoded = codes.zipWithIndex.flatMap { case (c, j) => bookMap((j, c.toInt + 128)) }
       (resid.zip(decoded).map { case (r, d) => sq(r - d) }.sum,
         resid.map(sq).sum)
     }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
