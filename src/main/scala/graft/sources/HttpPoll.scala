@@ -139,46 +139,47 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
 
   // throttles ATTEMPTS, not successes: a failing endpoint must wait out the
   // interval like the reference's loop does (hko.cpp sleeps a full tick
-  // between tries), not re-block the driver's microbatch thread every trigger
-  private var lastAttemptMs = 0L
+  // between tries), not re-block the driver's microbatch thread every
+  // trigger. MONOTONIC clock: wall time can step backwards under NTP, and
+  // a wall-clock delta going negative would silently stop polling for the
+  // whole step duration. Initialized one interval in the past so the
+  // first call polls immediately.
+  private var lastAttemptNs =
+    System.nanoTime() - java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(minIntervalMs) - 1
 
-  /** A crash between tmp write and atomic move orphans a `.poll-*.tmp`;
-    * age them out like MqttLike.repair does for its spool scratch. Runs at
-    * most once per attempt interval. */
-  private def ageTmps(): Unit =
-    if (Files.isDirectory(cacheDir)) {
-      val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
-      val s = Files.list(cacheDir)
-      try s.iterator().asScala
-        .filter { p => val n = p.getFileName.toString
-          n.startsWith(".poll-") && n.endsWith(".tmp") }
-        .foreach { p =>
-          try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () }
-        }
-      finally s.close()
-    }
+  // the stream is the only writer to its poll cache, so the directory is
+  // listed ONCE per driver lifetime (a restart re-lists): re-listing every
+  // trigger costs O(polls log polls) forever on a long-lived query
+  private var nextSeq = -1L
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
-  override def commit(end: Offset): Unit = () // polls retained for replay
+  // polls retained for replay DELIBERATELY: the cache doubles as the
+  // poll archive (a fresh checkpoint replays history from seq 0). A
+  // deployment that wants bounded storage prunes seqs below the
+  // committed offset on its own cadence — an external janitor, not the
+  // source, owns the retention policy.
+  override def commit(end: Offset): Unit = ()
 
   /** Poll-then-report: at most one fetch per call, rate-limited; the
     * offset is simply how many polls have ever been cached. */
   override def latestOffset(): Offset = {
-    val now = System.currentTimeMillis()
-    val polls = HttpPoll.listPolls(cacheDir)
-    val next = polls.lastOption.fold(0L)(_ + 1)
-    if (now - lastAttemptMs >= minIntervalMs) {
-      lastAttemptMs = now
-      ageTmps()
+    if (nextSeq < 0L) nextSeq = HttpPoll.listPolls(cacheDir).lastOption.fold(0L)(_ + 1)
+    val nowNs = System.nanoTime()
+    if (nowNs - lastAttemptNs >=
+        java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(minIntervalMs)) {
+      lastAttemptNs = nowNs
+      // janitor failure must not kill the query: latestOffset's contract
+      // below is that problems hold the offset, never crash the stream
+      try MqttLike.ageTmpsIn(cacheDir, ".poll-", ".tmp")
+      catch { case scala.util.control.NonFatal(_) => () }
       try {
         val body = HttpPoll.fetch(url)
         Files.createDirectories(cacheDir)
         val tmp = cacheDir.resolve(s".poll-${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, s"${now * 1000L}\n$body")
-        Files.move(tmp, cacheDir.resolve(s"$next.poll"), StandardCopyOption.ATOMIC_MOVE)
-        return SeqOffset(next + 1)
+        Files.writeString(tmp, s"${System.currentTimeMillis() * 1000L}\n$body")
+        Files.move(tmp, cacheDir.resolve(s"$nextSeq.poll"), StandardCopyOption.ATOMIC_MOVE)
+        nextSeq += 1
       } catch {
         // hold the offset and retry next interval — but SAY so (the
         // reference logs before looping, hko.cpp:127-129): a misconfigured
@@ -188,7 +189,7 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
             s"(retry in ${minIntervalMs} ms): $e")
       }
     }
-    SeqOffset(next)
+    SeqOffset(nextSeq)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -175,15 +175,10 @@ object MqttLike {
       .map(_.stripPrefix(".").stripSuffix(".claim").toLong)
       .filterNot(msgs)
       .map { n => promote(dir, n); n }
-    // tmp files are pre-claim scratch: an orphan older than this was a
-    // publisher that died before claiming — its message was never made
+    // tmp files are pre-claim scratch: an orphan older than the cutoff was
+    // a publisher that died before claiming — its message was never made
     // durable, so deletion is the correct QoS-1 outcome (sender retries).
-    val cutoff = System.currentTimeMillis() - TmpOrphanMs
-    names.filter(n => n.startsWith(".pub-") && n.endsWith(".tmp")).foreach { n =>
-      val p = dir.resolve(n)
-      try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
-      catch { case _: java.io.IOException => () }
-    }
+    ageTmpNames(dir, names, ".pub-", ".tmp")
     msgs ++ promoted
   }
 
@@ -196,6 +191,24 @@ object MqttLike {
   }
 
   private val TmpOrphanMs = 15L * 60 * 1000
+
+  /** Age out orphaned scratch files (`<prefix>*<suffix>` older than
+    * [[TmpOrphanMs]]) from an already-taken listing — ONE cutoff shared by
+    * the spool repair and the HTTP poll cache, so the two connectors'
+    * janitors cannot silently drift apart. */
+  private[sources] def ageTmpNames(dir: Path, names: Iterable[String],
+                                   prefix: String, suffix: String): Unit = {
+    val cutoff = System.currentTimeMillis() - TmpOrphanMs
+    names.filter(n => n.startsWith(prefix) && n.endsWith(suffix)).foreach { n =>
+      val p = dir.resolve(n)
+      try if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** [[ageTmpNames]] with its own listing, for callers without one. */
+  private[sources] def ageTmpsIn(dir: Path, prefix: String, suffix: String): Unit =
+    if (Files.isDirectory(dir)) ageTmpNames(dir, listNames(dir), prefix, suffix)
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -275,11 +288,42 @@ case class SeqOffset(counts: Map[String, Long]) extends Offset {
   def root: Long = counts.getOrElse("", 0L)
   override def json(): String =
     counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + SeqOffset.enc(k) + "\":" + v }
+      .mkString("{", ",", "}")
 }
 
 object SeqOffset {
   def apply(n: Long): SeqOffset = SeqOffset(Map("" -> n))
+
+  /** Lane names are DIRECTORY names an external bridge may create, and
+    * the offset serializer splits naively on `,` and `:` — so delimiter,
+    * quote, and whitespace characters are percent-encoded in the JSON
+    * key. A lane like `w-host:3` then round-trips through the checkpoint
+    * instead of corrupting it; the library's own `w-<n>` lanes (and any
+    * [[MqttLike.sanitize]]d name) contain no such characters, so existing
+    * checkpoints parse unchanged. */
+  private[sources] def enc(k: String): String =
+    k.flatMap { c =>
+      if (c == '%' || c == '"' || c == '\\' || c == ':' || c == ',' ||
+          c == '{' || c == '}' || c.isWhitespace) f"%%${c.toInt}%02X"
+      else c.toString
+    }
+
+  private[sources] def dec(k: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def hex(c: Char) = Character.digit(c, 16) >= 0
+    while (i < k.length) {
+      // a '%' not followed by two hex digits stays literal: legacy
+      // checkpoints written before encoding existed must parse unchanged
+      if (k(i) == '%' && i + 3 <= k.length && hex(k(i + 1)) && hex(k(i + 2))) {
+        sb += Integer.parseInt(k.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += k(i); i += 1 }
+    }
+    sb.toString
+  }
+
   def parse(json: String): SeqOffset = {
     val t = json.trim
     if (!t.startsWith("{")) SeqOffset(t.toLong)
@@ -288,7 +332,7 @@ object SeqOffset {
       if (body.isEmpty) SeqOffset(Map.empty[String, Long])
       else SeqOffset(body.split(",").map { kv =>
         val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        dec(k.trim.stripPrefix("\"").stripSuffix("\"")) -> v.trim.toLong
       }.toMap)
     }
   }

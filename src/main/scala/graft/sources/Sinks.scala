@@ -39,9 +39,17 @@ object Sinks {
       nextSeq = MqttLike.nextSeqIn(spoolDir, topic, lane)
       true
     }
-    override def process(row: Row): Unit =
-      nextSeq = MqttLike.publishFrom(spoolDir, topic,
-        row.getAs[String]("payload"), lane, nextSeq) + 1
+    override def process(row: Row): Unit = {
+      val payload = row.getAs[String]("payload")
+      // a null payload (e.g. to_json over a struct whose fields were all
+      // missing) is unpublishable: crashing here would wedge the query
+      // forever, because task retries deterministically replay the same
+      // batch. Rejection belongs to the upstream validation/dead-letter
+      // stage (T11); the sink skips the row like the reference's producer
+      // skips an empty reading.
+      if (payload != null)
+        nextSeq = MqttLike.publishFrom(spoolDir, topic, payload, lane, nextSeq) + 1
+    }
     override def close(errorOrNull: Throwable): Unit = () // disconnect here
   }
 
@@ -49,7 +57,7 @@ object Sinks {
     * recent value into an in-memory view the way the reference pushes the
     * newest reading to its displays (ref `consumer.cpp:124-131`).
     * Returns the live view for assertions/inspection. */
-  def dashboardSink(keyed: DataFrame, keyCol: String, tsCol: String, valCol: String)
+  def dashboardSink(keyCol: String, tsCol: String, valCol: String)
       : (java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, Double)],
          (DataFrame, Long) => Unit) = {
     val view = new java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, Double)]()
@@ -66,7 +74,10 @@ object Sinks {
         // missing fields) must not poison the view or NPE the query
         if (k != null && ts != null && !r.isNullAt(2)) {
           val old = view.get(k)
-          if (old == null || old._1.before(ts)) view.put(k, (ts, r.getDouble(2)))
+          // NOT strict before(): a corrected reading re-published at the
+          // SAME second-granularity timestamp must replace the stale value
+          // (idempotent under batch replay either way)
+          if (old == null || !old._1.after(ts)) view.put(k, (ts, r.getDouble(2)))
         }
       }
       ()

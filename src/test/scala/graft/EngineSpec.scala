@@ -87,8 +87,7 @@ class EngineSpec extends SparkTestBase {
 
   test("dashboard upsert keeps newest reading per key regardless of arrival order") {
     import spark.implicits._
-    val (view, upsert) = graft.sources.Sinks.dashboardSink(
-      spark.emptyDataFrame, "k", "ts", "v")
+    val (view, upsert) = graft.sources.Sinks.dashboardSink("k", "ts", "v")
     def batch(rows: (String, java.sql.Timestamp, Double)*) =
       rows.toSeq.toDF("k", "ts", "v")
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)

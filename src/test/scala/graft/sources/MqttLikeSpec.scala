@@ -175,7 +175,6 @@ class MqttLikeSpec extends SparkTestBase {
 
     // K3 dashboard: latest value per key
     val (view, upsert) = Sinks.dashboardSink(
-      parsed.filter(col("parsed")).withColumn("key", lit("outdoor")),
       "key", "ts", "temp_outdoor_celsius")
     val q2 = parsed.filter(col("parsed")).withColumn("key", lit("outdoor"))
       .writeStream.foreachBatch(upsert).outputMode(OutputMode.Append()).start()
@@ -186,10 +185,7 @@ class MqttLikeSpec extends SparkTestBase {
 
   test("dashboard upsert survives keys whose rows carry null ts/value") {
     import spark.implicits._
-    val (view, upsert) = Sinks.dashboardSink(
-      Seq(("a", Some(new java.sql.Timestamp(1000L)), Some(1.5)),
-        ("b", None: Option[java.sql.Timestamp], None: Option[Double]))
-        .toDF("key", "ts", "v"), "key", "ts", "v")
+    val (view, upsert) = Sinks.dashboardSink("key", "ts", "v")
     upsert(Seq(("a", Some(new java.sql.Timestamp(1000L)), Some(1.5)),
       ("b", None: Option[java.sql.Timestamp], None: Option[Double]))
       .toDF("key", "ts", "v"), 0L)
@@ -225,5 +221,50 @@ class MqttLikeSpec extends SparkTestBase {
     // fresh lane: an ahead hint lands at 0, not at the hint
     val s0 = MqttLike.publishFrom(spool, "t/ahead2", "first", "", startSeq = 7L)
     assert(s0 == 0L, s"fresh-lane ahead hint must land at 0, got $s0")
+  }
+
+  test("SeqOffset: hostile lane names round-trip; legacy formats parse unchanged") {
+    // lanes are DIRECTORY names an external bridge may create — delimiter
+    // and quote characters must survive the checkpoint round trip
+    val hostile = SeqOffset(Map("w-host:3" -> 5L, "w-a,b" -> 2L,
+      "w-50%" -> 1L, "w-q\"x" -> 7L, "" -> 9L))
+    assert(SeqOffset.parse(hostile.json()) == hostile,
+      s"round trip corrupted: ${hostile.json()}")
+    // legacy (pre-encoding) checkpoint shapes keep resuming
+    assert(SeqOffset.parse("""{"w-0":5,"":3}""") ==
+      SeqOffset(Map("w-0" -> 5L, "" -> 3L)))
+    assert(SeqOffset.parse("7") == SeqOffset(7L))
+    // a literal '%' not followed by two hex digits stays literal
+    assert(SeqOffset.parse("""{"a%zb":1}""") == SeqOffset(Map("a%zb" -> 1L)))
+  }
+
+  test("dashboard upsert accepts a corrected reading at the SAME timestamp") {
+    import spark.implicits._
+    val (view, upsert) = Sinks.dashboardSink("k", "ts", "v")
+    val t = new java.sql.Timestamp(1700000000000L)
+    upsert(Seq(("a", t, 1.0)).toDF("k", "ts", "v"), 0L)
+    upsert(Seq(("a", t, 2.5)).toDF("k", "ts", "v"), 1L)
+    assert(view.get("a") == ((t, 2.5)),
+      "a same-ts republish (corrected reading) must replace the stale value")
+    // and an OLDER ts still never regresses the view
+    upsert(Seq(("a", new java.sql.Timestamp(1600000000000L), 9.9))
+      .toDF("k", "ts", "v"), 2L)
+    assert(view.get("a") == ((t, 2.5)))
+  }
+
+  test("publish sink skips a null payload instead of wedging the query") {
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("nullpay").toString
+    val w = new Sinks.MqttLikePublishWriter(spool, "t/np", qos = 1)
+    assert(w.open(0L, 0L))
+    // schema'd rows (process resolves the payload column by name); the
+    // middle row's payload is null — it must not throw, because task
+    // retries deterministically replay the same batch
+    Seq(Some("ok-1"), None, Some("ok-2")).toDF("payload")
+      .collect().foreach(w.process)
+    w.close(null)
+    val dir = java.nio.file.Paths.get(spool, "t_np")
+    assert(MqttLike.listSeqs(dir) == Seq(0L, 1L), "non-null payloads publish densely")
+    assert(java.nio.file.Files.readString(dir.resolve("1.msg")) == "ok-2")
   }
 }
