@@ -45,12 +45,10 @@ object ModuleRegistry {
 
   private def chModule(topic: String, sink: String, triggerMs: Long) =
     Module("ch", MqttTopic(topic),
-      df => Pipelines.ch(df
-        .withColumn("j", from_json(col("payload"), Pipelines.ChSchema))
-        .withColumn("ts", graft.functions.ScalarOps.isoParse(col("j.timestamp")))
-        // round, not truncate: 21.9 parses as 21.899999..., *10 casts to
-        // 218 and the module would republish 21.8 for an input of 21.9
-        .withColumn("raw_tenths", round(col("j.temp_celsius") * 10).cast("int"))),
+      // parse lives in Pipelines.chParse (batch/backfill runs the same
+      // code); unparseable samples are SKIPPED like the reference does —
+      // to_json over all-null fields would publish the literal "{}"
+      df => Pipelines.ch(Pipelines.chParse(df).filter(col("parsed"))),
       sink,
       df => to_json(struct(df("timestamp"), df("temp_celsius"))), triggerMs)
 
@@ -61,7 +59,7 @@ object ModuleRegistry {
     Module("hko", HttpEndpoint(url, triggerMs),
       df => Pipelines.hkoPerDoc(df.withColumnRenamed("body", "doc"), place),
       sink,
-      df => to_json(struct(df("fh_timestamp"), df("hko_timestamp"), df("temp_celsius"))),
+      Pipelines.hkoPayloadCol, // the one wire-shape definition
       triggerMs)
 
   /** The reference's concrete modules (dd, ch, hko) with their hardcoded
@@ -128,9 +126,13 @@ object ModuleRegistry {
       case HttpEndpoint(url, minIntervalMs) =>
         val r = spark.readStream.format("graft-http")
           .option("url", url).option("minIntervalMs", minIntervalMs.toString)
-        // without a checkpoint the poll cache still needs a stable home
+        // without a checkpoint the poll cache still needs a stable home —
+        // ONE per (module, url) per JVM, not one per start(): repeated
+        // restarts in a long-lived driver would otherwise leak a fresh
+        // temp directory (and its cached poll bodies) every time
         checkpoint.fold(r.option("cacheDir",
-          java.nio.file.Files.createTempDirectory(s"graft-http-${m.name}").toString))(_ => r)
+          tempCaches.computeIfAbsent(s"${m.name}|$url", _ =>
+            java.nio.file.Files.createTempDirectory(s"graft-http-${m.name}").toString)))(_ => r)
           .load()
     }
     val transformed = m.transform(in)
@@ -143,6 +145,8 @@ object ModuleRegistry {
       .trigger(Trigger.ProcessingTime(s"${m.triggerMs} milliseconds"))
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  private val tempCaches = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Start a registered module by name. */
   def start(spark: SparkSession, name: String, spoolDir: String,

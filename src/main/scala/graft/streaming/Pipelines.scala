@@ -55,7 +55,11 @@ object Pipelines {
 
   /** T11 error routing: split a parsed frame into (good, dead-letter).
     * Streaming: run inside `foreachBatch` and write each side to its sink
-    * (recoverable-error contract, ref `module.h:41-44`, `event_loops.c:43-49`). */
+    * (recoverable-error contract, ref `module.h:41-44`, `event_loops.c:43-49`).
+    * The two sides are two filters over the SAME input plan — a foreachBatch
+    * caller should `batch.persist()` before splitting (and unpersist after
+    * both writes), or the source read + parse runs once per side every
+    * trigger. */
   def deadLetterSplit(df: DataFrame, goodPredicate: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
     (df.filter(goodPredicate), df.filter(!goodPredicate || goodPredicate.isNull))
 
@@ -78,6 +82,11 @@ object Pipelines {
       .filter(col("d.place") === place && col("d.unit") === "C")
       .groupBy(col("hko_timestamp"))
       .agg(max_by(col("d.value"), col("pos")).as("temp_celsius"))
+      // a matched entry whose `value` field is missing parses to null —
+      // the reference logs and skips publishing (hko.cpp:108-111), and
+      // the streaming twin [[hkoPerDoc]] drops it; batch must agree or
+      // the two forms diverge on the same corpus
+      .filter(col("temp_celsius").isNotNull)
       .select(isoFormat(fetchTs).as("fh_timestamp"), col("hko_timestamp"),
         col("temp_celsius"))
 
@@ -117,10 +126,31 @@ object Pipelines {
       .select(isoFormat(col("_fts")).as("fh_timestamp"), col("hko_timestamp"),
         col("temp_celsius"))
 
+  /** HKO publish payload column (ref `hko.cpp:123-125`, K2) — the ONE
+    * definition of the hko wire shape; [[hkoPayload]] and the running
+    * module (`ModuleRegistry.hkoModule`) both build from it, so the two
+    * cannot drift. */
+  def hkoPayloadCol(df: DataFrame): org.apache.spark.sql.Column =
+    to_json(struct(df("fh_timestamp"), df("hko_timestamp"), df("temp_celsius")))
+
   /** HKO publish payload (ref `hko.cpp:123-125`, K2). */
   def hkoPayload(projected: DataFrame): DataFrame =
-    projected.select(to_json(struct(col("fh_timestamp"), col("hko_timestamp"),
-      col("temp_celsius"))).as("payload"))
+    projected.select(hkoPayloadCol(projected).as("payload"))
+
+  /** ch consumer parse: JSON payload → event ts + raw int16 tenths, with
+    * `parsed` flagging rows the module may publish. The reference skips a
+    * sample it cannot parse (`ch.c:142-151`) rather than publishing a
+    * partial object — to_json over all-null fields would otherwise emit
+    * the non-null string "{}" downstream. Shared by the streaming module
+    * and any batch/backfill caller, mirroring [[ddConsumer]]. */
+  def chParse(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+    payloads
+      .withColumn("j", from_json(col(payloadCol), ChSchema))
+      .withColumn("ts", isoParse(col("j.timestamp")))
+      // round, not truncate: 21.9 parses as 21.899999..., *10 casts to
+      // 218 and the module would republish 21.8 for an input of 21.9
+      .withColumn("raw_tenths", round(col("j.temp_celsius") * 10).cast("int"))
+      .withColumn("parsed", col("ts").isNotNull && col("raw_tenths").isNotNull)
 
   /** ch pipeline: raw int16 tenths (sentinel 999 = read error, ref
     * `ch.c:193-204`) → °C with 99.9 error value → publish payload. */

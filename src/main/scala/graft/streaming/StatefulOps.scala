@@ -79,6 +79,8 @@ object StatefulOps {
     val (use, rem) =
       if (rate > 0) (Some(rate), Some(r.batt_pct / rate / 3600.0)) else (None, None)
     (base, UpsDerived(r.device_id, r.ts, r.batt_pct,
+      // the rule of record is ScalarOps.chargeStatus (> 0 = Charging);
+      // this is its typed-path transcription — keep the boundary in sync
       if (sign > 0) "Charging" else "Discharging", use, rem,
       etaOf(tSec, r.batt_pct, rate)))
   }
@@ -119,7 +121,7 @@ object StatefulOps {
       .withColumn("rate",
         (col("base.pct0") - col("batt_pct")) / (col("ts").cast("long") - col("base.t0") + 1))
     based.select(col("device_id"), col("ts"), col("batt_pct"),
-      when(col("sign") > 0, "Charging").otherwise("Discharging").as("status"),
+      graft.functions.ScalarOps.chargeStatus(col("current_ma")).as("status"),
       when(col("rate") > 0, col("rate")).as("batt_use_per_sec"),
       when(col("rate") > 0, col("batt_pct") / col("rate") / 3600.0).as("remaining_hrs"),
       when(col("rate") > 0 && col("batt_pct") / col("rate") < EtaHorizonSec,

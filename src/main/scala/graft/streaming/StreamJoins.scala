@@ -22,13 +22,20 @@ object StreamJoins {
     // normalize first: withWatermark rejects TIMESTAMP_NTZ event time
     val l = graft.Engine.normalizeEventTime(left).withWatermark(leftTs, watermark).as("l")
     val r = graft.Engine.normalizeEventTime(right).withWatermark(rightTs, watermark).as("r")
+    // Output columns: all of left, then right WITHOUT the join key (it
+    // appears on both sides with identical values — returning both would
+    // make a bare col(key) AMBIGUOUS_REFERENCE for every caller). The same
+    // hazard holds for the timestamps: the engine-wide event-time
+    // convention is ONE column name ("ts"), so leftTs == rightTs is the
+    // common case — the right side's is then returned as `<rightTs>_r`.
+    val rCols = right.columns.toIndexedSeq.filterNot(_ == key).map { c =>
+      if (c == rightTs && leftTs == rightTs) col(s"r.$c").as(s"${c}_r")
+      else col(s"r.$c")
+    }
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $windowSec SECONDS") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
-      // the inner-join key appears on both sides with identical values;
-      // returning both would make a bare col(key) AMBIGUOUS_REFERENCE for
-      // every caller
-      .drop(col(s"r.$key"))
+      .select(col("l.*") +: rCols: _*)
   }
 }

@@ -49,7 +49,12 @@ class PipelinesSpec extends SparkTestBase {
       """{"temperature": {"recordTime": "2024-12-23T17:00:00+08:00", "data": [
         |  {"place": "X", "value": 66.2, "unit": "F"}]}}""".stripMargin, // unit reject
       """{"temperature": {"recordTime": "2024-12-23T18:00:00+08:00", "data": [
-        |  {"place": "X", "value": 3.5, "unit": "C"}]}}""".stripMargin)
+        |  {"place": "X", "value": 3.5, "unit": "C"}]}}""".stripMargin,
+      // matched entry whose `value` field is MISSING: the reference logs
+      // and skips (hko.cpp:108-111) — both forms must drop it, not emit
+      // a null reading (this was a real batch/stream parity break)
+      """{"temperature": {"recordTime": "2024-12-23T19:00:00+08:00", "data": [
+        |  {"place": "X", "unit": "C"}]}}""".stripMargin)
     val fts = to_timestamp(lit("2024-12-23 08:00:05"))
     val raw = docs.toDF("doc").withColumn("fetch_ts", fts)
     val batch = Pipelines.hko(raw, "X", fts)
@@ -71,6 +76,28 @@ class PipelinesSpec extends SparkTestBase {
     val row2 = good.filter(col("temp_indoor_celsius") === 22.9).head()
     assert(row2.getAs[Double]("temp_outdoor_celsius") == 888.8)
     assert(row2.getAs[Double]("rh_outdoor") == 888.8)
+  }
+}
+
+class ChParseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chParse: unparseable samples are flagged, never published as '{}'") {
+    val rows = Pipelines.chParse(Seq(
+      """{"timestamp": "2024-12-23T16:00:00Z", "temp_celsius": 21.9}""",
+      "garbage",                                    // no JSON at all
+      """{"temp_celsius": 21.9}""",                 // timestamp missing
+      """{"timestamp": "2024-12-23T16:00:01Z"}"""   // temp missing
+    ).toDF("payload")).collect()
+    assert(rows.map(_.getAs[Boolean]("parsed")).toSeq ==
+      Seq(true, false, false, false))
+    // round-not-truncate preserved through the shared parse
+    assert(rows(0).getAs[Int]("raw_tenths") == 219)
+    // module shape: the filter(parsed) side renders a full payload
+    val out = Pipelines.ch(Pipelines.chParse(Seq(
+      """{"timestamp": "2024-12-23T16:00:00Z", "temp_celsius": 21.9}""")
+      .toDF("payload")).filter(col("parsed"))).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("temp_celsius") == 21.9)
   }
 }
 
@@ -421,6 +448,21 @@ class StreamJoinsSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got == Set(("p1", "c1")), s"got $got")
     } finally q.stop()
+  }
+
+  test("interval join with the engine-wide 'ts' name on BOTH sides stays unambiguous") {
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val clicks = Seq((1L, ts(0), "c1")).toDF("user_id", "ts", "click")
+    val purchases = Seq((1L, ts(30), "p1")).toDF("user_id", "ts", "purchase")
+    val joined = StreamJoins.intervalJoin(purchases, clicks, "user_id", "ts", "ts",
+      windowSec = 60, watermark = "5 seconds")
+    // one ts per side: left keeps its name, right is suffixed — a bare
+    // col("ts") must resolve (this threw AMBIGUOUS_REFERENCE before)
+    assert(joined.columns.count(_ == "ts") == 1)
+    assert(joined.columns.contains("ts_r"))
+    val row = joined.select(col("ts"), col("ts_r"), col("purchase"), col("click"))
+      .collect().head
+    assert(row.getTimestamp(0) == ts(30) && row.getTimestamp(1) == ts(0))
   }
 }
 
