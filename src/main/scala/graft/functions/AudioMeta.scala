@@ -36,6 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes are read in place. */
 object AudioHeader {
 
+  import ByteReads.{be16, be32, fourcc, le16, le32}
+
   /** Parse (mime, channels, sample_rate, bits, n_frames) from container
     * header bytes; null if not a recognized, intact audio header. */
   def compute(b: Array[Byte]): InternalRow = {
@@ -50,7 +52,7 @@ object AudioHeader {
     if (b == null || b.length < 12) return null
     if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) parseWav(b)
     else if (fourcc(b, 0, "FORM") && (fourcc(b, 8, "AIFF") || fourcc(b, 8, "AIFC")))
-      parseAiff(b)
+      parseAiff(b, aifc = fourcc(b, 8, "AIFC"))
     else null
   }
 
@@ -87,13 +89,20 @@ object AudioHeader {
     ("audio/wav", channels, rate, bits, dataSize / blockAlign)
   }
 
-  private def parseAiff(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+  private def parseAiff(b: Array[Byte], aifc: Boolean): (String, Int, Int, Int, Long) = {
     var off = 12
     while (off + 8 <= b.length) {
       val size = be32(b, off + 4) & 0xFFFFFFFFL
       if (fourcc(b, off, "COMM")) {
         if (size < 18 || off + 8 + 18 > b.length) return null
         val p = off + 8
+        // AIFC appends a compressionType fourcc to COMM: only "NONE"
+        // (uncompressed PCM) keeps channels/bits/frames their PCM
+        // meaning — for a compressed codec those fields are
+        // codec-defined, so refusing beats misreporting (the WAV
+        // non-PCM-tag rule, applied to the AIFC side)
+        if (aifc && (size < 22 || p + 22 > b.length || !fourcc(b, p + 18, "NONE")))
+          return null
         val channels = be16(b, p)
         val frames = be32(b, p + 2) & 0xFFFFFFFFL
         val bits = be16(b, p + 6)
@@ -127,23 +136,6 @@ object AudioHeader {
     if (v <= 0 || v > Int.MaxValue) -1 else v.toInt
   }
 
-  private def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
-    off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
-      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
-
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
-      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-
-  private def le32(b: Array[Byte], i: Int): Int =
-    ((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
-      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
-
-  private def le16(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
 }
 
 /** `audio_meta(payload)` → struct<mime string, channels int, sample_rate

@@ -1,0 +1,37 @@
+package graft.functions
+
+/** Shared endian byte readers for the container-header parsers
+  * (AudioMeta / ImageDims / VideoMeta — and the MJPEG-AVI walker in
+  * operators). ONE definition each: a masking or bounds fix cannot
+  * silently drift between parsers (three verbatim private copies did
+  * exist, and a bug fixed in one would have missed the others).
+  *
+  * The numeric readers do NOT bounds-check — every parser validates a
+  * chunk's declared length against the array before trusting any field
+  * (the refuse-don't-guess contract), so a read here is always inside a
+  * validated window. [[fourcc]] carries its own bounds check because it
+  * IS the validation step at each walk position. */
+private[graft] object ByteReads {
+
+  def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xFFFFFFFFL) << 32) | (be32(b, i + 4) & 0xFFFFFFFFL)
+
+  def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+
+  def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+
+  /** True iff the four bytes at `off` spell `t` (bounds-checked). */
+  def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
+    off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
+      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+}

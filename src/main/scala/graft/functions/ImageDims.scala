@@ -34,6 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * beyond the 3-field result row; the payload bytes are read in place. */
 object ImageHeader {
 
+  import ByteReads.{be16, be32, le16}
+
   /** Parse (mime, width, height) from container header bytes; null if the
     * payload is not a recognized, intact image header. */
   def compute(b: Array[Byte]): InternalRow = {
@@ -47,7 +49,7 @@ object ImageHeader {
     if (b == null) return null
     if (isPng(b)) {
       // signature(8) + IHDR length(4) + "IHDR"(4) + w(4) + h(4)
-      if (b.length < 24 || !chunkTypeIs(b, 12, "IHDR")) return null
+      if (b.length < 24 || !ByteReads.fourcc(b, 12, "IHDR")) return null
       val w = be32(b, 16); val h = be32(b, 20)
       if (w <= 0 || h <= 0) return null
       ("image/png", w, h)
@@ -105,19 +107,6 @@ object ImageHeader {
   private def isSof(m: Int): Boolean =
     m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
 
-  private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =
-    b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
-      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
-
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
-      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-
-  private def le16(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
 }
 
 /** `image_dims(payload)` → struct<mime string, width int, height int>,

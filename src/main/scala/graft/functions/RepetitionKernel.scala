@@ -32,37 +32,38 @@ object RepetitionKernel {
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     if (n == 0) return null
-    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    // ONE hash pass: the counting loop interns each token to a dense id
+    // and records per-position ids, so the bigram pass below is a pure
+    // array walk — no second map, no re-hashing of all n tokens
+    val idMap = new java.util.HashMap[UTF8String, Integer](n * 2)
+    val ids = new Array[Int](n)
+    val cnt = new Array[Int](n) // at most n distinct ids
+    var nextId = 0
     var i = 0
     var maxFreq = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val w = arr.getUTF8String(i)
-      val c = counts.merge(w, 1, (a, b) => a + b)
-      if (c > maxFreq) maxFreq = c
+      val got = idMap.get(w)
+      val id = if (got != null) got.intValue()
+      else { idMap.put(w, Integer.valueOf(nextId)); nextId += 1; nextId - 1 }
+      ids(i) = id
+      cnt(id) += 1
+      if (cnt(id) > maxFreq) maxFreq = cnt(id)
       i += 1
     }
-    val nDistinct = counts.size()
+    val nDistinct = nextId
     var dupBg = 0.0
     if (n >= 2) {
-      // bigram identity via interned token ids packed into one long — an
+      // bigram identity via the interned ids packed into one long — an
       // EXACT pair key (no hash collisions) without allocating n-1
       // concatenated strings per row
       val bigrams = new java.util.HashSet[Long](n * 2)
-      val seen = new java.util.HashMap[UTF8String, Integer](n * 2)
-      var nextId = 0
-      def idOf(w: UTF8String): Int = {
-        val got = seen.get(w)
-        if (got != null) got.intValue()
-        else { seen.put(w, Integer.valueOf(nextId)); nextId += 1; nextId - 1 }
-      }
       var distinctBg = 0
       var j = 0
-      var prevId = idOf(arr.getUTF8String(0))
       while (j < n - 1) {
-        val curId = idOf(arr.getUTF8String(j + 1))
-        if (bigrams.add(prevId.toLong << 32 | (curId.toLong & 0xffffffffL))) distinctBg += 1
-        prevId = curId
+        if (bigrams.add(ids(j).toLong << 32 | (ids(j + 1).toLong & 0xffffffffL)))
+          distinctBg += 1
         j += 1
       }
       dupBg = 1.0 - distinctBg.toDouble / (n - 1).toDouble

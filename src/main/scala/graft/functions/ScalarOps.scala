@@ -19,9 +19,13 @@ object ScalarOps {
   /** T1 — int16 tenths-of-degree → °C (ref `src/modules/dd/producer.c:260`). */
   def unitScale(raw: Column): Column = raw / 10.0
 
-  /** T4 — clamp to [lo, hi] (ref `src/modules/module_rpi_ups_hat.c:260-262`). */
+  /** T4 — clamp to [lo, hi] (ref `src/modules/module_rpi_ups_hat.c:260-262`).
+    * NULL-propagating: Spark's least/greatest SKIP null arguments, so the
+    * bare composition would quietly turn a missing reading into the lower
+    * bound — battPct(null) reporting 0% is a fabricated "fully
+    * discharged", not an unknown. */
   def clamp(c: Column, lo: Double, hi: Double): Column =
-    least(lit(hi), greatest(lit(lo), c))
+    when(c.isNotNull, least(lit(hi), greatest(lit(lo), c)))
 
   /** T3+T4 — battery % model, clamped
     * (ref `src/modules/module_rpi_ups_hat.c:252,260-262`). */

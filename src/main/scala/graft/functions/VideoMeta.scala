@@ -29,6 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen'd call per row; bytes are read in place. */
 object VideoHeader {
 
+  import ByteReads.{be32, be64, fourcc}
+
   /** Parse (mime, timescale, duration, duration_ms, n_tracks) from MP4
     * header bytes; null if not a recognized, intact movie header. */
   def compute(b: Array[Byte]): InternalRow = {
@@ -107,16 +109,6 @@ object VideoHeader {
   private def headerLen(b: Array[Byte], off: Int): Int =
     if ((be32(b, off) & 0xFFFFFFFFL) == 1L) 16 else 8
 
-  private def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
-    off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
-      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
-
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
-      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-
-  private def be64(b: Array[Byte], i: Int): Long =
-    ((be32(b, i) & 0xFFFFFFFFL) << 32) | (be32(b, i + 4) & 0xFFFFFFFFL)
 }
 
 /** `video_meta(payload)` → struct<mime string, timescale int, duration

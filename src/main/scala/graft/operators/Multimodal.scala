@@ -420,12 +420,10 @@ object Multimodal {
       * MJPEG AVI via the RIFF walk; null if not an AVI, empty if no movi
       * list. Walks in Long space like [[graft.functions.AudioHeader]]. */
     def framePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
-      def le32(i: Int): Long =
-        ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
-          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
-      def cc(i: Int, t: String): Boolean =
-        i + 4 <= b.length && b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
-          b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+      // thin closures over the shared readers (ByteReads) — unsigned
+      // widening here because RIFF sizes are u32
+      def le32(i: Int): Long = graft.functions.ByteReads.le32(b, i) & 0xFFFFFFFFL
+      def cc(i: Int, t: String): Boolean = graft.functions.ByteReads.fourcc(b, i, t)
       if (b == null || b.length < 12 || !cc(0, "RIFF") || !cc(8, "AVI ")) return null
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var off = 12

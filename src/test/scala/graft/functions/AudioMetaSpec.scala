@@ -93,6 +93,24 @@ class AudioMetaSpec extends SparkTestBase {
     // AIFF missing COMM entirely
     assert(AudioHeader.parse(hex(
       "464F524D 00000010 41494646 414E4E4F 00000004 74657374")) == null)
+    // NON-INTEGRAL rate (44100.5): fraction bits below the shift point are
+    // set — refuse, don't floor to 44100 (the documented contract)
+    assert(AudioHeader.parse(comm("400EAC44800000000000")) == null)
+  }
+
+  test("AIFC: uncompressed NONE parses; compressed codecs refuse like non-PCM WAV") {
+    // AIFC COMM carries a compressionType fourcc after the PCM fields
+    def aifc(size: String, tail: String) = hex(
+      "464F524D 00000026 41494643 434F4D4D " + size +
+        " 0001 00000005 0010 400EAC44000000000000" + tail)
+    // "NONE" = uncompressed PCM: the COMM fields keep their meaning
+    assert(AudioHeader.parse(aifc("00000016", " 4E4F4E45")) ==
+      ("audio/aiff", 1, 44100, 16, 5L))
+    // "ima4" (IMA ADPCM): bits/frames are codec-defined — refuse
+    assert(AudioHeader.parse(aifc("00000016", " 696D6134")) == null)
+    // AIFC whose COMM is the bare 18-byte AIFF shape (no compressionType):
+    // torn for AIFC — refuse rather than assume uncompressed
+    assert(AudioHeader.parse(aifc("00000012", "")) == null)
   }
 
   test("expression + SQL registration agree with the JVM parser; nulls propagate") {

@@ -33,6 +33,13 @@ class ScalarOpsSpec extends SparkTestBase {
     assert(one(busVoltage(lit(0x2000))) == 0x400 * 0.004)
   }
 
+  test("clamp and battPct propagate NULL (a missing reading is unknown, not 0%)") {
+    // Spark's least/greatest SKIP nulls: the unguarded composition turned
+    // battPct(null) into the lower bound — a fabricated "fully discharged"
+    assert(one(clamp(lit(null).cast("double"), 0.0, 100.0)) == null)
+    assert(one(battPct(lit(null).cast("double"))) == null)
+  }
+
   test("T3+T4 battery pct: 8.4V -> 100, 6.0V -> 0, 7.2V -> 50, clamped outside") {
     assert(one(battPct(lit(8.4))).asInstanceOf[Double] === 100.0 +- 1e-9)
     assert(one(battPct(lit(6.0))).asInstanceOf[Double] === 0.0 +- 1e-9)
