@@ -173,6 +173,10 @@ object Dedup {
   /** Banding of a signature frame into (doc_id, band, bucket) rows — shared
     * by the batch candidate join and the streaming stateful form. */
   private[graft] def bandBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bandBuckets: bands ($bands) must divide the signature length k ($k) — " +
+        "truncating k/bands would silently drop signature hashes and break " +
+        "the 1-(1-j^rows)^bands recall model")
     val rows = k / bands
     sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
@@ -379,7 +383,16 @@ object Dedup {
   def embeddingNearDupsBlocked(vectors: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, nbits: Int = 0, tables: Int = 0,
                                dim: Int = 0, nHint: Long = 0L): DataFrame = {
-    val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim else {
+      // the lshTopK inference pattern: skip null vectors (size(null) is
+      // null -> Row.getInt would NPE) and fail DESCRIPTIVELY on an empty
+      // frame instead of NoSuchElementException from head()
+      val r = vectors.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect()
+      require(r.nonEmpty, "embeddingNearDupsBlocked: no non-null vectors " +
+        "to infer the embedding dim from; pass dim explicitly")
+      r.head.getInt(0)
+    }
     val bits = if (nbits > 0) nbits else {
       // nHint (from catalog/footer statistics, e.g. Engine.parquetRowCount)
       // spares the full-scan count(): at 100 TB an extra corpus pass just

@@ -103,13 +103,22 @@ object DupClusters {
     * from the count and the argmax — score the corpus before resolving
     * clusters. Returns (cluster, keep_id, n_members, best_q). */
   def survivorsByQuality(members: DataFrame, quality: DataFrame,
-                         qualityCol: String): DataFrame =
-    members.join(quality, "doc_id")
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col(qualityCol).as("q"), (-col("doc_id")).as("nid"))).as("__b"))
-      .select(col("cluster"), (-col("__b.nid")).as("keep_id"),
-        col("n_members"), col("__b.q").as("best_q"))
+                         qualityCol: String): DataFrame = {
+    // checkpointed: feeds both the per-cluster max and the tie-break pass
+    val joined = members.join(quality, "doc_id").localCheckpoint()
+    val best = joined.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"))
+    // ties break to the smallest doc_id via min over the max-q members —
+    // TYPE-AGNOSTIC (string ids order lexically; the earlier -doc_id
+    // negate trick, the exact trap knnClassify's doc warns about, threw
+    // under ANSI for string ids and nulled them otherwise, turning every
+    // cluster member including the survivor into a drop)
+    joined.join(best.select(col("cluster"), col("best_q").as(qualityCol)),
+        Seq("cluster", qualityCol))
+      .groupBy("cluster").agg(min(col("doc_id")).as("keep_id"))
+      .join(best, "cluster")
+      .select(col("cluster"), col("keep_id"), col("n_members"), col("best_q"))
+  }
 
   /** Gate form: `docs` minus every clustered non-survivor — unclustered
     * documents (no near-dup edge) pass through untouched. Anti join on

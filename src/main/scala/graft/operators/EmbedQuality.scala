@@ -34,8 +34,11 @@ object EmbedQuality {
     * Dedup.embeddingNearDupsBlocked). */
   private def cleaned(emb: DataFrame, groupCol: String, vecCol: String,
                       extraCols: Seq[String]): DataFrame = {
-    val d = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(size(col(vecCol))).head().getInt(0)
+    val probe = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol)).as("__d")).limit(1).collect()
+    require(probe.nonEmpty,
+      s"EmbedQuality: no non-null, non-empty '$vecCol' vectors to infer the width from")
+    val d = probe.head.getInt(0)
     val checkedV = when(size(col(vecCol)) === d, col(vecCol).cast("array<double>"))
       .otherwise(raise_error(concat(
         lit(s"embedding dim mismatch: expected $d, got "),
@@ -51,8 +54,12 @@ object EmbedQuality {
     * quantized centroid cancels to zero norm (perfectly opposing members)
     * are dropped — they define no direction to score against. */
   def centroids(emb: DataFrame, groupCol: String = "label",
-                vecCol: String = "embedding"): DataFrame = {
-    val e = cleaned(emb, groupCol, vecCol, Nil)
+                vecCol: String = "embedding"): DataFrame =
+    centroidsFromCleaned(cleaned(emb, groupCol, vecCol, Nil), groupCol)
+
+  /** [[centroids]] body over an ALREADY-cleaned frame (one `__v` column
+    * per row) — shared so centroidOutliers cleans once, not twice. */
+  private def centroidsFromCleaned(e: DataFrame, groupCol: String): DataFrame = {
     e.select(col(groupCol), posexplode(col("__v")))
       .select(col(groupCol), col("pos"),
         floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("__n"))
@@ -75,10 +82,13 @@ object EmbedQuality {
   def centroidOutliers(emb: DataFrame, threshold: Double,
                        groupCol: String = "label", idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    // cleaned() fires a driver head() to infer the width and re-runs its
+    // hygiene filters per call — clean ONCE and derive the centroids from
+    // the same frame instead of a second cleaned(emb) inside centroids()
     val e = cleaned(emb, groupCol, vecCol, Seq(idCol))
     val cos = graft.functions.CosineSim.cosine_sim(col("__v"), col("centroid"))
     val cosR = graft.functions.ScalarOps.r4(cos)
-    e.join(broadcast(centroids(emb, groupCol, vecCol)), groupCol)
+    e.join(broadcast(centroidsFromCleaned(e, groupCol)), groupCol)
       .select(col(idCol), col(groupCol), cosR.as("cos_c"),
         (cosR < lit(threshold)).cast("int").as("is_outlier"))
   }
@@ -100,12 +110,17 @@ object EmbedQuality {
     val nrm = round(sqrt(graft.functions.DotProduct.dot_product(
         col(vecCol).cast("array<double>"), col(vecCol).cast("array<double>"))), 4)
       .cast(org.apache.spark.sql.types.DecimalType(20, 4))
+    // null/empty vectors norm to NULL: they must be VISIBLE (n_bad), not
+    // silently deflate mean_norm (sum skips nulls while count(*) would
+    // not) and not hide from n_zero — an encoder emitting null vectors is
+    // exactly the failure this first screen exists to catch
     emb.select(col(groupCol), nrm.as("__nrm"))
       .groupBy(col(groupCol))
       .agg(count("*").as("n"),
-        round(sum(col("__nrm")).cast("double") / count("*"), 4).as("mean_norm"),
+        round(sum(col("__nrm")).cast("double") / count(col("__nrm")), 4).as("mean_norm"),
         min(col("__nrm")).cast("double").as("min_norm"),
         max(col("__nrm")).cast("double").as("max_norm"),
-        sum(when(col("__nrm") === 0, 1L).otherwise(0L)).as("n_zero"))
+        sum(when(col("__nrm") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("__nrm").isNull, 1L).otherwise(0L)).as("n_bad"))
   }
 }

@@ -40,8 +40,12 @@ object IvfIndex {
     val n = if (nHint > 0) nHint else withVec.count()
     val train =
       if (n <= maxTrain) withVec
-      else Sampling.deterministicSample(withVec, idCol,
-        math.min(100, math.max(1, math.ceil(maxTrain * 100.0 / n).toInt)), seed)
+      // ppm granularity: a whole-percent rate floors at 1%, which at
+      // n = 10^9 is 10^7 training rows — 50x the documented cap, growing
+      // linearly with the corpus. ppm holds the cap to ~maxTrain rows
+      // (up to n = 2*10^11; beyond that the 1-ppm floor re-enters)
+      else Sampling.deterministicSamplePpm(withVec, idCol,
+        math.min(1000000, math.max(1, math.ceil(maxTrain * 1e6 / n).toInt)), seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__v").setPredictionCol("cell")
       .fit(train)

@@ -36,7 +36,7 @@ object LmScore {
 
   /** Unigram counts over the corpus: (term, cnt). One hash shuffle. */
   def fitUnigram(corpus: DataFrame): DataFrame =
-    corpus.filter(length(trim(col("text"))) > 0)
+    corpus.filter(TextAnalysis.hasTokens(col("text")))
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
@@ -54,7 +54,7 @@ object LmScore {
     val tot = lm.agg(
       sum(col("cnt")).cast("double").as("t_tok"),
       count(lit(1)).cast("double").as("v"))
-    val tc = docs.filter(length(trim(col("text"))) > 0)
+    val tc = docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -94,7 +94,7 @@ object LmScore {
     val (tTok, v) = (totRow.getDouble(0), totRow.getDouble(1))
     val c6 = floor(negate(log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(tTok + v)))
       * lit(1e6) + lit(0.5)).cast("long")
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .join(lm, Seq("term"), "left")
       .withColumn("c6", c6)

@@ -63,8 +63,10 @@ object PqIndex {
     val n = if (nHint > 0) nHint else vectors.count()
     val train =
       if (n <= maxTrain) vectors
-      else Sampling.deterministicSample(vectors, idCol,
-        math.min(100, math.max(1, math.ceil(maxTrain * 100.0 / n).toInt)), seed)
+      // ppm, not whole percent: see IvfIndex.build — the 1% floor breaks
+      // the training cap at corpus scale
+      else Sampling.deterministicSamplePpm(vectors, idCol,
+        math.min(1000000, math.max(1, math.ceil(maxTrain * 1e6 / n).toInt)), seed)
     // one residual pass feeds all m subspace fits
     val resid = withResidual(train, cents, vecCol).select(col("__resid"))
       .localCheckpoint()

@@ -42,7 +42,7 @@ object Retrieval {
     * document length. `dl` rides the groupBy keys (functionally dependent
     * on doc_id) so no second join is needed to recover it. */
   def postings(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
       .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
         explode(col("__ws")).as("term"))
@@ -78,7 +78,7 @@ object Retrieval {
     // postings or the tokenized corpus to share one pass is exactly the
     // corpus-sized materialization the slice checkpoint exists to avoid.
     // "Tokenized once" below refers to the postings/scoring path.
-    val base = docs.filter(length(trim(col("text"))) > 0)
+    val base = docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(TextAnalysis.tokenCount(col("text")).as("dl"))
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -184,7 +184,7 @@ object Retrieval {
     * scoring branch each re-derive the full tokenize+shuffle. */
   def domainTerms(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"domainTerms: k must be >= 1, got $k")
-    val tf = docs.filter(length(trim(col("text"))) > 0)
+    val tf = docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()

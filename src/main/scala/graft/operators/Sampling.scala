@@ -127,6 +127,15 @@ object Sampling {
                           seed: Long = 42L): DataFrame =
     df.filter(pmod(md5Priority(col(idCol), seed), lit(100)) < percent)
 
+  /** [[deterministicSample]] at parts-per-million granularity — the
+    * sample-rate floor a fit cap actually needs: whole percent floors at
+    * 1%, so "train on at most 200k rows" over 10^9 rows would silently
+    * sample 10^7 (1%), growing linearly with the corpus instead of
+    * holding the cap. */
+  def deterministicSamplePpm(df: DataFrame, idCol: String, ppm: Int,
+                             seed: Long = 42L): DataFrame =
+    df.filter(pmod(md5Priority(col(idCol), seed), lit(1000000)) < ppm)
+
   /** Domain-mixing stratified take: per-group deterministic bottom-k by md5
     * priority, where k may vary per group via `kExpr` (derive it from target
     * mixture weights — "keep 5% of web, 40% of code, all of books"). One
@@ -186,9 +195,17 @@ object Sampling {
                            weightCol: String, budget: Long,
                            seed: Long = 42L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // fail fast on w <= 0 (the ppsSample guard): a zero/negative weight
+    // makes the running total non-monotone, so the selection would no
+    // longer be a prefix of the priority order and the documented
+    // nesting property (smaller budget => prefix of larger) breaks
+    val wgt = when(col(weightCol) > 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"budgetedTakePerGroup: non-positive weight in $weightCol: "),
+        col(weightCol).cast("string"))))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5Priority(col(idCol), seed), col(idCol))
-    df.withColumn("cum_w", sum(col(weightCol)).over(w))
+    df.withColumn("cum_w", sum(wgt).over(w))
       .filter(col("cum_w") <= budget)
   }
 

@@ -23,14 +23,14 @@ object SegmentDedup {
 
   /** (doc_id, seg_idx, seg): consecutive `w`-token chunks of each doc
     * (last chunk may be shorter). Docs with no tokens vanish (cheap
-    * trim-length scan predicate — the pushdown-safe gate TextAnalysis
+    * hasTokens scan predicate — the pushdown-safe gate TextAnalysis
     * uses; a size(ws) filter above the tokenize projection would re-split
     * per row at the scan). */
   private[operators] def segments(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"segment width must be >= 1, got $w")
     val ws = col("__ws")
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(TextAnalysis.hasTokens(col("text")))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
       .select(col("doc_id"),
         posexplode(

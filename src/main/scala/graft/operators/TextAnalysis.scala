@@ -30,13 +30,22 @@ object TextAnalysis {
     * Tokens materialize behind their own projection: column-level helpers
     * would re-run the regex split once per consumer (interpreted HOFs get
     * no CSE — 3 splits/row measured before this shape). */
+  /** "Has at least one token" scan gate: true iff the text contains any
+    * non-whitespace character — EXACTLY size(tokens(text)) > 0, evaluable
+    * at the scan without tokenizing. The previous `length(trim(text)) > 0`
+    * gate was WRONG for tab/newline-only docs (SQL trim strips only
+    * spaces): they passed the gate, tokenized to [], and crashed the
+    * ANSI ratio math / sequence() downstream. Oracle twin:
+    * `regexp_matches(text, '\\S')` (same fix applied to every oracle). */
+  def hasTokens(text: Column): Column = text.rlike("\\S")
+
   def textStats(docs: DataFrame): DataFrame = {
     val ws = col("__ws")
     docs
       // zero-token / empty docs would hit ANSI DIVIDE_BY_ZERO in the ratio
-      // columns; the trim-length scan predicate excludes them cheaply
+      // columns; the hasTokens scan predicate excludes them cheaply
       // (same pushdown-safe gate repetitionStats uses)
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("__ws"))
       .select(
         col("doc_id"),
@@ -101,7 +110,7 @@ object TextAnalysis {
     val r4 = graft.functions.ScalarOps.r4 _
     val st = col("__st")
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"),
         graft.functions.RepetitionStatsExpr.repetition_stats(tokens(col("text"))).as("__st"))
       .select(
@@ -122,7 +131,7 @@ object TextAnalysis {
   def tokenEntropy(docs: DataFrame): DataFrame = {
     val st = col("__st")
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"),
         graft.functions.TokenEntropyExpr.token_entropy(tokens(col("text"))).as("__st"))
       .select(
@@ -138,7 +147,7 @@ object TextAnalysis {
     * scaled-long sum proves order independence (asserted bit-equal in
     * CurationOpsSpec). */
   private[graft] def tokenEntropyAgg(docs: DataFrame): DataFrame = {
-    val tc = docs.filter(length(trim(col("text"))) > 0)
+    val tc = docs.filter(hasTokens(col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -167,7 +176,7 @@ object TextAnalysis {
     require(stride >= 1 && stride <= width,
       s"chunk: stride must be in [1, width=$width], got $stride")
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"), tokens(col("text")).as("__ws"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -203,7 +212,7 @@ object TextAnalysis {
           .cast("long") % target === 0))
       .otherwise(array().cast("array<int>"))
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"), tokens(col("text")).as("__ws"))
       .withColumn("__st", concat(array(lit(0)), bpos))
       .withColumn("__en", concat(bpos, array(size(ws))))
@@ -227,9 +236,9 @@ object TextAnalysis {
       // the "has at least one token" gate must be CHEAP under pushdown: a
       // size(ws) >= 1 filter above the tokenize projection would be
       // predicate-pushed through it and re-run the regex split per row at
-      // the scan (verified in the plan); trim-length is the exact same row
+      // the scan (verified in the plan); hasTokens is the exact same row
       // set as a codegen'd scan predicate
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), ws,
         when(size(ws) >= 2, bigrams).otherwise(array().cast("array<string>")).as("bg"))
@@ -299,7 +308,7 @@ object TextAnalysis {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
     val ws = col("__ws")
     docs
-      .filter(length(trim(col("text"))) > 0)
+      .filter(hasTokens(col("text")))
       .select(tokens(col("text")).as("__ws"))
       .select(explode(when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
@@ -319,7 +328,7 @@ object TextAnalysis {
     * global sort. */
   def stopwordFit(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"stopwordFit: k must be >= 1, got $k")
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
@@ -336,7 +345,7 @@ object TextAnalysis {
     * asserted in StreamingSpec. */
   def stopwordRatio(docs: DataFrame, stopwords: DataFrame): DataFrame = {
     val sw = broadcast(stopwords.select(col("term"), lit(1L).as("__is")))
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .join(sw, Seq("term"), "left")
       .groupBy("doc_id")
@@ -357,7 +366,7 @@ object TextAnalysis {
     * out-of-vocabulary card. */
   def vocabFit(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"vocabFit: k must be >= 1, got $k")
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term"))
@@ -372,7 +381,7 @@ object TextAnalysis {
     * sums, the rate derived once from the sums. */
   def oovRate(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val vw = broadcast(vocab.select(col("term"), lit(1L).as("__in")))
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .join(vw, Seq("term"), "left")
       .groupBy("source")
@@ -416,7 +425,7 @@ object TextAnalysis {
     * StreamingSpec. */
   def termCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val vw = broadcast(vocab.select(col("term"), col("tf").as("__nw")))
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .join(vw, Seq("term")) // inner: drift is measured within the vocab
       .groupBy(col("source"), col("term"))
@@ -466,7 +475,7 @@ object TextAnalysis {
     * and the oracle twin. At 100 TB the (source, term) shuffle carries
     * the full vocabulary; prefer [[lexicalDiversityApprox]]. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("__tf"))
       .groupBy("source")
@@ -482,7 +491,7 @@ object TextAnalysis {
     * register rows-only; CurationOpsSpec pins it within tolerance of the
     * exact card. */
   def lexicalDiversityApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_tok"),
@@ -499,7 +508,7 @@ object TextAnalysis {
     * whose memory is O(1) per group instead of O(group)). avg_tok is an
     * exact long sum / long count — never a double-accumulated mean. */
   def corpusCard(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), col("lang"), tokenCount(col("text")).as("n_tok"))
       .groupBy("source")
       .agg(
@@ -518,7 +527,7 @@ object TextAnalysis {
     * combined shuffle), ratios computed once from the sums — never an
     * averaged average. */
   def fertility(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+    docs.filter(hasTokens(col("text")))
       .select(col("source"), length(col("text")).cast("long").as("n_ch"),
         tokenCount(col("text")).as("n_w"), bpeishCount(col("text")).as("n_b"))
       .groupBy("source")
@@ -559,7 +568,7 @@ object TextAnalysis {
     * partition before the per-doc shuffle. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"tfidfTopK: k must be >= 1, got $k")
-    val tf = docs.filter(length(trim(col("text"))) > 0)
+    val tf = docs.filter(hasTokens(col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))

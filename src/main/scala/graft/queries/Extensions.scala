@@ -32,7 +32,7 @@ object Extensions {
     * card): per-doc fraction of content-defined chunks appearing in other
     * documents. */
   private val CdcDupSql =
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id"""
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s), chunks AS (SELECT doc_id, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch), d AS (SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM chunks) GROUP BY chunk_md5 HAVING COUNT(*) >= 2) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, ROUND(CAST(SUM(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS shared_frac FROM chunks LEFT JOIN d USING (chunk_md5) GROUP BY doc_id ORDER BY doc_id"""
 
   val all: Seq[(String, QueryFn, Option[String])] = Seq(
 
@@ -191,7 +191,7 @@ object Extensions {
     // E4 — per-document quality stats
     ("qe4a_textstats", (s: SparkSession, d: String) => {
       TextAnalysis.textStats(Engine.Tables(s, d).documents).orderBy("doc_id")
-    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, ROUND(CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 4) AS avg_token_len, ROUND(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio FROM documents WHERE len(trim(text)) > 0 ORDER BY doc_id""")),
+    }, Some("""SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, ROUND(CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 4) AS avg_token_len, ROUND(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text), 4) AS punct_ratio FROM documents WHERE regexp_matches(text, '\S') ORDER BY doc_id""")),
 
     // E4 — n-gram-heuristic language ID (same marker sets in both engines)
     ("qe4b_langid", (s: SparkSession, d: String) => {
@@ -262,7 +262,7 @@ object Extensions {
           col("lang_guess") === "en")
       Dedup.exactDedup(kept, Seq("text"), "doc_id")
         .select(col("keep_id").as("doc_id")).orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
 
     // Sequence packing — concat-then-chunk token bins (integer-exact oracle)
     ("qe11_seqpack", (s: SparkSession, d: String) => {
@@ -567,7 +567,7 @@ object Extensions {
           col("lang_guess") === "en")
       Dedup.exactDedup(kept, Seq("text"), "doc_id")
         .select(col("keep_id").as("doc_id")).orderBy("doc_id")
-    }, Some("""WITH neu AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0), oldfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), newfp AS (SELECT doc_id, md5(text) AS fp FROM neu), di AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM oldfp o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id), todo AS (SELECT doc_id FROM di WHERE status IN ('added', 'changed')), delta AS (SELECT n.doc_id, n.text FROM neu n JOIN todo USING (doc_id)), tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM delta WHERE len(trim(text)) > 0), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
+    }, Some("""WITH neu AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0), oldfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), newfp AS (SELECT doc_id, md5(text) AS fp FROM neu), di AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM oldfp o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id), todo AS (SELECT doc_id FROM di WHERE status IN ('added', 'changed')), delta AS (SELECT n.doc_id, n.text FROM neu n JOIN todo USING (doc_id)), tok AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM delta WHERE regexp_matches(text, '\S')), feat AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok), kept AS (SELECT doc_id, text FROM feat WHERE n_tokens >= 20 AND ROUND(punct_ratio, 4) <= 0.05 AND GREATEST(s_en, s_de, s_es, s_fr) > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text ORDER BY doc_id""")),
 
     // Adaptive quality gate — keep docs at or below the exact 0.9-quantile
     // of duplicate-bigram repetition: threshold from a bounded value
@@ -625,7 +625,7 @@ object Extensions {
     ("qe21_seg_dedup", (s: SparkSession, d: String) => {
       graft.operators.SegmentDedup.dedupSegments(Engine.Tables(s, d).documents, 8)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
 
     // Corpus-wide top-k bigrams — the statistics pass run before choosing
     // filters (boilerplate discovery, stopword induction). One map-side-
@@ -633,7 +633,7 @@ object Extensions {
     ("qe22_top_ngrams", (s: SparkSession, d: String) => {
       TextAnalysis.topNgrams(Engine.Tables(s, d).documents, 2, 20)
         .orderBy(col("cnt").desc, col("gram"))
-    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), grams AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tok)) SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""")),
+    }, Some("""WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), grams AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tok)) SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""")),
 
     // Bloom-pre-filtered decontamination — IDENTICAL results to qe12 (the
     // exact verify join removes bloom false positives; no false negatives
@@ -689,7 +689,7 @@ object Extensions {
               .getField("dup_2gram_frac")).as("d2"))
       feat.filter(col("n_tok") >= 20 && col("d2") <= 0.05)
         .select("doc_id", "n_tok").orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1), clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS tc FROM surv GROUP BY doc_id), scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(tc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS tc FROM clean), t2 AS (SELECT doc_id, list_filter(string_split_regex(tc, '\s+'), t -> len(t) > 0) AS ws FROM scrub), feat AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, ROUND(CASE WHEN len(ws) >= 2 THEN 1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1) ELSE 0 END, 4) AS d2 FROM t2) SELECT doc_id, n_tok FROM feat WHERE n_tok >= 20 AND d2 <= 0.05 ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), surv AS (SELECT doc_id, seg_idx, seg FROM segs QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1), clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS tc FROM surv GROUP BY doc_id), scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(tc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9 ()-]{8,}[0-9]', '<PHONE>', 'g') AS tc FROM clean), t2 AS (SELECT doc_id, list_filter(string_split_regex(tc, '\s+'), t -> len(t) > 0) AS ws FROM scrub), feat AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok, ROUND(CASE WHEN len(ws) >= 2 THEN 1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1) ELSE 0 END, 4) AS d2 FROM t2) SELECT doc_id, n_tok FROM feat WHERE n_tok >= 20 AND d2 <= 0.05 ORDER BY doc_id""")),
 
     // Hash-stable train/val/test split — 80/10/10 by md5 bucket of doc_id:
     // growth-stable (a doc's split never changes as the corpus grows),
@@ -707,14 +707,14 @@ object Extensions {
     ("qe27_budget_mix", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val withTok = docs
-        .filter(length(trim(col("text"))) > 0)
+        .filter(TextAnalysis.hasTokens(col("text")))
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tok"))
       graft.operators.Sampling.budgetedTakePerGroup(
           withTok, "source", "doc_id", "n_tok", 1000L)
         .select("source", "doc_id", "n_tok", "cum_w")
         .orderBy("source", "doc_id")
-    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents WHERE len(trim(text)) > 0), c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_w FROM t) SELECT source, doc_id, n_tok, cum_w FROM c WHERE cum_w <= 1000 ORDER BY source, doc_id""")),
+    }, Some("""WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents WHERE regexp_matches(text, '\S')), c AS (SELECT doc_id, source, n_tok, CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_w FROM t) SELECT source, doc_id, n_tok, cum_w FROM c WHERE cum_w <= 1000 ORDER BY source, doc_id""")),
 
     // BM25 lexical retrieval — the term-based complement to qe3's embedding
     // ANN: deterministic query set (every 97th doc's first 4 tokens) scored
@@ -723,11 +723,11 @@ object Extensions {
     ("qe28_bm25", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val qs = docs
-        .filter(col("doc_id") % 97 === 5 && length(trim(col("text"))) > 0)
+        .filter(col("doc_id") % 97 === 5 && TextAnalysis.hasTokens(col("text")))
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
       graft.operators.Retrieval.bm25TopK(docs, qs, 10).orderBy("qid", "rnk")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), rk AS (SELECT qid, doc_id, s6, CAST(row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk FROM agg) SELECT qid, doc_id, ROUND(CAST(s6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), rk AS (SELECT qid, doc_id, s6, CAST(row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk FROM agg) SELECT qid, doc_id, ROUND(CAST(s6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
     // Hybrid retrieval — BM25 candidates (qe28's query set, top-30)
     // re-ranked by embedding cosine: the standard two-stage lexical-recall
@@ -737,12 +737,12 @@ object Extensions {
       val docs = Engine.Tables(s, d).documents
       val emb = Engine.Tables(s, d).embeddings
       val qs = docs
-        .filter(col("doc_id") % 97 === 5 && length(trim(col("text"))) > 0)
+        .filter(col("doc_id") % 97 === 5 && TextAnalysis.hasTokens(col("text")))
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
       graft.operators.Retrieval.hybridTopK(docs, emb, qs, 10, 30)
         .orderBy("qid", "rnk")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), lex AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS rnk FROM agg) WHERE rnk <= 30), qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IN (SELECT DISTINCT qid FROM qt)), cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc2 AS (SELECT l.qid AS qid, l.doc_id AS doc_id, list_inner_product(qv.v, cv.v) / (sqrt(list_inner_product(qv.v, qv.v)) * sqrt(list_inner_product(cv.v, cv.v))) AS cos FROM lex l JOIN cv USING (doc_id) JOIN qv ON qv.qid = l.qid), rk2 AS (SELECT qid, doc_id, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc2) SELECT qid, doc_id, ROUND(cos, 4) AS cos, rnk FROM rk2 WHERE rnk <= 10 ORDER BY qid, rnk""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), lex AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS rnk FROM agg) WHERE rnk <= 30), qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IN (SELECT DISTINCT qid FROM qt)), cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc2 AS (SELECT l.qid AS qid, l.doc_id AS doc_id, list_inner_product(qv.v, cv.v) / (sqrt(list_inner_product(qv.v, qv.v)) * sqrt(list_inner_product(cv.v, cv.v))) AS cos FROM lex l JOIN cv USING (doc_id) JOIN qv ON qv.qid = l.qid), rk2 AS (SELECT qid, doc_id, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc2) SELECT qid, doc_id, ROUND(cos, 4) AS cos, rnk FROM rk2 WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
     // Unigram-LM quality scoring (CCNet-style): fit on the corpus, score
     // every doc's mean negative log-likelihood — the self-scoring audit
@@ -752,7 +752,7 @@ object Extensions {
     ("qe29_lm_nll", (s: SparkSession, d: String) => {
       graft.operators.LmScore.selfScore(Engine.Tables(s, d).documents)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
     // LM-quality gate per source — the CCNet recipe end-to-end: score every
     // doc's nll under the corpus unigram LM, then drop each source's worst
@@ -764,13 +764,13 @@ object Extensions {
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       graft.operators.QuantileGate.atOrBelowPerGroup(scored, "source", "nll", 0.9)
         .select("doc_id", "source", "nll").orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot), score AS (SELECT doc_id, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id), j AS (SELECT s.doc_id AS doc_id, d.source AS source, s.nll AS nll FROM score s JOIN documents d USING (doc_id)), hist AS (SELECT source, nll AS v, COUNT(*) AS c FROM j GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.9 * n) GROUP BY source) SELECT j.doc_id, j.source, j.nll FROM j JOIN thr ON j.source = thr.source AND j.nll <= thr ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_tok, CAST(COUNT(*) AS DOUBLE) AS v FROM lm), sc AS (SELECT doc_id, tf, CAST(floor(-ln((cnt + 1.0)/(t_tok + v)) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tc JOIN lm USING (term) CROSS JOIN tot), score AS (SELECT doc_id, ROUND(CAST(SUM(c6) AS DOUBLE) / 1e6 / SUM(tf), 4) AS nll FROM sc GROUP BY doc_id), j AS (SELECT s.doc_id AS doc_id, d.source AS source, s.nll AS nll FROM score s JOIN documents d USING (doc_id)), hist AS (SELECT source, nll AS v, COUNT(*) AS c FROM j GROUP BY 1, 2), cum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, SUM(c) OVER (PARTITION BY source) AS n FROM hist), thr AS (SELECT source, MIN(v) AS thr FROM cum WHERE cm >= CEIL(0.9 * n) GROUP BY source) SELECT j.doc_id, j.source, j.nll FROM j JOIN thr ON j.source = thr.source AND j.nll <= thr ORDER BY doc_id""")),
 
     // Per-source corpus data card — the summary a curation run publishes:
     // docs, token volume, exact-long mean, language spread, median length.
     ("qe30_datacard", (s: SparkSession, d: String) => {
       TextAnalysis.corpusCard(Engine.Tables(s, d).documents).orderBy("source")
-    }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source""")),
+    }, Some("""WITH t AS (SELECT source, lang, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tok, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tok FROM t GROUP BY source ORDER BY source""")),
 
     // Tokenizer-fertility card — chars per BPE-ish token and sub-tokens
     // per word, per source: the metric that flags domains a tokenizer
@@ -778,7 +778,7 @@ object Extensions {
     // averages.
     ("qe34_fertility", (s: SparkSession, d: String) => {
       TextAnalysis.fertility(Engine.Tables(s, d).documents).orderBy("source")
-    }, Some("""WITH t AS (SELECT source, CAST(len(text) AS BIGINT) AS n_ch, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_w, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_b FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(SUM(n_ch) AS BIGINT) AS n_chars, CAST(SUM(n_w) AS BIGINT) AS n_ws, CAST(SUM(n_b) AS BIGINT) AS n_bpeish, ROUND(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_b), 4) AS chars_per_tok, ROUND(CAST(SUM(n_b) AS DOUBLE) / SUM(n_w), 4) AS toks_per_word FROM t GROUP BY source ORDER BY source""")),
+    }, Some("""WITH t AS (SELECT source, CAST(len(text) AS BIGINT) AS n_ch, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_w, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_b FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(SUM(n_ch) AS BIGINT) AS n_chars, CAST(SUM(n_w) AS BIGINT) AS n_ws, CAST(SUM(n_b) AS BIGINT) AS n_bpeish, ROUND(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_b), 4) AS chars_per_tok, ROUND(CAST(SUM(n_b) AS DOUBLE) / SUM(n_w), 4) AS toks_per_word FROM t GROUP BY source ORDER BY source""")),
 
     // Per-source distinctive terms — tf·idf with each source as the
     // pseudo-document: the "what characterizes this domain" report next to
@@ -788,7 +788,7 @@ object Extensions {
     ("qe32_domain_terms", (s: SparkSession, d: String) => {
       graft.operators.Retrieval.domainTerms(Engine.Tables(s, d).documents, 10)
         .orderBy("source", "rnk")
-    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0), tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_s FROM tf GROUP BY term), ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM tf), sc AS (SELECT source, term, tf, CAST(floor(ln(n_src / df_s) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tf JOIN dfs USING (term) CROSS JOIN ns), rk AS (SELECT source, term, tf, c6, CAST(row_number() OVER (PARTITION BY source ORDER BY c6 DESC, term) AS BIGINT) AS rnk FROM sc) SELECT source, term, tf, ROUND(CAST(c6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY source, rnk""")),
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')), tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_s FROM tf GROUP BY term), ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM tf), sc AS (SELECT source, term, tf, CAST(floor(ln(n_src / df_s) * 1e6 + 0.5) AS BIGINT) * tf AS c6 FROM tf JOIN dfs USING (term) CROSS JOIN ns), rk AS (SELECT source, term, tf, c6, CAST(row_number() OVER (PARTITION BY source ORDER BY c6 DESC, term) AS BIGINT) AS rnk FROM sc) SELECT source, term, tf, ROUND(CAST(c6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY source, rnk""")),
 
     // Train→test split-leakage audit — the check published before any
     // training run: for every test-split doc, what share of its distinct
@@ -805,7 +805,7 @@ object Extensions {
           withSplit.filter(col("split") === "test"),
           withSplit.filter(col("split") === "train"), 5)
         .orderBy("doc_id")
-    }, Some("""WITH sp AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents)), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'), te AS (SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh JOIN sp USING (doc_id) WHERE split = 'test') SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS leak_frac FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH sp AS (SELECT doc_id, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents)), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'), te AS (SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh JOIN sp USING (doc_id) WHERE split = 'test') SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked, ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS leak_frac FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY doc_id ORDER BY doc_id""")),
 
     // Capstone v3 — the whole "raw corpus → packed training bins" path in
     // one query: hash-stable train split -> exact dedup (min-id survivor)
@@ -825,7 +825,7 @@ object Extensions {
       val bench = docs.filter(col("doc_id") % 19 === 3)
       val cleaned = graft.operators.Decontaminate.clean(
         docs.join(surv, "doc_id"), bench, 5)
-      val withTok = cleaned.filter(length(trim(col("text"))) > 0)
+      val withTok = cleaned.filter(TextAnalysis.hasTokens(col("text")))
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tok"))
       val mixed = graft.operators.Sampling.budgetedTakePerGroup(
@@ -834,7 +834,7 @@ object Extensions {
       graft.operators.SeqPack.binStatsSharded(
           mixed, "source", "doc_id", "n_tok", 256L)
         .orderBy("shard", "bin")
-    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // Capstone v4, the QUALITY-GATED packing path: hash-stable train
     // split -> exact dedup (min-id survivor) -> per-source z-score length
@@ -854,7 +854,7 @@ object Extensions {
       val gated = graft.operators.ZScore.gate(
         sdocs.select("doc_id", "source", "n_chars"), "source", "n_chars", 2.0)
       val wt = sdocs.join(gated.select("doc_id"), "doc_id")
-        .filter(length(trim(col("text"))) > 0)
+        .filter(TextAnalysis.hasTokens(col("text")))
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tok"))
       val mixed = graft.operators.Sampling.budgetedTakePerGroup(
@@ -882,7 +882,7 @@ object Extensions {
     ("qe36_chunk", (s: SparkSession, d: String) => {
       TextAnalysis.chunk(Engine.Tables(s, d).documents, 64, 48)
         .orderBy("doc_id", "chunk_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
 
     // E4 — Gopher-style stopword-ratio quality signal with fit/apply
     // split: top-20 document-frequency terms induced from the corpus
@@ -891,7 +891,7 @@ object Extensions {
     ("qe38_stopword_ratio", (s: SparkSession, d: String) => {
       TextAnalysis.stopwordRatioSelf(Engine.Tables(s, d).documents, 20)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY term), stop AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 20), tc AS (SELECT doc_id, unnest(ws) AS term FROM tok) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, ROUND(CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS stop_ratio FROM tc LEFT JOIN stop USING (term) GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY term), stop AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 20), tc AS (SELECT doc_id, unnest(ws) AS term FROM tok) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, ROUND(CAST(SUM(CASE WHEN stop.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS stop_ratio FROM tc LEFT JOIN stop USING (term) GROUP BY doc_id ORDER BY doc_id""")),
 
     // E4 — per-source z-score length gate: robust scaling from EXACT
     // decimal sums (order-independent), broadcast stats, |z| <= 2 kept.
@@ -936,7 +936,7 @@ object Extensions {
       val docs = Engine.Tables(s, d).documents
       TextAnalysis.oovRate(docs, TextAnalysis.vocabFit(docs, 200))
         .orderBy("source")
-    }, Some("""WITH tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), voc AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 200), tc AS (SELECT source, unnest(ws) AS term FROM tok) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, ROUND(CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate FROM tc LEFT JOIN voc USING (term) GROUP BY source ORDER BY source""")),
+    }, Some("""WITH tok AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT unnest(ws) AS term FROM tok) GROUP BY term), voc AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 200), tc AS (SELECT source, unnest(ws) AS term FROM tok) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, ROUND(CAST(SUM(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate FROM tc LEFT JOIN voc USING (term) GROUP BY source ORDER BY source""")),
 
     // E4 — per-doc token-distribution entropy + type count: the
     // concentration quality signal next to qe14's repetition fractions.
@@ -945,7 +945,7 @@ object Extensions {
     ("qe37_entropy", (s: SparkSession, d: String) => {
       TextAnalysis.tokenEntropy(Engine.Tables(s, d).documents)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), sc AS (SELECT doc_id, tf, CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM tc) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS n_types, ROUND((ln(CAST(SUM(tf) AS DOUBLE)) - CAST(SUM(c6) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE)) / ln(2), 4) AS entropy FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(ws) AS term FROM tok) GROUP BY doc_id, term), sc AS (SELECT doc_id, tf, CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM tc) SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS n_types, ROUND((ln(CAST(SUM(tf) AS DOUBLE)) - CAST(SUM(c6) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE)) / ln(2), 4) AS entropy FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
     // E2 (boilerplate strip) — remove every >= minDocs-document segment
     // from ALL documents (CCNet/Dolma-style): unlike qe21 (keep first
@@ -956,7 +956,7 @@ object Extensions {
       graft.operators.SegmentDedup.removeBoilerplate(
           Engine.Tables(s, d).documents, 8, 3)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), boiler AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3), surv AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg FROM (SELECT doc_id, ws, unnest(range((len(ws)+7)//8)) AS i FROM tok)), boiler AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3), surv AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)) SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, CAST(COUNT(*) AS BIGINT) AS n_segs_kept FROM surv GROUP BY doc_id ORDER BY doc_id""")),
 
     // E3 (index health) — per-group embedding L2-norm distribution card:
     // the first screen on a new embedding drop (un-normalized batches,
@@ -965,7 +965,7 @@ object Extensions {
     ("qe45_embed_norms", (s: SparkSession, d: String) => {
       graft.operators.EmbedQuality.normsCard(Engine.Tables(s, d).embeddings)
         .orderBy("label")
-    }, Some("""WITH e AS (SELECT label, CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(20,4)) AS nrm FROM embeddings) SELECT label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 4) AS mean_norm, CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM e GROUP BY label ORDER BY label""")),
+    }, Some("""WITH e AS (SELECT label, CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(20,4)) AS nrm FROM embeddings) SELECT label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(nrm), 4) AS mean_norm, CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, CAST(SUM(CASE WHEN nrm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM e GROUP BY label ORDER BY label""")),
 
     // E5 (leakage-free split) — near-dup clusters land WHOLLY in one
     // split: the structural prevention of the train/test leakage qe26b
@@ -1011,7 +1011,7 @@ object Extensions {
     ("qe50_tfidf", (s: SparkSession, d: String) => {
       TextAnalysis.tfidfTopK(Engine.Tables(s, d).documents, 5)
         .orderBy("doc_id", "rnk")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), w AS (SELECT doc_id, unnest(ws) AS word FROM tok), tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), sc AS (SELECT doc_id, word, tf, CAST((tf * 1000000 * n) // df AS BIGINT) AS score_ppm FROM tf CROSS JOIN nn JOIN dfq USING (word)) SELECT doc_id, word, tf, score_ppm, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rnk FROM sc QUALIFY rnk <= 5 ORDER BY doc_id, rnk""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), w AS (SELECT doc_id, unnest(ws) AS word FROM tok), tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), sc AS (SELECT doc_id, word, tf, CAST((tf * 1000000 * n) // df AS BIGINT) AS score_ppm FROM tf CROSS JOIN nn JOIN dfq USING (word)) SELECT doc_id, word, tf, score_ppm, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rnk FROM sc QUALIFY rnk <= 5 ORDER BY doc_id, rnk""")),
 
     // E5 (layout) — Z-order data-skipping card: min/max-quantize
     // (partkey, suppkey) into 16-bit grid coords (the fit/apply shape: a
@@ -1080,7 +1080,7 @@ object Extensions {
     ("qe54_source_drift", (s: SparkSession, d: String) => {
       TextAnalysis.driftCardSelf(Engine.Tables(s, d).documents, 100)
         .orderBy("source")
-    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
 
     // E2 (survivor policy) — quality-aware survivor per duplicate
     // cluster: the member with the most tokens wins (ties -> min doc_id),
@@ -1122,7 +1122,7 @@ object Extensions {
     ("qe56_cdc_chunk", (s: SparkSession, d: String) => {
       TextAnalysis.chunkCdc(Engine.Tables(s, d).documents, 16)
         .orderBy("doc_id", "chunk_idx")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE len(trim(text)) > 0), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s) SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, CAST(en[j + 1] - st[j + 1] AS BIGINT) AS n_tok, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), b AS (SELECT doc_id, ws, list_filter(range(1, len(ws)), i -> ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 16 = 0) AS bp FROM tok), s AS (SELECT doc_id, ws, list_prepend(0, bp) AS st, list_append(bp, len(ws)) AS en FROM b), ch AS (SELECT doc_id, ws, st, en, unnest(range(len(st))) AS j FROM s) SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx, CAST(en[j + 1] - st[j + 1] AS BIGINT) AS n_tok, md5(array_to_string(ws[st[j + 1] + 1:en[j + 1]], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx""")),
 
     // E2 (subset reuse) — asymmetric shingle containment c(A->B) =
     // |S(A) n S(B)| / |S(A)|: a paragraph quoted whole inside a long
@@ -1221,7 +1221,7 @@ object Extensions {
         TextAnalysis.vocabFit(docs.filter(col("doc_id") % 2 === 0), 100))
       TextAnalysis.driftCard(docs.filter(col("doc_id") % 2 === 1), vocab)
         .orderBy("source")
-    },Some("""WITH tok0 AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok0 GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0 AND doc_id % 2 = 1), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
+    },Some("""WITH tok0 AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S') AND doc_id % 2 = 0), v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS nw FROM tok0 GROUP BY term ORDER BY nw DESC, term LIMIT 100), ns2 AS (SELECT CAST(SUM(nw) AS BIGINT) AS nset FROM v), tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S') AND doc_id % 2 = 1), sw AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS nsw, MAX(nw) AS nw FROM tok JOIN v USING (term) GROUP BY 1, 2), st AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns FROM sw GROUP BY 1), parts AS (SELECT source, ns, CAST(nsw AS DOUBLE) / ns AS p, CAST(nw AS DOUBLE) / nset AS q FROM sw JOIN st USING (source) CROSS JOIN ns2) SELECT source, ns AS n_tokens, ROUND(SUM(p * ln(p / q)), 4) AS kl_vs_corpus, ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) + 0.5 * ln(2) * (1 - SUM(q)), 4) AS js_vs_corpus FROM parts GROUP BY source, ns ORDER BY source""")),
 
     // E4 (diversity) — per-source type-token ratio, exact: two-level
     // aggregation ((source, term) then source), the oracle twin of the
@@ -1229,7 +1229,7 @@ object Extensions {
     ("qe57_lexical_diversity", (s: SparkSession, d: String) => {
       TextAnalysis.lexicalDiversity(Engine.Tables(s, d).documents)
         .orderBy("source")
-    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE len(trim(text)) > 0) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 4) AS ttr FROM tok GROUP BY source ORDER BY source""")),
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 4) AS ttr FROM tok GROUP BY source ORDER BY source""")),
 
     // E4 (diversity, 100 TB path) — the same card with HLL++ distinct
     // terms: ONE shuffle on source, O(1) sketch state per group, the

@@ -1169,4 +1169,47 @@ class CurationOpsSpec extends SparkTestBase {
         s"(exact $nTerms, approx ${approx(src)._2})")
     }
   }
+
+  test("whitespace-only docs (tab/newline text) are excluded, not crashed on") {
+    import spark.implicits._
+    // SQL trim strips ONLY spaces: a tab-only doc passed the old
+    // length(trim(text)) > 0 gate, tokenized to [], and blew up the ANSI
+    // ratio math (textStats), sequence() (chunk), and slice() (segments).
+    // hasTokens (rlike \\S) is exactly size(tokens) > 0 at the scan.
+    val docs = Seq(
+      (1L, "real words here"),
+      (2L, "\t"),          // tab-only: the old gate kept it
+      (3L, "\n \t "),       // mixed whitespace
+      (4L, "")).toDF("doc_id", "text")
+    val stats = TextAnalysis.textStats(docs).collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(1L))
+    val chunks = TextAnalysis.chunk(docs, width = 2, stride = 2).collect()
+    assert(chunks.map(_.getLong(0)).distinct.toSeq == Seq(1L))
+    val segs = SegmentDedup.dedupSegments(docs, 1).collect()
+    assert(segs.map(_.getLong(0)).distinct.toSeq == Seq(1L))
+    // langId has no ratio math: token-less docs are VALID input there and
+    // label as "und" (no marker hits) rather than being excluded
+    val lang = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(lang.length == 4 && lang.drop(1).forall(_.getString(1) == "und"))
+  }
+
+  test("survivorsByQuality is type-agnostic over doc ids (string ids, tie to smallest)") {
+    import spark.implicits._
+    // the earlier -doc_id negate trick threw under ANSI for string ids
+    // (and nulled them otherwise, dropping every cluster member)
+    val members = Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("doc_id", "cluster")
+    val quality = Seq(("a", 5L), ("b", 9L), ("c", 9L)).toDF("doc_id", "q")
+    val got = graft.operators.DupClusters.survivorsByQuality(members, quality, "q")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 3L, 9L)),
+      s"expected best-q tie to break to the smallest id, got ${got.toSeq}")
+  }
+
+  test("bandBuckets refuses a bands count that does not divide k") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs, n = 1, k = 16, bands = 5))
+    assert(e.getMessage.contains("must divide"))
+  }
 }

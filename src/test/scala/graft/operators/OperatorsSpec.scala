@@ -378,18 +378,22 @@ class SimilaritySpec extends SparkTestBase {
     card.foreach(r => assert(r.getLong(1) > 0L, "empty cells are absent, not zero rows"))
   }
 
-  test("embedding norms card: exact decimal norms, zero vectors counted per group") {
+  test("embedding norms card: exact decimal norms, zero AND null vectors visible per group") {
     import spark.implicits._
     val emb = Seq(
-      (1L, Seq(3.0f, 4.0f), 0),      // norm 5
-      (2L, Seq(0.0f, 0.0f), 0),      // zero vector
-      (3L, Seq(6.0f, 8.0f), 1)       // norm 10
+      (1L, Some(Seq(3.0f, 4.0f)), 0),      // norm 5
+      (2L, Some(Seq(0.0f, 0.0f)), 0),      // zero vector
+      (3L, Some(Seq(6.0f, 8.0f)), 1),      // norm 10
+      (4L, None: Option[Seq[Float]], 1)    // encoder failure: null vector
     ).toDF("vec_id", "embedding", "label")
     val got = EmbedQuality.normsCard(emb).orderBy("label").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getLong(5)))
-    assert(got.toSeq == Seq((0, 2L, 2.5, 0.0, 5.0, 1L), (1, 1L, 10.0, 10.0, 10.0, 0L)),
-      s"got ${got.toSeq}")
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    // group 1: the null vector counts in n and n_bad but must NOT deflate
+    // mean_norm (sum skips nulls — dividing by count(*) biased it low)
+    assert(got.toSeq == Seq(
+      (0, 2L, 2.5, 0.0, 5.0, 1L, 0L),
+      (1, 2L, 10.0, 10.0, 10.0, 0L, 1L)), s"got ${got.toSeq}")
   }
 
   test("frozen-centroid topK (qe3d path) == inline-fit topK (qe3c path) at same knobs") {

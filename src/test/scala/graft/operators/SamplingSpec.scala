@@ -73,6 +73,31 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == got.map(_._2).toSet)
   }
 
+  test("budgetedTakePerGroup fails fast on non-positive weights (nesting guard)") {
+    import spark.implicits._
+    // a zero/negative weight makes the cumsum non-monotone: the selection
+    // is then not a prefix of the priority order and nesting breaks
+    val bad = Seq((1L, "g", 5L), (2L, "g", -3L)).toDF("doc_id", "source", "n_tok")
+    val e = intercept[Exception](
+      Sampling.budgetedTakePerGroup(bad, "source", "doc_id", "n_tok", 3L).collect())
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+
+  test("deterministicSamplePpm holds a fit cap that whole-percent flooring cannot") {
+    import spark.implicits._
+    val n = 200000L
+    val ids = spark.range(n).toDF("doc_id")
+    // cap = 2000 rows over 200k: ppm = 10000 (1%) -> ~2000 kept; the old
+    // whole-percent path would be right here, but at cap*1e6/n < 1e4 the
+    // percent floor of 1% keeps n/100 rows regardless of the cap
+    val ppm = math.ceil(2000L * 1e6 / n).toInt
+    val kept = Sampling.deterministicSamplePpm(ids, "doc_id", ppm).count()
+    assert(math.abs(kept - 2000L) < 300L, s"ppm sample kept $kept of target 2000")
+    // rate granularity below 1%: 100 ppm over 200k ~ 20 rows
+    val fine = Sampling.deterministicSamplePpm(ids, "doc_id", 100).count()
+    assert(fine < 60L, s"sub-percent rate must be expressible, kept $fine")
+  }
+
   test("splitByHash: disjoint, exhaustive, growth-stable train/val/test") {
     val ev = Engine.Tables(spark, Sf0001).events
     val split = Sampling.splitByHash(ev, "event_id",
