@@ -45,12 +45,7 @@ object Artifacts {
     val entries = paths.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
-      def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
-        if (st.isFile) Seq(st)
-        else fs.listStatus(st.getPath).toSeq
-          .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-          .flatMap(files)
-      files(fs.getFileStatus(path))
+      Engine.dataFiles(fs, fs.getFileStatus(path))
         .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -89,7 +84,15 @@ object Artifacts {
         if (!ready) {
           val tmp = new org.apache.hadoop.fs.Path(
             s"${root(spark)}/$kind/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}")
-          fit.write.mode("overwrite").parquet(tmp.toString)
+          // a fit that THROWS mid-write must not leak its partial tmp:
+          // prune() deliberately skips .tmp-* names (a live writer's tmp
+          // must never be collected), so nothing else would ever delete it
+          try fit.write.mode("overwrite").parquet(tmp.toString)
+          catch { case e: Throwable =>
+            try fs.delete(tmp, true)
+            catch { case _: java.io.IOException => () }
+            throw e
+          }
           val renamed = fs.rename(tmp, destPath)
           // Cross-JVM race, POSIX-rename semantics: the loser's rename
           // returns false. HDFS semantics: rename(src, existingDir) can
@@ -109,12 +112,17 @@ object Artifacts {
     }
     // ready-check → read is a TOCTOU window: a concurrent JVM's prune can
     // drop this key between the two (only if the working set ever exceeds
-    // the prune bound). The schema read fails loudly then — refit once
-    // rather than crash, matching the "at worst refits" contract.
+    // the prune bound). The schema read fails loudly then — refit rather
+    // than crash, matching the "at worst refits" contract. The guard is
+    // `!ready` (the _SUCCESS marker), not full-dir absence: a prune
+    // mid-recursive-delete leaves the dir visible after the marker is
+    // gone. (A prune landing after this returns — during job execution —
+    // is the residual window; the prune bound is sized above the live
+    // working set precisely so live keys are never collected.)
     try spark.read.parquet(dest)
     catch {
-      case e: org.apache.spark.sql.AnalysisException if attempt < 2 &&
-        !fs.exists(destPath) => getOrFit(spark, kind, key, fit, attempt + 1)
+      case _: org.apache.spark.sql.AnalysisException if attempt < 2 && !ready =>
+        getOrFit(spark, kind, key, fit, attempt + 1)
     }
   }
 

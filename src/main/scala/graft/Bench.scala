@@ -38,30 +38,47 @@ object Bench {
     * assert the exact line main prints PARSES as JSON, sums correctly, and
     * fits the driver's tail window. `extra` lands before the closing brace
     * (the file form appends reps + per-query spread). */
+  /** JSON string escape (backslash, quote, control chars) — the `sf`
+    * value comes from an env var, and an unescaped quote/backslash in it
+    * would make the whole line (and bench_out.json) unparseable, silently
+    * zeroing the round's bench. Same escaper Verify uses for oracle SQL. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** True median: even-length inputs average the two middle values —
+    * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
+    * WORST run as "the median" (a bimodal 1s/28s GC spike would record a
+    * 28x regression that never happened). */
+  def median(ts: Seq[Double]): Double = {
+    val sorted = ts.sorted
+    if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+  }
+
   def renderLine(results: Seq[(String, Double)], sfDir: String,
                  fmt: Double => String, key: String => String,
                  extra: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${jsonEscape(sfDir)}"$extra}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // same coalescer floor as Engine.session — sketch fan-out stages
-      // must not collapse to 1-3 tasks (see Engine.session comment)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Engine.session is the ONE session recipe (AQE + coalescer floor +
+    // UTC + nanosAsLong at construction) — a re-implemented config block
+    // here had already drifted from it once
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt)
 
     def execOnce(name: String): Double = {
       // collect garbage from the previous run so its GC debt is not
@@ -89,7 +106,7 @@ object Bench {
     def exec(name: String): (Double, Double) = {
       val ts = (1 to reps).map(_ => execOnce(name))
       if (ts.exists(_ < 0)) (-1.0, -1.0)
-      else (ts.sorted.apply(ts.size / 2), ts.max - ts.min)
+      else (median(ts), ts.max - ts.min)
     }
 
     // warmup: parquet footers + vectorized-reader init for every table,
@@ -97,7 +114,7 @@ object Bench {
     val t = Engine.Tables(spark, sfDir)
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
-    exec("q01_project")
+    execOnce("q01_project") // ONE warmup run (JIT/codegen), not reps of it
     // SPARK_GRAFT_BENCH_ONLY=qe13,qe14 narrows to matching prefixes for
     // fast single-query iteration; unset = the driver's full sweep
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -75,11 +75,15 @@ object Engine {
         // until year 5138 — so within either encoding's sane range the
         // branch is unambiguous. (Pre-1973 nanos values would misread as
         // micros; the fixtures and any post-2000 feed sit 5 orders of
-        // magnitude inside the safe zone.)
+        // magnitude inside the safe zone.) `div` TRUNCATES toward zero —
+        // identical to floor on the µs-aligned values the nanos branch is
+        // for (pmod 1000 == 0), and exact in integer space where a
+        // double-division round trip would lose precision at 1e18.
+        // Backticked so a column name with spaces/dots parses.
         df.withColumn(c, timestamp_micros(
           org.apache.spark.sql.functions.when(
             org.apache.spark.sql.functions.abs(col(c)) >= 100000000000000000L,
-            expr(s"$c div 1000")).otherwise(col(c))))
+            expr(s"`$c` div 1000")).otherwise(col(c))))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }
@@ -125,12 +129,7 @@ object Engine {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(st.getPath).toSeq
-        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-        .flatMap(files)
-    files(fs.getFileStatus(root))
+    dataFiles(fs, fs.getFileStatus(root))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -138,4 +137,17 @@ object Engine {
         try r.getRecordCount finally r.close()
       }.sum
   }
+
+  /** Recursive DATA-file walk under a status: skips `_`/`.`-prefixed
+    * entries (success markers, hidden dirs, in-flight tmps). ONE
+    * definition shared by [[parquetRowCount]] and
+    * [[Artifacts.inputFingerprint]] — the two must agree about which
+    * files exist or footer counts and artifact keys drift. */
+  private[graft] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               st: org.apache.hadoop.fs.FileStatus)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (st.isFile) Seq(st)
+    else fs.listStatus(st.getPath).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      .flatMap(dataFiles(fs, _))
 }

@@ -127,4 +127,16 @@ class InvariantsSpec extends SparkTestBase {
     assert(math.abs(fnode.get("value").asDouble -
       names.map(n => fnode.get("queries").get(n).asDouble).sum) < 1e-9)
   }
+
+  test("bench median is a true median (even reps average the middles); hostile sfDir escapes") {
+    assert(Bench.median(Seq(1.0, 28.0)) == 14.5)
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+    // an env-supplied sf path with quotes/backslashes must not break the
+    // JSON line the driver parses
+    val line = Bench.renderLine(Seq("q1" -> 1.0), """C:\data\"sf"""", _.toString, identity)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("sf").asText() == """C:\data\"sf"""")
+  }
 }
