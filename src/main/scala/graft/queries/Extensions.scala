@@ -19,6 +19,40 @@ object Extensions {
 
   /** Shared by qe52 (adaptive) and qe52b (frozen, self-fit): both forms
     * produce the identical card, so both hash-check against one oracle. */
+  /** qe28/qe28b's ONE deterministic query-set rule (every 97th doc's
+    * first 4 tokens): the hybrid re-ranker is documented as "qe28's query
+    * set", so the two must share the selection or silently decouple. */
+  private def bm25Queries(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 97 === 5 && TextAnalysis.hasTokens(col("text")))
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+
+  /** qe18/qe18b's ONE simulated snapshot pair — (old fingerprints, new
+    * DOCS with the planted mod-7/mod-5 membership and mod-11 content
+    * drift): qe18b is documented as "the qe18 diff feeding the curation
+    * gates", so both must audit the same pair. */
+  private def snapshotPair(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val neuDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    (old, neuDocs)
+  }
+
+  /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
+    * IDENTICAL results by construction): one decontamination oracle so a
+    * semantics fix cannot reach one twin and miss the other. */
+  private val DecontaminateSql =
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Shared by qe13b (fuzzy dedup e2e) and qe13c (hot-bucket-capped —
+    * cluster-equal by the chain-link argument): the exact-edge
+    * recursive-CTE survivor oracle both registrations hash against. */
+  private val FuzzySurvivorsSql =
+    """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster) ORDER BY doc_id"""
+
   private val DupSpansSql =
     """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM tok WHERE len(ws) >= 3), sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS s FROM pos0), occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), fl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM sh JOIN occ USING (s)), sp AS (SELECT doc_id, grp, MIN(pos) AS p0, MAX(pos) AS p1 FROM fl GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_dup, CAST(MAX(p1 - p0 + 3) AS BIGINT) AS longest_span_tokens FROM sp GROUP BY 1), tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM sh GROUP BY 1) SELECT doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup, ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 4) AS dup_frac, COALESCE(n_spans, 0) AS n_spans, COALESCE(longest_span_tokens, 0) AS longest_span_tokens FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
@@ -460,7 +494,7 @@ object Extensions {
       val corpus = docs.filter(col("doc_id") % 19 =!= 3)
       graft.operators.Decontaminate.contamination(corpus, bench, 5)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some(DecontaminateSql)),
 
     // Duplicate clusters — connected components over the exact near-dup
     // pair graph (qe2 semantics); cluster = min doc_id of the component.
@@ -484,7 +518,7 @@ object Extensions {
         .filter(col("doc_id") =!= col("cluster")).select("doc_id")
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_chars").orderBy("doc_id")
-    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster) ORDER BY doc_id""")),
+    }, Some(FuzzySurvivorsSql)),
 
     // E2 (fuzzy e2e, hot-bucket-guarded) — qe13b's pipeline with the
     // mega-duplicate-family guard engaged: LSH buckets over `cap` members
@@ -503,7 +537,7 @@ object Extensions {
         .filter(col("doc_id") =!= col("cluster")).select("doc_id")
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_chars").orderBy("doc_id")
-    }, Some("""WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster) ORDER BY doc_id""")),
+    }, Some(FuzzySurvivorsSql)),
 
     // Repetition quality — Gopher-style duplicate-word / top-word /
     // duplicate-bigram fractions (shuffle-free per-row array math)
@@ -534,12 +568,8 @@ object Extensions {
     // docs across two simulated corpus versions (membership by id-mod,
     // content drift on doc_id % 11) via a full-outer fingerprint join
     ("qe18_corpus_diff", (s: SparkSession, d: String) => {
-      val docs = Engine.Tables(s, d).documents
-      val old = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("fp"))
-      val neu = docs.filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), md5(when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      val (old, neuDocs) = snapshotPair(Engine.Tables(s, d).documents)
+      val neu = neuDocs.select(col("doc_id"), md5(col("text")).as("fp"))
       graft.operators.SnapshotDiff.changes(old, neu, "doc_id", "fp")
         .orderBy("doc_id")
     }, Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0), new AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp FROM documents WHERE doc_id % 5 <> 0), d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) SELECT doc_id, status FROM d WHERE status <> 'same' ORDER BY doc_id""")),
@@ -550,12 +580,7 @@ object Extensions {
     // delta). At 100 TB this is the re-crawl budget saver: the fingerprint
     // diff moves ~50 B/doc, and the expensive gates touch only the delta.
     ("qe18b_incremental_recurate", (s: SparkSession, d: String) => {
-      val docs = Engine.Tables(s, d).documents
-      val old = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("fp"))
-      val neuDocs = docs.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text", when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val (old, neuDocs) = snapshotPair(Engine.Tables(s, d).documents)
       val neu = neuDocs.select(col("doc_id"), md5(col("text")).as("fp"))
       val todo = graft.operators.SnapshotDiff.changes(old, neu, "doc_id", "fp")
         .filter(col("status") =!= "removed").select("doc_id")
@@ -647,7 +672,7 @@ object Extensions {
       val corpus = docs.filter(col("doc_id") % 19 =!= 3)
       graft.operators.Decontaminate.contaminationBloom(corpus, bench, 5)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some(DecontaminateSql)),
 
     // PII scrub — email/IP/phone redaction with typed placeholders + a
     // stage-wise redaction count (each pattern counted against the text
@@ -722,11 +747,8 @@ object Extensions {
     // the score is partitioning-independent and oracle-exact.
     ("qe28_bm25", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      val qs = docs
-        .filter(col("doc_id") % 97 === 5 && TextAnalysis.hasTokens(col("text")))
-        .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
-      graft.operators.Retrieval.bm25TopK(docs, qs, 10).orderBy("qid", "rnk")
+      graft.operators.Retrieval.bm25TopK(docs, bm25Queries(docs), 10)
+        .orderBy("qid", "rnk")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), rk AS (SELECT qid, doc_id, s6, CAST(row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk FROM agg) SELECT qid, doc_id, ROUND(CAST(s6 AS DOUBLE) / 1e6, 4) AS score, rnk FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
     // Hybrid retrieval — BM25 candidates (qe28's query set, top-30)
@@ -736,11 +758,7 @@ object Extensions {
     ("qe28b_hybrid", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val emb = Engine.Tables(s, d).embeddings
-      val qs = docs
-        .filter(col("doc_id") % 97 === 5 && TextAnalysis.hasTokens(col("text")))
-        .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
-      graft.operators.Retrieval.hybridTopK(docs, emb, qs, 10, 30)
+      graft.operators.Retrieval.hybridTopK(docs, emb, bm25Queries(docs), 10, 30)
         .orderBy("qid", "rnk")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), post AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM tok) GROUP BY term, doc_id, dl), stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM tok), qt AS (SELECT DISTINCT qid, term FROM (SELECT doc_id AS qid, unnest(ws[1:4]) AS term FROM tok WHERE doc_id % 97 = 5)), dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term), sc AS (SELECT qt.qid AS qid, p.doc_id AS doc_id, CAST(floor(ln((s.n_docs - d.df_t + 0.5)/(d.df_t + 0.5) + 1.0) * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) * 1e6 + 0.5) AS BIGINT) AS c6 FROM post p JOIN dfs d USING (term) JOIN qt ON qt.term = p.term CROSS JOIN stats s), agg AS (SELECT qid, doc_id, SUM(c6) AS s6 FROM sc GROUP BY qid, doc_id), lex AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS rnk FROM agg) WHERE rnk <= 30), qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IN (SELECT DISTINCT qid FROM qt)), cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc2 AS (SELECT l.qid AS qid, l.doc_id AS doc_id, list_inner_product(qv.v, cv.v) / (sqrt(list_inner_product(qv.v, qv.v)) * sqrt(list_inner_product(cv.v, cv.v))) AS cos FROM lex l JOIN cv USING (doc_id) JOIN qv ON qv.qid = l.qid), rk2 AS (SELECT qid, doc_id, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk FROM sc2) SELECT qid, doc_id, ROUND(cos, 4) AS cos, rnk FROM rk2 WHERE rnk <= 10 ORDER BY qid, rnk""")),
 
@@ -834,7 +852,7 @@ object Extensions {
       graft.operators.SeqPack.binStatsSharded(
           mixed, "source", "doc_id", "n_tok", 256L)
         .orderBy("shard", "bin")
-    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE regexp_matches(d.text, '\S')), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // Capstone v4, the QUALITY-GATED packing path: hash-stable train
     // split -> exact dedup (min-id survivor) -> per-source z-score length
@@ -863,7 +881,7 @@ object Extensions {
       graft.operators.SeqPack.binStatsSharded(
           mixed, "source", "doc_id", "n_tok", 256L)
         .orderBy("shard", "bin")
-    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents d JOIN surv USING (doc_id) GROUP BY source), p AS (SELECT source, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), keepz AS (SELECT doc_id FROM (SELECT d.doc_id, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(d.n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN surv USING (doc_id) JOIN p ON d.source = p.source) WHERE abs(z) <= 2.0), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN keepz USING (doc_id) WHERE len(trim(d.text)) > 0), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+    }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents d JOIN surv USING (doc_id) GROUP BY source), p AS (SELECT source, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), keepz AS (SELECT doc_id FROM (SELECT d.doc_id, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(d.n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN surv USING (doc_id) JOIN p ON d.source = p.source) WHERE abs(z) <= 2.0), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN keepz USING (doc_id) WHERE regexp_matches(d.text, '\S')), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // E3 (application) — kNN majority-vote label propagation: the first 20
     // vectors play "unlabeled", the rest vote with their labels. Exact

@@ -25,9 +25,9 @@ object Parity {
   private def oracle(sql: String): Option[String] =
     Some(sql.replace("FROM events", s"FROM $EvCast"))
 
-  /** The q18/q18b star-join input (orders→customer→nation→region revenue
-    * rows): ONE definition so a join-condition fix cannot reach rollup but
-    * miss cube. */
+  /** The q13/q18/q18b star-join input (orders→customer→nation→region
+    * revenue rows): ONE definition so a join-condition fix cannot reach
+    * rollup but miss cube (or the flagship q13). */
   private def revenueFlat(t: Engine.Tables): DataFrame =
     t.orders
       .join(t.customer, col("o_custkey") === col("c_custkey"))
@@ -143,11 +143,9 @@ object Parity {
 
     // Q13 — multi-way equi-join + agg; dims broadcast
     ("q13_join_agg", (s: SparkSession, d: String) => {
-      val t = Engine.Tables(s, d)
-      t.orders
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      // the ONE star-join definition (revenueFlat) — q13/q18/q18b share
+      // it so a join-condition fix cannot reach one and miss another
+      revenueFlat(Engine.Tables(s, d))
         .groupBy("r_name")
         .agg(r4(sum(col("o_totalprice"))).as("revenue"))
         .orderBy("r_name")
