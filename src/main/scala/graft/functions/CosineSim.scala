@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   * like Divide's evalMode, so optimized and unoptimized plans agree. The
   * per-element null checks are only emitted when the static array type has
   * `containsNull = true` — vectors read from a non-null schema pay nothing.
+  *
+  * Deliberate duplication note: the type-check/element-read scaffolding
+  * here overlaps [[BinaryArrayFoldKernel]] (single-accumulator folds).
+  * Cosine needs THREE accumulators (dot, |a|², |b|²) plus the captured
+  * ANSI-divide tail, and generalizing the shared scaffold to
+  * multi-accumulator codegen would churn the hottest kernel in the
+  * engine for a maintainability win only — both kernels are
+  * bit-parity-pinned against their composable twins, which is the
+  * actual drift guard. Revisit only if a THIRD multi-accumulator kernel
+  * appears.
   */
 case class CosineSim(
     left: Expression,
