@@ -100,7 +100,22 @@ object Artifacts {
           // that shape (our tmp nested under dest) and clean it up, else
           // the losing fit leaks inside every contended artifact.
           val nested = new org.apache.hadoop.fs.Path(destPath, tmp.getName)
-          if (renamed && fs.exists(nested)) fs.delete(nested, true)
+          if (renamed && fs.exists(nested)) {
+            if (ready) fs.delete(nested, true)
+            else {
+              // dest pre-existed but carries no _SUCCESS — a corrupt
+              // partial (e.g. a prune died mid-delete), not a winner. Our
+              // fresh fit just got nested inside it; deleting the nested
+              // copy here would wedge the key (every refit re-nests and
+              // the partial dest keeps failing to read). Recover instead:
+              // pull the fit back out, drop the corrupt dest, re-rename.
+              require(fs.rename(nested, tmp),
+                s"artifact $dest: could not recover nested fit from corrupt dest")
+              fs.delete(destPath, true)
+              require(fs.rename(tmp, destPath) || ready,
+                s"artifact $dest: recovery rename failed and no winner present")
+            }
+          }
           else if (!renamed) {
             // a concurrent writer (other JVM) won the rename — use theirs
             fs.delete(tmp, true)

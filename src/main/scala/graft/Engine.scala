@@ -79,11 +79,13 @@ object Engine {
         // identical to floor on the µs-aligned values the nanos branch is
         // for (pmod 1000 == 0), and exact in integer space where a
         // double-division round trip would lose precision at 1e18.
-        // Backticked so a column name with spaces/dots parses.
+        // Every reference is backticked so a column name with spaces or
+        // dots parses — bare col(c) would read a dot as struct-field
+        // access, misresolving a column literally named "a.b".
         df.withColumn(c, timestamp_micros(
           org.apache.spark.sql.functions.when(
-            org.apache.spark.sql.functions.abs(col(c)) >= 100000000000000000L,
-            expr(s"`$c` div 1000")).otherwise(col(c))))
+            org.apache.spark.sql.functions.abs(col(s"`$c`")) >= 100000000000000000L,
+            expr(s"`$c` div 1000")).otherwise(col(s"`$c`"))))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }

@@ -94,9 +94,10 @@ object DupClusters {
     * truncated, one is boilerplate-wrapped — and min-id survivor choice
     * throws that signal away.
     *
-    * One equi-join of the (small) membership frame onto per-doc quality
-    * and one aggregation on cluster; the survivor is a `max(struct)`
-    * argmax — map-side-combinable, never a row_number window that would
+    * One equi-join of the (small) membership frame onto per-doc quality,
+    * then per-cluster aggregations: the survivor is the min doc_id among
+    * the best_q members (an equi-join back on (cluster, best_q), then
+    * min) — map-side-combinable, never a row_number window that would
     * sort a hot cluster's copies into one partition. Quality stays an
     * equi-join (not broadcast-pinned): at 100 TB the quality frame is
     * corpus-sized. The join is INNER: a member with no quality row drops
@@ -113,11 +114,21 @@ object DupClusters {
     // negate trick, the exact trap knnClassify's doc warns about, threw
     // under ANSI for string ids and nulled them otherwise, turning every
     // cluster member including the survivor into a drop)
-    joined.join(best.select(col("cluster"), col("best_q").as(qualityCol)),
+    val argmax = joined
+      .join(best.select(col("cluster"), col("best_q").as(qualityCol)),
         Seq("cluster", qualityCol))
-      .groupBy("cluster").agg(min(col("doc_id")).as("keep_id"))
-      .join(best, "cluster")
-      .select(col("cluster"), col("keep_id"), col("n_members"), col("best_q"))
+      .groupBy("cluster").agg(min(col("doc_id")).as("arg_id"))
+    // max() skipped nulls, so a cluster whose EVERY member has NULL
+    // quality gets best_q NULL — the equi-join above matches nothing for
+    // it (null keys never join), and without a fallback the cluster would
+    // vanish from this frame and keepBestCopy would drop every copy.
+    // Such clusters keep the min-doc_id member instead.
+    val fallback = joined.groupBy("cluster").agg(min(col("doc_id")).as("min_id"))
+    best.join(argmax, Seq("cluster"), "left")
+      .join(fallback, "cluster")
+      .select(col("cluster"),
+        coalesce(col("arg_id"), col("min_id")).as("keep_id"),
+        col("n_members"), col("best_q"))
   }
 
   /** Gate form: `docs` minus every clustered non-survivor — unclustered

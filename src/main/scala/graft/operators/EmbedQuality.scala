@@ -117,7 +117,13 @@ object EmbedQuality {
     emb.select(col(groupCol), nrm.as("__nrm"))
       .groupBy(col(groupCol))
       .agg(count("*").as("n"),
-        round(sum(col("__nrm")).cast("double") / count(col("__nrm")), 4).as("mean_norm"),
+        // divisor guard: a group whose vectors are ALL null has
+        // count(__nrm) = 0, and under ANSI mode the division would throw
+        // DIVIDE_BY_ZERO — crashing the very card that exists to surface
+        // that failure. Such a group reports mean_norm NULL, n_bad = n.
+        when(count(col("__nrm")) > 0,
+          round(sum(col("__nrm")).cast("double") / count(col("__nrm")), 4))
+          .as("mean_norm"),
         min(col("__nrm")).cast("double").as("min_norm"),
         max(col("__nrm")).cast("double").as("max_norm"),
         sum(when(col("__nrm") === 0, 1L).otherwise(0L)).as("n_zero"),

@@ -983,7 +983,7 @@ object Extensions {
     ("qe45_embed_norms", (s: SparkSession, d: String) => {
       graft.operators.EmbedQuality.normsCard(Engine.Tables(s, d).embeddings)
         .orderBy("label")
-    }, Some("""WITH e AS (SELECT label, CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(20,4)) AS nrm FROM embeddings) SELECT label, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(nrm), 4) AS mean_norm, CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, CAST(SUM(CASE WHEN nrm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM e GROUP BY label ORDER BY label""")),
+    }, Some("""WITH e AS (SELECT label, CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(20,4)) AS nrm FROM embeddings) SELECT label, CAST(COUNT(*) AS BIGINT) AS n, CASE WHEN COUNT(nrm) > 0 THEN ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(nrm), 4) END AS mean_norm, CAST(MIN(nrm) AS DOUBLE) AS min_norm, CAST(MAX(nrm) AS DOUBLE) AS max_norm, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, CAST(SUM(CASE WHEN nrm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM e GROUP BY label ORDER BY label""")),
 
     // E5 (leakage-free split) — near-dup clusters land WHOLLY in one
     // split: the structural prevention of the train/test leakage qe26b

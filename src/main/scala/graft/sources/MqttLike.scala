@@ -305,22 +305,37 @@ object SeqOffset {
   private[sources] def enc(k: String): String =
     k.flatMap { c =>
       if (c == '%' || c == '"' || c == '\\' || c == ':' || c == ',' ||
-          c == '{' || c == '}' || c.isWhitespace) f"%%${c.toInt}%02X"
+          c == '{' || c == '}' || c.isWhitespace)
+        // encode the char's UTF-8 BYTES, each as exactly two hex digits:
+        // a code point above 0xFF (e.g. U+2028, which isWhitespace
+        // matches) formatted as "%%${c.toInt}%02X" would emit MORE than
+        // two digits while dec consumes exactly two — corrupting the lane
+        // name on checkpoint round trip
+        String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"%%${b & 0xFF}%02X").mkString
       else c.toString
     }
 
   private[sources] def dec(k: String): String = {
     val sb = new StringBuilder
+    // consecutive %XX escapes are a UTF-8 byte run (one multi-byte char
+    // encodes as several escapes) — collect and decode the run as a unit
+    val run = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (run.size > 0) {
+      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
     var i = 0
     def hex(c: Char) = Character.digit(c, 16) >= 0
     while (i < k.length) {
       // a '%' not followed by two hex digits stays literal: legacy
       // checkpoints written before encoding existed must parse unchanged
       if (k(i) == '%' && i + 3 <= k.length && hex(k(i + 1)) && hex(k(i + 2))) {
-        sb += Integer.parseInt(k.substring(i + 1, i + 3), 16).toChar
+        run.write(Integer.parseInt(k.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb += k(i); i += 1 }
+      } else { flush(); sb += k(i); i += 1 }
     }
+    flush()
     sb.toString
   }
 

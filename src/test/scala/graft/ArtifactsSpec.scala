@@ -86,6 +86,32 @@ class ArtifactsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("corrupt partial dest (no _SUCCESS) is replaced by the fresh fit, not a wedge") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      // simulate a prune that died mid-delete: dest exists as a directory
+      // with data but no _SUCCESS marker. On (at least) local/HDFS-style
+      // filesystems rename(tmp, existingDir) nests tmp INSIDE dest; the
+      // old cleanup then deleted the writer's own fresh output and the
+      // key wedged permanently after two failed read attempts.
+      val dest = java.nio.file.Paths.get(root, "spec_corrupt", "k1")
+      java.nio.file.Files.createDirectories(dest)
+      java.nio.file.Files.write(dest.resolve("stale-part.parquet"), Array[Byte](0, 1, 2))
+      var fits = 0
+      def fit = { fits += 1; Seq((42L, "fresh")).toDF("id", "v") }
+      val got = Artifacts.getOrFit(spark, "spec_corrupt", "k1", fit)
+      assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq((42L, "fresh")), "corrupt dest must be replaced by the fresh fit")
+      assert(fits == 1, s"recovery must not refit in a loop ($fits fits)")
+      assert(java.nio.file.Files.exists(dest.resolve("_SUCCESS")),
+        "recovered artifact must carry the _SUCCESS marker")
+      assert(!java.nio.file.Files.exists(dest.resolve("stale-part.parquet")),
+        "stale partial content must not survive inside the recovered artifact")
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("frozen queries consume artifacts: second run of each fires zero fit-side jobs") {
     // the honest-apply claim, machine-checked: after a warm first run has
     // persisted every artifact, re-running each frozen registered query

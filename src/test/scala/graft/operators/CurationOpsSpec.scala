@@ -873,6 +873,29 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept == Set(2L, 10L, 99L), s"kept $kept — best copies + the unclustered doc")
   }
 
+  test("survivorsByQuality: all-NULL-quality cluster keeps min-id member, never vanishes") {
+    import spark.implicits._
+    // cluster 1: every member's quality is NULL (unscored docs); cluster
+    // 10: one scored member. max() skips nulls -> best_q NULL for cluster
+    // 1, and a plain equi-join on (cluster, best_q) would drop it — then
+    // keepBestCopy would delete EVERY copy of the cluster.
+    val members = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq(
+      (1L, None: Option[Long]), (2L, None: Option[Long]),
+      (10L, Some(3L)), (11L, None: Option[Long])).toDF("doc_id", "q")
+    val got = graft.operators.DupClusters.survivorsByQuality(members, quality, "q")
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2L, -1L), (10L, 10L, 2L, 3L)), s"got ${got.toSeq}")
+    val docs = Seq(1L, 2L, 10L, 11L).toDF("doc_id")
+    val kept = graft.operators.DupClusters.keepBestCopy(docs, members, quality, "q")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L),
+      s"kept $kept — the all-null cluster must keep exactly its min-id member")
+  }
+
   test("property: CDC chunks reassemble exactly and boundaries are prefix-edit-stable") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -394,6 +394,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       (0, 2L, 2.5, 0.0, 5.0, 1L, 0L),
       (1, 2L, 10.0, 10.0, 10.0, 0L, 1L)), s"got ${got.toSeq}")
+    // a group whose vectors are ALL null: count(__nrm) = 0, and an
+    // unguarded division threw DIVIDE_BY_ZERO under ANSI — crashing the
+    // exact encoder-failure screen this card exists for. It must instead
+    // REPORT: mean_norm NULL, n_bad = n.
+    val allBad = Seq(
+      (5L, None: Option[Seq[Float]], 2),
+      (6L, None: Option[Seq[Float]], 2)).toDF("vec_id", "embedding", "label")
+    val bad = EmbedQuality.normsCard(allBad).collect()
+    assert(bad.length == 1 && bad(0).getLong(1) == 2L &&
+      bad(0).isNullAt(2) && bad(0).getLong(6) == 2L,
+      s"all-null group must report (n=2, mean_norm NULL, n_bad=2), got ${bad.toSeq}")
   }
 
   test("frozen-centroid topK (qe3d path) == inline-fit topK (qe3c path) at same knobs") {

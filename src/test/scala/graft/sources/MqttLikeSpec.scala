@@ -236,6 +236,12 @@ class MqttLikeSpec extends SparkTestBase {
     assert(SeqOffset.parse("7") == SeqOffset(7L))
     // a literal '%' not followed by two hex digits stays literal
     assert(SeqOffset.parse("""{"a%zb":1}""") == SeqOffset(Map("a%zb" -> 1L)))
+    // non-Latin-1 whitespace (U+2028 LINE SEPARATOR, which isWhitespace
+    // matches) encodes as its UTF-8 bytes — a single "%2028" escape would
+    // decode as ' ' + "28" and corrupt the lane on checkpoint round trip
+    val wide = SeqOffset(Map(s"w x" -> 3L, "w y" -> 1L, "läne:ü" -> 2L))
+    assert(SeqOffset.parse(wide.json()) == wide,
+      s"wide-char round trip corrupted: ${wide.json()}")
   }
 
   test("dashboard upsert accepts a corrected reading at the SAME timestamp") {
