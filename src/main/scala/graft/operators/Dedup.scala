@@ -803,6 +803,7 @@ object Dedup {
       math.max(0.0, minC - bound))
     exact.join(est, Seq("da", "db"), "left")
       .select(col("da"), col("db"), col("containment"),
+        col("containment_est").isNotNull.as("est_found"),
         (abs(coalesce(col("containment_est"), lit(0.0)) - col("containment"))
           <= lit(bound)).as("within_bound"))
   }
@@ -832,8 +833,13 @@ object Dedup {
     // the sketch scores below that violates the bound anyway, so no
     // agreeing pair can be lost to the candidate filter
     val est = containmentCandidates(docs, n, k, math.max(0.0, minC - bound))
+    // est_found is emitted EXPLICITLY (not folded into the coalesce): a
+    // pair the sketch misses entirely is a visible FALSE that the oracle's
+    // literal TRUE hash-mismatches on, rather than a silent 0.0 that only
+    // fails when it also lands outside the bound
     exact.join(est, Seq("da", "db"), "left")
       .select(col("da"), col("db"), col("containment"),
+        col("containment_est").isNotNull.as("est_found"),
         (abs(coalesce(col("containment_est"), lit(0.0)) - col("containment"))
           <= lit(bound)).as("within_bound"))
   }

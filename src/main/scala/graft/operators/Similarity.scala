@@ -72,6 +72,20 @@ object Similarity {
     * trades off with nbits; the join is a plain shuffle equi-join that
     * survives any scale. Output: qid, cid, cos, rnk within bucket.
     *
+    * `tables` (default 1 — the original single-table form) is the RECALL
+    * knob: with T independent hash tables a true neighbor at angle θ
+    * becomes a candidate with P = 1-(1-p^nbits)^T, p = 1-θ/π — the same
+    * economics as [[Dedup.embeddingNearDupsBlocked]], and on wide-angle
+    * data (near-orthogonal random embeddings) a single table recalls
+    * almost nothing of the true top-k. Per-query candidate cost is
+    * tables · n / 2^nbits vs n for brute force, so the compression factor
+    * is 2^nbits / tables — at the registered qe3b knobs (8 bits, 64
+    * tables) a 4× scan reduction at ≥0.9 measured recall; higher-
+    * similarity corpora (real near-dup search) compress far better. All
+    * tables hash in ONE fused [[graft.functions.SrpBucketsExpr]] pass and
+    * candidate pairs dedup BEFORE scoring, so each (qid, cid) is scored
+    * once no matter how many tables co-bucket it.
+    *
     * `dim = 0` (default) infers the embedding width from the data — a
     * mismatched fixed dim would null every hyperplane dot product, collapse
     * every vector into bucket 0, and silently degenerate the equi-join into
@@ -79,7 +93,8 @@ object Similarity {
     * width differs from the inferred one fails fast in the value path
     * (same contract as [[Dedup.embeddingNearDupsBlocked]]). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nbits: Int = 8, dim: Int = 0): DataFrame = {
+              nbits: Int = 8, dim: Int = 0, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"lshTopK: tables must be >= 1, got $tables")
     // infer from the first row with a non-null embedding; an empty (or
     // all-null-embedding) candidate set can never produce a match, so it
     // yields an empty result with the full output schema instead of the
@@ -99,15 +114,37 @@ object Similarity {
       when(size(v) === d, v).otherwise(raise_error(concat(
         lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
         size(v).cast("string"))))
-    // single-table fused kernel: same buckets as srpBucket(seed=42),
-    // asserted bit-equal in SimilaritySpec
-    def bucketOf(v: org.apache.spark.sql.Column) =
-      get(graft.functions.SrpBucketsExpr.srp_buckets(v, 1, nbits, d, 42L), lit(0))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      bucketOf(checked(col("embedding"))).as("bucket"))
-    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      bucketOf(checked(col("embedding"))).as("bucket"))
-    rankTopK(c.join(q, "bucket"), k)
+    if (tables == 1) {
+      // single-table fused kernel: same buckets as srpBucket(seed=42),
+      // asserted bit-equal in SimilaritySpec
+      def bucketOf(v: org.apache.spark.sql.Column) =
+        get(graft.functions.SrpBucketsExpr.srp_buckets(v, 1, nbits, d, 42L), lit(0))
+      val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        bucketOf(checked(col("embedding"))).as("bucket"))
+      val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        bucketOf(checked(col("embedding"))).as("bucket"))
+      rankTopK(c.join(q, "bucket"), k)
+    } else {
+      // multi-table: one fused kernel pass emits every table's bucket
+      // (array index = table id; table 0 == the single-table bucket at the
+      // same seed). Candidates dedup on (qid, cid) BEFORE vectors rejoin
+      // for scoring, so a pair co-bucketed in many tables scores once and
+      // occupies one rank slot. Null-embedding rows can never match and
+      // their sign bits would all-zero into one hot bucket per table —
+      // drop them from hashing (the embeddingNearDupsBlocked rule).
+      def bucketed(df: DataFrame, idName: String) =
+        df.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as(idName), posexplode(
+            graft.functions.SrpBucketsExpr.srp_buckets(
+              checked(col("embedding")), tables, nbits, d, 42L))
+            .as(Seq("tbl", "bucket")))
+      val cand = bucketed(candidates, "cid")
+        .join(bucketed(queries, "qid"), Seq("tbl", "bucket"))
+        .select(col("qid"), col("cid")).distinct()
+      val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cv = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      rankTopK(cand.join(broadcast(qv), "qid").join(cv, "cid"), k)
+    }
   }
 
   /** kNN majority-vote label propagation: predict each query row's label

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.functions.ScalarOps.r4
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Certificates, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -151,10 +151,15 @@ object Extensions {
         .orderBy("qid", "rnk")
     }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk FROM scored) SELECT qid, rnk, cid, ROUND(cos, 4) AS cos FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
-    // E3 (scale path) — sign-random-projection LSH ANN (rows-only check)
+    // E3 (scale path) — sign-random-projection LSH ANN, multi-table form
+    // (64 tables × 8 bits, one fused kernel pass): aggregate recall >= 0.5
+    // vs the exact qe3 driver-certified via qe60_cert_ann. The single-table
+    // form recalls ~0 of the true top-k on near-orthogonal embeddings —
+    // tables is the recall knob (see lshTopK docs).
     ("qe3b_knn_lsh", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          nbits = 8, tables = 64)
         .select(col("qid"), col("rnk"), col("cid"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rnk")
     }, None),
@@ -1175,9 +1180,9 @@ object Extensions {
     ("qe58c_containment_agreement", (s: SparkSession, d: String) => {
       Dedup.containmentAgreement(Engine.Tables(s, d).documents, 3, 64, 0.5)
         .select(col("da"), col("db"), r4(col("containment")).as("containment"),
-          col("within_bound"))
+          col("est_found"), col("within_bound"))
         .orderBy("da", "db")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS within_bound FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), directed AS (SELECT x AS da, y AS db, c FROM common UNION ALL SELECT y, x, c FROM common) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS est_found, TRUE AS within_bound FROM directed JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
 
     // E2 (subset reuse, cross-snapshot frozen form) — the fit/apply split
     // on containment: the shingle index freezes over the even-doc_id half
@@ -1197,9 +1202,9 @@ object Extensions {
       Dedup.containmentFrozenAgreementIndexed(
           docs.filter(col("doc_id") % 2 === 1), index, 3, 64, 0.5)
         .select(col("da"), col("db"), r4(col("containment")).as("containment"),
-          col("within_bound"))
+          col("est_found"), col("within_bound"))
         .orderBy("da", "db")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), a AS (SELECT * FROM sh WHERE doc_id % 2 = 1), b AS (SELECT * FROM sh WHERE doc_id % 2 = 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM a JOIN b ON a.s = b.s GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS within_bound FROM common JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), a AS (SELECT * FROM sh WHERE doc_id % 2 = 1), b AS (SELECT * FROM sh WHERE doc_id % 2 = 0), cnt AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM a JOIN b ON a.s = b.s GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / cnt.n, 4) AS containment, TRUE AS est_found, TRUE AS within_bound FROM common JOIN cnt ON da = cnt.doc_id WHERE c * 1.0 / cnt.n >= 0.5 ORDER BY da, db""")),
 
     // E2 (cross-version reuse) — chunk-level duplication over
     // content-defined chunks: CDC boundaries are local-content-stable, so
@@ -1269,6 +1274,129 @@ object Extensions {
         emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8,
         nHint = Engine.parquetRowCount(s, s"$d/embeddings.parquet"))
       graft.operators.IvfIndex.occupancyCard(emb, cents, "embedding")
-    }, None)
+    }, None),
+
+    // ---- Driver-hash-checked certificates for the approximate family ----
+    // (the qe58c idiom generalized, r10 verdict item #1): each rows-only
+    // approximate query's recall/error claim becomes a query whose columns
+    // are either recomputed independently by DuckDB (exact counts, exact
+    // pair lists) or literal-TRUE claims the Spark side genuinely computes.
+    // Floors are measured lower bounds with margin (CertProbe, BASELINE.md
+    // §certificates), deliberately BELOW the tighter ScalaTest sweeps —
+    // the driver gate certifies "never regressed past X", the suite keeps
+    // the sharp bands.
+
+    // E3 certificate — aggregate recall of every ANN-ladder rung vs the
+    // exact qe3 top-k. n_exact is recomputed by the oracle from the exact
+    // SQL; recall floors: IVF rungs 0.9 (measured 0.96-1.0 at sf0.01),
+    // multi-table SRP 0.5 (measured 0.58-0.68 across SFs — wide-angle SRP
+    // economics on near-orthogonal synthetic embeddings; the production
+    // rungs are the IVF forms).
+    ("qe60_cert_ann", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") < 10)
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+        .select("qid", "cid").localCheckpoint()
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+      val books = graft.operators.PqIndex.persistedCodebooks(
+        emb, s"$d/embeddings.parquet", cents, "vec_id", "embedding",
+        nlist = 8, m = 32, nbits = 4, nHint = nH)
+      val index = graft.operators.PqIndex.persistedEncoded(
+        emb, s"$d/embeddings.parquet", cents, books, "vec_id", "embedding",
+        nlist = 8, m = 32, nbits = 4)
+      Certificates.topKRecall(exact, Seq(
+        ("ivf", graft.operators.IvfIndex.topK(emb, q, "vec_id", "embedding", 5,
+          nlist = 8, nprobe = 6, nHint = nH), 0.9),
+        ("ivf_frozen", graft.operators.IvfIndex.topKFrozen(emb, cents, q,
+          "vec_id", "embedding", 5, nprobe = 6), 0.9),
+        ("ivfpq", graft.operators.PqIndex.topKEncoded(emb, index, cents, books,
+          q, "vec_id", "embedding", 5, nprobe = 6, refine = 4), 0.9),
+        ("lsh", Similarity.lshTopK(emb, q, 5, nbits = 8, tables = 64), 0.5)))
+        .orderBy("variant")
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM scored), ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked WHERE rnk <= 5) SELECT v.variant, ex.n AS n_exact, TRUE AS recall_ok FROM (VALUES ('ivf'), ('ivf_frozen'), ('ivfpq'), ('lsh')) AS v(variant), ex ORDER BY variant""")),
+
+    // E2 certificate — the STRONGEST per-pair form (total recall is
+    // asserted on this data since round 3): every exact-Jaccard pair with
+    // its exact score and a found-by-LSH flag; the oracle emits the exact
+    // pairs with literal TRUE, so ONE missed pair hash-mismatches.
+    ("qe61_cert_minhash", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      val lsh = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
+      Certificates.pairsFound(exact, lsh, "j")
+        .select(col("da"), col("db"), r4(col("j")).as("j"), col("found"))
+        .orderBy("da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j, TRUE AS found FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+
+    // E2 certificate — the embedding-dedup family: per-variant claim rows
+    // whose n_anchor is recomputed by DuckDB (exact pair count / exact
+    // connected-component drop count via recursive CTE / corpus size).
+    // blocked: pair recall >= 0.8 (measured 0.86-1.0); semdedup: drop
+    // precision 1.0 AND drop recall >= 0.5 vs the exact cosine graph
+    // (measured 0.57-0.71 at the driver SFs); semdedup_frozen: row-exact
+    // equality to the inline-fit form at the same (persisted) centroids.
+    ("qe62_cert_embed", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      val exactPairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+        .select("da", "db").localCheckpoint()
+      val blocked = Dedup.embeddingNearDupsBlocked(
+        emb, "vec_id", "embedding", 0.45, nHint = nH).select("da", "db")
+      val r1 = exactPairs
+        .join(blocked.distinct().withColumn("__hit", lit(1)), Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_anchor"),
+          sum(coalesce(col("__hit"), lit(0))).as("__h"))
+        .select(lit("blocked").as("variant"), col("n_anchor"),
+          when(col("n_anchor") > 0,
+            col("__h").cast("double") / col("n_anchor") >= 0.8)
+            .otherwise(lit(true)).as("ok"))
+      val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45,
+        nlist = 8, nHint = nH).localCheckpoint()
+      val exDrops = DupClusters.clusters(exactPairs)
+        .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id"))
+      val semDrops = sem.filter(col("is_kept") === 0).select("id")
+      val r2 = exDrops.withColumn("__e", lit(1))
+        .join(semDrops.withColumn("__s", lit(1)), Seq("id"), "full")
+        .agg(sum(coalesce(col("__e"), lit(0))).as("n_anchor"),
+          sum(when(col("__s") === 1 && col("__e").isNull, 1).otherwise(0)).as("__bad"),
+          sum(when(col("__s") === 1 && col("__e") === 1, 1).otherwise(0)).as("__common"))
+        .select(lit("semdedup").as("variant"), col("n_anchor"),
+          (col("__bad") === 0 &&
+            when(col("n_anchor") > 0,
+              col("__common").cast("double") / col("n_anchor") >= 0.5)
+              .otherwise(lit(true))).as("ok"))
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+      val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
+      val r3 = sem.select(col("id"), col("cell").as("ca"),
+          col("keep_id").as("ka"), col("is_kept").as("ia"))
+        .join(froz.select(col("id"), col("cell").as("cb"),
+          col("keep_id").as("kb"), col("is_kept").as("ib")), Seq("id"), "full")
+        .agg(count(lit(1)).as("n_anchor"),
+          sum(when(col("ca") <=> col("cb") && col("ka") <=> col("kb") &&
+            col("ia") <=> col("ib"), 0).otherwise(1)).as("__nd"))
+        .select(lit("semdedup_frozen").as("variant"), col("n_anchor"),
+          (col("__nd") === 0).as("ok"))
+      r1.unionAll(r2).unionAll(r3).orderBy("variant")
+    }, Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), pairs AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT 'blocked' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_anchor, TRUE AS ok UNION ALL SELECT 'semdedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM comp WHERE id <> cluster), TRUE UNION ALL SELECT 'semdedup_frozen', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE ORDER BY variant""")),
+
+    // E4 certificate — HLL distinct-term error: per-source exact n_terms
+    // (recomputed by DuckDB) with a within-10%-of-exact flag on the HLL
+    // estimate (rsd 0.05; measured max error 0.034 across SFs).
+    ("qe63_cert_hll", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val exact = TextAnalysis.lexicalDiversity(docs)
+        .select(col("source"), col("n_tok"), col("n_terms"))
+      val approx = TextAnalysis.lexicalDiversityApprox(docs)
+        .select(col("source"), col("n_terms").as("__a"))
+      exact.join(approx, "source")
+        .select(col("source"), col("n_tok"), col("n_terms"),
+          when(col("n_terms") > 0,
+            abs(col("__a") - col("n_terms")).cast("double") / col("n_terms") <= 0.1)
+            .otherwise(col("__a") === 0).as("within_tol"))
+        .orderBy("source")
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, TRUE AS within_tol FROM tok GROUP BY source ORDER BY source"""))
   )
 }

@@ -307,6 +307,52 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("multi-table lshTopK: recall >= 0.5 where single-table finds ~nothing; " +
+    "each pair scored once, ranks dense per query") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 5).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val single = recall(Similarity.lshTopK(emb, q, 5))
+    val multi64 = Similarity.lshTopK(emb, q, 5, nbits = 8, tables = 64)
+    val rows = multi64.collect()
+    // the qe60 certificate floor, plus the reason the knob exists
+    assert(recall(multi64) >= 0.5, s"64-table recall ${recall(multi64)} < 0.5")
+    assert(recall(multi64) > single + 0.3,
+      s"multi-table (${recall(multi64)}) must dominate single-table ($single)")
+    // candidate dedup before scoring: co-bucketing in many tables must not
+    // duplicate a pair or burn extra rank slots
+    val pairs = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+    assert(pairs.distinct.length == pairs.length, "duplicate (qid,cid) in output")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val rnks = rs.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size).toSeq, s"qid $qid ranks not dense: $rnks")
+    }
+  }
+
+  test("certificate builders: below-floor rung and missed pair flag FALSE (hash-visible)") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)).toDF("qid", "cid")
+    val bad = Seq((1L, 10L), (9L, 9L)).toDF("qid", "cid")
+    val got = Certificates.topKRecall(exact,
+        Seq(("bad", bad, 0.9), ("good", exact, 0.9)))
+      .orderBy("variant").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(("bad", 4L, false), ("good", 4L, true)), s"got ${got.toSeq}")
+    val ep = Seq((1L, 2L, 0.8), (3L, 4L, 0.7)).toDF("da", "db", "j")
+    val cand = Seq((1L, 2L), (1L, 2L), (5L, 6L)).toDF("da", "db") // dup + extra
+    val pf = Certificates.pairsFound(ep, cand, "j").orderBy("da").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // extra candidate pairs never appear (exact side drives); dup candidate
+    // rows don't multiply; the missed exact pair is a visible FALSE
+    assert(pf.toSeq == Seq((1L, 2L, 0.8, true), (3L, 4L, 0.7, false)), s"got ${pf.toSeq}")
+  }
+
   test("lshTopK infers embedding dim and fails fast on a mismatched row") {
     import spark.implicits._
     val ok = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))

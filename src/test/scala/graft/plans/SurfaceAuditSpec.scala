@@ -53,7 +53,13 @@ class SurfaceAuditSpec extends SparkTestBase {
     "qe35_knn_label",
     // (b) the declared exact all-pairs cosine anchor (non-equi self-join);
     // bucketed twin qe7b_embed_neardup_blocked enforced via scaleTwins
-    "qe7_embed_neardup"
+    "qe7_embed_neardup",
+    // certificates EMBED their exact anchors by design (certification
+    // tier, sf-small driver gate): qe60 carries the IVF/PQ probe joins in
+    // its visible plan (its brute anchor — like qe62's exact all-pairs
+    // side — is truncated behind a localCheckpoint and audited by the
+    // anchors' own allowlist entries above)
+    "qe60_cert_ann"
   )
 
   /** True iff the BNLJ's build (broadcast) side provably produces <= 1 row:
