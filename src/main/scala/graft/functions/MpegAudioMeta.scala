@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level COMPRESSED-audio stream metadata parser (SURVEY §2.4 E5,
+  * r10 verdict "Missing #1"): MP3/MPEG-audio payloads cannot be SAMPLE-
+  * decoded on a bare JVM (no codec), but their stream parameters need no
+  * codec at all — they live in the 4-byte frame header at the front of the
+  * stream, published in ISO/IEC 11172-3 / 13818-3:
+  *
+  *  - An optional ID3v2 tag prefixes the stream: "ID3", 2 version bytes,
+  *    1 flags byte, then a 4-byte SYNCSAFE size (7 bits per byte, top bit
+  *    zero — a plain u32 read would overshoot 8x) counting the tag body
+  *    after the 10-byte header (+10 more if the footer flag 0x10 is set).
+  *  - The frame header: 11 sync bits (0xFFE), 2 version bits (MPEG 1 / 2 /
+  *    2.5), 2 layer bits (I/II/III), CRC flag, 4 bitrate-index bits and
+  *    2 sample-rate-index bits resolved through the published per-version/
+  *    per-layer tables, padding/private bits, and 2 channel-mode bits
+  *    (mono vs stereo/joint/dual).
+  *
+  * `duration_ms` is the standard CBR estimate: 8 · stream bytes (payload
+  * minus the ID3 tag) / bitrate kbps — exact for constant-bitrate streams,
+  * the documented estimate for VBR (a VBR stream's true duration needs the
+  * Xing/VBRI frame map; out of scope, like the sample decode itself, which
+  * stays behind [[graft.operators.Multimodal.FakeCodec]]).
+  *
+  * "Free" bitrate (index 0), invalid indexes (15 / sample-rate 3),
+  * reserved version/layer bits, a truncated tag, or a missing sync yield
+  * NULL, never a guess. One codegen'd call per row; bytes read in place. */
+object MpegAudioHeader {
+
+  /** bitrate tables, kbps — ISO 11172-3 table B.2 / 13818-3. Row key:
+    * (version, layer); index 0 ("free") and 15 are refused. */
+  private val V1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val V1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val V2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val V2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** sample-rate tables, Hz, by version; index 3 is reserved. */
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val r = parse(b)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r._1), r._2, r._3, r._4, r._5, r._6))
+  }
+
+  /** Parse (mime, layer, bitrate_kbps, sample_rate, channels, duration_ms)
+    * from an MPEG-audio payload; null if not recognized/intact. */
+  def parse(b: Array[Byte]): (String, Int, Int, Int, Int, Long) = {
+    if (b == null || b.length < 4) return null
+    var off = 0
+    // ID3v2 prefix: "ID3" vv f ssss(syncsafe)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe bytes carry 7 bits each; a set top bit is a torn tag
+      var size = 0
+      var i = 6
+      while (i < 10) {
+        if ((b(i) & 0x80) != 0) return null
+        size = (size << 7) | (b(i) & 0x7F)
+        i += 1
+      }
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val next = 10L + size + footer
+      if (next + 4 > b.length) return null // tag swallows the whole payload
+      off = next.toInt
+    }
+    val h0 = b(off) & 0xFF; val h1 = b(off + 1) & 0xFF
+    val h2 = b(off + 2) & 0xFF; val h3 = b(off + 3) & 0xFF
+    if (h0 != 0xFF || (h1 & 0xE0) != 0xE0) return null // 11 sync bits
+    val verBits = (h1 >> 3) & 0x3   // 00=2.5, 01=reserved, 10=2, 11=1
+    val layerBits = (h1 >> 1) & 0x3 // 00=reserved, 01=III, 10=II, 11=I
+    if (verBits == 1 || layerBits == 0) return null
+    val layer = 4 - layerBits // 1, 2, 3
+    val brIdx = (h2 >> 4) & 0xF
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null // free/invalid
+    val kbps = (verBits, layer) match {
+      case (3, 1) => V1L1(brIdx)
+      case (3, 2) => V1L2(brIdx)
+      case (3, 3) => V1L3(brIdx)
+      case (_, 1) => V2L1(brIdx)
+      case _      => V2L23(brIdx)
+    }
+    val rate = verBits match {
+      case 3 => SrV1(srIdx)
+      case 2 => SrV2(srIdx)
+      case _ => SrV25(srIdx)
+    }
+    val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2 // mode 11 = mono
+    val streamBytes = (b.length - off).toLong
+    val durationMs = streamBytes * 8L / kbps
+    ("audio/mpeg", layer, kbps, rate, channels, durationMs)
+  }
+}
+
+/** `mpeg_audio_meta(payload)` → struct<mime string, layer int,
+  * bitrate_kbps int, sample_rate int, channels int, duration_ms bigint>,
+  * null for unrecognized payloads — see [[MpegAudioHeader]]. */
+case class MpegAudioMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"mpeg_audio_meta expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MpegAudioHeader.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("mpegMeta")
+      s"""
+         |InternalRow $out = graft.functions.MpegAudioHeader.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MpegAudioMetaExpr {
+  /** Column-level entry point. */
+  def mpeg_audio_meta(payload: Column): Column =
+    ColumnShim.column(MpegAudioMetaExpr(ColumnShim.expression(payload)))
+
+  /** SQL registration on an existing session (production wiring goes
+    * through [[graft.plans.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mpeg_audio_meta", exprs => {
+        require(exprs.length == 1,
+          s"mpeg_audio_meta requires exactly 1 argument, got ${exprs.length}")
+        MpegAudioMetaExpr(exprs.head)
+      }, "built-in")
+}

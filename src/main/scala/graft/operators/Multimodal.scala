@@ -21,7 +21,11 @@ import java.io.ByteArrayOutputStream
   * Motion-JPEG AVI ([[MjpegAvi]] + ImageIO). Only compressed audio
   * (MP3/AAC) and inter-frame video codecs (H.26x/VP9) remain stubbed
   * ([[FakeCodec]]) — the JVM ships no decoder for those; swap in a real
-  * one (JNI/FFI) without touching the dataflow.
+  * one (JNI/FFI) without touching the dataflow. Their METADATA needs no
+  * codec and is parsed for real: MPEG-audio frame headers
+  * ([[graft.functions.MpegAudioHeader]], qe5i) and H.264 SPS coded
+  * dimensions ([[graft.functions.AvcSpsHeader]], qe5j) — the stub
+  * boundary sits exactly at payload decode, nothing before it.
   */
 object Multimodal {
 
@@ -287,6 +291,64 @@ object Multimodal {
       ext80, lit("53534E44"), b32(dataSize + 8),
       lit("00000000" + "00000000"), zeros)
     when(id % 2 === 0, wav).otherwise(aiff)
+  }
+
+  /** Deterministic MPEG-AUDIO (MP3) corpus — the COMPRESSED-audio twin of
+    * [[syntheticAudioCorpus]]: per doc, a payload opening with a spec-valid
+    * MPEG audio frame header (ISO 11172-3 / 13818-3) whose version, layer,
+    * bitrate index, sample-rate index, and channel mode are plain
+    * arithmetic over doc_id, padded with zero bytes to a planted stream
+    * length (so the CBR duration estimate is arithmetic too), and — every
+    * 5th doc — prefixed with an ID3v2 tag whose SYNCSAFE size the parser
+    * must decode to find the frame at all. Any table, bit-field, or
+    * syncsafe error in [[graft.functions.MpegAudioHeader]]
+    * hash-mismatches against the arithmetic oracle. Codegen projection,
+    * shuffle-free. Sample DECODE of these streams needs a codec no JVM
+    * ships and stays behind [[FakeCodec]] — this corpus certifies that
+    * the metadata boundary sits exactly at the codec, not before it. */
+  def syntheticMpegAudioCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def h2(v: Column) = lpad(hex(v), 2, "0")
+    val verBits = when(id % 2 === 0, 3).otherwise(2) // MPEG1 / MPEG2
+    val layer = id % 3 + 1                           // I / II / III
+    // decorrelated from layer; the inner / is double division on longs, so
+    // cast back before the mod (exact: doc_id is far below 2^53)
+    val srIdx = ((id - id % 3) / 3).cast("long") % 3
+    val byte1 = lit(0xE0) + verBits * 8 + (lit(4) - layer) * 2 + 1 // no CRC
+    val byte2 = (id % 14 + 1) * 16 + srIdx * 4       // bitrate idx 1..14
+    val byte3 = (id % 4) * 64                        // channel mode
+    val streamBytes = id % 983 + 100
+    // ID3v2.4 header: "ID3" 04 00 flags 00, syncsafe size 0x0A, 10-byte body
+    val id3 = when(id % 5 === 0,
+      lit("494433" + "0400" + "00" + "0000000A" + "00" * 10)).otherwise("")
+    val hexPayload = concat(id3, lit("FF"), h2(byte1.cast("int")),
+      h2(byte2.cast("int")), h2(byte3.cast("int")),
+      call_function("repeat", lit("00"), (streamBytes - 4).cast("int")))
+    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic H.264 SPS corpus — the coded-dimension twin for
+    * compressed VIDEO: per doc, a bare SPS NAL built bit-level by
+    * [[graft.functions.AvcSpsHeader.buildSps]] (exp-Golomb writer with
+    * RBSP emulation-prevention escaping) with profile from
+    * {66 baseline, 77 main, 100 high} — the High branch interposes the
+    * chroma block the parser must walk — level and EVEN dims all plain
+    * arithmetic over doc_id, non-multiple-of-16 dims exercising the
+    * frame-cropping math. The parser is certified against this
+    * independent bit-level construction PLUS hand-derived golden vectors
+    * in MediaFuzzSpec (guarding a shared exp-Golomb misconception).
+    * Payload decode (H.26x) stays behind [[FakeCodec]]. */
+  def syntheticAvcCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val profile = when(id % 3 === 0, 66).when(id % 3 === 1, 77).otherwise(100)
+    val level = ((id % 5 + 1) * 10).cast("int")
+    val w = ((id % 320 + 1) * 2).cast("int")
+    val h = ((id % 240 + 1) * 2).cast("int")
+    docs.select(id.as("doc_id"),
+      graft.functions.AvcSpsFixtureExpr.avc_sps_fixture(
+        profile.cast("int"), level, w, h).as("payload"),
+      lit("application/octet-stream").as("mime"))
   }
 
   /** Deterministic VIDEO corpus, completing the image/audio/video triple:

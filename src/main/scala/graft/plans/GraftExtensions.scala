@@ -164,5 +164,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"utf8_stats requires exactly 1 argument, got ${exprs.length}")
         graft.functions.Utf8StatsExpr(exprs.head)
       }))
+    ext.injectFunction(fn("mpeg_audio_meta",
+      classOf[graft.functions.MpegAudioMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"mpeg_audio_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.MpegAudioMetaExpr(exprs.head)
+      }))
+    ext.injectFunction(fn("avc_sps_dims",
+      classOf[graft.functions.AvcSpsDimsExpr], exprs => {
+        require(exprs.length == 1,
+          s"avc_sps_dims requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.AvcSpsDimsExpr(exprs.head)
+      }))
   }
 }

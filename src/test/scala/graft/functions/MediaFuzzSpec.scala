@@ -41,12 +41,19 @@ class MediaFuzzSpec extends AnyFunSuite {
         "00000088 6D6F6F76" +
         "00000078 6D766864 01000000 0000000000000000 0000000000000000" +
         "00015F90 0000000000015F90" + "00" * 80 +
-        "00000008 7472616B"))
+        "00000008 7472616B"),
+    // ID3v2 (syncsafe size 10) + MPEG1 Layer III 128 kbps 44.1 kHz stereo
+    // frame header + a little padding
+    "mp3" -> hex("494433 0400 00 0000000A" + "00" * 10 + "FFFB9000" + "00" * 16),
+    // hand-derived golden SPS (see the golden-vector test below)
+    "sps" -> hex("67 42 00 1E DA11E4"))
 
   private def allParsers(b: Array[Byte]): Unit = {
     ImageHeader.parse(b)
     AudioHeader.parse(b)
     VideoHeader.parse(b)
+    MpegAudioHeader.parse(b)
+    AvcSpsHeader.parse(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -80,7 +87,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       }
       // and the full file must still parse (the sweep ends at a valid input)
       assert(ImageHeader.parse(b) != null || AudioHeader.parse(b) != null ||
-        VideoHeader.parse(b) != null, s"$name no longer parses whole")
+        VideoHeader.parse(b) != null || MpegAudioHeader.parse(b) != null ||
+        AvcSpsHeader.parse(b) != null, s"$name no longer parses whole")
     }
   }
 
@@ -96,6 +104,72 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("MPEG audio golden vectors: canonical headers decode to the published values") {
+    // FF FB 90 00: sync, MPEG1 (11), Layer III (01), no CRC; bitrate idx 9
+    // -> 128 kbps (V1L3 table), sr idx 0 -> 44100, stereo (mode 00) — the
+    // most common MP3 header on earth. 20 payload bytes -> 160 bits /
+    // 128 kbps = 1 ms.
+    assert(MpegAudioHeader.parse(hex("FFFB9000" + "00" * 16))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+    // same stream behind an ID3v2 tag (syncsafe size 10): the 10-byte
+    // header + 10-byte body must be skipped and EXCLUDED from duration
+    assert(MpegAudioHeader.parse(
+      hex("494433 0400 00 0000000A" + "00" * 10 + "FFFB9000" + "00" * 16))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+    // FF F3 22 C0: MPEG2 (10), Layer III, bitrate idx 2 -> 16 kbps
+    // (V2 L2/L3 table), sr idx 0 -> 22050, mode 11 -> mono
+    assert(MpegAudioHeader.parse(hex("FFF322C0" + "00" * 12))
+      == ("audio/mpeg", 3, 16, 22050, 1, 8L))
+    // refusals: free bitrate (idx 0), invalid idx 15, reserved sample-rate
+    // idx 3, reserved version bits (01), reserved layer bits (00)
+    assert(MpegAudioHeader.parse(hex("FFFB0000")) == null)
+    assert(MpegAudioHeader.parse(hex("FFFBF000")) == null)
+    assert(MpegAudioHeader.parse(hex("FFFB9C00")) == null)
+    assert(MpegAudioHeader.parse(hex("FFEB9000")) == null)
+    assert(MpegAudioHeader.parse(hex("FFF99000")) == null)
+  }
+
+  test("AVC SPS golden vector: hand-derived baseline 64x48 bitstream") {
+    // Derived bit-by-bit BY HAND (independent of the BitWriter, so a
+    // shared exp-Golomb misconception between builder and parser cannot
+    // hide): 67 = NAL(ref 3, type 7); 42 00 1E = profile 66, constraints
+    // 0, level 30. RBSP bits: ue(0) sps_id='1', ue(0) log2mfn='1',
+    // ue(2) poc_type='011', ue(1) refs='010', gaps='0',
+    // ue(3) width_mbs_minus1='00100', ue(2) height_map_minus1='011',
+    // frame_mbs_only='1', direct_8x8='1', cropping='0', vui='0',
+    // stop='1', pad '00' => 11011010 00010001 11100100 = DA 11 E4.
+    assert(AvcSpsHeader.parse(hex("6742001E DA11E4")) == (66, 30, 64, 48))
+    // and the writer must reproduce the hand-derived bytes exactly
+    assert(AvcSpsHeader.buildSps(66, 30, 64, 48).toSeq == hex("6742001E DA11E4").toSeq)
+    // refusals: non-SPS NAL type; forbidden bit set; MBAFF (interlaced)
+    assert(AvcSpsHeader.parse(hex("6142001E DA11E4")) == null)
+    assert(AvcSpsHeader.parse(hex("E742001E DA11E4")) == null)
+  }
+
+  test("AVC SPS build->parse round-trips across profiles, crops, and huge dims; " +
+    "emulation-prevention escaping engages and still parses") {
+    var escaped = 0
+    for {
+      profile <- Seq(66, 77, 100)
+      level <- Seq(10, 31, 51)
+      // 2^21 * 16: ue(2^21 - 1) writes a 21-zero prefix whose terminating
+      // 1 lands in a byte of value 0x02 — two zero bytes then <= 3, the
+      // exact shape that REQUIRES an emulation-prevention 0x03
+      w <- Seq(2, 64, 322, 640, 1920, 65536 * 16, 2097152 * 16)
+      h <- Seq(2, 48, 242, 480, 1080)
+    } {
+      val sps = AvcSpsHeader.buildSps(profile, level, w, h)
+      assert(AvcSpsHeader.parse(sps) == (profile, level, w, h),
+        s"round trip failed for p=$profile l=$level ${w}x$h")
+      // count payloads where the escaper actually fired (00 00 03 present)
+      if (sps.sliding(3).exists(s => s(0) == 0 && s(1) == 0 && s(2) == 3)) escaped += 1
+    }
+    // the 65536*16 width needs a 16-zero exp-Golomb prefix -> zero bytes
+    // -> escaping MUST have engaged somewhere in the sweep, proving the
+    // parser's de-escape path is exercised, not dead code
+    assert(escaped > 0, "no payload in the sweep engaged emulation prevention")
+  }
+
   test("adversarial size fields never throw: u32-max, size<header, largesize overflow") {
     // RIFF chunk declaring u32-max size
     allParsers(hex("52494646 48000000 57415645 666D7420 FFFFFFFF 0100"))
@@ -107,6 +181,11 @@ class MediaFuzzSpec extends AnyFunSuite {
       "00000001 6D6F6F76 7FFFFFFFFFFFFFFF 0000006C 6D766864"))
     // JPEG segment with length 0 (would loop forever if not guarded)
     allParsers(hex("FFD8 FFE0 0000 FFC0"))
+    // ID3 whose syncsafe size swallows the whole payload / sets a top bit
+    allParsers(hex("494433 0400 00 7F7F7F7F FFFB9000"))
+    allParsers(hex("494433 0400 00 00000080 FFFB9000"))
+    // SPS whose exp-Golomb prefix never terminates (all-zero bitstream)
+    allParsers(hex("67 42 00 1E" + "00" * 64))
     // near-Int-max sizes: Int-space `off += 8 + size` would wrap NEGATIVE
     // and index out of bounds — the walk must advance in Long space
     allParsers(hex("52494646 48000000 57415645 4A554E4B 7FFFFFEF 00"))
