@@ -124,6 +124,96 @@ object SeqPack {
           greatest(col("__o"), col("bin") * budget)).as(tokCol))
   }
 
+  /** Deterministic 16-bit token ids for a whitespace token array — the
+    * engine-portable stand-in for a trained vocabulary when exporting
+    * shards: id = first 4 hex digits of md5(token). Both engines express
+    * it exactly (the DuckDB side is `('0x' || substr(md5(w),1,4))::INT`),
+    * so the exported byte stream is oracle-reconstructable. */
+  def md5TokenIds(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(toks, w => conv(substring(md5(w), 1, 4), 16, 10).cast("int"))
+
+  /** Training-shard EXPORT — the last stage of the corpus→training-run
+    * path (SURVEY §2.4 north star): materialize the [[packSplitSharded]]
+    * manifest as actual packed token payloads. Input rows carry a token-id
+    * array (`toksCol`, ints in [0, 65535]); the token stream concatenates
+    * in id order within each shard and chunks at exact `budget`
+    * boundaries; each (shard, bin) emits
+    *  - `payload`: the bin's token stream as LITTLE-endian u16 bytes (the
+    *    on-disk convention of public LLM training stacks),
+    *  - `n_tok`: stream length (== budget except a shard's final bin),
+    *  - `stream_md5`: md5 over the LOWERCASE HEX of the payload — hex
+    *    rather than raw bytes because the certifying oracle's md5 is
+    *    VARCHAR-only; hex is a bijection, so the checksum still pins every
+    *    byte.
+    *
+    * Scale shape: the cumulative offset is the one [[packSharded]] window
+    * shuffle; slicing is a per-row `sequence` explode (arithmetic only);
+    * the payload assembly is ONE groupBy(shard, bin) shuffle whose rows
+    * are bounded by `budget` tokens → ≤ 2·budget bytes per output row.
+    * Slices concatenate in doc-id order via sort_array over the collected
+    * (id, seg) structs — deterministic under any partitioning. */
+  def exportShards(df: DataFrame, shardCol: String, idCol: String, toksCol: String,
+                   budget: Long): DataFrame = {
+    require(budget > 0, s"exportShards: token budget must be positive, got $budget")
+    requireNoCollision("exportShards", Seq(shardCol, idCol, toksCol),
+      Seq("bin", "payload", "n_tok", "stream_md5",
+        "__o", "__n", "__b0", "__b1", "__seg", "__s"))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliced = df
+      .withColumn("__n", size(col(toksCol)).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__o", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("__b0", expr(s"__o div $budget"))
+      .withColumn("__b1", expr(s"(__o + __n - 1) div $budget"))
+      .select(col(shardCol).as("shard"), col(idCol).as("__id"), col("__o"),
+        col("__n"), col(toksCol).as("__toks"), col("__b0"),
+        explode(sequence(col("__b0"), col("__b1"))).as("bin"))
+      .select(col("shard"), col("bin"), col("__id"),
+        slice(col("__toks"),
+          (greatest(col("__o"), col("bin") * budget) - col("__o") + 1).cast("int"),
+          (least(col("__o") + col("__n"), (col("bin") + 1) * budget) -
+            greatest(col("__o"), col("bin") * budget)).cast("int")).as("__seg"))
+    val stream = sliced
+      .groupBy(col("shard"), col("bin"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("__seg")))).as("__s"))
+      .select(col("shard"), col("bin"),
+        flatten(transform(col("__s"), s => s.getField("__seg"))).as("__stream"))
+    // u16 LE hex per token (ids are 16-bit by contract; a wider id would
+    // silently alias mod 65536 — refuse loudly in the value path instead)
+    val checked = transform(col("__stream"), t =>
+      when(t >= 0 && t < 65536, t).otherwise(raise_error(
+        concat(lit("exportShards: token id out of u16 range: "), t.cast("string")))))
+    val hexStream = lower(concat_ws("",
+      transform(checked, t => concat(
+        lpad(hex(t.bitwiseAND(255)), 2, "0"),
+        lpad(hex(shiftright(t, 8)), 2, "0")))))
+    stream.select(col("shard"), col("bin"),
+      size(col("__stream")).cast("long").as("n_tok"),
+      unhex(hexStream).as("payload"),
+      md5(hexStream.cast("binary")).as("stream_md5"))
+  }
+
+  /** [[exportShards]] through the [[graft.Artifacts]] store: the
+    * (shard, bin, payload) table persists as fingerprint-keyed parquet —
+    * written once, read by every consumer — and the returned MANIFEST is
+    * recomputed FROM THE READ-BACK bytes (n_tok from the byte length,
+    * stream_md5 from the stored payload), so a registered query over this
+    * form certifies what is actually ON DISK, not the lineage that
+    * produced it. */
+  def exportShardsPersisted(spark: org.apache.spark.sql.SparkSession,
+                            df: DataFrame, shardCol: String, idCol: String,
+                            toksCol: String, budget: Long,
+                            inputPaths: Seq[String], paramsKey: String): DataFrame = {
+    val shards = graft.Artifacts.getOrFit(spark, "token_shards",
+      graft.Artifacts.fitKey(spark, inputPaths, paramsKey),
+      exportShards(df, shardCol, idCol, toksCol, budget)
+        .select("shard", "bin", "payload"))
+    shards.select(col("shard"), col("bin"),
+      (length(col("payload")) / 2).cast("long").as("n_tok"),
+      md5(lower(hex(col("payload"))).cast("binary")).as("stream_md5"))
+  }
+
   /** Packing-efficiency report per shard: bins used, docs and tokens
     * packed, and fill fraction (tokens over bins × budget) — underfill is
     * wasted accelerator time, so this is the number a packing run is

@@ -112,6 +112,45 @@ class ArtifactsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.artifacts.dir")
   }
 
+  test("shard export round-trips: persisted payload bytes reproduce the manifest exactly") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    spark.conf.set("spark.graft.artifacts.dir", root)
+    try {
+      val docs = Engine.Tables(spark, Sf0001).documents
+        .filter(graft.operators.TextAnalysis.hasTokens(col("text")))
+        .select(col("doc_id"), graft.operators.SeqPack.md5TokenIds(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("toks"))
+        .withColumn("shard", col("doc_id") % 8)
+      // the direct (in-lineage) manifest
+      val direct = graft.operators.SeqPack.exportShards(docs, "shard", "doc_id", "toks", 2048L)
+        .select("shard", "bin", "n_tok", "stream_md5")
+        .orderBy("shard", "bin").collect().map(_.toString).toSeq
+      // the persisted form: write shards, recompute manifest from read-back
+      val persisted = graft.operators.SeqPack.exportShardsPersisted(spark, docs,
+          "shard", "doc_id", "toks", 2048L,
+          Seq(s"$Sf0001/documents.parquet"), "spec-b2048-s8")
+        .orderBy("shard", "bin").collect().map(_.toString).toSeq
+      assert(direct == persisted,
+        "manifest recomputed from the persisted bytes must equal the direct manifest")
+      // and the artifact is a plain parquet any external reader consumes:
+      // every non-final bin is exactly budget tokens = 2*budget bytes
+      val keyDirs = new java.io.File(s"$root/token_shards").listFiles()
+        .filterNot(_.getName.startsWith(".tmp-"))
+      assert(keyDirs.length == 1, s"expected one artifact key, got ${keyDirs.toSeq}")
+      val ext = spark.read.parquet(keyDirs.head.getPath).collect()
+      assert(ext.nonEmpty)
+      val byShard = ext.groupBy(_.getAs[Long]("shard"))
+      byShard.foreach { case (sh, rows) =>
+        val lastBin = rows.map(_.getAs[Long]("bin")).max
+        rows.filter(_.getAs[Long]("bin") != lastBin).foreach { r =>
+          assert(r.getAs[Array[Byte]]("payload").length == 4096,
+            s"shard $sh bin ${r.getAs[Long]("bin")}: non-final bin not exactly 2048 u16 tokens")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.artifacts.dir")
+  }
+
   test("frozen queries consume artifacts: second run of each fires zero fit-side jobs") {
     // the honest-apply claim, machine-checked: after a warm first run has
     // persisted every artifact, re-running each frozen registered query
@@ -124,7 +163,8 @@ class ArtifactsSpec extends SparkTestBase {
     try {
       val frozen = Seq("qe3d_knn_ivf_frozen", "qe7d_semantic_dedup_frozen",
         "qe47_ivf_occupancy", "qe52b_dup_spans_frozen", "qe54b_drift_cross_snapshot",
-        "qe56c_cdc_dup_frozen", "qe58d_containment_frozen", "qe43_incremental_fuzzy")
+        "qe56c_cdc_dup_frozen", "qe58d_containment_frozen", "qe43_incremental_fuzzy",
+        "qe11e_shard_export")
       frozen.foreach(q => SparkEntry.queries(q)(spark, Sf0001).collect())
       val root = spark.conf.get("spark.graft.artifacts.dir")
       def successMtimes: Map[String, Long] = {
