@@ -109,6 +109,14 @@ object Bench {
       else (median(ts), ts.max - ts.min)
     }
 
+    // ambient-host context: the driver box has measured 1.19-1.35x
+    // day-part drift on identical code (BASELINE.md) — recording the
+    // 1-minute load average at sweep start/end puts the attribution in
+    // the artifact instead of in prose
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+
     // warmup: parquet footers + vectorized-reader init for every table,
     // then one full query for JIT/codegen paths
     val t = Engine.Tables(spark, sfDir)
@@ -143,9 +151,10 @@ object Bench {
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v.toString }
       .mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val loads = "%.2f,%.2f".formatLocal(java.util.Locale.ROOT, loadStart, loadAvg)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"spread":$spreadJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson""") + "\n")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -70,7 +71,7 @@ object BpeVocab {
     * form — ~k sequential Spark jobs, so the driver round count is the
     * scale ceiling; use [[learnMergesBatched]] beyond a few hundred rules. */
   def learnMerges(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
-    var vocab = symbolized(docs).localCheckpoint()
+    var vocab = symbolized(docs).auditedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     var exhausted = false
@@ -83,7 +84,7 @@ object BpeVocab {
         val (a, b) = (r.getString(0), r.getString(1))
         merges += Merge(a, b, r.getLong(2))
         vocab = vocab.withColumn("syms", mergePairCol(col("syms"), a, b))
-          .localCheckpoint()
+          .auditedCheckpoint()
       }
       i += 1
     }
@@ -113,7 +114,7 @@ object BpeVocab {
                          checkpointEvery: Int = 2): (Seq[Merge], DataFrame) = {
     require(m >= 1, s"merges per round must be >= 1, got $m")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    var vocab = symbolized(docs).localCheckpoint()
+    var vocab = symbolized(docs).auditedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     var round = 0
@@ -144,10 +145,10 @@ object BpeVocab {
         vocab = vocab.withColumn("syms",
           picked.foldLeft(col("syms"))((c, mg) => mergePairCol(c, mg.a, mg.b)))
         round += 1
-        if (round % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        if (round % checkpointEvery == 0) vocab = vocab.auditedCheckpoint()
       }
     }
-    (merges.toSeq, vocab.localCheckpoint())
+    (merges.toSeq, vocab.auditedCheckpoint())
   }
 
   /** BPE ENCODE with a frozen merge list: per-document token count after

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,7 +56,7 @@ object Decontaminate {
                          fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomMightContain.bloom_might_contain
     val b = Dedup.shingles(benchmark, n).select("s").distinct()
-      .localCheckpoint() // feeds sizing + build + verify: shingle once
+      .auditedCheckpoint() // feeds sizing + build + verify: shingle once
     val expected = math.max(b.count(), 64L)
     val bloom = b.stat.bloomFilter("s", expected, fpp)
     val candidates = Dedup.shingles(corpus, n)

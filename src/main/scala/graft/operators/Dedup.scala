@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -101,7 +102,7 @@ object Dedup {
     // CacheManager entry would leak for the session's lifetime (one per
     // qe2/qe13 invocation).
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -228,14 +229,14 @@ object Dedup {
                               bands: Int = 4, cap: Int = 1024): DataFrame = {
     require(cap >= 2, s"minhashCandidatesCapped: cap must be >= 2, got $cap")
     val banded = bandBuckets(minhashSignature(docs, n, k), k, bands)
-      .localCheckpoint()
+      .auditedCheckpoint()
     // sized is checkpointed too: it feeds BOTH the small/clique and the
     // hot/chain branches, and without the checkpoint the groupBy-count
     // join would recompute once per branch
     val sized = banded.join(
       banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bs")),
       Seq("band", "bucket"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     val small = sized.filter(col("__bs") <= cap)
     val clique = small.as("a")
       .join(small.as("b"),
@@ -504,7 +505,7 @@ object Dedup {
     val sides = assigned.select(col("cell"), col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("__n",
         sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
-      .localCheckpoint() // feeds both join sides; assign + fit run ONCE
+      .auditedCheckpoint() // feeds both join sides; assign + fit run ONCE
     val cos = graft.functions.DotProduct.dot_product(col("va"), col("vb")) /
       (col("__na") * col("__nb"))
     // one conjunction, cheap id comparison first (the embeddingNearDups
@@ -568,7 +569,7 @@ object Dedup {
     require(n >= 1, s"dupSpans: n must be >= 1, got $n")
     // the positional-shingle projection feeds both the gram count and the
     // flag join — materialize it once (same rationale as jaccardPairs)
-    val sh = posShingles(docs, n).localCheckpoint()
+    val sh = posShingles(docs, n).auditedCheckpoint()
     dupSpansFrom(sh, dupGramsFrom(sh), n)
   }
 
@@ -663,7 +664,7 @@ object Dedup {
     * candidates. */
   def containmentPairs(docs: DataFrame, n: Int, minC: Double): DataFrame = {
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -699,7 +700,7 @@ object Dedup {
   def containmentCandidates(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
     require(k >= 1, s"containmentCandidates: k must be >= 1, got $k")
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     // NOTE on AQE: the sketch's shuffle is tiny BY DESIGN (k longs per
     // doc), and AQE's partition coalescer sizes the next stage by those
     // bytes — at the 1 MB default minPartitionSize it collapsed the stage
@@ -774,7 +775,7 @@ object Dedup {
   def containmentFrozenAgreement(increment: DataFrame, corpus: DataFrame,
                                  n: Int, k: Int, minC: Double): DataFrame =
     containmentFrozenAgreementIndexed(increment,
-      containmentIndexFit(corpus, n).localCheckpoint(), n, k, minC)
+      containmentIndexFit(corpus, n).auditedCheckpoint(), n, k, minC)
 
   /** [[containmentFrozenAgreement]] against an ALREADY-MATERIALIZED corpus
     * shingle index — the form the registered qe58d runs, with the index a
@@ -789,7 +790,7 @@ object Dedup {
         "certificate would be vacuous (a pair the sketch misses entirely " +
         "still scores within_bound); raise k above (2/minC)^2")
     val shA = shingles(increment, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     val cnt = shA.groupBy("doc_id").agg(count("*").as("n_sh"))
     val exact = shA.as("a").join(shB.as("b"), Seq("s"))
       .filter(col("doc_id") =!= col("db"))
@@ -859,7 +860,7 @@ object Dedup {
     * key; the flag join is LEFT (clean docs keep rows) and the tail is
     * one per-doc aggregation. All shuffles are hash-key equi-shuffles. */
   def cdcDupCard(docs: DataFrame, target: Int): DataFrame = {
-    val ch = TextAnalysis.chunkCdc(docs, target).localCheckpoint()
+    val ch = TextAnalysis.chunkCdc(docs, target).auditedCheckpoint()
     cdcDupCardFrom(ch, sharedFrom(ch))
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,11 +35,11 @@ object DupClusters {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("da").as("id"), col("db").as("nb"))
       .union(edges.select(col("db").as("id"), col("da").as("nb")))
-      .localCheckpoint()
+      .auditedCheckpoint()
     // init fuses the first propagation round: the node-set aggregation that
     // would seed lbl=id can take min(id, neighbors) in the same shuffle
     var labels = sym.groupBy("id")
-      .agg(least(col("id"), min(col("nb"))).as("lbl")).localCheckpoint()
+      .agg(least(col("id"), min(col("nb"))).as("lbl")).auditedCheckpoint()
     // labels only ever DECREASE, so the exact label-sum strictly falls
     // while anything changes — one scan of the checkpointed frame probes
     // the fixpoint without a join (decimal sum: exact at any n, where a
@@ -60,13 +61,13 @@ object DupClusters {
       // shuffle + aggregation every round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .auditedCheckpoint()
       // pointer jump: a label is always some node's id, so re-resolving a
       // node's label through its label's own label contracts chains
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .auditedCheckpoint()
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -106,7 +107,7 @@ object DupClusters {
   def survivorsByQuality(members: DataFrame, quality: DataFrame,
                          qualityCol: String): DataFrame = {
     // checkpointed: feeds both the per-cluster max and the tie-break pass
-    val joined = members.join(quality, "doc_id").localCheckpoint()
+    val joined = members.join(quality, "doc_id").auditedCheckpoint()
     val best = joined.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"))
     // ties break to the smallest doc_id via min over the max-q members —

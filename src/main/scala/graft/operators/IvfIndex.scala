@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import graft.functions.{CosineSim, VectorOps}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -191,7 +192,7 @@ object IvfIndex {
     // localCheckpoint: counts feeds both the card and its total — without
     // it the corpus-assignment scan would run once per consumer
     val counts = assignInline(vectors, centroids, vecCol)
-      .groupBy("cell").agg(count("*").as("n")).localCheckpoint()
+      .groupBy("cell").agg(count("*").as("n")).auditedCheckpoint()
     // total via a broadcast 1-row cross join, not an empty-partition window
     // (which would emit the single-partition WARN even on this tiny card)
     counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))

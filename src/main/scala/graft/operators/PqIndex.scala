@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import graft.functions.{CosineSim, L2Dist}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -69,7 +70,7 @@ object PqIndex {
         math.min(1000000, math.max(1, math.ceil(maxTrain * 1e6 / n).toInt)), seed)
     // one residual pass feeds all m subspace fits
     val resid = withResidual(train, cents, vecCol).select(col("__resid"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     val rows = (0 until m).flatMap { j =>
       val sub = resid.select(
         array_to_vector(slice(col("__resid"), j * ds + 1, ds)).as("__v"))

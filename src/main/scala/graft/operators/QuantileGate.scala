@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object QuantileGate {
     * analog of [[Decontaminate.contaminationStream]]'s static benchmark. */
   def fitThreshold(df: DataFrame, metricCol: String, q: Double): DataFrame = {
     validateQ(q) // before the localCheckpoint materializes the history
-    thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Nil, metricCol, q)
+    thresholdFrom(realMetric(df.auditedCheckpoint(), metricCol), Nil, metricCol, q)
   }
 
   /** FIT ONLY, per group: (`groupCol`, `__thr`) — one frozen cutoff per
@@ -63,7 +64,7 @@ object QuantileGate {
   def fitThresholdPerGroup(df: DataFrame, groupCol: String, metricCol: String,
                            q: Double): DataFrame = {
     validateQ(q) // before the localCheckpoint materializes the history
-    thresholdFrom(realMetric(df.localCheckpoint(), metricCol), Seq(groupCol), metricCol, q)
+    thresholdFrom(realMetric(df.auditedCheckpoint(), metricCol), Seq(groupCol), metricCol, q)
   }
 
   /** APPLY a frozen threshold frame to any frame — batch or STREAMING.
@@ -114,7 +115,7 @@ object QuantileGate {
     // an interpreted-HOF metric per row (measured 2.9s -> 19s on qe17);
     // (c) unlike persist(), checkpoint blocks are freed by the
     // ContextCleaner once unreachable — no session-lifetime storage leak.
-    val src = realMetric(df.localCheckpoint(), metricCol)
+    val src = realMetric(df.auditedCheckpoint(), metricCol)
     val cutoff = thresholdFrom(src, group.toSeq, metricCol, q)
     group match {
       case Some(g) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,7 +98,7 @@ object Retrieval {
     // shuffled TWICE (observed in the executed plan). The slice is the
     // query-term-restricted sliver of the postings, bounded by
     // |queried terms| · df — checkpointable where the postings are not.
-    val slice = post.join(broadcast(qterms), Seq("term")).localCheckpoint()
+    val slice = post.join(broadcast(qterms), Seq("term")).auditedCheckpoint()
 
     // document frequency per (queried) term — tiny output, broadcast back
     val dfc = slice.groupBy("term").agg(count(lit(1)).cast("double").as("df_t"))
@@ -187,7 +188,7 @@ object Retrieval {
     val tf = docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .auditedCheckpoint()
     // sources containing the term; df_s <= n_src so idf >= 0 always
     val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df_s"))
     val nsrc = tf.select("source").distinct()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.PlanCapture.CheckpointOps
 import graft.Engine
 import graft.functions.ScalarOps.r4
 import graft.operators.{Certificates, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
@@ -1352,7 +1353,7 @@ object Extensions {
       val q = emb.filter(col("vec_id") < 10)
       val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
       val exact = Similarity.bruteForceTopK(emb, q, 5)
-        .select("qid", "cid").localCheckpoint()
+        .select("qid", "cid").auditedCheckpoint()
       val cents = graft.operators.IvfIndex.persistedCentroids(
         emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
       val books = graft.operators.PqIndex.persistedCodebooks(
@@ -1396,7 +1397,7 @@ object Extensions {
       val emb = Engine.Tables(s, d).embeddings
       val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
       val exactPairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
-        .select("da", "db").localCheckpoint()
+        .select("da", "db").auditedCheckpoint()
       val blocked = Dedup.embeddingNearDupsBlocked(
         emb, "vec_id", "embedding", 0.45, nHint = nH).select("da", "db")
       val r1 = exactPairs
@@ -1408,7 +1409,7 @@ object Extensions {
             col("__h").cast("double") / col("n_anchor") >= 0.8)
             .otherwise(lit(true)).as("ok"))
       val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45,
-        nlist = 8, nHint = nH).localCheckpoint()
+        nlist = 8, nHint = nH).auditedCheckpoint()
       val exDrops = DupClusters.clusters(exactPairs)
         .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id"))
       val semDrops = sem.filter(col("is_kept") === 0).select("id")

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.PlanCapture.CheckpointOps
 import graft.Engine
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
@@ -47,7 +48,7 @@ object ScalingProbe {
       (0 until m).map { i =>
         docs0.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
           caesar(col("text"), i).as("text"), col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _).localCheckpoint()
+      }.reduce(_ unionByName _).auditedCheckpoint()
 
     def embAt(m: Int): DataFrame =
       (0 until m).map { i =>
@@ -57,7 +58,7 @@ object ScalingProbe {
             j => element_at(col("embedding"), ((j + lit(i)) % dim) + 1))
         emb0.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
           rot.as("embedding"), col("label"))
-      }.reduce(_ unionByName _).localCheckpoint()
+      }.reduce(_ unionByName _).auditedCheckpoint()
 
     // construction INSIDE the timed section (Bench's own shape): eager
     // localCheckpoint fit/assign stages run at DataFrame construction,
