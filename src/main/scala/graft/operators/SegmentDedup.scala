@@ -106,6 +106,37 @@ object SegmentDedup {
   def stripBoilerplateFrozen(docs: DataFrame, boilerplate: DataFrame, w: Int): DataFrame =
     applyBoilerplate(segments(docs, w), boilerplate)
 
+  /** Per-ROW frozen apply — the STREAM-COMPOSABLE twin of
+    * [[stripBoilerplateFrozen]]: the frozen boilerplate set rides along as
+    * a broadcast literal (it is small by construction — ≤
+    * |segments|/minDocs rows), so the strip is a stateless codegen
+    * projection: segment, filter against the literal, re-join — no
+    * explode, no per-doc reassembly AGGREGATION. That matters for
+    * composition: a streaming aggregation mid-query caps what can chain
+    * after it, while this form slots between a frozen gate and the
+    * stateful dedup/packing stages of ONE StreamingQuery. Output rows
+    * match [[stripBoilerplateFrozen]] exactly — (doc_id, text_clean,
+    * n_segs_kept), all-boilerplate docs vanish (asserted equal in
+    * TextCurationSpec). Cost is |segments(doc)| · |boiler| comparisons
+    * per row — use the join form when the frozen set outgrows broadcast
+    * size. */
+  def stripBoilerplateInline(docs: DataFrame, boiler: Seq[String], w: Int): DataFrame = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val ws = col("__ws")
+    val boilLit = typedlit(boiler)
+    docs
+      .filter(TextAnalysis.hasTokens(col("text")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        filter(
+          transform(sequence(lit(0), ((size(ws) + lit(w - 1)) / lit(w)).cast("int") - 1),
+            i => array_join(slice(ws, i * w + 1, lit(w)), " ")),
+          s => !array_contains(boilLit, s)).as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col("doc_id"), array_join(col("__kept"), " ").as("text_clean"),
+        size(col("__kept")).cast("long").as("n_segs_kept"))
+  }
+
   private def applyBoilerplate(segs: DataFrame, boiler: DataFrame): DataFrame =
     segs.join(boiler.select("seg"), Seq("seg"), "left_anti")
       .groupBy("doc_id")

@@ -22,23 +22,35 @@ import org.apache.spark.sql.functions._
   * (within-copy cosines unchanged; cross-copy cosines ~0 for generic
   * vectors). Doc ids offset per copy so the union is a valid corpus.
   *
-  * `runMain graft.tools.ScalingProbe [sfDir] [maxM] [anchorMaxM]` */
+  * `runMain graft.tools.ScalingProbe [sfDir] [maxM] [anchorMaxM] [onlyPrefixes]`
+  * — the 4th arg comma-filters pair labels by prefix (e.g. "qe13c,qe11d"
+  * extends just those ladders to m=32/64 without re-running the rest). */
 object ScalingProbe {
 
-  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  // one 62-character rotation cycle (a-z, 0-9, A-Z): the original
+  // 26-letter Caesar had period 26, so ladder copies i and i+26 were
+  // byte-IDENTICAL — beyond m=26 every rung raised the corpus's true
+  // duplication density (3x at m=64) and the qe13c ladder read as
+  // superlinear when the operator was fine. A 62-cycle keeps every copy
+  // pair distinct through m=62 (and only 2 of 64 collide at the top rung).
+  private val alpha =
+    (('a' to 'z') ++ ('0' to '9') ++ ('A' to 'Z')).mkString
 
   private def caesar(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
-    if (i % 26 == 0) c
+    if (i % 62 == 0) c
     else {
-      val k = i % 26
-      val to = alpha.drop(k) + alpha.take(k)
-      translate(c, alpha + alpha.toUpperCase, to + to.toUpperCase)
+      val k = i % 62
+      translate(c, alpha, alpha.drop(k) + alpha.take(k))
     }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val maxM = if (args.length > 1) args(1).toInt else 8
     val anchorMaxM = if (args.length > 2) args(2).toInt else maxM
+    val only: Option[Seq[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      else None
+    def wanted(label: String): Boolean = only.forall(_.exists(label.startsWith))
     val spark = Engine.session("local[32]")
     val docs0 = Engine.Tables(spark, sfDir).documents
     val emb0 = Engine.Tables(spark, sfDir).embeddings
@@ -87,30 +99,67 @@ object ScalingProbe {
       // fixed 64 buckets make within-bucket pair counts quadratic — the
       // knob schedule is load-bearing, not a tuning detail (recorded in
       // BASELINE.md scaling evidence)
-      val embAnchor = if (m <= anchorMaxM)
-        time(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8)) else -1.0
-      val embTwin = time(Dedup.embeddingNearDupsBlocked(
-        emb, "vec_id", "embedding", 0.8, dim = dim, nHint = ne))
-      println(f"${"qe7_embed exact-vs-srp"}%-34s $m%3d $ne%8d $embAnchor%9.2f $embTwin%8.2f")
+      if (wanted("qe7_embed")) {
+        val embAnchor = if (m <= anchorMaxM)
+          time(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8)) else -1.0
+        val embTwin = time(Dedup.embeddingNearDupsBlocked(
+          emb, "vec_id", "embedding", 0.8, dim = dim, nHint = ne))
+        println(f"${"qe7_embed exact-vs-srp"}%-34s $m%3d $ne%8d $embAnchor%9.2f $embTwin%8.2f")
+      }
 
       // the sound scale path at WIDE angles (threshold 0.45, where the
       // SRP auto-sizer refuses): k-means cells, nlist scaled to hold
       // ~250 vectors/cell so within-cell verify stays constant-quadratic
-      val semTwin = time(Dedup.semanticDedup(
-        emb, "vec_id", "embedding", 0.45,
-        nlist = math.max(8, (ne / 250).toInt), nHint = ne))
-      println(f"${"qe7c_semantic kmeans-cells@0.45"}%-34s $m%3d $ne%8d ${-1.0}%9.2f $semTwin%8.2f")
+      if (wanted("qe7c_semantic")) {
+        val semTwin = time(Dedup.semanticDedup(
+          emb, "vec_id", "embedding", 0.45,
+          nlist = math.max(8, (ne / 250).toInt), nHint = ne))
+        println(f"${"qe7c_semantic kmeans-cells@0.45"}%-34s $m%3d $ne%8d ${-1.0}%9.2f $semTwin%8.2f")
+      }
 
-      val jacAnchor = if (m <= anchorMaxM)
-        time(Dedup.jaccardPairs(docs, 3, 0.5)) else -1.0
-      val jacTwin = time(Dedup.jaccardVerify(
-        docs, Dedup.minhashCandidatesCapped(docs, cap = 8), 3, 0.5))
-      println(f"${"qe2_jaccard exact-vs-lsh"}%-34s $m%3d $nd%8d $jacAnchor%9.2f $jacTwin%8.2f")
+      if (wanted("qe2_jaccard")) {
+        val jacAnchor = if (m <= anchorMaxM)
+          time(Dedup.jaccardPairs(docs, 3, 0.5)) else -1.0
+        val jacTwin = time(Dedup.jaccardVerify(
+          docs, Dedup.minhashCandidatesCapped(docs, cap = 8), 3, 0.5))
+        println(f"${"qe2_jaccard exact-vs-lsh"}%-34s $m%3d $nd%8d $jacAnchor%9.2f $jacTwin%8.2f")
+      }
 
-      val conAnchor = if (m <= anchorMaxM)
-        time(Dedup.containmentPairs(docs, 3, 0.5)) else -1.0
-      val conTwin = time(Dedup.containmentCandidates(docs, 3, 64, 0.5))
-      println(f"${"qe58_containment exact-vs-sketch"}%-34s $m%3d $nd%8d $conAnchor%9.2f $conTwin%8.2f")
+      if (wanted("qe58_containment")) {
+        val conAnchor = if (m <= anchorMaxM)
+          time(Dedup.containmentPairs(docs, 3, 0.5)) else -1.0
+        val conTwin = time(Dedup.containmentCandidates(docs, 3, 64, 0.5))
+        println(f"${"qe58_containment exact-vs-sketch"}%-34s $m%3d $nd%8d $conAnchor%9.2f $conTwin%8.2f")
+      }
+
+      // the qe13c production twin END-TO-END (capped LSH candidates →
+      // exact-Jaccard verify → connected components → survivor anti-join):
+      // the newest production path, ladder-extended to m=32/64 (r10
+      // verdict item #7). No anchor column — its declared anchor chain
+      // (qe13 → qe13b) is covered by the qe2 pair above.
+      if (wanted("qe13c_fuzzy")) {
+        val t = time {
+          val pairs = Dedup.jaccardVerify(docs,
+            Dedup.minhashCandidatesCapped(docs, cap = 8), 3, 0.5)
+          val drops = graft.operators.DupClusters.clusters(pairs)
+            .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+          docs.join(drops, Seq("doc_id"), "left_anti").select("doc_id", "n_chars")
+        }
+        println(f"${"qe13c_fuzzy dedup-capped-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+
+      // the qe11d split-packer (window cumsum + sequence explode) at the
+      // registered 8-shard key: per-shard local sorts, no global order
+      if (wanted("qe11d_pack")) {
+        val t = time {
+          val withTok = docs.select(col("doc_id"),
+              graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+            .withColumn("shard", col("doc_id") % 8)
+          graft.operators.SeqPack.packSplitSharded(
+            withTok, "shard", "doc_id", "n_tok", 2048L)
+        }
+        println(f"${"qe11d_pack split-sharded"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
 
       docs.unpersist(); emb.unpersist()
     }

@@ -89,6 +89,12 @@ class TextCurationSpec extends SparkTestBase {
     val got = SegmentDedup.stripBoilerplateFrozen(docs, spark.read.parquet(dir), 8)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got == want)
+    // the per-row literal-set apply (the stream-composable twin) must emit
+    // byte-identical rows to the join form
+    val boiler = spark.read.parquet(dir).collect().map(_.getString(0)).toSeq
+    val inline = SegmentDedup.stripBoilerplateInline(docs, boiler, 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(inline == want, "stripBoilerplateInline diverged from the frozen join form")
   }
 
   // ---- topNgrams -----------------------------------------------------------

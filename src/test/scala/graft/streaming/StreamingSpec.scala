@@ -361,6 +361,62 @@ class WindowedAggsSpec extends SparkTestBase {
     assert(got == want, s"streaming curation diverged: ${got.size} vs ${want.size} docs")
   }
 
+  test("always-on curation pipeline: ONE streaming query composes frozen gate -> " +
+    "frozen boilerplate strip -> stream dedup -> split packing; replay == batch") {
+    import graft.operators.{Dedup, QuantileGate, SegmentDedup, SeqPack, TextAnalysis}
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val dir = java.nio.file.Files.createTempDirectory("replay_e2e").toString
+    Replay.writeChunks(docs, "doc_id", dir, 4)
+    // FIT on the batch history; both artifacts FROZEN before the stream
+    // starts — the always-on posture (refit on its own cadence)
+    val hist = docs.filter(TextAnalysis.hasTokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val thr = QuantileGate.fitThreshold(hist, "n_tok", 0.8)
+    val boiler = SegmentDedup.fitBoilerplate(docs, 8, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(boiler.nonEmpty, "fixture must contain boilerplate for the strip to matter")
+    // the shared stage composition (identical code path for both modes):
+    // frozen quantile gate -> inline frozen boilerplate strip -> shard key
+    def stages(df: org.apache.spark.sql.DataFrame) = {
+      val gated = QuantileGate.atOrBelowFrozen(
+        df.withColumn("n_tok", TextAnalysis.tokenCount(col("text"))), thr, "n_tok")
+      SegmentDedup.stripBoilerplateInline(gated, boiler, 8)
+        .withColumn("shard", col("doc_id") % 4)
+    }
+    // STREAM: dedup = first arrival (replay is doc_id-ordered, so
+    // first-seen == min doc_id == the batch survivor), then the stateful
+    // split packer — all four stages in ONE StreamingQuery
+    val streamed = stages(Replay.readStream(spark, docs, dir))
+      .dropDuplicates("text_clean")
+      .select(col("shard"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text_clean")).as("n_tok"))
+    // transformWithState requires the RocksDB provider (multiple column
+    // families); scoped to this query like the other stateful-v2 tests
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingSeqPack.packSplitStream(streamed, 256L)
+        .writeStream.format("memory").queryName("t_e2e")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val got = spark.table("t_e2e")
+      .orderBy("shard", "doc_id", "seg_idx").collect().map(_.toString).toSeq
+    // BATCH twin: same stages, min-id exact dedup, batch split packer
+    val sb = stages(docs)
+    val surv = Dedup.exactDedup(sb, Seq("text_clean"), "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val bb = sb.join(surv, "doc_id")
+      .select(col("shard"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text_clean")).as("n_tok"))
+    val want = SeqPack.packSplitSharded(bb, "shard", "doc_id", "n_tok", 256L)
+      .select("shard", "doc_id", "seg_idx", "bin", "n_tok")
+      .orderBy("shard", "doc_id", "seg_idx").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"composed pipeline diverged: ${got.size} stream rows vs ${want.size} batch rows")
+  }
+
   test("dead-letter split e2e: good and corrupt payloads reach separate sinks") {
     val input = MemoryStream[String](spark)
     val parsed = Pipelines.ddConsumer(input.toDF().toDF("payload"))
