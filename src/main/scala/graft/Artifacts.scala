@@ -112,7 +112,18 @@ object Artifacts {
               require(fs.rename(nested, tmp),
                 s"artifact $dest: could not recover nested fit from corrupt dest")
               fs.delete(destPath, true)
-              require(fs.rename(tmp, destPath) || ready,
+              val renamed2 = fs.rename(tmp, destPath)
+              // the delete→rename window is itself racy across JVMs: a
+              // concurrent winner can recreate dest in between, nesting
+              // our tmp AGAIN — re-check, and since a recreated dest IS a
+              // complete artifact (it carries _SUCCESS), discard our copy
+              // rather than leak a .tmp-* dir inside it forever (prune
+              // deliberately never collects .tmp-* names). If the winner
+              // raced our delete instead, our own rename won cleanly —
+              // both are valid fits of the same content key.
+              val nested2 = new org.apache.hadoop.fs.Path(destPath, tmp.getName)
+              if (renamed2 && fs.exists(nested2) && ready) fs.delete(nested2, true)
+              require(renamed2 || ready,
                 s"artifact $dest: recovery rename failed and no winner present")
             }
           }

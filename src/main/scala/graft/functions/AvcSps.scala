@@ -149,10 +149,15 @@ object AvcSpsHeader {
       case 2 => (2, 1)
       case _ => (1, 1)
     }
-    val width = (widthMbs + 1) * 16 - cw * (cropL + cropR)
-    val height = (heightMap + 1) * 16 - chUnit * (cropT + cropB)
-    if (width <= 0 || height <= 0) return null
-    (profile, level, width, height)
+    // LONG arithmetic: ue() legally returns values up to ~2^31, so Int
+    // math here could WRAP a torn/crafted SPS to a small positive garbage
+    // dimension that passes the <= 0 guard — "NULL, never a guess" means
+    // the out-of-Int-range result must refuse, not alias
+    val width = (widthMbs + 1L) * 16L - cw.toLong * (cropL.toLong + cropR.toLong)
+    val height = (heightMap + 1L) * 16L - chUnit.toLong * (cropT.toLong + cropB.toLong)
+    if (width <= 0 || height <= 0 || width > Int.MaxValue || height > Int.MaxValue)
+      return null
+    (profile, level, width.toInt, height.toInt)
   }
 
   // ---- fixture builder (test/oracle side) --------------------------------

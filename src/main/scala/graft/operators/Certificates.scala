@@ -50,6 +50,23 @@ object Certificates {
     }.reduce(_ unionAll _)
   }
 
+  /** Aggregate pair-recall claim row (variant, n_anchor, ok) over
+    * (da, db) pair frames — the [[topKRecall]] idiom for near-dup PAIR
+    * families (one shape, so the divisor/dedup/empty-anchor semantics
+    * cannot drift between certificate rungs). An empty exact side is
+    * vacuously ok (count is 0, never null). */
+  def pairRecall(variant: String, exactPairs: DataFrame,
+                 approxPairs: DataFrame, floor: Double): DataFrame =
+    exactPairs.select(col("da"), col("db"))
+      .join(approxPairs.select(col("da"), col("db")).distinct()
+        .withColumn("__hit", lit(1)), Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_anchor"),
+        coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L)).as("__h"))
+      .select(lit(variant).as("variant"), col("n_anchor"),
+        when(col("n_anchor") > 0,
+          col("__h").cast("double") / col("n_anchor") >= lit(floor))
+          .otherwise(lit(true)).as("ok"))
+
   /** Per-pair found certificate (the strongest form, usable when the
     * approximate path's recall is asserted TOTAL on real data — the
     * MinHash-LSH band construction finds every pair at j >= threshold

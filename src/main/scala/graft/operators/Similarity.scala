@@ -141,9 +141,12 @@ object Similarity {
       val cand = bucketed(candidates, "cid")
         .join(bucketed(queries, "qid"), Seq("tbl", "bucket"))
         .select(col("qid"), col("cid")).distinct()
+      // both vector pickups are plain shuffle equi-joins — the function's
+      // own scale contract. No broadcast pin: the API puts no bound on
+      // |queries|, and AQE still converts a small side at runtime.
       val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val cv = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      rankTopK(cand.join(broadcast(qv), "qid").join(cv, "cid"), k)
+      rankTopK(cand.join(qv, "qid").join(cv, "cid"), k)
     }
   }
 

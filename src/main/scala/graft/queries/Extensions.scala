@@ -1400,24 +1400,21 @@ object Extensions {
         .select("da", "db").auditedCheckpoint()
       val blocked = Dedup.embeddingNearDupsBlocked(
         emb, "vec_id", "embedding", 0.45, nHint = nH).select("da", "db")
-      val r1 = exactPairs
-        .join(blocked.distinct().withColumn("__hit", lit(1)), Seq("da", "db"), "left")
-        .agg(count(lit(1)).as("n_anchor"),
-          sum(coalesce(col("__hit"), lit(0))).as("__h"))
-        .select(lit("blocked").as("variant"), col("n_anchor"),
-          when(col("n_anchor") > 0,
-            col("__h").cast("double") / col("n_anchor") >= 0.8)
-            .otherwise(lit(true)).as("ok"))
+      val r1 = Certificates.pairRecall("blocked", exactPairs, blocked, 0.8)
       val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45,
         nlist = 8, nHint = nH).auditedCheckpoint()
       val exDrops = DupClusters.clusters(exactPairs)
         .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id"))
       val semDrops = sem.filter(col("is_kept") === 0).select("id")
+      // sums coalesce to 0: an EMPTY full join (no pair anywhere reaches
+      // the threshold) must yield the oracle's (0, TRUE) row, not NULLs
       val r2 = exDrops.withColumn("__e", lit(1))
         .join(semDrops.withColumn("__s", lit(1)), Seq("id"), "full")
-        .agg(sum(coalesce(col("__e"), lit(0))).as("n_anchor"),
-          sum(when(col("__s") === 1 && col("__e").isNull, 1).otherwise(0)).as("__bad"),
-          sum(when(col("__s") === 1 && col("__e") === 1, 1).otherwise(0)).as("__common"))
+        .agg(coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).as("n_anchor"),
+          coalesce(sum(when(col("__s") === 1 && col("__e").isNull, 1)
+            .otherwise(0)), lit(0L)).as("__bad"),
+          coalesce(sum(when(col("__s") === 1 && col("__e") === 1, 1)
+            .otherwise(0)), lit(0L)).as("__common"))
         .select(lit("semdedup").as("variant"), col("n_anchor"),
           (col("__bad") === 0 &&
             when(col("n_anchor") > 0,

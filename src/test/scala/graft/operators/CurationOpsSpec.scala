@@ -1039,8 +1039,12 @@ class CurationOpsSpec extends SparkTestBase {
     val docs = graft.Engine.Tables(spark, Sf0001).documents.select("doc_id", "text")
     val rows = Dedup.containmentAgreement(docs, 3, 64, 0.5).collect()
     assert(rows.nonEmpty, "testdata must contain containment pairs")
-    val bad = rows.filterNot(_.getBoolean(3))
+    // columns BY NAME: the est_found insertion shifted within_bound to
+    // index 4, and an index-3 read silently asserted the wrong flag
+    val bad = rows.filterNot(_.getAs[Boolean]("within_bound"))
     assert(bad.isEmpty, s"bound violated on: ${bad.take(3).mkString("; ")}")
+    val missed = rows.filterNot(_.getAs[Boolean]("est_found"))
+    assert(missed.isEmpty, s"sketch missed exact pairs: ${missed.take(3).mkString("; ")}")
   }
 
   test("frozen containment apply == exact increment->corpus pairs within 2/sqrt(k) (qe58d form)") {
@@ -1049,8 +1053,10 @@ class CurationOpsSpec extends SparkTestBase {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val rows = Dedup.containmentFrozenAgreement(inc, corpus, 3, 64, 0.5).collect()
     assert(rows.nonEmpty, "testdata must contain cross-half containment pairs")
-    val bad = rows.filterNot(_.getBoolean(3))
+    val bad = rows.filterNot(_.getAs[Boolean]("within_bound"))
     assert(bad.isEmpty, s"bound violated on: ${bad.take(3).mkString("; ")}")
+    val missed = rows.filterNot(_.getAs[Boolean]("est_found"))
+    assert(missed.isEmpty, s"sketch missed exact pairs: ${missed.take(3).mkString("; ")}")
     // the row-wise probe derivation must agree with the exploded-relation
     // sketch on fully-probed docs: an under-k doc probes its WHOLE shingle
     // set, so its frozen estimate of containment in the corpus is exact

@@ -386,7 +386,13 @@ class WindowedAggsSpec extends SparkTestBase {
     }
     // STREAM: dedup = first arrival (replay is doc_id-ordered, so
     // first-seen == min doc_id == the batch survivor), then the stateful
-    // split packer — all four stages in ONE StreamingQuery
+    // split packer — all four stages in ONE StreamingQuery.
+    // Determinism prerequisite (shared with the qe9 replay test): each
+    // chunk is ONE small coalesced file -> one scan partition per
+    // micro-batch, so rows reach the dedup state in file (= doc_id)
+    // order. Duplicates co-arriving in one micro-batch across SEVERAL
+    // scan partitions would race on shuffle-fetch order; keep replay
+    // chunks single-file if the fixture ever grows past a split.
     val streamed = stages(Replay.readStream(spark, docs, dir))
       .dropDuplicates("text_clean")
       .select(col("shard"), col("doc_id"),
