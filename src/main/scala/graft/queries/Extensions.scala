@@ -1365,6 +1365,15 @@ object Extensions {
       val index = graft.operators.PqIndex.persistedEncoded(
         emb, s"$d/embeddings.parquet", cents, books, "vec_id", "embedding",
         nlist = 8, m = 32, nbits = 4)
+      // the occupancy-card invariants ride as a fifth claim row (keeping
+      // the qe47 diagnostic driver-certified without a new registry
+      // entry): every vector assigned exactly once (n == corpus count,
+      // oracle-recomputed), <= nlist cells, fracs normalize to 1
+      val occ = graft.operators.IvfIndex.occupancyCard(emb, cents, "embedding")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_exact"),
+          (count(lit(1)) >= 1 && count(lit(1)) <= 8 &&
+            abs(coalesce(sum(col("frac")), lit(0.0)) - 1.0) <= 0.002).as("recall_ok"))
+        .select(lit("occupancy").as("variant"), col("n_exact"), col("recall_ok"))
       Certificates.topKRecall(exact, Seq(
         ("ivf", graft.operators.IvfIndex.topK(emb, q, "vec_id", "embedding", 5,
           nlist = 8, nprobe = 6, nHint = nH), 0.85),
@@ -1373,21 +1382,41 @@ object Extensions {
         ("ivfpq", graft.operators.PqIndex.topKEncoded(emb, index, cents, books,
           q, "vec_id", "embedding", 5, nprobe = 6, refine = 4), 0.8),
         ("lsh", Similarity.lshTopK(emb, q, 5, nbits = 8, tables = 64), 0.5)))
+        .unionAll(occ)
         .orderBy("variant")
-    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM scored), ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked WHERE rnk <= 5) SELECT v.variant, ex.n AS n_exact, TRUE AS recall_ok FROM (VALUES ('ivf'), ('ivf_frozen'), ('ivfpq'), ('lsh')) AS v(variant), ex ORDER BY variant""")),
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id < 10), c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_inner_product(v, v)) AS cn FROM e), scored AS (SELECT qid, cid, list_inner_product(qv, cv) / (qn * cn) AS cos FROM c, q WHERE qid <> cid), ranked AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM scored), ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked WHERE rnk <= 5) SELECT v.variant, ex.n AS n_exact, TRUE AS recall_ok FROM (VALUES ('ivf'), ('ivf_frozen'), ('ivfpq'), ('lsh')) AS v(variant), ex UNION ALL SELECT 'occupancy', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE ORDER BY variant""")),
 
     // E2 certificate — the STRONGEST per-pair form (total recall is
     // asserted on this data since round 3): every exact-Jaccard pair with
-    // its exact score and a found-by-LSH flag; the oracle emits the exact
-    // pairs with literal TRUE, so ONE missed pair hash-mismatches.
+    // its exact score and a found flag; the oracle emits the exact pairs
+    // with literal TRUE, so ONE missed pair hash-mismatches. TWO paths
+    // ride in one query: 'full' (the qe2b whole-corpus LSH) and
+    // 'incremental' (qe43's frozen-band-index probe — the exact
+    // cross-snapshot pairs it must find), so both approximate dedup
+    // routes are driver-certified per pair.
     ("qe61_cert_minhash", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      val exact = Dedup.jaccardPairs(docs, 3, 0.5).auditedCheckpoint()
       val lsh = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
-      Certificates.pairsFound(exact, lsh, "j")
-        .select(col("da"), col("db"), r4(col("j")).as("j"), col("found"))
-        .orderBy("da", "db")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j, TRUE AS found FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+      val full = Certificates.pairsFound(exact, lsh, "j")
+        .select(lit("full").as("path"), col("da"), col("db"),
+          r4(col("j")).as("j"), col("found"))
+      // the SAME persisted band-index artifact qe43 probes
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val inc = docs.filter(col("doc_id") % 10 === 7)
+      val index = graft.Artifacts.getOrFit(s, "minhash_band_index",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "mod10ne7-n3k16b4"),
+        Dedup.minhashIndex(old))
+      val candCanon = Dedup.jaccardVerify(docs,
+          Dedup.minhashCandidatesAgainst(inc, index), 3, 0.5)
+        .select(least(col("da"), col("db")).as("da"),
+          greatest(col("da"), col("db")).as("db"))
+      val exactCross = exact.filter((col("da") % 10 === 7) =!= (col("db") % 10 === 7))
+      val incr = Certificates.pairsFound(exactCross, candCanon, "j")
+        .select(lit("incremental").as("path"), col("da"), col("db"),
+          r4(col("j")).as("j"), col("found"))
+      full.unionAll(incr).orderBy("path", "da", "db")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5) SELECT 'full' AS path, da, db, j, TRUE AS found FROM pairs UNION ALL SELECT 'incremental', da, db, j, TRUE FROM pairs WHERE (da % 10 = 7) <> (db % 10 = 7) ORDER BY path, da, db""")),
 
     // E2 certificate — the embedding-dedup family: per-variant claim rows
     // whose n_anchor is recomputed by DuckDB (exact pair count / exact
