@@ -76,7 +76,8 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("byte-level parser queries run fully codegen'd, one shuffle (the oracle sort)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     Seq("qe5c_image_dims", "qe5d_audio_meta", "qe5e_video_meta",
-      "qe5f_media_triage", "qe59_utf8_triage").foreach { q =>
+      "qe5f_media_triage", "qe59_utf8_triage",
+      "qe5i_mpeg_audio", "qe5j_avc_sps").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, Sf0001)
       df.collect() // finalize the adaptive plan in place
       val plan = planOf(df)
@@ -368,6 +369,27 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }.flatten
     assert(fallbacks.isEmpty,
       s"interpreted expressions in the frozen ANN path: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+  }
+
+  test("qe11e shard export (warm): the served plan is the artifact scan, not the packer") {
+    // first invocation fits + persists the shard table; every later one
+    // must recompute the manifest FROM THE PARQUET READ-BACK — a scan +
+    // projection + the oracle sort, with the window/groupBy packing
+    // lineage nowhere in the executed plan
+    val warmup = graft.SparkEntry.queries("qe11e_shard_export")(spark, Sf0001)
+    warmup.collect()
+    val df = graft.SparkEntry.queries("qe11e_shard_export")(spark, Sf0001)
+    df.collect()
+    val plan = planOf(df)
+    val s = plan.toString
+    assert(s.toLowerCase.contains("parquet"), s.take(1500))
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "packing window leaked into the apply plan")
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(exchanges.size <= 1,
+      s"expected at most the oracle-sort exchange, got ${exchanges.size}")
   }
 
   test("qe7d frozen SemDeDup: no k-means fit in the executed plan (no ScalaUDF)") {
