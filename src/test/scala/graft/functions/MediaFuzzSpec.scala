@@ -120,6 +120,15 @@ class MediaFuzzSpec extends AnyFunSuite {
     // (V2 L2/L3 table), sr idx 0 -> 22050, mode 11 -> mono
     assert(MpegAudioHeader.parse(hex("FFF322C0" + "00" * 12))
       == ("audio/mpeg", 3, 16, 22050, 1, 8L))
+    // ID3v2 FOOTER flag (0x10): ten more bytes precede the frame — an
+    // unskipped footer would misread the frame header as garbage
+    assert(MpegAudioHeader.parse(
+      hex("494433 0400 10 0000000A" + "00" * 10 + "00" * 10 + "FFFB9000" + "00" * 16))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+    // FF E3 22 C0: MPEG2.5 (version bits 00), Layer III, bitrate idx 2 ->
+    // 16 kbps (V2 tables), sr idx 0 -> 11025 (the 2.5 table's halved rates)
+    assert(MpegAudioHeader.parse(hex("FFE322C0" + "00" * 12))
+      == ("audio/mpeg", 3, 16, 11025, 1, 8L))
     // refusals: free bitrate (idx 0), invalid idx 15, reserved sample-rate
     // idx 3, reserved version bits (01), reserved layer bits (00)
     assert(MpegAudioHeader.parse(hex("FFFB0000")) == null)
