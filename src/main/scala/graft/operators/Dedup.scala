@@ -297,9 +297,12 @@ object Dedup {
   }
 
   /** Verify LSH candidates with exact Jaccard — candidates are few, so this
-    * join + per-pair set math is cheap. */
+    * join + per-pair set math is cheap. The shingle relation is
+    * checkpointed: it feeds BOTH join sides, and un-materialized Spark
+    * re-derives the tokenize+shingle projection per consuming branch
+    * (the observed-4x trap jaccardPairs documents). */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, n)
+    val sets = shingleSets(docs, n).auditedCheckpoint()
     candidates
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")

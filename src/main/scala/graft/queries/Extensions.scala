@@ -45,6 +45,29 @@ object Extensions {
   /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
     * IDENTICAL results by construction): one decontamination oracle so a
     * semantics fix cannot reach one twin and miss the other. */
+  /** qe43/qe61's ONE cross-snapshot split + frozen band-index artifact:
+    * the certificate (qe61 'incremental' path) must probe EXACTLY the
+    * artifact the production query (qe43) probes — a copy-pasted split
+    * predicate or key string is a twin-drift channel (the 2612e2e class).
+    * Returns (old, inc, persisted band index). */
+  private def frozenBandSnapshot(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val docs = Engine.Tables(s, d).documents
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val index = graft.Artifacts.getOrFit(s, "minhash_band_index",
+      graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "mod10ne7-n3k16b4"),
+      Dedup.minhashIndex(old))
+    (old, inc, index)
+  }
+
+  /** The split predicate of [[frozenBandSnapshot]] as a pair filter —
+    * shared so qe61's exact cross-snapshot pair set can never drift from
+    * the split qe43 runs. */
+  private def crossSnapshotPair: org.apache.spark.sql.Column =
+    (col("da") % 10 === 7) =!= (col("db") % 10 === 7)
+
   private val DecontaminateSql =
     """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
 
@@ -989,16 +1012,13 @@ object Extensions {
     // candidates -> rows-only driver check; cross-snapshot recall vs the
     // exact pair graph asserted in DedupSpec.
     ("qe43_incremental_fuzzy", (s: SparkSession, d: String) => {
-      val docs = Engine.Tables(s, d).documents
-      val old = docs.filter(col("doc_id") % 10 =!= 7)
-      val inc = docs.filter(col("doc_id") % 10 === 7)
       // the band index is a persisted parquet artifact — the corpus is
-      // shingled and signed once at fit time; increments only probe
-      val index = graft.Artifacts.getOrFit(s, "minhash_band_index",
-        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "mod10ne7-n3k16b4"),
-        Dedup.minhashIndex(old))
+      // shingled and signed once at fit time; increments only probe.
+      // Split + artifact shared with the qe61 certificate via
+      // frozenBandSnapshot (one definition, no twin drift).
+      val (_, inc, index) = frozenBandSnapshot(s, d)
       val cand = Dedup.minhashCandidatesAgainst(inc, index)
-      Dedup.jaccardVerify(docs, cand, 3, 0.5)
+      Dedup.jaccardVerify(Engine.Tables(s, d).documents, cand, 3, 0.5)
         .select(col("da"), col("db"), r4(col("j")).as("j"))
         .orderBy("da", "db")
     }, None),
@@ -1401,17 +1421,16 @@ object Extensions {
       val full = Certificates.pairsFound(exact, lsh, "j")
         .select(lit("full").as("path"), col("da"), col("db"),
           r4(col("j")).as("j"), col("found"))
-      // the SAME persisted band-index artifact qe43 probes
-      val old = docs.filter(col("doc_id") % 10 =!= 7)
-      val inc = docs.filter(col("doc_id") % 10 === 7)
-      val index = graft.Artifacts.getOrFit(s, "minhash_band_index",
-        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "mod10ne7-n3k16b4"),
-        Dedup.minhashIndex(old))
-      val candCanon = Dedup.jaccardVerify(docs,
-          Dedup.minhashCandidatesAgainst(inc, index), 3, 0.5)
+      // the SAME persisted band-index artifact qe43 probes (shared
+      // definition — the split or key cannot drift). RECALL is the claim,
+      // so membership tests against the raw CANDIDATE set: the verify
+      // stage is precision-side and only re-scans the corpus twice
+      // without being able to change a found flag.
+      val (_, inc, index) = frozenBandSnapshot(s, d)
+      val candCanon = Dedup.minhashCandidatesAgainst(inc, index)
         .select(least(col("da"), col("db")).as("da"),
           greatest(col("da"), col("db")).as("db"))
-      val exactCross = exact.filter((col("da") % 10 === 7) =!= (col("db") % 10 === 7))
+      val exactCross = exact.filter(crossSnapshotPair)
       val incr = Certificates.pairsFound(exactCross, candCanon, "j")
         .select(lit("incremental").as("path"), col("da"), col("db"),
           r4(col("j")).as("j"), col("found"))
