@@ -298,11 +298,15 @@ object Dedup {
 
   /** Verify LSH candidates with exact Jaccard — candidates are few, so this
     * join + per-pair set math is cheap. The shingle relation is
-    * checkpointed: it feeds BOTH join sides, and un-materialized Spark
-    * re-derives the tokenize+shingle projection per consuming branch
-    * (the observed-4x trap jaccardPairs documents). */
+    * DELIBERATELY NOT checkpointed despite feeding both join sides: an
+    * A/B measurement (r11) showed eager materialization of the full
+    * array-typed shingle relation costing MORE than the second pruned
+    * parquet scan it saves (qe2b 1.23 -> 1.78 s) — the relation is
+    * corpus-wide and wide-rowed, while each re-derivation is a pruned
+    * scan + codegen projection. The jaccardPairs checkpoint is different:
+    * there the relation feeds a SELF-join whose both sides are hot. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, n).auditedCheckpoint()
+    val sets = shingleSets(docs, n)
     candidates
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
