@@ -1417,8 +1417,10 @@ object Extensions {
     ("qe61_cert_minhash", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val exact = Dedup.jaccardPairs(docs, 3, 0.5).auditedCheckpoint()
-      val lsh = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
-      val full = Certificates.pairsFound(exact, lsh, "j")
+      // membership against the raw CANDIDATE set on both paths: recall is
+      // the claim; the exact-Jaccard verify is precision-side and cannot
+      // change a found flag (it would cost two more corpus scans here)
+      val full = Certificates.pairsFound(exact, Dedup.minhashCandidates(docs), "j")
         .select(lit("full").as("path"), col("da"), col("db"),
           r4(col("j")).as("j"), col("found"))
       // the SAME persisted band-index artifact qe43 probes (shared
