@@ -24,14 +24,14 @@ object Bench {
 
   /** Locale-pinned formatters: the default-locale f"%.1f" would print
     * "0,1" on a comma-decimal locale (de_DE), breaking the JSON. stdout
-    * uses DECIsecond precision, dropping to whole seconds at >= 100 (a
-    * single query that slow already blows the round budget, and the
-    * shorter worst-case width is what keeps a 120+-query line inside the
-    * driver's 2000-char tail window — guarded in InvariantsSpec);
-    * bench_out.json keeps full precision and is the authoritative
-    * record. */
+    * uses DECIsecond precision, dropping to whole seconds at >= 10 (a
+    * 10+-second query's decisecond is inside the recorded ambient spread
+    * band, and the shorter worst-case width is what keeps a 145+-query
+    * line inside the driver's 2000-char tail window — guarded in
+    * InvariantsSpec); bench_out.json keeps full precision and is the
+    * authoritative record. */
   val deci: Double => String = v =>
-    if (v >= 99.95) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+    if (v >= 9.95) "%.0f".formatLocal(java.util.Locale.ROOT, v)
     else "%.1f".formatLocal(java.util.Locale.ROOT, v)
 
   /** Render the one-line JSON metric — factored out so InvariantsSpec can

@@ -116,7 +116,8 @@ object Extensions {
         .orderBy("da", "db")
     }, None),
 
-    // E2 — SimHash near-dup pairs (approximate → rows-only check)
+    // E2 — SimHash near-dup pairs (approximate → rows-only check here;
+    // driver-certified per-tier by qe64_cert_simhash)
     ("qe2c_simhash", (s: SparkSession, d: String) => {
       Dedup.simhashPairs(Engine.Tables(s, d).documents, 3)
         .select("da", "db", "hamming").orderBy("da", "db")
@@ -1495,6 +1496,34 @@ object Extensions {
     // E4 certificate — HLL distinct-term error: per-source exact n_terms
     // (recomputed by DuckDB) with a within-10%-of-exact flag on the HLL
     // estimate (rsd 0.05; measured max error 0.034 across SFs).
+    // E2 certificate — the SimHash rung (qe2c's registered maxHamming=3
+    // form), closing the last rows-only query without a certificate. Two
+    // oracle-recomputable claim rows: 'hamming0_identical' — identical-
+    // text pairs (the planted exact dups; whitespace-only text carries no
+    // tokens hence no signature, same absence semantics as
+    // [[Dedup.simhash64]]) MUST collide at hamming 0 — floor 1.0, one
+    // missed pair flips ok and hash-mismatches. 'near90' — exact
+    // shingle-Jaccard >= 0.9 pairs found at maxHamming 3 with recall
+    // >= 0.5 (measured 0.60/0.755/0.778 across the driver SFs: 64-bit
+    // token-vote signatures flip > 3 bits well before 10% of shingles
+    // diverge, so SimHash is the cheap pre-filter rung, not the recall
+    // rung — the sharp per-SF bands live in DedupSpec). The pair frame is
+    // computed ONCE (checkpointed) and both claims read it.
+    ("qe64_cert_simhash", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val sh3 = Dedup.simhashPairs(docs, 3).auditedCheckpoint()
+      val withText = docs.filter(col("text").rlike("\\S"))
+      val ident = withText.select(col("doc_id").as("da"), col("text")).as("a")
+        .join(withText.select(col("doc_id").as("db"), col("text")).as("b"),
+          col("a.text") === col("b.text") && col("da") < col("db"))
+        .select("da", "db")
+      val r1 = Certificates.pairRecall("hamming0_identical", ident,
+        sh3.filter(col("hamming") === 0), 1.0)
+      val r2 = Certificates.pairRecall("near90",
+        Dedup.jaccardPairs(docs, 3, 0.9), sh3, 0.5)
+      r1.unionAll(r2).orderBy("variant")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.9), ident AS (SELECT a.doc_id AS da, b.doc_id AS db FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id WHERE regexp_matches(a.text, '\S')) SELECT 'hamming0_identical' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM ident) AS n_anchor, TRUE AS ok UNION ALL SELECT 'near90', (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs), TRUE AS ok ORDER BY variant""")),
+
     ("qe63_cert_hll", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val exact = TextAnalysis.lexicalDiversity(docs)

@@ -65,11 +65,11 @@ class InvariantsSpec extends SparkTestBase {
     assert(short.distinct.size == names.size,
       s"duplicate short bench keys: ${short.diff(short.distinct).distinct}")
     // render through the EXACT code main prints with (renderLine + deci +
-    // shortKey), at the realistic worst width per value: "1000.0" — any
-    // single query under ~17 minutes formats to <= 6 chars at deci
-    // precision, and a query beyond that already blows the driver's round
-    // budget long before the tail window matters
-    val results = names.map(_ -> 999.99)
+    // shortKey), at the worst admissible width per value: 99.9 s renders
+    // "100" (3 chars) — deci drops to whole seconds at >= 10, and a
+    // single query beyond ~100 s already blows the driver's round budget
+    // long before the tail window matters
+    val results = names.map(_ -> 99.9)
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci, Bench.shortKey)
     assert(line.length <= 1800,
       s"bench stdout line ${line.length} chars — too close to the 2000-char window")

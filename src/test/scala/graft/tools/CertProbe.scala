@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Measures the approximate family's actual recall/error at a given SF so
-  * the registered certificate floors (qe60–qe63) are set from evidence,
+  * the registered certificate floors (qe60–qe64) are set from evidence,
   * not hope. Run:
   *   sbt -batch "Test/runMain graft.tools.CertProbe /root/testdata/sf0.01"
   */
@@ -61,6 +61,25 @@ object CertProbe {
     val lshJ = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 3, 0.5)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[cert $d] jaccard pairs=${exJ.size} lsh missed=${(exJ -- lshJ).size}")
+
+    // SimHash pair recall at the planted-dup tier (qe64's floor): exact
+    // j >= 0.9 shingle-Jaccard pairs vs simhashPairs at maxHamming 3,
+    // plus the identical-text tier where hamming MUST be 0
+    val exJ9 = Dedup.jaccardPairs(docs, 3, 0.9).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shP = Dedup.simhashPairs(docs, 3).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[cert $d] j>=0.9 pairs=${exJ9.size} simhash recall = " +
+      s"${if (exJ9.isEmpty) 1.0 else (exJ9 & shP).size.toDouble / exJ9.size}")
+    val identical = docs.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), col("text")).as("a")
+      .join(docs.select(col("doc_id").as("db"), col("text")).as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("db"))
+      .select(col("a.doc_id").as("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shZero = Dedup.simhashPairs(docs, 0).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[cert $d] identical pairs=${identical.size} missed at hamming0 = ${(identical -- shZero).size}")
 
     // HLL diversity error
     val exL = graft.operators.TextAnalysis.lexicalDiversity(docs)
