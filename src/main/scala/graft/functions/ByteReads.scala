@@ -34,4 +34,27 @@ private[graft] object ByteReads {
   def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
     off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
       b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+
+  /** Offset just past an optional ID3v2 prefix tag — "ID3", 2 version
+    * bytes, 1 flags byte, then a 4-byte SYNCSAFE size (7 bits per byte,
+    * top bit zero — a plain u32 read would overshoot 8x) counting the
+    * body after the 10-byte header, +10 more if the footer flag 0x10 is
+    * set. Returns 0 when no tag leads the payload, -1 when the tag is
+    * torn (a set syncsafe top bit, or fewer than `need` readable bytes
+    * left after it). ONE definition shared by the MPEG-audio and ADTS
+    * parsers — the syncsafe subtlety must not fork. */
+  def skipId3v2(b: Array[Byte], need: Int): Int = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      if ((b(i) & 0x80) != 0) return -1
+      size = (size << 7) | (b(i) & 0x7F)
+      i += 1
+    }
+    val footer = if ((b(5) & 0x10) != 0) 10 else 0
+    val next = 10L + size + footer
+    if (next + need > b.length) return -1
+    next.toInt
+  }
 }

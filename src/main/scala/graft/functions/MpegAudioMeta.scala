@@ -61,22 +61,9 @@ object MpegAudioHeader {
     * from an MPEG-audio payload; null if not recognized/intact. */
   def parse(b: Array[Byte]): (String, Int, Int, Int, Int, Long) = {
     if (b == null || b.length < 4) return null
-    var off = 0
-    // ID3v2 prefix: "ID3" vv f ssss(syncsafe)
-    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-      // syncsafe bytes carry 7 bits each; a set top bit is a torn tag
-      var size = 0
-      var i = 6
-      while (i < 10) {
-        if ((b(i) & 0x80) != 0) return null
-        size = (size << 7) | (b(i) & 0x7F)
-        i += 1
-      }
-      val footer = if ((b(5) & 0x10) != 0) 10 else 0
-      val next = 10L + size + footer
-      if (next + 4 > b.length) return null // tag swallows the whole payload
-      off = next.toInt
-    }
+    // optional ID3v2 prefix — shared syncsafe skip, see ByteReads.skipId3v2
+    val off = ByteReads.skipId3v2(b, 4)
+    if (off < 0) return null // torn tag, or it swallows the whole payload
     val h0 = b(off) & 0xFF; val h1 = b(off + 1) & 0xFF
     val h2 = b(off + 2) & 0xFF; val h3 = b(off + 3) & 0xFF
     if (h0 != 0xFF || (h1 & 0xE0) != 0xE0) return null // 11 sync bits

@@ -23,7 +23,9 @@ import java.io.ByteArrayOutputStream
   * ([[FakeCodec]]) — the JVM ships no decoder for those; swap in a real
   * one (JNI/FFI) without touching the dataflow. Their METADATA needs no
   * codec and is parsed for real: MPEG-audio frame headers
-  * ([[graft.functions.MpegAudioHeader]], qe5i) and H.264 SPS coded
+  * ([[graft.functions.MpegAudioHeader]], qe5i), AAC-in-ADTS frame
+  * headers ([[graft.functions.AdtsHeader]], qe5k), FLAC STREAMINFO
+  * ([[graft.functions.FlacHeader]], qe5l), and H.264 SPS coded
   * dimensions ([[graft.functions.AvcSpsHeader]], qe5j) — the stub
   * boundary sits exactly at payload decode, nothing before it.
   */
@@ -324,6 +326,73 @@ object Multimodal {
     val hexPayload = concat(id3, lit("FF"), h2(byte1.cast("int")),
       h2(byte2.cast("int")), h2(byte3.cast("int")),
       call_function("repeat", lit("00"), (streamBytes - 4).cast("int")))
+    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic AAC-in-ADTS corpus — the second compressed-audio leg
+    * beside [[syntheticMpegAudioCorpus]] (r10 verdict Missing #1 names
+    * MP3/AAC together): per doc, n_frames back-to-back ADTS frames with
+    * every bit field planted as plain arithmetic over doc_id — profile
+    * (all four), sampling_frequency_index (the full 13-entry table),
+    * channel_configuration 1–7 (7 → 8 channels), alternating MPEG-2/4
+    * marker bit (the parser must ignore it), a 16-bit CRC on every 3rd
+    * doc (protection_absent=0 → the 9-byte header the frame walk must
+    * honor), 1–4 raw data blocks per frame, and an ID3v2 tag prefix on
+    * every 5th doc — so the DuckDB oracle certifies the real bit-field
+    * parse, the frame-length chain, AND the sample-exact duration
+    * arithmetic. Codegen projection, shuffle-free.
+    * Payload decode (AAC) stays behind [[FakeCodec]]. */
+  def syntheticAdtsCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def h2(v: Column) = lpad(hex(v), 2, "0")
+    val prot = when(id % 3 === 0, 0).otherwise(1) // 0 = CRC16 present
+    val profile = id % 4
+    val sfIdx = id % 13
+    val chCfg = id % 7 + 1
+    val body = id % 100 + 1
+    val frameLen = when(prot === 0, 9).otherwise(7) + body
+    val rawBlocks = id % 4 // stored minus one: 1..4 blocks
+    val idBit = id % 2     // MPEG-4 / MPEG-2 marker — layout-identical
+    val b1 = lit(0xF0) + idBit * 8 + prot
+    val b2 = profile * 64 + sfIdx * 4 + shiftright(chCfg, 2)
+    val b3 = chCfg.bitwiseAND(3) * 64 + shiftright(frameLen, 11).bitwiseAND(3)
+    val b4 = shiftright(frameLen, 3).bitwiseAND(255)
+    val b5 = frameLen.bitwiseAND(7) * 32 + 31 // buffer fullness 0x7FF (VBR)
+    val b6 = lit(0xFC) + rawBlocks
+    val frameHex = concat(lit("FF"), h2(b1.cast("int")), h2(b2.cast("int")),
+      h2(b3.cast("int")), h2(b4.cast("int")), h2(b5.cast("int")),
+      h2(b6.cast("int")), when(prot === 0, lit("0000")).otherwise(""),
+      call_function("repeat", lit("00"), body.cast("int")))
+    val id3 = when(id % 5 === 0,
+      lit("494433" + "0400" + "00" + "0000000A" + "00" * 10)).otherwise("")
+    val hexPayload = concat(id3,
+      call_function("repeat", frameHex, (id % 40 + 1).cast("int")))
+    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic FLAC corpus — the LOSSLESS compressed-audio leg beside
+    * [[syntheticMpegAudioCorpus]] (estimate-free: FLAC's mandatory
+    * STREAMINFO block carries the exact sample count). Planted params are
+    * plain arithmetic over doc_id — sample_rate (doc_id%48+8) kHz,
+    * channels 1-8, bits_per_sample 8-32 (the full 5-bit field),
+    * total_samples doc_id%100000+1 — packed bit-exact into the 20/3/5/36
+    * group; every 4th doc appends a PADDING metadata block (so the
+    * STREAMINFO header's last-block bit is genuinely variable and the
+    * parser cannot over-require it). Frame decode (rice/LPC) stays behind
+    * [[FakeCodec]]. Codegen projection, shuffle-free. */
+  def syntheticFlacCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val rate = (id % 48 + 8) * 1000
+    val packed = shiftleft(rate, 44) + shiftleft(id % 8, 41) +
+      shiftleft(id % 25 + 7, 36) + (id % 100000 + 1)
+    val streaminfoHdr = when(id % 4 === 0, lit("00")).otherwise(lit("80"))
+    val padding = when(id % 4 === 0, lit("81" + "000004" + "00000000"))
+      .otherwise(lit(""))
+    val hexPayload = concat(lit("664C6143"), streaminfoHdr, lit("000022"),
+      lit("1000" + "1000" + "000000" + "000000"),
+      lpad(hex(packed), 16, "0"), lit("00" * 16), padding)
     docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
       lit("application/octet-stream").as("mime"))
   }

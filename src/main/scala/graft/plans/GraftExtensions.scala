@@ -94,9 +94,13 @@ object ReplaceCosineHof extends Rule[LogicalPlan] {
     // (ANSI throws, LEGACY/TRY null) — propagated, not re-read from the
     // conf, so the rewrite is semantics-preserving even if the conf changed
     // between analysis and optimization.
-    case Divide(DotAgg(a, b), Multiply(Sqrt(NormSqAgg(na)), Sqrt(NormSqAgg(nb)), _), mode)
+    // Spark 4.1 wraps the mode in NumericEvalContext — compare the
+    // contained evalMode (a bare `ctx == EvalMode.ANSI` type-mismatches
+    // and is ALWAYS false, silently downgrading ANSI throw-on-zero to
+    // null: caught as a scalac warning in r11)
+    case Divide(DotAgg(a, b), Multiply(Sqrt(NormSqAgg(na)), Sqrt(NormSqAgg(nb)), _), ctx)
       if a.semanticEquals(na) && b.semanticEquals(nb) =>
-      CosineSim(base(a), base(b), failOnError = mode == EvalMode.ANSI)
+      CosineSim(base(a), base(b), failOnError = ctx.evalMode == EvalMode.ANSI)
   }
 }
 
@@ -175,6 +179,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"avc_sps_dims requires exactly 1 argument, got ${exprs.length}")
         graft.functions.AvcSpsDimsExpr(exprs.head)
+      }))
+    ext.injectFunction(fn("adts_meta",
+      classOf[graft.functions.AdtsMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"adts_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.AdtsMetaExpr(exprs.head)
+      }))
+    ext.injectFunction(fn("flac_meta",
+      classOf[graft.functions.FlacMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"flac_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.FlacMetaExpr(exprs.head)
       }))
   }
 }

@@ -73,6 +73,79 @@ class CompressedMetaSpec extends SparkTestBase {
     }
   }
 
+  test("adts_meta: expression and SQL agree; other families refuse") {
+    import spark.implicits._
+    AdtsMetaExpr.register(spark)
+    val aac = hex("FFF15080011FFCAA")
+    val mp3 = hex("FFFB9000" + "00" * 16)
+    val df = Seq((1L, aac), (2L, mp3), (3L, "neither".getBytes))
+      .toDF("id", "payload")
+    df.createOrReplaceTempView("adts")
+    val viaSql = spark.sql(
+      """SELECT id, adts_meta(payload).sample_rate AS rate,
+        |       adts_meta(payload).n_frames AS n
+        |FROM adts ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(viaSql == Seq((1L, 44100, 1), (2L, -1, -1), (3L, -1, -1)))
+    val viaCol = df.select(col("id"),
+        AdtsMetaExpr.adts_meta(col("payload")).as("m"))
+      .select(col("id"), col("m.profile"), col("m.channels"),
+        col("m.duration_ms"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "" else r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(viaCol == Seq((1L, "LC", 2, 23L), (2L, "", -1, -1L),
+      (3L, "", -1, -1L)))
+  }
+
+  test("synthetic ADTS corpus round-trip: planted params parse back exactly") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val rates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+    val profiles = Array("Main", "LC", "SSR", "LTP")
+    val parsed = graft.operators.Multimodal.syntheticAdtsCorpus(docs)
+      .select(col("doc_id"), AdtsMetaExpr.adts_meta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.profile"), col("m.sample_rate"),
+        col("m.channels"), col("m.n_frames"), col("m.duration_ms"))
+      .collect()
+    assert(parsed.nonEmpty && parsed.forall(!_.isNullAt(1)),
+      "every planted ADTS payload must parse")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val rate = rates((id % 13).toInt)
+      val frames = (id % 40 + 1).toInt
+      val blocks = (id % 4 + 1).toInt
+      assert((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
+        == ((profiles((id % 4).toInt), rate,
+          if (id % 7 + 1 == 7) 8 else (id % 7 + 1).toInt, frames,
+          frames.toLong * blocks * 1024L * 1000L / rate)),
+        s"doc $id mismatch")
+    }
+  }
+
+  test("synthetic FLAC corpus round-trip: planted params parse back exactly") {
+    FlacMetaExpr.register(spark)
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val parsed = graft.operators.Multimodal.syntheticFlacCorpus(docs)
+      .selectExpr("doc_id", "flac_meta(payload) AS m") // SQL form on purpose
+      .select(col("doc_id"), col("m.sample_rate"), col("m.channels"),
+        col("m.bits_per_sample"), col("m.total_samples"), col("m.duration_ms"))
+      .collect()
+    assert(parsed.nonEmpty && parsed.forall(!_.isNullAt(1)),
+      "every planted FLAC payload must parse")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val rate = ((id % 48 + 8) * 1000).toInt
+      val total = id % 100000 + 1
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))
+        == ((rate, (id % 8 + 1).toInt, (id % 25 + 8).toInt, total,
+          total * 1000L / rate)), s"doc $id mismatch")
+    }
+  }
+
   test("synthetic AVC corpus round-trip: planted dims/profile parse back exactly") {
     val docs = graft.Engine.Tables(spark, Sf0001).documents
     val parsed = graft.operators.Multimodal.syntheticAvcCorpus(docs)

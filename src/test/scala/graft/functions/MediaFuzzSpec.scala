@@ -45,6 +45,11 @@ class MediaFuzzSpec extends AnyFunSuite {
     // ID3v2 (syncsafe size 10) + MPEG1 Layer III 128 kbps 44.1 kHz stereo
     // frame header + a little padding
     "mp3" -> hex("494433 0400 00 0000000A" + "00" * 10 + "FFFB9000" + "00" * 16),
+    // hand-derived golden ADTS frame (see the golden-vector test below)
+    "aac" -> hex("FFF15080011FFCAA"),
+    // hand-derived golden FLAC STREAMINFO (see the golden-vector test)
+    "flac" -> hex("664C6143 80 000022" + "1000 1000 000000 000000" +
+      "0AC442F00000AC44" + "00" * 16),
     // hand-derived golden SPS (see the golden-vector test below)
     "sps" -> hex("67 42 00 1E DA11E4"))
 
@@ -53,6 +58,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     AudioHeader.parse(b)
     VideoHeader.parse(b)
     MpegAudioHeader.parse(b)
+    AdtsHeader.parse(b)
+    FlacHeader.parse(b)
     AvcSpsHeader.parse(b)
   }
 
@@ -69,7 +76,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     val magics = Seq(
       hex("89504E470D0A1A0A"), hex("FFD8FF"), hex("474946383961"),
       "RIFF????WAVE".getBytes, "FORM????AIFF".getBytes,
-      hex("00000010 66747970"))
+      hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes)
     val rnd = new scala.util.Random(0xBEEF)
     magics.foreach { m =>
       (0 until 2000).foreach { _ =>
@@ -88,6 +95,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       // and the full file must still parse (the sweep ends at a valid input)
       assert(ImageHeader.parse(b) != null || AudioHeader.parse(b) != null ||
         VideoHeader.parse(b) != null || MpegAudioHeader.parse(b) != null ||
+        AdtsHeader.parse(b) != null || FlacHeader.parse(b) != null ||
         AvcSpsHeader.parse(b) != null, s"$name no longer parses whole")
     }
   }
@@ -136,6 +144,73 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(MpegAudioHeader.parse(hex("FFFB9C00")) == null)
     assert(MpegAudioHeader.parse(hex("FFEB9000")) == null)
     assert(MpegAudioHeader.parse(hex("FFF99000")) == null)
+  }
+
+  test("ADTS golden vectors: hand-derived frames decode to the published values") {
+    // FF F1 50 80 01 1F FC | AA — derived bit-by-bit BY HAND (independent
+    // of syntheticAdtsCorpus, so a shared bit-offset misconception cannot
+    // hide): F1 = sync(1111) id=0 layer=00 prot_absent=1; 50 = profile
+    // 01(LC) sfIdx 0100(44100) priv=0 cc_hi=0; 80 = cc_lo=10 (cfg 2,
+    // stereo) flags 0000 len_hi=00; len 13 bits = 0000000001 000 = 8
+    // (7-byte header + 1 body byte); 1F/FC = fullness 0x7FF, 0 extra raw
+    // blocks. One block = 1024 samples -> 1024000/44100 = 23 ms.
+    assert(AdtsHeader.parse(hex("FFF15080011FFC AA"))
+      == ("LC", 44100, 2, 1, 23L))
+    // two back-to-back frames: the walk must chain on frame_length
+    assert(AdtsHeader.parse(hex("FFF15080011FFC AA" + "FFF15080011FFC AA"))
+      == ("LC", 44100, 2, 2, 46L))
+    // behind an ID3v2 tag (syncsafe size 10): skipped, duration unchanged
+    assert(AdtsHeader.parse(
+      hex("494433 0400 00 0000000A" + "00" * 10 + "FFF15080011FFC AA"))
+      == ("LC", 44100, 2, 1, 23L))
+    // FF F8 2D C0 01 7F FD BE EF | CA FE: id=1(MPEG-2 marker, ignored),
+    // prot_absent=0 -> 16-bit CRC makes the header 9 bytes; profile
+    // 00(Main), sfIdx 1011(8000), cfg 111 -> 8 channels; len 11 = 9 + 2
+    // body; raw-blocks field 1 -> TWO blocks = 2048 samples -> 256 ms
+    assert(AdtsHeader.parse(hex("FFF82DC0017FFD BEEF CAFE"))
+      == ("Main", 8000, 8, 1, 256L))
+    // refusals: layer != 00; reserved sfIdx 13; channel cfg 0 (PCE —
+    // layout needs payload decode); declared length overruns the payload
+    // (truncated frame); trailing garbage after the last frame; a CRC
+    // frame whose declared length is smaller than its own 9-byte header;
+    // mid-stream parameter change (torn / concatenated streams)
+    assert(AdtsHeader.parse(hex("FFF35080011FFC AA")) == null)
+    assert(AdtsHeader.parse(hex("FFF17480011FFC AA")) == null)
+    assert(AdtsHeader.parse(hex("FFF15000011FFC AA")) == null)
+    assert(AdtsHeader.parse(hex("FFF15080011FFC")) == null)
+    assert(AdtsHeader.parse(hex("FFF15080011FFC AA 00")) == null)
+    assert(AdtsHeader.parse(hex("FFF02DC0011FFD BEEF")) == null)
+    assert(AdtsHeader.parse(
+      hex("FFF15080011FFC AA" + "FFF19080011FFC AA")) == null)
+    // an ID3 tag swallowing the whole payload is a refusal, not a crash
+    assert(AdtsHeader.parse(hex("494433 0400 00 0000000A" + "00" * 10)) == null)
+  }
+
+  test("FLAC golden vectors: hand-derived STREAMINFO decodes to the published values") {
+    // 664C6143 = "fLaC"; 80 = last-block + type 0 (STREAMINFO); 000022 =
+    // length 34. Body: blocksizes 0x1000/0x1000, framesizes 0/0, then the
+    // packed group derived digit-by-digit BY HAND (independent of
+    // syntheticFlacCorpus): rate 44100 = 0x0AC44 in bits 63-44, ch-1 = 1
+    // in bits 43-41 ('2' nibble), bps-1 = 15 in bits 40-36 ('F' nibble),
+    // total 44100 in bits 35-0 => 0AC4 42F0 0000 AC44; 16-byte MD5 zeros.
+    val golden = "664C6143 80 000022" + "1000 1000 000000 000000"
+    assert(FlacHeader.parse(hex(golden + "0AC442F00000AC44" + "00" * 16))
+      == (44100, 2, 16, 44100L, 1000L))
+    // a non-last STREAMINFO followed by a padding block parses the same
+    assert(FlacHeader.parse(hex("664C6143 00 000022" +
+      "1000 1000 000000 000000" + "0AC442F00000AC44" + "00" * 16 +
+      "81 000004 00000000")) == (44100, 2, 16, 44100L, 1000L))
+    // refusals: wrong magic; first block not STREAMINFO (type 1); body
+    // length != 34; truncated body; zero sample rate; zero total samples
+    assert(FlacHeader.parse(hex("664C6144 80 000022" +
+      "1000 1000 000000 000000" + "0AC442F00000AC44" + "00" * 16)) == null)
+    assert(FlacHeader.parse(hex("664C6143 81 000022" +
+      "1000 1000 000000 000000" + "0AC442F00000AC44" + "00" * 16)) == null)
+    assert(FlacHeader.parse(hex("664C6143 80 000023" +
+      "1000 1000 000000 000000" + "0AC442F00000AC44" + "00" * 16)) == null)
+    assert(FlacHeader.parse(hex(golden + "0AC442F00000AC44")) == null)
+    assert(FlacHeader.parse(hex(golden + "000002F00000AC44" + "00" * 16)) == null)
+    assert(FlacHeader.parse(hex(golden + "0AC442F000000000" + "00" * 16)) == null)
   }
 
   test("AVC SPS golden vector: hand-derived baseline 64x48 bitstream") {

@@ -46,6 +46,40 @@ class GraftExtensionsSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rewrite propagates ANSI divide-by-zero: a zero-norm vector throws in both forms") {
+    // regression for the NumericEvalContext comparison bug (r11): the rule
+    // compared the whole context to EvalMode.ANSI — always false — so the
+    // rewritten kernel silently returned null where the HOF form's ANSI
+    // Divide throws. The evalMode must be read out of the context.
+    spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      def zeroNorm = Engine.Tables(spark, Sf0001).embeddings.limit(1)
+        .select(transform(col("embedding"), _ => lit(0.0d)).as("a"),
+          col("embedding").cast("array<double>").as("b"))
+        .select(graft.functions.VectorOps.cosine(col("a"), col("b")).as("c"))
+      val df = zeroNorm
+      val fused = df.queryExecution.optimizedPlan.collect { case n =>
+        n.expressions.flatMap(_.collect { case e: CosineSim => e }) }.flatten
+      assert(fused.nonEmpty, "rewrite should fire on the zero-norm cosine form")
+      assert(fused.forall(_.failOnError),
+        "ANSI mode must propagate into the fused kernel's failOnError")
+      val rewritten = intercept[Exception](df.collect())
+      spark.experimental.extraOptimizations = Nil
+      val hof = intercept[Exception](zeroNorm.collect())
+      def code(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+          .map(_.getMessage).mkString(" | ")
+      assert(code(rewritten).contains("DIVIDE_BY_ZERO") &&
+        code(hof).contains("DIVIDE_BY_ZERO"),
+        s"expected both forms to raise DIVIDE_BY_ZERO:\n${code(rewritten)}\n${code(hof)}")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    }
+  }
+
   test("rewrite preserves HOF null semantics: mismatched lengths stay null") {
     spark.experimental.extraOptimizations = Seq(ReplaceCosineHof)
     try {

@@ -77,7 +77,8 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     Seq("qe5c_image_dims", "qe5d_audio_meta", "qe5e_video_meta",
       "qe5f_media_triage", "qe59_utf8_triage",
-      "qe5i_mpeg_audio", "qe5j_avc_sps").foreach { q =>
+      "qe5i_mpeg_audio", "qe5j_avc_sps", "qe5k_aac_adts",
+      "qe5l_flac").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, Sf0001)
       df.collect() // finalize the adaptive plan in place
       val plan = planOf(df)
