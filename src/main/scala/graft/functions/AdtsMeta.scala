@@ -37,9 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * The walk is STRICT: every frame must re-sync, repeat the first
   * frame's profile/rate/channel fields (an ADTS decoder's own invariant
   * — a change mid-stream means a torn or concatenated file), and the
-  * last frame must end exactly at the payload boundary. An optional
-  * ID3v2 tag is skipped via the shared syncsafe reader
-  * ([[ByteReads.skipId3v2]]). Any violation yields NULL, never a guess.
+  * last frame must end exactly at the payload boundary — except for the
+  * two tag shapes real files carry: a leading ID3v2 tag (skipped via the
+  * shared syncsafe reader, [[ByteReads.skipId3v2]]) and a TRAILING ID3v1
+  * tag (exactly 128 bytes starting "TAG" after the last frame — the
+  * shape every pre-ID3v2 tagger wrote), tolerated and excluded from the
+  * frame walk. Any other violation yields NULL, never a guess.
   * One codegen'd call per row; bytes read in place. */
 object AdtsHeader {
 
@@ -66,26 +69,34 @@ object AdtsHeader {
     var frames = 0
     var samples = 0L
     while (off < b.length) {
-      if (off + 7 > b.length) return null // torn trailing frame
-      val b1 = b(off + 1) & 0xFF; val b2 = b(off + 2) & 0xFF
-      val b3 = b(off + 3) & 0xFF; val b4 = b(off + 4) & 0xFF
-      val b5 = b(off + 5) & 0xFF; val b6 = b(off + 6) & 0xFF
-      if ((b(off) & 0xFF) != 0xFF || (b1 & 0xF0) != 0xF0) return null // 12 sync bits
-      if (((b1 >> 1) & 0x3) != 0) return null // layer must be 00 in ADTS
-      val p = (b2 >> 6) & 0x3
-      val sf = (b2 >> 2) & 0xF
-      if (sf >= 13) return null // reserved (13/14) or forbidden (15)
-      val cc = ((b2 & 0x1) << 2) | ((b3 >> 6) & 0x3)
-      if (cc == 0) return null // channel layout is in an in-band PCE
-      if (frames == 0) { profile = p; sfIdx = sf; chCfg = cc }
-      else if (p != profile || sf != sfIdx || cc != chCfg)
-        return null // torn / concatenated stream
-      val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | ((b5 >> 5) & 0x7)
-      val hdrLen = if ((b1 & 0x1) == 1) 7 else 9 // protection_absent=0 → CRC16
-      if (frameLen < hdrLen || off + frameLen > b.length) return null
-      samples += (((b6 & 0x3) + 1)) * 1024L // raw blocks stored minus one
-      frames += 1
-      off += frameLen
+      // a trailing ID3v1 tag is EXACTLY 128 bytes starting "TAG" — legal
+      // after the last frame (never mid-stream: its position is pinned by
+      // the remaining length, so a stray "TAG" elsewhere still refuses)
+      if (b.length - off == 128 && b(off) == 'T' && b(off + 1) == 'A' &&
+        b(off + 2) == 'G') {
+        off = b.length
+      } else {
+        if (off + 7 > b.length) return null // torn trailing frame
+        val b1 = b(off + 1) & 0xFF; val b2 = b(off + 2) & 0xFF
+        val b3 = b(off + 3) & 0xFF; val b4 = b(off + 4) & 0xFF
+        val b5 = b(off + 5) & 0xFF; val b6 = b(off + 6) & 0xFF
+        if ((b(off) & 0xFF) != 0xFF || (b1 & 0xF0) != 0xF0) return null // 12 sync bits
+        if (((b1 >> 1) & 0x3) != 0) return null // layer must be 00 in ADTS
+        val p = (b2 >> 6) & 0x3
+        val sf = (b2 >> 2) & 0xF
+        if (sf >= 13) return null // reserved (13/14) or forbidden (15)
+        val cc = ((b2 & 0x1) << 2) | ((b3 >> 6) & 0x3)
+        if (cc == 0) return null // channel layout is in an in-band PCE
+        if (frames == 0) { profile = p; sfIdx = sf; chCfg = cc }
+        else if (p != profile || sf != sfIdx || cc != chCfg)
+          return null // torn / concatenated stream
+        val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | ((b5 >> 5) & 0x7)
+        val hdrLen = if ((b1 & 0x1) == 1) 7 else 9 // protection_absent=0 → CRC16
+        if (frameLen < hdrLen || off + frameLen > b.length) return null
+        samples += (((b6 & 0x3) + 1)) * 1024L // raw blocks stored minus one
+        frames += 1
+        off += frameLen
+      }
     }
     if (frames == 0) return null
     (Profiles(profile), Rates(sfIdx), if (chCfg == 7) 8 else chCfg,

@@ -310,7 +310,6 @@ object Multimodal {
     * the metadata boundary sits exactly at the codec, not before it. */
   def syntheticMpegAudioCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    def h2(v: Column) = lpad(hex(v), 2, "0")
     val verBits = when(id % 2 === 0, 3).otherwise(2) // MPEG1 / MPEG2
     val layer = id % 3 + 1                           // I / II / III
     // decorrelated from layer; the inner / is double division on longs, so
@@ -320,10 +319,7 @@ object Multimodal {
     val byte2 = (id % 14 + 1) * 16 + srIdx * 4       // bitrate idx 1..14
     val byte3 = (id % 4) * 64                        // channel mode
     val streamBytes = id % 983 + 100
-    // ID3v2.4 header: "ID3" 04 00 flags 00, syncsafe size 0x0A, 10-byte body
-    val id3 = when(id % 5 === 0,
-      lit("494433" + "0400" + "00" + "0000000A" + "00" * 10)).otherwise("")
-    val hexPayload = concat(id3, lit("FF"), h2(byte1.cast("int")),
+    val hexPayload = concat(id3v2PrefixHex(id), lit("FF"), h2(byte1.cast("int")),
       h2(byte2.cast("int")), h2(byte3.cast("int")),
       call_function("repeat", lit("00"), (streamBytes - 4).cast("int")))
     docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
@@ -345,7 +341,6 @@ object Multimodal {
     * Payload decode (AAC) stays behind [[FakeCodec]]. */
   def syntheticAdtsCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    def h2(v: Column) = lpad(hex(v), 2, "0")
     val prot = when(id % 3 === 0, 0).otherwise(1) // 0 = CRC16 present
     val profile = id % 4
     val sfIdx = id % 13
@@ -364,13 +359,26 @@ object Multimodal {
       h2(b3.cast("int")), h2(b4.cast("int")), h2(b5.cast("int")),
       h2(b6.cast("int")), when(prot === 0, lit("0000")).otherwise(""),
       call_function("repeat", lit("00"), body.cast("int")))
-    val id3 = when(id % 5 === 0,
-      lit("494433" + "0400" + "00" + "0000000A" + "00" * 10)).otherwise("")
-    val hexPayload = concat(id3,
-      call_function("repeat", frameHex, (id % 40 + 1).cast("int")))
+    // trailing ID3v1 tag ("TAG" + 125 bytes) on every 7th doc: certifies
+    // the walk's 128-byte-trailer tolerance without touching the oracle
+    val id3v1 = when(id % 7 === 3, lit("544147" + "00" * 125)).otherwise("")
+    val hexPayload = concat(id3v2PrefixHex(id),
+      call_function("repeat", frameHex, (id % 40 + 1).cast("int")), id3v1)
     docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
       lit("application/octet-stream").as("mime"))
   }
+
+  /** 2-digit hex of a byte-valued column — shared by the planted-stream
+    * builders above. */
+  private def h2(v: Column) = lpad(hex(v), 2, "0")
+
+  /** ID3v2.4 tag hex ("ID3" 04 00 flags 00, syncsafe size 0x0A, 10-byte
+    * body) planted ahead of every 5th doc's stream — ONE definition so a
+    * tag change (e.g. exercising the footer flag) cannot silently drift
+    * between the MP3 and ADTS corpora. */
+  private def id3v2PrefixHex(id: Column): Column =
+    when(id % 5 === 0,
+      lit("494433" + "0400" + "00" + "0000000A" + "00" * 10)).otherwise("")
 
   /** Deterministic FLAC corpus — the LOSSLESS compressed-audio leg beside
     * [[syntheticMpegAudioCorpus]] (estimate-free: FLAC's mandatory

@@ -163,6 +163,14 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(AdtsHeader.parse(
       hex("494433 0400 00 0000000A" + "00" * 10 + "FFF15080011FFC AA"))
       == ("LC", 44100, 2, 1, 23L))
+    // a trailing ID3v1 tag — EXACTLY 128 bytes starting "TAG" — is the
+    // one legal non-frame tail (pre-ID3v2 taggers wrote it on .aac too)
+    assert(AdtsHeader.parse(
+      hex("FFF15080011FFC AA" + "544147" + "00" * 125))
+      == ("LC", 44100, 2, 1, 23L))
+    // "TAG" NOT 128 bytes from the end is garbage, not a tag
+    assert(AdtsHeader.parse(
+      hex("FFF15080011FFC AA" + "544147" + "00" * 10)) == null)
     // FF F8 2D C0 01 7F FD BE EF | CA FE: id=1(MPEG-2 marker, ignored),
     // prot_absent=0 -> 16-bit CRC makes the header 9 bytes; profile
     // 00(Main), sfIdx 1011(8000), cfg 111 -> 8 channels; len 11 = 9 + 2
