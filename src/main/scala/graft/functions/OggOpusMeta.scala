@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level Ogg/Opus stream metadata parser — the web-audio leg of the
+  * compressed-format family (qe5i MP3, qe5k AAC-ADTS, qe5l FLAC; SURVEY
+  * §2.4 E5). Opus SAMPLES need libopus (payload decode stays behind
+  * [[graft.operators.Multimodal.FakeCodec]]); the stream parameters live
+  * in the OpusHead packet of the FIRST Ogg page and the granule position
+  * of the LAST (RFC 7845 / RFC 3533), reachable by a pure page walk:
+  *
+  *  - Ogg page: "OggS", version 0, header-type flags (0x02 BOS must open
+  *    the stream, 0x04 EOS must close it), granule position (u64 LE),
+  *    serial / sequence / CRC (not validated — this is a checksum-free
+  *    metadata walk, like the MD5 field the FLAC parser skips), then a
+  *    segment count and lacing table whose byte sum is the page body
+  *    length — the walk advances 27 + nseg + Σlacing per page.
+  *  - OpusHead (BOS page body): magic, version 1, channel count,
+  *    pre-skip (u16 LE), input sample rate (u32 LE, informational),
+  *    output gain, channel-mapping family — family 0 is DEFINED only for
+  *    1-2 channels (a higher count under family 0 is a torn header →
+  *    NULL); family 1 carries stream/coupled counts plus a per-channel
+  *    mapping table the body must be long enough to hold.
+  *  - `duration_ms` is EXACT: Opus granules count 48 kHz samples
+  *    regardless of input rate, so (last granule − pre-skip) · 1000 /
+  *    48000 — the EOS page's granule must not undercut pre-skip.
+  *
+  * Truncated pages, a missing BOS/EOS flag, a non-OpusHead first packet,
+  * or an impossible mapping yield NULL, never a guess. One codegen'd
+  * call per row; bytes read in place. */
+object OggOpusHeader {
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val r = parse(b)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString("audio/opus"), r._1, r._2, r._3, r._4, r._5, r._6))
+  }
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def leU64(b: Array[Byte], i: Int): Long =
+    leU32(b, i) | (leU32(b, i + 4) << 32)
+
+  /** Parse (channels, pre_skip, input_sample_rate, mapping_family,
+    * n_pages, duration_ms) from an Ogg/Opus payload; null if not
+    * recognized/intact. */
+  def parse(b: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
+    if (b == null || b.length < 47) return null // one page + min OpusHead
+    var off = 0
+    var pages = 0
+    var channels = -1; var preSkip = -1; var rate = -1; var family = -1
+    var lastGranule = 0L
+    var lastType = 0
+    while (off < b.length) {
+      if (off + 27 > b.length || !ByteReads.fourcc(b, off, "OggS")) return null
+      if (b(off + 4) != 0) return null // stream structure version must be 0
+      val hdrType = b(off + 5) & 0xFF
+      val granule = leU64(b, off + 6)
+      val nseg = b(off + 26) & 0xFF
+      if (off + 27 + nseg > b.length) return null // torn lacing table
+      var body = 0
+      var i = 0
+      while (i < nseg) { body += b(off + 27 + i) & 0xFF; i += 1 }
+      val bodyOff = off + 27 + nseg
+      if (bodyOff + body > b.length) return null // torn page body
+      if (pages == 0) {
+        // the BOS page's first packet must be a version-1 OpusHead
+        if ((hdrType & 0x02) == 0 || body < 19) return null
+        if (!(ByteReads.fourcc(b, bodyOff, "Opus") &&
+          ByteReads.fourcc(b, bodyOff + 4, "Head"))) return null
+        if (b(bodyOff + 8) != 1) return null // OpusHead version
+        channels = b(bodyOff + 9) & 0xFF
+        preSkip = leU16(b, bodyOff + 10)
+        val r = leU32(b, bodyOff + 12)
+        if (channels == 0 || r > Int.MaxValue) return null
+        rate = r.toInt
+        family = b(bodyOff + 18) & 0xFF
+        // family 0 is defined only for mono/stereo; family 1 must carry
+        // stream+coupled counts and a per-channel mapping table
+        if (family == 0 && channels > 2) return null
+        if (family >= 1 && body < 21 + channels) return null
+      }
+      lastGranule = granule
+      lastType = hdrType
+      pages += 1
+      off = bodyOff + body
+    }
+    if (pages == 0 || (lastType & 0x04) == 0) return null // no EOS close
+    if (lastGranule < preSkip) return null // granule undercuts pre-skip
+    (channels, preSkip, rate, family, pages,
+      (lastGranule - preSkip) * 1000L / 48000L)
+  }
+}
+
+/** `ogg_opus_meta(payload)` → struct<mime string, channels int,
+  * pre_skip int, input_sample_rate int, mapping_family int, n_pages int,
+  * duration_ms bigint>, null for unrecognized payloads — see
+  * [[OggOpusHeader]]. */
+case class OggOpusMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pre_skip", IntegerType, nullable = false),
+    StructField("input_sample_rate", IntegerType, nullable = false),
+    StructField("mapping_family", IntegerType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ogg_opus_meta expects binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    OggOpusHeader.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("oggOpusMeta")
+      s"""
+         |InternalRow $out = graft.functions.OggOpusHeader.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OggOpusMetaExpr {
+  /** Column-level entry point. */
+  def ogg_opus_meta(payload: Column): Column =
+    ColumnShim.column(OggOpusMetaExpr(ColumnShim.expression(payload)))
+
+  /** SQL registration on an existing session (production wiring goes
+    * through [[graft.plans.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ogg_opus_meta", exprs => {
+        require(exprs.length == 1,
+          s"ogg_opus_meta requires exactly 1 argument, got ${exprs.length}")
+        OggOpusMetaExpr(exprs.head)
+      }, "built-in")
+}

@@ -25,7 +25,8 @@ import java.io.ByteArrayOutputStream
   * codec and is parsed for real: MPEG-audio frame headers
   * ([[graft.functions.MpegAudioHeader]], qe5i), AAC-in-ADTS frame
   * headers ([[graft.functions.AdtsHeader]], qe5k), FLAC STREAMINFO
-  * ([[graft.functions.FlacHeader]], qe5l), and H.264 SPS coded
+  * ([[graft.functions.FlacHeader]], qe5l), Ogg/Opus page walks
+  * ([[graft.functions.OggOpusHeader]], qe5m), and H.264 SPS coded
   * dimensions ([[graft.functions.AvcSpsHeader]], qe5j) — the stub
   * boundary sits exactly at payload decode, nothing before it.
   */
@@ -372,6 +373,15 @@ object Multimodal {
     * builders above. */
   private def h2(v: Column) = lpad(hex(v), 2, "0")
 
+  /** Little-endian hex of a column value, byte by byte — the Ogg/Opus
+    * builder's fields are LE where every other planted container is BE. */
+  private def le16Hex(v: Column): Column =
+    concat(h2(v.bitwiseAND(255)), h2(shiftright(v, 8).bitwiseAND(255)))
+  private def le32Hex(v: Column): Column =
+    concat(le16Hex(v), le16Hex(shiftright(v, 16)))
+  private def le64Hex(v: Column): Column =
+    concat(le32Hex(v), le32Hex(shiftright(v, 32)))
+
   /** ID3v2.4 tag hex ("ID3" 04 00 flags 00, syncsafe size 0x0A, 10-byte
     * body) planted ahead of every 5th doc's stream — ONE definition so a
     * tag change (e.g. exercising the footer flag) cannot silently drift
@@ -402,6 +412,55 @@ object Multimodal {
       lit("1000" + "1000" + "000000" + "000000"),
       lpad(hex(packed), 16, "0"), lit("00" * 16), padding)
     docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
+  /** Deterministic Ogg/Opus corpus — the web-audio leg (RFC 7845): per
+    * doc a BOS page carrying a planted OpusHead (channels 1-8 → family 0
+    * for mono/stereo, family 1 with stream counts + identity mapping
+    * table above; pre-skip, informational input rate), an OpusTags
+    * comment page on every 3rd doc, doc_id%5 identical audio pages each
+    * with a TWO-segment lacing table (255 + k — the continued-packet
+    * shape), and an EOS page whose granule plants the exact 48 kHz
+    * sample count. All fields little-endian (every other planted
+    * container is BE — the byte-order trap is the point of the leg).
+    * CRCs are zero: the parser is a checksum-free metadata walk. Opus
+    * payload decode (libopus) stays behind [[FakeCodec]]. */
+  def syntheticOggOpusCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val ch = id % 8 + 1
+    val family = when(ch <= 2, 0).otherwise(1)
+    val preSkip = id % 1000
+    val rate = (id % 48 + 8) * 1000
+    val total = id % 960000 + 960 // planted output samples at 48 kHz
+    val mapping = when(family === 1,
+      concat(h2(ch.cast("int")), lit("00"),
+        substring(lit("0001020304050607"), lit(1), (ch * 2).cast("int"))))
+      .otherwise("")
+    val headLen = when(family === 1, lit(21) + ch).otherwise(lit(19))
+    val opusHead = concat(lit("4F70757348656164" + "01"), h2(ch.cast("int")),
+      le16Hex(preSkip), le32Hex(rate), lit("0000"), h2(family.cast("int")),
+      mapping)
+    val serial = le32Hex(lit(0x12345678L))
+    def page(hdrType: String, granule: Column, seq: Column,
+             segHex: Column, body: Column) =
+      concat(lit("4F676753" + "00" + hdrType), le64Hex(granule), serial,
+        le32Hex(seq), lit("00000000"), segHex, body)
+    val bos = page("02", lit(0L), lit(0L),
+      concat(lit("01"), h2(headLen.cast("int"))), opusHead)
+    val tags = when(id % 3 === 0,
+      page("00", lit(0L), lit(1L), lit("0110"),
+        lit("4F70757354616773" + "00000000" + "00000000"))).otherwise("")
+    val midBody = id % 40
+    val mid = page("00", lit(-1L), lit(2L), // -1 = no packet ends here
+      concat(lit("02FF"), h2(midBody.cast("int"))),
+      call_function("repeat", lit("00"), (midBody + 255).cast("int")))
+    val mids = call_function("repeat", mid, (id % 5).cast("int"))
+    val eos = page("04", preSkip + total, lit(9L),
+      concat(lit("01"), h2((id % 50 + 1).cast("int"))),
+      call_function("repeat", lit("00"), (id % 50 + 1).cast("int")))
+    docs.select(id.as("doc_id"),
+      unhex(concat(bos, tags, mids, eos)).as("payload"),
       lit("application/octet-stream").as("mime"))
   }
 

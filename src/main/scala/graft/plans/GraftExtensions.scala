@@ -192,5 +192,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"flac_meta requires exactly 1 argument, got ${exprs.length}")
         graft.functions.FlacMetaExpr(exprs.head)
       }))
+    ext.injectFunction(fn("ogg_opus_meta",
+      classOf[graft.functions.OggOpusMetaExpr], exprs => {
+        require(exprs.length == 1,
+          s"ogg_opus_meta requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.OggOpusMetaExpr(exprs.head)
+      }))
   }
 }

@@ -539,6 +539,27 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, 'audio/flac' AS mime, CAST((doc_id % 48 + 8) * 1000 AS INTEGER) AS sample_rate, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST(doc_id % 25 + 8 AS INTEGER) AS bits_per_sample, CAST(doc_id % 100000 + 1 AS BIGINT) AS total_samples, CAST((doc_id % 100000 + 1) * 1000 // ((doc_id % 48 + 8) * 1000) AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // E5 — Ogg/Opus metadata, the web-audio leg (RFC 7845): full Ogg page
+    // walk (BOS/EOS flags, segment-lacing byte sums incl. the 255-segment
+    // continued-packet shape), OpusHead bit fields with BOTH mapping
+    // families (0 = mono/stereo only; 1 = stream counts + per-channel
+    // table), and the EXACT duration from the EOS granule position —
+    // Opus granules count 48 kHz samples regardless of input rate, minus
+    // pre-skip. All fields little-endian where the other containers are
+    // BE. Opus payload decode (libopus) stays behind FakeCodec.
+    ("qe5m_ogg_opus", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticOggOpusCorpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.OggOpusMetaExpr.ogg_opus_meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.channels").as("channels"), col("m.pre_skip").as("pre_skip"),
+          col("m.input_sample_rate").as("input_sample_rate"),
+          col("m.mapping_family").as("mapping_family"),
+          col("m.n_pages").as("n_pages"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'audio/opus' AS mime, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST(doc_id % 1000 AS INTEGER) AS pre_skip, CAST((doc_id % 48 + 8) * 1000 AS INTEGER) AS input_sample_rate, CAST(CASE WHEN doc_id % 8 + 1 <= 2 THEN 0 ELSE 1 END AS INTEGER) AS mapping_family, CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + doc_id % 5 AS INTEGER) AS n_pages, CAST((doc_id % 960000 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
+
     // E5 — media triage: route a MIXED binary column by what its bytes
     // actually are (one projection running all three real container
     // parsers; family planted by (doc_id/3)%3, deliberately decoupled

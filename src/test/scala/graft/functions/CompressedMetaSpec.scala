@@ -146,6 +146,29 @@ class CompressedMetaSpec extends SparkTestBase {
     }
   }
 
+  test("synthetic Ogg/Opus corpus round-trip: planted params parse back exactly") {
+    OggOpusMetaExpr.register(spark)
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val parsed = graft.operators.Multimodal.syntheticOggOpusCorpus(docs)
+      .selectExpr("doc_id", "ogg_opus_meta(payload) AS m") // SQL form on purpose
+      .select(col("doc_id"), col("m.channels"), col("m.pre_skip"),
+        col("m.input_sample_rate"), col("m.mapping_family"),
+        col("m.n_pages"), col("m.duration_ms"))
+      .collect()
+    assert(parsed.nonEmpty && parsed.forall(!_.isNullAt(1)),
+      "every planted Ogg/Opus payload must parse")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val ch = (id % 8 + 1).toInt
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getLong(6)) ==
+        ((ch, (id % 1000).toInt, ((id % 48 + 8) * 1000).toInt,
+          if (ch <= 2) 0 else 1,
+          (2 + (if (id % 3 == 0) 1 else 0) + id % 5).toInt,
+          (id % 960000 + 960) * 1000L / 48000L)), s"doc $id mismatch")
+    }
+  }
+
   test("synthetic AVC corpus round-trip: planted dims/profile parse back exactly") {
     val docs = graft.Engine.Tables(spark, Sf0001).documents
     val parsed = graft.operators.Multimodal.syntheticAvcCorpus(docs)

@@ -50,6 +50,11 @@ class MediaFuzzSpec extends AnyFunSuite {
     // hand-derived golden FLAC STREAMINFO (see the golden-vector test)
     "flac" -> hex("664C6143 80 000022" + "1000 1000 000000 000000" +
       "0AC442F00000AC44" + "00" * 16),
+    // hand-derived golden Ogg/Opus BOS+EOS (see the golden-vector test)
+    "opus" -> hex("4F676753 00 02 0000000000000000 78563412 00000000" +
+      "00000000 01 13" + "4F70757348656164 01 01 6400 80BB0000 0000 00" +
+      "4F676753 00 04 2404000000000000 78563412 01000000 00000000 01 05" +
+      "0000000000"),
     // hand-derived golden SPS (see the golden-vector test below)
     "sps" -> hex("67 42 00 1E DA11E4"))
 
@@ -60,6 +65,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MpegAudioHeader.parse(b)
     AdtsHeader.parse(b)
     FlacHeader.parse(b)
+    OggOpusHeader.parse(b)
     AvcSpsHeader.parse(b)
   }
 
@@ -76,7 +82,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     val magics = Seq(
       hex("89504E470D0A1A0A"), hex("FFD8FF"), hex("474946383961"),
       "RIFF????WAVE".getBytes, "FORM????AIFF".getBytes,
-      hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes)
+      hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes, "OggS".getBytes)
     val rnd = new scala.util.Random(0xBEEF)
     magics.foreach { m =>
       (0 until 2000).foreach { _ =>
@@ -96,6 +102,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       assert(ImageHeader.parse(b) != null || AudioHeader.parse(b) != null ||
         VideoHeader.parse(b) != null || MpegAudioHeader.parse(b) != null ||
         AdtsHeader.parse(b) != null || FlacHeader.parse(b) != null ||
+        OggOpusHeader.parse(b) != null ||
         AvcSpsHeader.parse(b) != null, s"$name no longer parses whole")
     }
   }
@@ -219,6 +226,37 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(FlacHeader.parse(hex(golden + "0AC442F00000AC44")) == null)
     assert(FlacHeader.parse(hex(golden + "000002F00000AC44" + "00" * 16)) == null)
     assert(FlacHeader.parse(hex(golden + "0AC442F000000000" + "00" * 16)) == null)
+  }
+
+  test("Ogg/Opus golden vectors: hand-derived pages decode to the published values") {
+    // Derived byte-by-byte BY HAND (independent of syntheticOggOpusCorpus
+    // — note every multi-byte field is LITTLE-endian): BOS page = "OggS"
+    // v0 type 02, granule 0, serial 0x12345678 → 78563412, seq 0, CRC 0,
+    // 1 segment of 0x13=19 bytes: OpusHead v1, 1 channel, pre-skip
+    // 0x0064=100 → "6400", input rate 48000 = 0x0000BB80 → "80BB0000",
+    // gain 0, family 0. EOS page = type 04, granule 100+960 = 1060 =
+    // 0x424 → "2404…", 1 segment of 5 zero bytes. Duration = (1060−100)
+    // · 1000 / 48000 = 20 ms at the 48 kHz granule clock.
+    val bos = "4F676753 00 02 0000000000000000 78563412 00000000" +
+      "00000000 01 13" + "4F70757348656164 01 01 6400 80BB0000 0000 00"
+    val eos = "4F676753 00 04 2404000000000000 78563412 01000000" +
+      "00000000 01 05" + "0000000000"
+    assert(OggOpusHeader.parse(hex(bos + eos)) == (1, 100, 48000, 0, 2, 20L))
+    // refusals, each a one-field corruption of the golden pair: stream
+    // version != 0; first page missing the BOS flag; OpusHead magic off
+    // by one byte; family 0 with 3 channels (defined only for 1-2); no
+    // EOS flag on the final page; EOS granule 50 < pre-skip 100; a page
+    // whose lacing table promises more body than the payload carries
+    assert(OggOpusHeader.parse(hex(bos.replaceFirst("00 02", "01 02") + eos)) == null)
+    assert(OggOpusHeader.parse(hex(bos.replaceFirst("00 02", "00 00") + eos)) == null)
+    assert(OggOpusHeader.parse(hex(
+      bos.replace("4F70757348656164", "4F70757348656165") + eos)) == null)
+    assert(OggOpusHeader.parse(hex(
+      bos.replace("01 01 6400", "01 03 6400") + eos)) == null)
+    assert(OggOpusHeader.parse(hex(bos + eos.replaceFirst("00 04", "00 00"))) == null)
+    assert(OggOpusHeader.parse(hex(
+      bos + eos.replace("2404", "3200"))) == null)
+    assert(OggOpusHeader.parse(hex((bos + eos).dropRight(2))) == null)
   }
 
   test("AVC SPS golden vector: hand-derived baseline 64x48 bitstream") {
