@@ -30,6 +30,12 @@ private[graft] object ByteReads {
     ((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
       ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
 
+  /** Unsigned LE u32 (Ogg serial numbers, OpusHead sample rates). */
+  def le32u(b: Array[Byte], i: Int): Long = le32(b, i) & 0xFFFFFFFFL
+
+  def le64(b: Array[Byte], i: Int): Long =
+    le32u(b, i) | (le32u(b, i + 4) << 32)
+
   /** True iff the four bytes at `off` spell `t` (bounds-checked). */
   def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
     off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&

@@ -419,10 +419,11 @@ object Multimodal {
     * doc a BOS page carrying a planted OpusHead (channels 1-8 → family 0
     * for mono/stereo, family 1 with stream counts + identity mapping
     * table above; pre-skip, informational input rate), an OpusTags
-    * comment page on every 3rd doc, doc_id%5 identical audio pages each
-    * with a TWO-segment lacing table (255 + k — the continued-packet
-    * shape), and an EOS page whose granule plants the exact 48 kHz
-    * sample count. All fields little-endian (every other planted
+    * comment page on every 3rd doc, doc_id%5 audio pages each with a
+    * TWO-segment lacing table (255 + k — the continued-segment shape),
+    * non-decreasing per-page granules and increasing sequence numbers,
+    * and an EOS page whose granule plants the exact 48 kHz sample
+    * count. All fields little-endian (every other planted
     * container is BE — the byte-order trap is the point of the leg).
     * CRCs are zero: the parser is a checksum-free metadata walk. Opus
     * payload decode (libopus) stays behind [[FakeCodec]]. */
@@ -451,11 +452,20 @@ object Multimodal {
     val tags = when(id % 3 === 0,
       page("00", lit(0L), lit(1L), lit("0110"),
         lit("4F70757354616773" + "00000000" + "00000000"))).otherwise("")
+    // id%5 audio pages, each completing one packet (lacing 255 + k, the
+    // continued-segment shape) with a spec-conformant NON-DECREASING
+    // granule (preSkip + page index) and increasing sequence numbers.
+    // Statically unrolled (nMids <= 4 by construction) rather than a
+    // transform() HOF: ArrayTransform is a CodegenFallback and would
+    // break the parser family's fully-codegen'd plan pin.
     val midBody = id % 40
-    val mid = page("00", lit(-1L), lit(2L), // -1 = no packet ends here
-      concat(lit("02FF"), h2(midBody.cast("int"))),
-      call_function("repeat", lit("00"), (midBody + 255).cast("int")))
-    val mids = call_function("repeat", mid, (id % 5).cast("int"))
+    val nMids = id % 5
+    val mids = concat((1 to 4).map { j =>
+      when(nMids >= j, page("00", preSkip + j, lit(1L + j),
+        concat(lit("02FF"), h2(midBody.cast("int"))),
+        call_function("repeat", lit("00"), (midBody + 255).cast("int"))))
+        .otherwise("")
+    }: _*)
     val eos = page("04", preSkip + total, lit(9L),
       concat(lit("01"), h2((id % 50 + 1).cast("int"))),
       call_function("repeat", lit("00"), (id % 50 + 1).cast("int")))

@@ -558,7 +558,7 @@ object Extensions {
           col("m.n_pages").as("n_pages"),
           col("m.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
-    }, Some("""SELECT doc_id, 'audio/opus' AS mime, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST(doc_id % 1000 AS INTEGER) AS pre_skip, CAST((doc_id % 48 + 8) * 1000 AS INTEGER) AS input_sample_rate, CAST(CASE WHEN doc_id % 8 + 1 <= 2 THEN 0 ELSE 1 END AS INTEGER) AS mapping_family, CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + doc_id % 5 AS INTEGER) AS n_pages, CAST((doc_id % 960000 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
+    }, Some("""SELECT doc_id, 'audio/opus' AS mime, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST(doc_id % 1000 AS INTEGER) AS pre_skip, CAST((doc_id % 48 + 8) * 1000 AS BIGINT) AS input_sample_rate, CAST(CASE WHEN doc_id % 8 + 1 <= 2 THEN 0 ELSE 1 END AS INTEGER) AS mapping_family, CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + doc_id % 5 AS INTEGER) AS n_pages, CAST((doc_id % 960000 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
     // E5 — media triage: route a MIXED binary column by what its bytes
     // actually are (one projection running all three real container

@@ -160,9 +160,9 @@ class CompressedMetaSpec extends SparkTestBase {
     parsed.foreach { r =>
       val id = r.getLong(0)
       val ch = (id % 8 + 1).toInt
-      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      assert((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4),
         r.getInt(5), r.getLong(6)) ==
-        ((ch, (id % 1000).toInt, ((id % 48 + 8) * 1000).toInt,
+        ((ch, (id % 1000).toInt, (id % 48 + 8) * 1000,
           if (ch <= 2) 0 else 1,
           (2 + (if (id % 3 == 0) 1 else 0) + id % 5).toInt,
           (id % 960000 + 960) * 1000L / 48000L)), s"doc $id mismatch")

@@ -241,8 +241,14 @@ class MediaFuzzSpec extends AnyFunSuite {
       "00000000 01 13" + "4F70757348656164 01 01 6400 80BB0000 0000 00"
     val eos = "4F676753 00 04 2404000000000000 78563412 01000000" +
       "00000000 01 05" + "0000000000"
-    assert(OggOpusHeader.parse(hex(bos + eos)) == (1, 100, 48000, 0, 2, 20L))
-    // refusals, each a one-field corruption of the golden pair: stream
+    assert(OggOpusHeader.parse(hex(bos + eos)) == (1, 100, 48000L, 0, 2, 20L))
+    // a valid FAMILY-1 head (3 channels, 2 streams + 1 coupled, identity
+    // mapping) — segment length grows from 0x13 to 0x18 (21 + 3 bytes)
+    val bos1 = "4F676753 00 02 0000000000000000 78563412 00000000" +
+      "00000000 01 18" +
+      "4F70757348656164 01 03 6400 80BB0000 0000 01 02 01 000102"
+    assert(OggOpusHeader.parse(hex(bos1 + eos)) == (3, 100, 48000L, 1, 2, 20L))
+    // refusals, each a one-field corruption of a golden pair: stream
     // version != 0; first page missing the BOS flag; OpusHead magic off
     // by one byte; family 0 with 3 channels (defined only for 1-2); no
     // EOS flag on the final page; EOS granule 50 < pre-skip 100; a page
@@ -257,6 +263,22 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(OggOpusHeader.parse(hex(
       bos + eos.replace("2404", "3200"))) == null)
     assert(OggOpusHeader.parse(hex((bos + eos).dropRight(2))) == null)
+    // grouped / chained streams must refuse, not mix: a second serial
+    // number on the EOS page; a second BOS flag mid-stream
+    assert(OggOpusHeader.parse(hex(
+      bos + eos.replace("78563412", "79563412"))) == null)
+    assert(OggOpusHeader.parse(hex(
+      bos + eos.replaceFirst("00 04", "00 06"))) == null)
+    // impossible family-1 mappings: zero streams; an entry pointing past
+    // streams + coupled (and not the 255 silence marker)
+    assert(OggOpusHeader.parse(hex(
+      bos1.replace("01 02 01 000102", "01 00 00 000102") + eos)) == null)
+    assert(OggOpusHeader.parse(hex(
+      bos1.replace("01 02 01 000102", "01 02 01 000103") + eos)) == null)
+    // a u64 EOS granule of 2^62 passes the range checks but would
+    // overflow the *1000 duration arithmetic — refuse, don't emit garbage
+    assert(OggOpusHeader.parse(hex(
+      bos + eos.replace("2404000000000000", "0000000000000040"))) == null)
   }
 
   test("AVC SPS golden vector: hand-derived baseline 64x48 bitstream") {
