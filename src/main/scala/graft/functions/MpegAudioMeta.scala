@@ -26,11 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per-layer tables, padding/private bits, and 2 channel-mode bits
   *    (mono vs stereo/joint/dual).
   *
-  * `duration_ms` is the standard CBR estimate: 8 · stream bytes (payload
-  * minus the ID3 tag) / bitrate kbps — exact for constant-bitrate streams,
-  * the documented estimate for VBR (a VBR stream's true duration needs the
-  * Xing/VBRI frame map; out of scope, like the sample decode itself, which
-  * stays behind [[graft.operators.Multimodal.FakeCodec]]).
+  * `duration_ms`: when the first Layer III frame carries a VBR frame map
+  * — Xing/"Info" after the version/mono-dependent side-info region, or
+  * Fraunhofer VBRI at a fixed 32 bytes past the header — the duration is
+  * EXACT: total frames × samples-per-frame (1152, or 576 for MPEG2/2.5
+  * Layer III) / sample rate. Without a map it is the standard CBR
+  * estimate, 8 · stream bytes (payload minus the ID3 tag) / bitrate kbps
+  * — exact for constant-bitrate streams, the documented estimate for
+  * headerless VBR. Sample decode itself still needs a codec no JVM ships
+  * and stays behind [[graft.operators.Multimodal.FakeCodec]].
   *
   * "Free" bitrate (index 0), invalid indexes (15 / sample-rate 3),
   * reserved version/layer bits, a truncated tag, or a missing sync yield
@@ -54,12 +58,16 @@ object MpegAudioHeader {
     val r = parse(b)
     if (r == null) null
     else new GenericInternalRow(Array[Any](
-      UTF8String.fromString(r._1), r._2, r._3, r._4, r._5, r._6))
+      UTF8String.fromString(r._1), r._2, r._3, r._4, r._5, r._6,
+      UTF8String.fromString(r._7), r._8))
   }
 
-  /** Parse (mime, layer, bitrate_kbps, sample_rate, channels, duration_ms)
-    * from an MPEG-audio payload; null if not recognized/intact. */
-  def parse(b: Array[Byte]): (String, Int, Int, Int, Int, Long) = {
+  /** Parse (mime, layer, bitrate_kbps, sample_rate, channels,
+    * duration_ms, frame_map, n_frames) from an MPEG-audio payload; null
+    * if not recognized/intact. `frame_map` is ''/'xing'/'info'/'vbri';
+    * when a map carries a frame count, duration_ms is EXACT
+    * (frames x samples-per-frame / rate) instead of the CBR estimate. */
+  def parse(b: Array[Byte]): (String, Int, Int, Int, Int, Long, String, Long) = {
     if (b == null || b.length < 4) return null
     // optional ID3v2 prefix — shared syncsafe skip, see ByteReads.skipId3v2
     val off = ByteReads.skipId3v2(b, 4)
@@ -87,15 +95,54 @@ object MpegAudioHeader {
       case _ => SrV25(srIdx)
     }
     val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2 // mode 11 = mono
+    // VBR frame maps: a Layer III stream's FIRST frame may carry a total
+    // frame count — Xing/Info right after the side-info region (whose
+    // size depends on version x mono: 32/17 for MPEG1, 17/9 for MPEG2/
+    // 2.5), or Fraunhofer VBRI at a fixed 32 bytes past the header.
+    // Xing flags (BE u32) bit 0 gates the frame-count field; "Info" is
+    // the same layout written by CBR encoders. With a count, duration is
+    // EXACT (frames x samples-per-frame / rate); without one the CBR
+    // byte estimate stands — the documented-estimate boundary moves from
+    // "all MP3" to "headerless VBR only".
+    var frameMap = ""
+    var nFrames = 0L
+    if (layer == 3) {
+      val sideInfo =
+        if (verBits == 3) { if (channels == 1) 17 else 32 }
+        else { if (channels == 1) 9 else 17 }
+      val xOff = off + 4 + sideInfo
+      if (ByteReads.fourcc(b, xOff, "Xing") || ByteReads.fourcc(b, xOff, "Info")) {
+        if (xOff + 12 <= b.length && (ByteReads.be32(b, xOff + 4) & 1) != 0) {
+          val f = ByteReads.be32(b, xOff + 8) & 0xFFFFFFFFL
+          if (f > 0) {
+            frameMap = if (b(xOff) == 'X') "xing" else "info"
+            nFrames = f
+          }
+        }
+      } else {
+        val vOff = off + 4 + 32
+        // VBRI layout: magic, version u16, delay u16, quality u16,
+        // bytes u32, frames u32 — all big-endian
+        if (ByteReads.fourcc(b, vOff, "VBRI") && vOff + 18 <= b.length) {
+          val f = ByteReads.be32(b, vOff + 14) & 0xFFFFFFFFL
+          if (f > 0) { frameMap = "vbri"; nFrames = f }
+        }
+      }
+    }
+    val spf = if (layer == 1) 384 else if (layer == 2) 1152
+      else if (verBits == 3) 1152 else 576 // L3 halves under MPEG2/2.5
     val streamBytes = (b.length - off).toLong
-    val durationMs = streamBytes * 8L / kbps
-    ("audio/mpeg", layer, kbps, rate, channels, durationMs)
+    val durationMs =
+      if (nFrames > 0) nFrames * spf * 1000L / rate
+      else streamBytes * 8L / kbps
+    ("audio/mpeg", layer, kbps, rate, channels, durationMs, frameMap, nFrames)
   }
 }
 
 /** `mpeg_audio_meta(payload)` → struct<mime string, layer int,
-  * bitrate_kbps int, sample_rate int, channels int, duration_ms bigint>,
-  * null for unrecognized payloads — see [[MpegAudioHeader]]. */
+  * bitrate_kbps int, sample_rate int, channels int, duration_ms bigint,
+  * frame_map string, n_frames bigint>, null for unrecognized payloads —
+  * see [[MpegAudioHeader]]. */
 case class MpegAudioMetaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
@@ -103,7 +150,9 @@ case class MpegAudioMetaExpr(child: Expression) extends UnaryExpression {
     StructField("bitrate_kbps", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("frame_map", StringType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -327,6 +327,47 @@ object Multimodal {
       lit("application/octet-stream").as("mime"))
   }
 
+  /** Deterministic VBR MPEG-audio corpus: Layer III streams whose FIRST
+    * frame carries a frame map — Xing (every 3rd doc), "Info" (the CBR
+    * encoder variant, next 3rd), or Fraunhofer VBRI (the rest) — so the
+    * oracle certifies the map lookup at the version x mono-dependent
+    * side-info offset (32/17/17/9 — all four occur), the BE flags gate,
+    * the fixed-32 VBRI offset, and the EXACT frames x samples-per-frame
+    * duration arithmetic (1152 vs 576 for MPEG2 Layer III) replacing the
+    * CBR byte estimate. ID3v2 prefix on every 5th doc, as in the CBR
+    * corpus. Codegen projection, shuffle-free. */
+  def syntheticVbrMpegCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val mpeg1 = id % 2 === 0
+    // 0xE0 + verBits*8 + (4-layer)*2 + 1: Layer III, no CRC
+    val byte1 = when(mpeg1, 0xFB).otherwise(0xF3)
+    val srIdx = ((id - id % 3) / 3).cast("long") % 3
+    val byte2 = (id % 14 + 1) * 16 + srIdx * 4
+    val mono = id % 4 === 3
+    val byte3 = (id % 4) * 64
+    val sideInfo = when(mpeg1, when(mono, 17).otherwise(32))
+      .otherwise(when(mono, 9).otherwise(17))
+    val frames = id % 5000 + 1
+    val framesHex = lpad(hex(frames), 8, "0")
+    val mapKind = id % 3 // 0 = Xing, 1 = Info, 2 = VBRI
+    val xingBlock = concat(
+      when(mapKind === 0, "58696E67").otherwise("496E666F"), // "Xing"/"Info"
+      lit("00000001"), framesHex) // flags: frame count present
+    val vbriBlock = concat(lit("56425249" + "0001" + "0000" + "0000"),
+      lpad(hex(id % 90000 + 100), 8, "0"), framesHex)
+    val gap = when(mapKind === 2, 32).otherwise(sideInfo)
+    val block = when(mapKind === 2, vbriBlock).otherwise(xingBlock)
+    val blockBytes = when(mapKind === 2, 18).otherwise(12)
+    val total = id % 983 + 100 // >= the worst-case 4 + 32 + 18 map region
+    val tail = total - 4 - gap - blockBytes
+    val hexPayload = concat(id3v2PrefixHex(id), lit("FF"),
+      h2(byte1.cast("int")), h2(byte2.cast("int")), h2(byte3.cast("int")),
+      call_function("repeat", lit("00"), gap.cast("int")), block,
+      call_function("repeat", lit("00"), tail.cast("int")))
+    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("application/octet-stream").as("mime"))
+  }
+
   /** Deterministic AAC-in-ADTS corpus — the second compressed-audio leg
     * beside [[syntheticMpegAudioCorpus]] (r10 verdict Missing #1 names
     * MP3/AAC together): per doc, n_frames back-to-back ADTS frames with
@@ -752,6 +793,76 @@ object Multimodal {
         col("__img.width").as("width"), col("__img.height").as("height"),
         col("__aud.sample_rate").as("sample_rate"),
         col("__vid.duration_ms").as("duration_ms"))
+  }
+
+  /** MIXED compressed-media corpus: the family rotates by (doc_id/5)%5
+    * over the five compressed containers — MP3, AAC-ADTS, FLAC,
+    * Ogg/Opus, H.264 SPS — deliberately decoupled from every family's
+    * internal format selectors (layer/version by id%3 / id%2, the
+    * 13-entry ADTS rate table by id%13, Opus channels by id%8, AVC
+    * profile by id%3) so each (family, sub-format) combination occurs.
+    * Built as a UNION of the per-family builders over disjoint filtered
+    * slices: union is narrow (no shuffle), and each branch stays the
+    * same codegen'd construction projection the per-family queries
+    * certify. The dispatch input [[compressedTriage]] is oracled on. */
+  def mixedCompressedCorpus(docs: DataFrame): DataFrame = {
+    val fam = floor(col("doc_id") / 5) % 5
+    syntheticMpegAudioCorpus(docs.where(fam === 0))
+      .unionByName(syntheticAdtsCorpus(docs.where(fam === 1)))
+      .unionByName(syntheticFlacCorpus(docs.where(fam === 2)))
+      .unionByName(syntheticOggOpusCorpus(docs.where(fam === 3)))
+      .unionByName(syntheticAvcCorpus(docs.where(fam === 4)))
+  }
+
+  /** Ingest triage over COMPRESSED containers: route a mixed binary
+    * column by what its bytes actually are — ONE codegen'd projection
+    * running all five byte-level stream parsers, emitting the detected
+    * kind plus the dispatch metadata a curation gate filters on (nulls
+    * for the others). The five families are mutually exclusive on real
+    * payloads (certified as a full accept/refuse matrix in
+    * CompressedMetaSpec — notably ADTS never aliases into MP3: it plants
+    * layer=00 in exactly the bit position the MP3 parser refuses as
+    * reserved, both descending from the same ISO header layout), so
+    * routing is order-independent on well-formed inputs; precedence is
+    * still strongest-signature first — FLAC ("fLaC"), Ogg/Opus ("OggS"),
+    * ADTS (frame-length chain must walk the whole buffer), AVC
+    * (start-code + exp-Golomb structure), MPEG-audio LAST, because its
+    * 2-byte sync + table check is the weakest accept against the
+    * arbitrary bytes a crawler actually feeds this stage. Opus
+    * sample_rate is the DECODE rate, a constant 48 kHz by RFC 7845 §5.1
+    * (the OpusHead input rate is informational only). Unrecognized
+    * payloads surface as kind='unknown' rather than being dropped — the
+    * dead-letter decision belongs to the caller (T11 pattern).
+    * Stateless, shuffle-free, identical in batch and streaming. */
+  def compressedTriage(media: DataFrame): DataFrame = {
+    val flac = graft.functions.FlacMetaExpr.flac_meta(col("payload"))
+    val opus = graft.functions.OggOpusMetaExpr.ogg_opus_meta(col("payload"))
+    val adts = graft.functions.AdtsMetaExpr.adts_meta(col("payload"))
+    val avc = graft.functions.AvcSpsDimsExpr.avc_sps_dims(col("payload"))
+    val mp3 = graft.functions.MpegAudioMetaExpr.mpeg_audio_meta(col("payload"))
+    media
+      .withColumn("__flac", flac).withColumn("__opus", opus)
+      .withColumn("__adts", adts).withColumn("__avc", avc)
+      .withColumn("__mp3", mp3)
+      .select(col("doc_id"),
+        when(col("__flac").isNotNull || col("__opus").isNotNull ||
+          col("__adts").isNotNull, "audio")
+          .when(col("__avc").isNotNull, "video")
+          .when(col("__mp3").isNotNull, "audio")
+          .otherwise("unknown").as("kind"),
+        coalesce(col("__flac.mime"), col("__opus.mime"), col("__adts.mime"),
+          when(col("__avc").isNotNull, "video/h264"), col("__mp3.mime"))
+          .as("mime"),
+        coalesce(col("__flac.sample_rate"),
+          when(col("__opus").isNotNull, 48000),
+          col("__adts.sample_rate"), col("__mp3.sample_rate"))
+          .as("sample_rate"),
+        coalesce(col("__flac.channels"), col("__opus.channels"),
+          col("__adts.channels"), col("__mp3.channels")).as("channels"),
+        coalesce(col("__flac.duration_ms"), col("__opus.duration_ms"),
+          col("__adts.duration_ms"), col("__mp3.duration_ms"))
+          .as("duration_ms"),
+        col("__avc.width").as("width"), col("__avc.height").as("height"))
   }
 
   /** Decode stage: mapPartitions so a real codec amortizes per-partition

@@ -480,6 +480,24 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, 'audio/mpeg' AS mime, CAST(doc_id % 3 + 1 AS INTEGER) AS layer, CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN ([0,32,64,96,128,160,192,224,256,288,320,352,384,416,448])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 AND doc_id % 3 = 1 THEN ([0,32,48,56,64,80,96,112,128,160,192,224,256,320,384])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 3 = 0 THEN ([0,32,48,56,64,80,96,112,128,144,160,176,192,224,256])[CAST(doc_id % 14 + 2 AS INTEGER)] ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(doc_id % 14 + 2 AS INTEGER)] END AS INTEGER) AS bitrate_kbps, CAST(CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END AS INTEGER) AS sample_rate, CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels, CAST((doc_id % 983 + 100) * 8 // (CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN ([0,32,64,96,128,160,192,224,256,288,320,352,384,416,448])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 AND doc_id % 3 = 1 THEN ([0,32,48,56,64,80,96,112,128,160,192,224,256,320,384])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 3 = 0 THEN ([0,32,48,56,64,80,96,112,128,144,160,176,192,224,256])[CAST(doc_id % 14 + 2 AS INTEGER)] ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(doc_id % 14 + 2 AS INTEGER)] END) AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // E5 — VBR MPEG-audio duration via the Xing/Info/VBRI frame map:
+    // upgrades qe5i's documented CBR estimate to EXACT duration whenever
+    // the first Layer III frame carries a total-frame count. The oracle
+    // certifies the map lookup at the version x mono side-info offset
+    // (all four of 32/17/17/9 occur), the "Info" CBR variant, the
+    // fixed-32 VBRI offset with its BE field layout, and the
+    // frames x samples-per-frame arithmetic (1152 vs 576 for MPEG2 L3).
+    ("qe5o_vbr_mpeg", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticVbrMpegCorpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.MpegAudioMetaExpr.mpeg_audio_meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.frame_map").as("frame_map"), col("m.n_frames").as("n_frames"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), col("m.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'audio/mpeg' AS mime, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'xing' WHEN 1 THEN 'info' ELSE 'vbri' END AS frame_map, CAST(doc_id % 5000 + 1 AS BIGINT) AS n_frames, CAST(CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END AS INTEGER) AS sample_rate, CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels, CAST((doc_id % 5000 + 1) * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000 // (CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END) AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
+
     // E5 — H.264/AVC coded dimensions from the SPS NAL (r10 verdict
     // Missing #1, video leg): exp-Golomb bitstream parse with RBSP
     // emulation-prevention de-escape, the High-profile chroma block, and
@@ -559,6 +577,23 @@ object Extensions {
           col("m.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, 'audio/opus' AS mime, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST(doc_id % 1000 AS INTEGER) AS pre_skip, CAST((doc_id % 48 + 8) * 1000 AS BIGINT) AS input_sample_rate, CAST(CASE WHEN doc_id % 8 + 1 <= 2 THEN 0 ELSE 1 END AS INTEGER) AS mapping_family, CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + doc_id % 5 AS INTEGER) AS n_pages, CAST((doc_id % 960000 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
+
+    // E5 — COMPRESSED-media triage: route a mixed binary column across
+    // the five byte-level stream parsers (MP3 / AAC-ADTS / FLAC /
+    // Ogg-Opus / H.264 SPS) in ONE codegen'd projection — the ingest
+    // dispatch for the compressed half of a crawled corpus. Precedence
+    // is strongest-signature first with MPEG-audio LAST (weakest accept
+    // against arbitrary bytes — see Multimodal.compressedTriage; the
+    // five families are mutually exclusive on well-formed payloads,
+    // matrix-certified in CompressedMetaSpec). Family planted by (doc_id/5)%5,
+    // decoupled from every family's internal selectors, so the oracle
+    // certifies both each parser's accept AND the four refusals around
+    // it on every row. Stateless, shuffle-free.
+    ("qe5n_compressed_triage", (s: SparkSession, d: String) => {
+      Multimodal.compressedTriage(
+          Multimodal.mixedCompressedCorpus(Engine.Tables(s, d).documents))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'audio' AS kind, 'audio/mpeg' AS mime, CAST(CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END AS INTEGER) AS sample_rate, CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels, CAST((doc_id % 983 + 100) * 8 // (CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN ([0,32,64,96,128,160,192,224,256,288,320,352,384,416,448])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 AND doc_id % 3 = 1 THEN ([0,32,48,56,64,80,96,112,128,160,192,224,256,320,384])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 2 = 0 THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 2 AS INTEGER)] WHEN doc_id % 3 = 0 THEN ([0,32,48,56,64,80,96,112,128,144,160,176,192,224,256])[CAST(doc_id % 14 + 2 AS INTEGER)] ELSE ([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(doc_id % 14 + 2 AS INTEGER)] END) AS BIGINT) AS duration_ms, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height FROM documents WHERE (doc_id // 5) % 5 = 0 UNION ALL SELECT doc_id, 'audio' AS kind, 'audio/aac' AS mime, CAST(([96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000,7350])[CAST(doc_id % 13 + 1 AS INTEGER)] AS INTEGER) AS sample_rate, CAST(CASE WHEN doc_id % 7 + 1 = 7 THEN 8 ELSE doc_id % 7 + 1 END AS INTEGER) AS channels, CAST((doc_id % 40 + 1) * (doc_id % 4 + 1) * 1024 * 1000 // ([96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000,7350])[CAST(doc_id % 13 + 1 AS INTEGER)] AS BIGINT) AS duration_ms, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height FROM documents WHERE (doc_id // 5) % 5 = 1 UNION ALL SELECT doc_id, 'audio' AS kind, 'audio/flac' AS mime, CAST((doc_id % 48 + 8) * 1000 AS INTEGER) AS sample_rate, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST((doc_id % 100000 + 1) * 1000 // ((doc_id % 48 + 8) * 1000) AS BIGINT) AS duration_ms, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height FROM documents WHERE (doc_id // 5) % 5 = 2 UNION ALL SELECT doc_id, 'audio' AS kind, 'audio/opus' AS mime, CAST(48000 AS INTEGER) AS sample_rate, CAST(doc_id % 8 + 1 AS INTEGER) AS channels, CAST((doc_id % 960000 + 960) * 1000 // 48000 AS BIGINT) AS duration_ms, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height FROM documents WHERE (doc_id // 5) % 5 = 3 UNION ALL SELECT doc_id, 'video' AS kind, 'video/h264' AS mime, CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS INTEGER) AS channels, CAST(NULL AS BIGINT) AS duration_ms, CAST((doc_id % 320 + 1) * 2 AS INTEGER) AS width, CAST((doc_id % 240 + 1) * 2 AS INTEGER) AS height FROM documents WHERE (doc_id // 5) % 5 = 4 ORDER BY doc_id""")),
 
     // E5 — media triage: route a MIXED binary column by what its bytes
     // actually are (one projection running all three real container

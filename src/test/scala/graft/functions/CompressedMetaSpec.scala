@@ -73,6 +73,33 @@ class CompressedMetaSpec extends SparkTestBase {
     }
   }
 
+  test("synthetic VBR MPEG corpus round-trip: map kind, frame count, exact duration") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val parsed = graft.operators.Multimodal.syntheticVbrMpegCorpus(docs)
+      .select(col("doc_id"),
+        MpegAudioMetaExpr.mpeg_audio_meta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.frame_map"), col("m.n_frames"),
+        col("m.sample_rate"), col("m.channels"), col("m.duration_ms"))
+      .collect()
+    assert(parsed.nonEmpty && parsed.forall(!_.isNullAt(1)),
+      "every planted VBR payload must parse")
+    // all three map kinds and all four side-info shapes must occur
+    assert(parsed.map(_.getString(1)).toSet == Set("xing", "info", "vbri"))
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val map = Seq("xing", "info", "vbri")((id % 3).toInt)
+      val frames = id % 5000 + 1
+      val srIdx = ((id / 3) % 3).toInt
+      val rate = if (id % 2 == 0) Array(44100, 48000, 32000)(srIdx)
+        else Array(22050, 24000, 16000)(srIdx)
+      val spf = if (id % 2 == 0) 1152 else 576
+      val channels = if (id % 4 == 3) 1 else 2
+      assert((r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5))
+        == ((map, frames, rate, channels, frames * spf * 1000L / rate)),
+        s"doc $id mismatch")
+    }
+  }
+
   test("adts_meta: expression and SQL agree; other families refuse") {
     import spark.implicits._
     AdtsMetaExpr.register(spark)
@@ -99,6 +126,46 @@ class CompressedMetaSpec extends SparkTestBase {
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
     assert(viaCol == Seq((1L, "LC", 2, 23L), (2L, "", -1, -1L),
       (3L, "", -1, -1L)))
+  }
+
+  test("compressed-parser refusal matrix: each corpus parses ONLY under its own family") {
+    // compressedTriage runs five parsers in one projection; its routing
+    // is only deterministic if the families are mutually exclusive on
+    // real payloads. They are — notably ADTS never aliases into MP3,
+    // because both descend from the same ISO header layout: ADTS plants
+    // layer=00 in exactly the bit position MpegAudioHeader reads as its
+    // layer field, and 00 is the reserved value it refuses. Certify the
+    // full matrix over the planted corpora: every diagonal cell is
+    // all-accept, every off-diagonal cell all-refuse (the VBR MP3 corpus
+    // is a second mp3-diagonal row). MP3 still runs LAST in the triage:
+    // its 2-byte sync + table check is the weakest signature against
+    // arbitrary crawl bytes, even though it is exclusive on these five.
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    def payloads(df: org.apache.spark.sql.DataFrame): Array[Array[Byte]] =
+      df.select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val corpora: Seq[(String, Array[Array[Byte]])] = Seq(
+      "mp3" -> payloads(graft.operators.Multimodal.syntheticMpegAudioCorpus(docs)),
+      "mp3vbr" -> payloads(graft.operators.Multimodal.syntheticVbrMpegCorpus(docs)),
+      "adts" -> payloads(graft.operators.Multimodal.syntheticAdtsCorpus(docs)),
+      "flac" -> payloads(graft.operators.Multimodal.syntheticFlacCorpus(docs)),
+      "opus" -> payloads(graft.operators.Multimodal.syntheticOggOpusCorpus(docs)),
+      "avc" -> payloads(graft.operators.Multimodal.syntheticAvcCorpus(docs)))
+    val parsers: Seq[(String, Array[Byte] => Boolean)] = Seq(
+      "mp3" -> (b => MpegAudioHeader.parse(b) != null),
+      "adts" -> (b => AdtsHeader.parse(b) != null),
+      "flac" -> (b => FlacHeader.parse(b) != null),
+      "opus" -> (b => OggOpusHeader.parse(b) != null),
+      "avc" -> (b => AvcSpsHeader.parse(b) != null))
+    corpora.foreach { case (cname, ps) =>
+      assert(ps.nonEmpty)
+      parsers.foreach { case (pname, accept) =>
+        val n = ps.count(accept)
+        if (cname == pname || (cname == "mp3vbr" && pname == "mp3"))
+          assert(n == ps.length, s"($cname, $pname): own parser refused ${ps.length - n}")
+        else
+          assert(n == 0, s"($cname, $pname): $n cross-family acceptances")
+      }
+    }
   }
 
   test("synthetic ADTS corpus round-trip: planted params parse back exactly") {

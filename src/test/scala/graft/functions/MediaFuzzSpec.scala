@@ -45,6 +45,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     // ID3v2 (syncsafe size 10) + MPEG1 Layer III 128 kbps 44.1 kHz stereo
     // frame header + a little padding
     "mp3" -> hex("494433 0400 00 0000000A" + "00" * 10 + "FFFB9000" + "00" * 16),
+    // Xing-mapped VBR MP3 (MPEG1 stereo: map at 4+32; see golden test)
+    "mp3vbr" -> hex("FFFB9000" + "00" * 32 + "58696E67" + "00000001" +
+      "000000C8"),
     // hand-derived golden ADTS frame (see the golden-vector test below)
     "aac" -> hex("FFF15080011FFCAA"),
     // hand-derived golden FLAC STREAMINFO (see the golden-vector test)
@@ -125,25 +128,25 @@ class MediaFuzzSpec extends AnyFunSuite {
     // most common MP3 header on earth. 20 payload bytes -> 160 bits /
     // 128 kbps = 1 ms.
     assert(MpegAudioHeader.parse(hex("FFFB9000" + "00" * 16))
-      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L, "", 0L))
     // same stream behind an ID3v2 tag (syncsafe size 10): the 10-byte
     // header + 10-byte body must be skipped and EXCLUDED from duration
     assert(MpegAudioHeader.parse(
       hex("494433 0400 00 0000000A" + "00" * 10 + "FFFB9000" + "00" * 16))
-      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L, "", 0L))
     // FF F3 22 C0: MPEG2 (10), Layer III, bitrate idx 2 -> 16 kbps
     // (V2 L2/L3 table), sr idx 0 -> 22050, mode 11 -> mono
     assert(MpegAudioHeader.parse(hex("FFF322C0" + "00" * 12))
-      == ("audio/mpeg", 3, 16, 22050, 1, 8L))
+      == ("audio/mpeg", 3, 16, 22050, 1, 8L, "", 0L))
     // ID3v2 FOOTER flag (0x10): ten more bytes precede the frame — an
     // unskipped footer would misread the frame header as garbage
     assert(MpegAudioHeader.parse(
       hex("494433 0400 10 0000000A" + "00" * 10 + "00" * 10 + "FFFB9000" + "00" * 16))
-      == ("audio/mpeg", 3, 128, 44100, 2, 1L))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1L, "", 0L))
     // FF E3 22 C0: MPEG2.5 (version bits 00), Layer III, bitrate idx 2 ->
     // 16 kbps (V2 tables), sr idx 0 -> 11025 (the 2.5 table's halved rates)
     assert(MpegAudioHeader.parse(hex("FFE322C0" + "00" * 12))
-      == ("audio/mpeg", 3, 16, 11025, 1, 8L))
+      == ("audio/mpeg", 3, 16, 11025, 1, 8L, "", 0L))
     // refusals: free bitrate (idx 0), invalid idx 15, reserved sample-rate
     // idx 3, reserved version bits (01), reserved layer bits (00)
     assert(MpegAudioHeader.parse(hex("FFFB0000")) == null)
@@ -151,6 +154,46 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(MpegAudioHeader.parse(hex("FFFB9C00")) == null)
     assert(MpegAudioHeader.parse(hex("FFEB9000")) == null)
     assert(MpegAudioHeader.parse(hex("FFF99000")) == null)
+  }
+
+  test("VBR frame-map golden vectors: Xing/Info/VBRI hand-derived offsets and exact durations") {
+    // Xing, MPEG1 stereo: side info 32, so the map sits at 4+32. Flags
+    // BE 00000001 = frame count present; 0xC8 = 200 frames. Duration is
+    // EXACT: 200 * 1152 * 1000 / 44100 = 5224 ms (not the byte estimate).
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000000C8"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 5224L, "xing", 200L))
+    // "Info" (CBR encoder variant, same layout), MPEG2 MONO: side info 9.
+    // 100 frames x 576 (MPEG2 Layer III halves) * 1000 / 22050 = 2612 ms.
+    assert(MpegAudioHeader.parse(hex(
+      "FFF322C0" + "00" * 9 + "496E666F" + "00000001" + "00000064"))
+      == ("audio/mpeg", 3, 16, 22050, 1, 2612L, "info", 100L))
+    // MPEG1 MONO Xing: side info 17, not 32 — the offset must follow the
+    // version x mode table. 300 frames -> 300*1152*1000/44100 = 7836 ms.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB90C0" + "00" * 17 + "58696E67" + "00000001" + "0000012C"))
+      == ("audio/mpeg", 3, 128, 44100, 1, 7836L, "xing", 300L))
+    // VBRI sits at a FIXED 32 bytes past the header: magic, version u16,
+    // delay u16, quality u16, bytes u32, frames u32 (all BE). 50 frames
+    // -> 50*1152*1000/44100 = 1306 ms.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "00" * 32 + "56425249" + "0001" + "0000" + "0000" +
+        "00001000" + "00000032"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1306L, "vbri", 50L))
+    // Xing present but flags bit 0 CLEAR (toc+bytes only): no frame
+    // count -> the CBR byte estimate stands. 48 bytes * 8 / 128 = 3 ms.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "00" * 32 + "58696E67" + "00000006" + "00000000"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 3L, "", 0L))
+    // Xing magic at the WRONG offset (right after the header, ignoring
+    // side info) must NOT be honored — 36 bytes * 8 / 128 = 2 ms CBR.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "58696E67" + "00000001" + "000000C8" + "00" * 20))
+      == ("audio/mpeg", 3, 128, 44100, 2, 2L, "", 0L))
+    // a frame count of ZERO under a set flag is no map at all
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "00000000"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 3L, "", 0L))
   }
 
   test("ADTS golden vectors: hand-derived frames decode to the published values") {

@@ -78,7 +78,8 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     Seq("qe5c_image_dims", "qe5d_audio_meta", "qe5e_video_meta",
       "qe5f_media_triage", "qe59_utf8_triage",
       "qe5i_mpeg_audio", "qe5j_avc_sps", "qe5k_aac_adts",
-      "qe5l_flac", "qe5m_ogg_opus").foreach { q =>
+      "qe5l_flac", "qe5m_ogg_opus", "qe5n_compressed_triage",
+      "qe5o_vbr_mpeg").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, Sf0001)
       df.collect() // finalize the adaptive plan in place
       val plan = planOf(df)

@@ -1188,6 +1188,36 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming compressed triage replay == batch (stateless five-parser projection)") {
+    // the compressed-container dispatch stage: identical kind/metadata
+    // rows whether the mixed corpus arrives as a table or micro-batches
+    val media = graft.operators.Multimodal.mixedCompressedCorpus(
+      Engine.Tables(spark, Sf0001).documents).select("doc_id", "payload", "mime")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+      Option(r.get(6)), Option(r.get(7)))
+    val want = graft.operators.Multimodal.compressedTriage(media)
+      .collect().map(key).toSet
+    assert(want.nonEmpty && want.exists(_._2 == "audio") &&
+      want.exists(_._2 == "video") && !want.exists(_._2 == "unknown"))
+
+    val input = MemoryStream[(Long, Array[Byte], String)](spark)
+    val q = graft.operators.Multimodal.compressedTriage(
+        input.toDF().toDF("doc_id", "payload", "mime"))
+      .writeStream.format("memory").queryName("t_ctriage")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = media.collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_ctriage").collect().map(key).toSet
+      assert(got == want,
+        s"stream triage diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming drift card against a frozen vocab == batch (bounded sources x k state)") {
     val docs = Engine.Tables(spark, Sf0001).documents.select("doc_id", "source", "text")
     val vocab = graft.operators.TextAnalysis.vocabFit(docs, 100).localCheckpoint()
