@@ -107,7 +107,7 @@ object AdtsHeader {
 /** `adts_meta(payload)` → struct<mime string, profile string,
   * sample_rate int, channels int, n_frames int, duration_ms bigint>,
   * null for unrecognized payloads — see [[AdtsHeader]]. */
-case class AdtsMetaExpr(child: Expression) extends UnaryExpression {
+case class AdtsMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("profile", StringType, nullable = false),
@@ -115,24 +115,10 @@ case class AdtsMetaExpr(child: Expression) extends UnaryExpression {
     StructField("channels", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"adts_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    AdtsHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("adtsMeta")
-      s"""
-         |InternalRow $out = graft.functions.AdtsHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "adts_meta"
+  override def computeClassName: String = "graft.functions.AdtsHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    AdtsHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -146,10 +132,5 @@ object AdtsMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "adts_meta", exprs => {
-        require(exprs.length == 1,
-          s"adts_meta requires exactly 1 argument, got ${exprs.length}")
-        AdtsMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "adts_meta", AdtsMetaExpr(_))
 }

@@ -141,31 +141,17 @@ object AudioHeader {
 /** `audio_meta(payload)` → struct<mime string, channels int, sample_rate
   * int, bits int, n_frames bigint>, null for unrecognized payloads — see
   * [[AudioHeader]]. */
-case class AudioMetaExpr(child: Expression) extends UnaryExpression {
+case class AudioMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("bits", IntegerType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"audio_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    AudioHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("audioMeta")
-      s"""
-         |InternalRow $out = graft.functions.AudioHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "audio_meta"
+  override def computeClassName: String = "graft.functions.AudioHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    AudioHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -179,10 +165,5 @@ object AudioMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "audio_meta", exprs => {
-        require(exprs.length == 1,
-          s"audio_meta requires exactly 1 argument, got ${exprs.length}")
-        AudioMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "audio_meta", AudioMetaExpr(_))
 }

@@ -237,30 +237,16 @@ object AvcSpsHeader {
 /** `avc_sps_dims(payload)` → struct<profile_idc int, level_idc int,
   * width int, height int>, null for non-SPS payloads — see
   * [[AvcSpsHeader]]. */
-case class AvcSpsDimsExpr(child: Expression) extends UnaryExpression {
+case class AvcSpsDimsExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("profile_idc", IntegerType, nullable = false),
     StructField("level_idc", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"avc_sps_dims expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    AvcSpsHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("spsDims")
-      s"""
-         |InternalRow $out = graft.functions.AvcSpsHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "avc_sps_dims"
+  override def computeClassName: String = "graft.functions.AvcSpsHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    AvcSpsHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -274,12 +260,7 @@ object AvcSpsDimsExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avc_sps_dims", exprs => {
-        require(exprs.length == 1,
-          s"avc_sps_dims requires exactly 1 argument, got ${exprs.length}")
-        AvcSpsDimsExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "avc_sps_dims", AvcSpsDimsExpr(_))
 }
 
 /** `avc_sps_fixture(profile, level, width, height)` → binary SPS NAL —

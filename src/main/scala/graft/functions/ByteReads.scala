@@ -63,4 +63,14 @@ private[graft] object ByteReads {
     if (next + need > b.length) return -1
     next.toInt
   }
+
+  /** Bytes a trailing ID3v1 tag occupies: 128 when the payload ends in
+    * the exact 128-byte "TAG" trailer (and at least `from`+128 bytes
+    * remain so an all-tag payload still refuses upstream), else 0. Used
+    * by byte-count duration estimates — a tag counted as stream bytes
+    * overstates duration by 1024/kbps ms. The frame-walking parsers
+    * (ADTS) instead pin the tag at a frame boundary structurally. */
+  def trailingId3v1(b: Array[Byte], from: Int): Int =
+    if (b.length - from > 128 && b(b.length - 128) == 'T' &&
+      b(b.length - 127) == 'A' && b(b.length - 126) == 'G') 128 else 0
 }

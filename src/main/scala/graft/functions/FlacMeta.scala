@@ -66,7 +66,7 @@ object FlacHeader {
   * channels int, bits_per_sample int, total_samples bigint,
   * duration_ms bigint>, null for unrecognized payloads — see
   * [[FlacHeader]]. */
-case class FlacMetaExpr(child: Expression) extends UnaryExpression {
+case class FlacMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
@@ -74,24 +74,10 @@ case class FlacMetaExpr(child: Expression) extends UnaryExpression {
     StructField("bits_per_sample", IntegerType, nullable = false),
     StructField("total_samples", LongType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"flac_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    FlacHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("flacMeta")
-      s"""
-         |InternalRow $out = graft.functions.FlacHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "flac_meta"
+  override def computeClassName: String = "graft.functions.FlacHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    FlacHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -105,10 +91,5 @@ object FlacMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "flac_meta", exprs => {
-        require(exprs.length == 1,
-          s"flac_meta requires exactly 1 argument, got ${exprs.length}")
-        FlacMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "flac_meta", FlacMetaExpr(_))
 }

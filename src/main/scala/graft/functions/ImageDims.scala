@@ -111,29 +111,15 @@ object ImageHeader {
 
 /** `image_dims(payload)` → struct<mime string, width int, height int>,
   * null for unrecognized payloads — see [[ImageHeader]]. */
-case class ImageDimsExpr(child: Expression) extends UnaryExpression {
+case class ImageDimsExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"image_dims expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    ImageHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("imgDims")
-      s"""
-         |InternalRow $out = graft.functions.ImageHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "image_dims"
+  override def computeClassName: String = "graft.functions.ImageHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    ImageHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -147,10 +133,5 @@ object ImageDimsExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "image_dims", exprs => {
-        require(exprs.length == 1,
-          s"image_dims requires exactly 1 argument, got ${exprs.length}")
-        ImageDimsExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "image_dims", ImageDimsExpr(_))
 }

@@ -110,8 +110,20 @@ object MpegAudioHeader {
       val sideInfo =
         if (verBits == 3) { if (channels == 1) 17 else 32 }
         else { if (channels == 1) 9 else 17 }
-      val xOff = off + 4 + sideInfo
-      if (ByteReads.fourcc(b, xOff, "Xing") || ByteReads.fourcc(b, xOff, "Info")) {
+      // protection_absent = 0 inserts a 16-bit CRC between header and
+      // side info (ISO 11172-3), shifting a spec-placed map by 2 —
+      // but LAME/ffmpeg/taglib write and read at the CRC-IGNORING
+      // offset, so probe that first and the spec offset second. Both
+      // magics are 4-byte tags; a false positive needs them at one of
+      // two exact offsets inside real audio data.
+      val crc = if ((h1 & 1) == 0) 2 else 0
+      def magicAt(p: Int): Boolean =
+        ByteReads.fourcc(b, p, "Xing") || ByteReads.fourcc(b, p, "Info")
+      val xBase = off + 4 + sideInfo
+      val xOff = if (magicAt(xBase)) xBase
+        else if (crc > 0 && magicAt(xBase + crc)) xBase + crc
+        else -1
+      if (xOff >= 0) {
         if (xOff + 12 <= b.length && (ByteReads.be32(b, xOff + 4) & 1) != 0) {
           val f = ByteReads.be32(b, xOff + 8) & 0xFFFFFFFFL
           if (f > 0) {
@@ -120,10 +132,13 @@ object MpegAudioHeader {
           }
         }
       } else {
-        val vOff = off + 4 + 32
         // VBRI layout: magic, version u16, delay u16, quality u16,
-        // bytes u32, frames u32 — all big-endian
-        if (ByteReads.fourcc(b, vOff, "VBRI") && vOff + 18 <= b.length) {
+        // bytes u32, frames u32 — all big-endian; same CRC fallback
+        val vBase = off + 4 + 32
+        val vOff = if (ByteReads.fourcc(b, vBase, "VBRI")) vBase
+          else if (crc > 0 && ByteReads.fourcc(b, vBase + crc, "VBRI")) vBase + crc
+          else -1
+        if (vOff >= 0 && vOff + 18 <= b.length) {
           val f = ByteReads.be32(b, vOff + 14) & 0xFFFFFFFFL
           if (f > 0) { frameMap = "vbri"; nFrames = f }
         }
@@ -131,7 +146,10 @@ object MpegAudioHeader {
     }
     val spf = if (layer == 1) 384 else if (layer == 2) 1152
       else if (verBits == 3) 1152 else 576 // L3 halves under MPEG2/2.5
-    val streamBytes = (b.length - off).toLong
+    // a trailing ID3v1 tag is metadata, not audio — excluded from the
+    // byte estimate exactly like the ID3v2 prefix (and like the sibling
+    // ADTS walk, which pins the same trailer at a frame boundary)
+    val streamBytes = (b.length - off - ByteReads.trailingId3v1(b, off)).toLong
     val durationMs =
       if (nFrames > 0) nFrames * spf * 1000L / rate
       else streamBytes * 8L / kbps
@@ -143,7 +161,7 @@ object MpegAudioHeader {
   * bitrate_kbps int, sample_rate int, channels int, duration_ms bigint,
   * frame_map string, n_frames bigint>, null for unrecognized payloads —
   * see [[MpegAudioHeader]]. */
-case class MpegAudioMetaExpr(child: Expression) extends UnaryExpression {
+case class MpegAudioMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("layer", IntegerType, nullable = false),
@@ -153,24 +171,10 @@ case class MpegAudioMetaExpr(child: Expression) extends UnaryExpression {
     StructField("duration_ms", LongType, nullable = false),
     StructField("frame_map", StringType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"mpeg_audio_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    MpegAudioHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("mpegMeta")
-      s"""
-         |InternalRow $out = graft.functions.MpegAudioHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "mpeg_audio_meta"
+  override def computeClassName: String = "graft.functions.MpegAudioHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    MpegAudioHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -184,10 +188,5 @@ object MpegAudioMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mpeg_audio_meta", exprs => {
-        require(exprs.length == 1,
-          s"mpeg_audio_meta requires exactly 1 argument, got ${exprs.length}")
-        MpegAudioMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "mpeg_audio_meta", MpegAudioMetaExpr(_))
 }

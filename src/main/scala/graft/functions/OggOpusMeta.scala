@@ -131,7 +131,7 @@ object OggOpusHeader {
   * pre_skip int, input_sample_rate bigint, mapping_family int,
   * n_pages int, duration_ms bigint>, null for unrecognized payloads —
   * see [[OggOpusHeader]]. */
-case class OggOpusMetaExpr(child: Expression) extends UnaryExpression {
+case class OggOpusMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
@@ -140,24 +140,10 @@ case class OggOpusMetaExpr(child: Expression) extends UnaryExpression {
     StructField("mapping_family", IntegerType, nullable = false),
     StructField("n_pages", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"ogg_opus_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    OggOpusHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("oggOpusMeta")
-      s"""
-         |InternalRow $out = graft.functions.OggOpusHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "ogg_opus_meta"
+  override def computeClassName: String = "graft.functions.OggOpusHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    OggOpusHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -171,10 +157,5 @@ object OggOpusMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ogg_opus_meta", exprs => {
-        require(exprs.length == 1,
-          s"ogg_opus_meta requires exactly 1 argument, got ${exprs.length}")
-        OggOpusMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "ogg_opus_meta", OggOpusMetaExpr(_))
 }

@@ -75,31 +75,17 @@ object Utf8Stats {
 
 /** `utf8_stats(payload)` → struct<valid boolean, n_bytes int, n_chars int,
   * n_invalid int, n_ascii int> — see [[Utf8Stats]]. */
-case class Utf8StatsExpr(child: Expression) extends UnaryExpression {
+case class Utf8StatsExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("valid", BooleanType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_invalid", IntegerType, nullable = false),
     StructField("n_ascii", IntegerType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"utf8_stats expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    Utf8Stats.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("utf8Stats")
-      s"""
-         |InternalRow $out = graft.functions.Utf8Stats.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "utf8_stats"
+  override def computeClassName: String = "graft.functions.Utf8Stats"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    Utf8Stats.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -113,10 +99,5 @@ object Utf8StatsExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "utf8_stats", exprs => {
-        require(exprs.length == 1,
-          s"utf8_stats requires exactly 1 argument, got ${exprs.length}")
-        Utf8StatsExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "utf8_stats", Utf8StatsExpr(_))
 }

@@ -114,31 +114,17 @@ object VideoHeader {
 /** `video_meta(payload)` → struct<mime string, timescale int, duration
   * bigint, duration_ms bigint, n_tracks int>, null for unrecognized
   * payloads — see [[VideoHeader]]. */
-case class VideoMetaExpr(child: Expression) extends UnaryExpression {
+case class VideoMetaExpr(child: Expression) extends BinaryMetaExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("timescale", IntegerType, nullable = false),
     StructField("duration", LongType, nullable = false),
     StructField("duration_ms", LongType, nullable = false),
     StructField("n_tracks", IntegerType, nullable = false)))
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"video_meta expects binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    VideoHeader.compute(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("videoMeta")
-      s"""
-         |InternalRow $out = graft.functions.VideoHeader.compute($c);
-         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
-       """.stripMargin
-    })
+  override def fnName: String = "video_meta"
+  override def computeClassName: String = "graft.functions.VideoHeader"
+  override protected def compute(b: Array[Byte]): InternalRow =
+    VideoHeader.compute(b)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -152,10 +138,5 @@ object VideoMetaExpr {
   /** SQL registration on an existing session (production wiring goes
     * through [[graft.plans.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "video_meta", exprs => {
-        require(exprs.length == 1,
-          s"video_meta requires exactly 1 argument, got ${exprs.length}")
-        VideoMetaExpr(exprs.head)
-      }, "built-in")
+    BinaryMetaExpr.register(spark, "video_meta", VideoMetaExpr(_))
 }

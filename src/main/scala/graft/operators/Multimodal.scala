@@ -806,7 +806,10 @@ object Multimodal {
     * same codegen'd construction projection the per-family queries
     * certify. The dispatch input [[compressedTriage]] is oracled on. */
   def mixedCompressedCorpus(docs: DataFrame): DataFrame = {
-    val fam = floor(col("doc_id") / 5) % 5
+    // integer `div`, not floor(x/5): `/` on integral columns is DOUBLE
+    // division, which diverges from the oracle's `doc_id // 5` once ids
+    // exceed 2^52 — exact integer semantics at any corpus scale
+    val fam = expr("doc_id div 5") % 5
     syntheticMpegAudioCorpus(docs.where(fam === 0))
       .unionByName(syntheticAdtsCorpus(docs.where(fam === 1)))
       .unionByName(syntheticFlacCorpus(docs.where(fam === 2)))

@@ -145,58 +145,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[graft.functions.SrpBucketsExpr],
       graft.functions.SrpBucketsExpr.fromSql))
     ext.injectFunction(fn("image_dims",
-      classOf[graft.functions.ImageDimsExpr], exprs => {
-        require(exprs.length == 1,
-          s"image_dims requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.ImageDimsExpr(exprs.head)
-      }))
+      classOf[graft.functions.ImageDimsExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("image_dims",
+        graft.functions.ImageDimsExpr(_))))
     ext.injectFunction(fn("audio_meta",
-      classOf[graft.functions.AudioMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"audio_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.AudioMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.AudioMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("audio_meta",
+        graft.functions.AudioMetaExpr(_))))
     ext.injectFunction(fn("video_meta",
-      classOf[graft.functions.VideoMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"video_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.VideoMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.VideoMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("video_meta",
+        graft.functions.VideoMetaExpr(_))))
     ext.injectFunction(fn("utf8_stats",
-      classOf[graft.functions.Utf8StatsExpr], exprs => {
-        require(exprs.length == 1,
-          s"utf8_stats requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.Utf8StatsExpr(exprs.head)
-      }))
+      classOf[graft.functions.Utf8StatsExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("utf8_stats",
+        graft.functions.Utf8StatsExpr(_))))
     ext.injectFunction(fn("mpeg_audio_meta",
-      classOf[graft.functions.MpegAudioMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"mpeg_audio_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.MpegAudioMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.MpegAudioMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("mpeg_audio_meta",
+        graft.functions.MpegAudioMetaExpr(_))))
     ext.injectFunction(fn("avc_sps_dims",
-      classOf[graft.functions.AvcSpsDimsExpr], exprs => {
-        require(exprs.length == 1,
-          s"avc_sps_dims requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.AvcSpsDimsExpr(exprs.head)
-      }))
+      classOf[graft.functions.AvcSpsDimsExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("avc_sps_dims",
+        graft.functions.AvcSpsDimsExpr(_))))
     ext.injectFunction(fn("adts_meta",
-      classOf[graft.functions.AdtsMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"adts_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.AdtsMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.AdtsMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("adts_meta",
+        graft.functions.AdtsMetaExpr(_))))
     ext.injectFunction(fn("flac_meta",
-      classOf[graft.functions.FlacMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"flac_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.FlacMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.FlacMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("flac_meta",
+        graft.functions.FlacMetaExpr(_))))
     ext.injectFunction(fn("ogg_opus_meta",
-      classOf[graft.functions.OggOpusMetaExpr], exprs => {
-        require(exprs.length == 1,
-          s"ogg_opus_meta requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.OggOpusMetaExpr(exprs.head)
-      }))
+      classOf[graft.functions.OggOpusMetaExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("ogg_opus_meta",
+        graft.functions.OggOpusMetaExpr(_))))
   }
 }

@@ -194,6 +194,43 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(MpegAudioHeader.parse(hex(
       "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "00000000"))
       == ("audio/mpeg", 3, 128, 44100, 2, 3L, "", 0L))
+    // CRC-protected frame (protection_absent=0 -> 0xFA), Xing at the
+    // SPEC offset 4+2(CRC)+32: the fallback probe must find it.
+    // 54 bytes would estimate 3 ms; the map gives the exact 5224.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFA9000" + "0000" + "00" * 32 + "58696E67" + "00000001" + "000000C8"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 5224L, "xing", 200L))
+    // CRC-protected frame, Xing at the CRC-IGNORING offset 4+32 (what
+    // LAME/ffmpeg actually write): the primary probe finds it.
+    assert(MpegAudioHeader.parse(hex(
+      "FFFA9000" + "00" * 32 + "58696E67" + "00000001" + "000000C8"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 5224L, "xing", 200L))
+    // CRC-protected VBRI at the spec offset 4+2+32, via the same fallback
+    assert(MpegAudioHeader.parse(hex(
+      "FFFA9000" + "0000" + "00" * 32 + "56425249" + "0001" + "0000" +
+        "0000" + "00001000" + "00000032"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 1306L, "vbri", 50L))
+    // NO CRC -> no fallback: a map at 4+2+sideInfo of a protection-
+    // absent frame is inside audio data, not honored (50 B -> 3 ms CBR)
+    assert(MpegAudioHeader.parse(hex(
+      "FFFB9000" + "0000" + "00" * 32 + "58696E67" + "00000001" + "000000C8"))
+      == ("audio/mpeg", 3, 128, 44100, 2, 3L, "", 0L))
+  }
+
+  test("trailing ID3v1 tag is metadata, not stream bytes, in the CBR estimate") {
+    // 64 audio bytes + the exact 128-byte "TAG" trailer: 64*8/128 = 4 ms
+    // (counting the tag would say 12 ms) — same convention the ADTS walk
+    // pins structurally at a frame boundary
+    val tag = "544147" + "00" * 125
+    assert(MpegAudioHeader.parse(hex("FFFB9000" + "00" * 60 + tag))
+      == ("audio/mpeg", 3, 128, 44100, 2, 4L, "", 0L))
+    // header + nothing but the tag: zero stream bytes, zero duration
+    assert(MpegAudioHeader.parse(hex("FFFB9000" + tag))
+      == ("audio/mpeg", 3, 128, 44100, 2, 0L, "", 0L))
+    // 128 bytes from the end but NOT the trailer magic: counted as audio
+    assert(MpegAudioHeader.parse(hex("FFFB9000" + "00" * 60 + "424147" +
+      "00" * 125))
+      == ("audio/mpeg", 3, 128, 44100, 2, 12L, "", 0L))
   }
 
   test("ADTS golden vectors: hand-derived frames decode to the published values") {
