@@ -41,6 +41,24 @@ private[graft] object ByteReads {
     off + 4 <= b.length && b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
       b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
 
+  /** ID3 SYNCSAFE u28 at `i` (7 bits per byte, top bit of each MUST be
+    * zero — a plain u32 read would overshoot 8x), or -1 when a top bit
+    * is set (torn/not-syncsafe) or fewer than 4 bytes remain. ONE
+    * definition shared by the tag-skip and the tag/frame-size reads in
+    * [[Id3v2Tags]] — the v2.4-frame-size-is-syncsafe subtlety must not
+    * fork. */
+  def syncsafe32(b: Array[Byte], i: Int): Int = {
+    if (i + 4 > b.length) return -1
+    var size = 0
+    var j = i
+    while (j < i + 4) {
+      if ((b(j) & 0x80) != 0) return -1
+      size = (size << 7) | (b(j) & 0x7F)
+      j += 1
+    }
+    size
+  }
+
   /** Offset just past an optional ID3v2 prefix tag — "ID3", 2 version
     * bytes, 1 flags byte, then a 4-byte SYNCSAFE size (7 bits per byte,
     * top bit zero — a plain u32 read would overshoot 8x) counting the
@@ -51,13 +69,8 @@ private[graft] object ByteReads {
     * parsers — the syncsafe subtlety must not fork. */
   def skipId3v2(b: Array[Byte], need: Int): Int = {
     if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
-    var size = 0
-    var i = 6
-    while (i < 10) {
-      if ((b(i) & 0x80) != 0) return -1
-      size = (size << 7) | (b(i) & 0x7F)
-      i += 1
-    }
+    val size = syncsafe32(b, 6)
+    if (size < 0) return -1
     val footer = if ((b(5) & 0x10) != 0) 10 else 0
     val next = 10L + size + footer
     if (next + need > b.length) return -1
@@ -65,12 +78,14 @@ private[graft] object ByteReads {
   }
 
   /** Bytes a trailing ID3v1 tag occupies: 128 when the payload ends in
-    * the exact 128-byte "TAG" trailer (and at least `from`+128 bytes
-    * remain so an all-tag payload still refuses upstream), else 0. Used
-    * by byte-count duration estimates — a tag counted as stream bytes
+    * the exact 128-byte "TAG" trailer that starts AFTER the 4-byte frame
+    * header at `from` (>= from+4 — a 'T' in the header's own channel-mode
+    * byte, e.g. h3=0x54, must not alias into a tag that would deflate the
+    * stream-byte count below the header it overlaps), else 0. Used by
+    * byte-count duration estimates — a tag counted as stream bytes
     * overstates duration by 1024/kbps ms. The frame-walking parsers
     * (ADTS) instead pin the tag at a frame boundary structurally. */
   def trailingId3v1(b: Array[Byte], from: Int): Int =
-    if (b.length - from > 128 && b(b.length - 128) == 'T' &&
+    if (b.length - from >= 132 && b(b.length - 128) == 'T' &&
       b(b.length - 127) == 'A' && b(b.length - 126) == 'G') 128 else 0
 }

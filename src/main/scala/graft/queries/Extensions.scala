@@ -42,9 +42,6 @@ object Extensions {
     (old, neuDocs)
   }
 
-  /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
-    * IDENTICAL results by construction): one decontamination oracle so a
-    * semantics fix cannot reach one twin and miss the other. */
   /** qe43/qe61's ONE cross-snapshot split + frozen band-index artifact:
     * the certificate (qe61 'incremental' path) must probe EXACTLY the
     * artifact the production query (qe43) probes — a copy-pasted split
@@ -68,6 +65,9 @@ object Extensions {
   private def crossSnapshotPair: org.apache.spark.sql.Column =
     (col("da") % 10 === 7) =!= (col("db") % 10 === 7)
 
+  /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
+    * IDENTICAL results by construction): one decontamination oracle so a
+    * semantics fix cannot reach one twin and miss the other. */
   private val DecontaminateSql =
     """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
 

@@ -231,6 +231,14 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(MpegAudioHeader.parse(hex("FFFB9000" + "00" * 60 + "424147" +
       "00" * 125))
       == ("audio/mpeg", 3, 128, 44100, 2, 12L, "", 0L))
+    // a "tag" that would OVERLAP the frame header is impossible for a
+    // real ID3v1 trailer and must not be subtracted: h3=0x54 is 'T' (a
+    // legal stereo channel-mode byte) and the next two bytes spell "AG",
+    // putting T-A-G exactly 128 bytes from the end of this 131-byte
+    // payload — inside the header. All 131 bytes are stream: 8 ms, not
+    // the 0 ms a 3-byte "stream" would give.
+    assert(MpegAudioHeader.parse(hex("FFFB9054" + "4147" + "00" * 125))
+      == ("audio/mpeg", 3, 128, 44100, 2, 8L, "", 0L))
   }
 
   test("ADTS golden vectors: hand-derived frames decode to the published values") {
