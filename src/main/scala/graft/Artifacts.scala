@@ -68,7 +68,13 @@ object Artifacts {
     * call — so every consumer plan is the true apply shape (a parquet scan,
     * no fit lineage). */
   def getOrFit(spark: SparkSession, kind: String, key: String,
-               fit: => DataFrame): DataFrame = getOrFit(spark, kind, key, fit, 0)
+               fit: => DataFrame): DataFrame = {
+    // scale-audit choke point: record the would-be fit plan whether or not
+    // this call actually fits, so SurfaceAuditSpec sees the same plans on a
+    // warm store as on a fresh clone (see PlanCapture.recordFitPlan)
+    PlanCapture.recordFitPlan(fit)
+    getOrFit(spark, kind, key, fit, 0)
+  }
 
   private def getOrFit(spark: SparkSession, kind: String, key: String,
                        fit: => DataFrame, attempt: Int): DataFrame = {

@@ -40,6 +40,17 @@ object PlanCapture {
     df.localCheckpoint()
   }
 
+  /** Record an ARTIFACT fit plan ([[graft.Artifacts.getOrFit]]'s second
+    * choke point): a persisted fit runs only on the first call per content
+    * key, so auditing just the executed fits would make the scale audit
+    * history-dependent — green on a warm store, red on a fresh clone (or
+    * the reverse, via the stale-allowlist check). Recording the WOULD-BE
+    * fit plan on every capturing call keeps the audit deterministic; the
+    * by-name thunk means zero cost (not even plan construction) when
+    * capture is off, i.e. everywhere outside the audit test. */
+  def recordFitPlan(mk: => DataFrame): Unit =
+    if (capturing) buf.add(mk.queryExecution.sparkPlan)
+
   /** `df.auditedCheckpoint()` — drop-in syntax for `df.localCheckpoint()`
     * that routes through the choke point. */
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {

@@ -116,6 +116,22 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** [[jaccardPairs]] as a persisted fit artifact (the
+    * [[IvfIndex.persistedCentroids]] pattern): the exact pair set is the
+    * certification GROUND TRUTH for the approximate dedup family
+    * (qe61/qe64), and ground truth over a given corpus is a fit — computed
+    * once per (input fingerprint, n, threshold), then a parquet read for
+    * every later certificate run. At 100 TB the anchor is computed over a
+    * bounded sample on its own cadence (see the sampled-mode certificate),
+    * never inline in the gate. */
+  def persistedJaccardPairs(docs: DataFrame, dataPath: String,
+                            n: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"n$n-t$threshold")
+    graft.Artifacts.getOrFit(spark, "jaccard_pairs", key,
+      jaccardPairs(docs, n, threshold))
+  }
+
   /** Per-source exact-duplication audit card: docs, distinct texts, and
     * the duplicate fraction — the before/after report a dedup run
     * publishes per domain. One map-side-combined shuffle.
@@ -348,6 +364,19 @@ object Dedup {
       .select(col("da"), col("db"), cos.as("cos"))
   }
 
+  /** [[embeddingNearDups]] as a persisted fit artifact — the exact cosine
+    * pair anchor the embedding-dedup certificates (qe62) measure recall
+    * against, computed once per (input fingerprint, threshold) and a
+    * parquet read thereafter (same contract as [[persistedJaccardPairs]]). */
+  def persistedEmbeddingNearDups(vectors: DataFrame, dataPath: String,
+                                 idCol: String, vecCol: String,
+                                 threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"$vecCol-t$threshold")
+    graft.Artifacts.getOrFit(spark, "cosine_pairs", key,
+      embeddingNearDups(vectors, idCol, vecCol, threshold))
+  }
+
   /** E2 scale path — blocked embedding near-dup pairs: `tables` independent
     * sign-random-projection hash tables of `nbits` bits each; vectors
     * sharing any (table, bucket) become candidates via a plain shuffle
@@ -486,6 +515,24 @@ object Dedup {
                     nHint: Long = 0L): DataFrame = {
     val (assigned, _) = IvfIndex.build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)
     semanticDedupFromAssigned(assigned, idCol, vecCol, threshold)
+  }
+
+  /** The INLINE-FIT [[semanticDedup]] result as a persisted artifact: the
+    * certificate tier (qe62) asserts the frozen apply path reproduces the
+    * inline-fit classification row-for-row — persisting the inline side
+    * keeps that equality a genuine cross-path check (the artifact was
+    * computed by the fit path once; the frozen path re-runs live every
+    * certificate invocation) while later runs pay only a parquet read
+    * plus the apply scan. */
+  def persistedSemanticDedup(vectors: DataFrame, dataPath: String,
+                             idCol: String, vecCol: String, threshold: Double,
+                             nlist: Int, seed: Long = 42L,
+                             nHint: Long = 0L): DataFrame = {
+    val spark = vectors.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
+      s"$vecCol-t$threshold-nlist$nlist-seed$seed")
+    graft.Artifacts.getOrFit(spark, "semdedup", key,
+      semanticDedup(vectors, idCol, vecCol, threshold, nlist, seed, nHint))
   }
 
   /** SemDeDup against a FROZEN coarse quantizer — the qe3d pattern applied

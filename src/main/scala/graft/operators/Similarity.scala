@@ -27,6 +27,22 @@ object Similarity {
     rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
+  /** [[bruteForceTopK]] as a persisted fit artifact — the exact top-k
+    * anchor the ANN-ladder certificate (qe60) measures recall against,
+    * computed once per (input fingerprint, query set, k) and a parquet
+    * read thereafter ([[Dedup.persistedJaccardPairs]] contract).
+    * `queryKey` must uniquely describe how `queries` was derived from the
+    * data at `dataPath` (e.g. "qlt10" for vec_id < 10) — the query frame
+    * itself cannot be fingerprinted, so a caller reusing a key for a
+    * different selection would be served the wrong anchor. */
+  def persistedBruteTopK(candidates: DataFrame, queries: DataFrame,
+                         dataPath: String, k: Int, queryKey: String): DataFrame = {
+    val spark = candidates.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"$queryKey-k$k")
+    graft.Artifacts.getOrFit(spark, "brute_topk", key,
+      bruteForceTopK(candidates, queries, k))
+  }
+
   /** Fixed seeded hyperplanes for sign-random-projection bucketing —
     * delegates to the kernel's generator so the composable form and
     * [[graft.functions.SrpBuckets]] can never drift. */

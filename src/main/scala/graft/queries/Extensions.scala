@@ -1474,8 +1474,11 @@ object Extensions {
       val emb = Engine.Tables(s, d).embeddings
       val q = emb.filter(col("vec_id") < 10)
       val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
-      val exact = Similarity.bruteForceTopK(emb, q, 5)
-        .select("qid", "cid").auditedCheckpoint()
+      // the exact anchor is a persisted fit (r11 verdict #1): computed once
+      // per corpus fingerprint, a parquet read on every later run — the
+      // certificate prices the APPROXIMATE rungs, not its ground truth
+      val exact = Similarity.persistedBruteTopK(emb, q,
+        s"$d/embeddings.parquet", 5, "qlt10").select("qid", "cid")
       val cents = graft.operators.IvfIndex.persistedCentroids(
         emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
       val books = graft.operators.PqIndex.persistedCodebooks(
@@ -1515,7 +1518,8 @@ object Extensions {
     // routes are driver-certified per pair.
     ("qe61_cert_minhash", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
-      val exact = Dedup.jaccardPairs(docs, 3, 0.5).auditedCheckpoint()
+      // persisted anchor (r11 verdict #1): exact ground truth is a fit
+      val exact = Dedup.persistedJaccardPairs(docs, s"$d/documents.parquet", 3, 0.5)
       // membership against the raw CANDIDATE set on both paths: recall is
       // the claim; the exact-Jaccard verify is precision-side and cannot
       // change a found flag (it would cost two more corpus scans here)
@@ -1552,15 +1556,27 @@ object Extensions {
     ("qe62_cert_embed", (s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings
       val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
-      val exactPairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
-        .select("da", "db").auditedCheckpoint()
+      // both anchors are persisted fits (r11 verdict #1 — this query was
+      // the round's one perf-weak item at 39.5 s driver): the exact
+      // all-pairs cosine side and the inline-fit semdedup classification
+      // each run once per corpus fingerprint; every later certificate
+      // invocation prices only the LIVE approximate paths under test
+      // (SRP-blocked candidates, the frozen apply scan) plus parquet reads
+      val exactPairs = Dedup.persistedEmbeddingNearDups(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", 0.45)
+        .select("da", "db")
       val blocked = Dedup.embeddingNearDupsBlocked(
         emb, "vec_id", "embedding", 0.45, nHint = nH).select("da", "db")
       val r1 = Certificates.pairRecall("blocked", exactPairs, blocked, 0.8)
-      val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45,
-        nlist = 8, nHint = nH).auditedCheckpoint()
-      val exDrops = DupClusters.clusters(exactPairs)
-        .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id"))
+      val sem = Dedup.persistedSemanticDedup(emb, s"$d/embeddings.parquet",
+        "vec_id", "embedding", 0.45, nlist = 8, nHint = nH)
+      // the exact-CC drop set is anchor-side ground truth too: its
+      // iterative CC rounds (several tiny shuffles per certificate run)
+      // persist alongside the pair anchor they derive from
+      val exDrops = graft.Artifacts.getOrFit(s, "cosine_cc_drops",
+        graft.Artifacts.fitKey(s, Seq(s"$d/embeddings.parquet"), "t0.45"),
+        DupClusters.clusters(exactPairs)
+          .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id")))
       val semDrops = sem.filter(col("is_kept") === 0).select("id")
       // sums coalesce to 0: an EMPTY full join (no pair anywhere reaches
       // the threshold) must yield the oracle's (0, TRUE) row, not NULLs
@@ -1578,6 +1594,9 @@ object Extensions {
               .otherwise(lit(true))).as("ok"))
       val cents = graft.operators.IvfIndex.persistedCentroids(
         emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+      // the frozen side runs LIVE each invocation against the persisted
+      // inline-fit result — still a genuine cross-path equality (the
+      // artifact came from the fit path, the apply path re-derives it now)
       val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
       val r3 = sem.select(col("id"), col("cell").as("ca"),
           col("keep_id").as("ka"), col("is_kept").as("ia"))
@@ -1590,6 +1609,35 @@ object Extensions {
           (col("__nd") === 0).as("ok"))
       r1.unionAll(r2).unionAll(r3).orderBy("variant")
     }, Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), pairs AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT 'blocked' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_anchor, TRUE AS ok UNION ALL SELECT 'semdedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM comp WHERE id <> cluster), TRUE UNION ALL SELECT 'semdedup_frozen', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE ORDER BY variant""")),
+
+    // E2 certificate twin — qe62's frozen-equality claim as PURE APPLY
+    // (r11 verdict #6, the qe3d/qe7d fit-vs-apply pricing pattern lifted
+    // to the certificate tier): every input is a persisted artifact (the
+    // inline-fit semdedup classification, the k-means centroids) and the
+    // only live work is the frozen apply scan plus the equality join — so
+    // the driver prices the certificate's apply band separately from
+    // qe62's anchor-fitting band, and a future driver-vs-builder gap
+    // self-diagnoses from which of the two moved. Emits qe62's
+    // 'semdedup_frozen' row (same columns, same oracle-recomputable
+    // n_anchor = corpus size).
+    ("qe62b_cert_embed_frozen", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      val sem = Dedup.persistedSemanticDedup(emb, s"$d/embeddings.parquet",
+        "vec_id", "embedding", 0.45, nlist = 8, nHint = nH)
+      val cents = graft.operators.IvfIndex.persistedCentroids(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+      val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
+      sem.select(col("id"), col("cell").as("ca"),
+          col("keep_id").as("ka"), col("is_kept").as("ia"))
+        .join(froz.select(col("id"), col("cell").as("cb"),
+          col("keep_id").as("kb"), col("is_kept").as("ib")), Seq("id"), "full")
+        .agg(count(lit(1)).as("n_anchor"),
+          sum(when(col("ca") <=> col("cb") && col("ka") <=> col("kb") &&
+            col("ia") <=> col("ib"), 0).otherwise(1)).as("__nd"))
+        .select(lit("semdedup_frozen").as("variant"), col("n_anchor"),
+          (col("__nd") === 0).as("ok"))
+    }, Some("""SELECT 'semdedup_frozen' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_anchor, TRUE AS ok""")),
 
     // E4 certificate — HLL distinct-term error: per-source exact n_terms
     // (recomputed by DuckDB) with a within-10%-of-exact flag on the HLL
@@ -1618,7 +1666,8 @@ object Extensions {
       val r1 = Certificates.pairRecall("hamming0_identical", ident,
         sh3.filter(col("hamming") === 0), 1.0)
       val r2 = Certificates.pairRecall("near90",
-        Dedup.jaccardPairs(docs, 3, 0.9), sh3, 0.5)
+        Dedup.persistedJaccardPairs(docs, s"$d/documents.parquet", 3, 0.9),
+        sh3, 0.5)
       r1.unionAll(r2).orderBy("variant")
     }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT da, db FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.9), ident AS (SELECT a.doc_id AS da, b.doc_id AS db FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id WHERE regexp_matches(a.text, '\S')) SELECT 'hamming0_identical' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM ident) AS n_anchor, TRUE AS ok UNION ALL SELECT 'near90', (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs), TRUE AS ok ORDER BY variant""")),
 
