@@ -100,13 +100,16 @@ object Bench {
     // their generated-code JIT state to the codegen LRU once 69 other
     // queries' plans pass through, so every rep measures cold. Warm
     // back-to-back medians are also what every prior round recorded.
-    // (median, max-min spread): the spread lands in bench_out.json so an
-    // environmental outlier (the BENCH_r07 94 s vs 69.5/71.4 s episode) is
-    // visible in the artifact itself instead of needing a re-run to detect
-    def exec(name: String): (Double, Double) = {
+    // (median, max-min spread, min): spread and min land in bench_out.json
+    // so an environmental outlier (the BENCH_r07 94 s vs 69.5/71.4 s
+    // episode) is visible in the artifact itself instead of needing a
+    // re-run to detect — and under a warming host (r11's load 2.8->7.1
+    // sweep) even the median absorbs ambient; the per-query MIN is the
+    // cleanest read this sweep produced (r11 verdict #7)
+    def exec(name: String): (Double, Double, Double) = {
       val ts = (1 to reps).map(_ => execOnce(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0)
-      else (median(ts), ts.max - ts.min)
+      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      else (median(ts), ts.max - ts.min, ts.min)
     }
 
     // ambient-host context: the driver box has measured 1.19-1.35x
@@ -130,8 +133,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val timed = names.map(n => n -> exec(n))
-    val results = timed.map { case (n, (med, _)) => n -> med }
-    val spreads = timed.map { case (n, (_, sp)) => n -> sp }
+    val results = timed.map { case (n, (med, _, _)) => n -> med }
+    val spreads = timed.map { case (n, (_, sp, _)) => n -> sp }
+    val mins = timed.map { case (n, (_, _, mn)) => n -> mn }
     // stdout must fit the driver's tail window: it keeps only the LAST
     // 2000 chars of output and the sbt epilogue shares that window, so
     // an oversized line loses its HEAD — the {"metric":"total",... part —
@@ -150,11 +154,18 @@ object Bench {
     // distinguishable from regression without a re-run
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + v.toString }
       .mkString("{", ",", "}")
+    val minJson = mins.map { case (k, v) => "\"" + k + "\":" + v.toString }
+      .mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val loads = "%.2f,%.2f".formatLocal(java.util.Locale.ROOT, loadStart, loadAvg)
+    // getSystemLoadAverage returns -1.0 where the platform cannot report
+    // it — record null, not a misleading negative load
+    val loadEnd = loadAvg
+    val fmtLoad: Double => String = v =>
+      if (v < 0) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val loads = s"${fmtLoad(loadStart)},${fmtLoad(loadEnd)}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson""") + "\n")
     spark.stop()
   }
 }

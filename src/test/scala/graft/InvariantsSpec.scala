@@ -120,10 +120,16 @@ class InvariantsSpec extends SparkTestBase {
     assert(math.abs(node.get("value").asDouble - sum) <= 0.05 * (names.size + 1),
       s"stdout total ${node.get("value").asDouble} != per-query sum $sum")
     val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
-      extra = s""","reps":3,"spread":{"q01_project":0.05}""")
+      extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01}""")
     val fnode = mapper.readTree(fileLine)
     assert(fnode.get("reps").asInt == 3)
     assert(fnode.get("spread").get("q01_project").asDouble == 0.05)
+    // r12: per-query min rides beside median+spread (the clean read under
+    // a warming host), and an unsupported-platform load average records
+    // null, never a misleading negative
+    assert(fnode.get("min").get("q01_project").asDouble == 0.01)
+    assert(fnode.get("load_avg").get(0).isNull &&
+      fnode.get("load_avg").get(1).asDouble == 2.5)
     assert(math.abs(fnode.get("value").asDouble -
       names.map(n => fnode.get("queries").get(n).asDouble).sum) < 1e-9)
   }
