@@ -180,5 +180,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[graft.functions.OggOpusMetaExpr],
       graft.functions.BinaryMetaExpr.unaryBuilder("ogg_opus_meta",
         graft.functions.OggOpusMetaExpr(_))))
+    ext.injectFunction(fn("id3v2_tags",
+      classOf[graft.functions.Id3v2TagsExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("id3v2_tags",
+        graft.functions.Id3v2TagsExpr(_))))
   }
 }

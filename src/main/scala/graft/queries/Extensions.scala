@@ -498,6 +498,23 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, 'audio/mpeg' AS mime, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'xing' WHEN 1 THEN 'info' ELSE 'vbri' END AS frame_map, CAST(doc_id % 5000 + 1 AS BIGINT) AS n_frames, CAST(CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END AS INTEGER) AS sample_rate, CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels, CAST((doc_id % 5000 + 1) * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000 // (CASE WHEN doc_id % 2 = 0 THEN ([44100,48000,32000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] ELSE ([22050,24000,16000])[CAST((doc_id // 3) % 3 + 1 AS INTEGER)] END) AS BIGINT) AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // E5 — ID3v2 text-frame extraction (r11 verdict #4, the last
+    // crawl-relevant metadata family): TIT2/TPE1/TALB from the tag the
+    // qe5i/qe5k walks only SKIP. The planted corpus certifies the v2.3
+    // (plain BE u32 frame size) vs v2.4 (syncsafe) fork with sizes past
+    // 128 and 256, all four text encodings (size fields double under
+    // UTF-16), NUL-terminator stripping, frame-by-size skip over binary
+    // PRIV frames, a missing-frame null, and the padding stop.
+    ("qe5p_id3v2_tags", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticId3Corpus(Engine.Tables(s, d).documents)
+      media.select(col("doc_id"),
+          graft.functions.Id3v2TagsExpr.id3v2_tags(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.version").as("version"),
+          col("m.n_frames").as("n_frames"), col("m.title").as("title"),
+          col("m.artist").as("artist"), col("m.album").as("album"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '2.3' ELSE '2.4' END AS version, CAST(2 + CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_frames, 'Title ' || CAST(doc_id AS VARCHAR) || repeat('x', CAST(doc_id % 200 AS INTEGER)) AS title, 'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist, CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'Album ' || CAST(doc_id % 13 AS VARCHAR) END AS album FROM documents ORDER BY doc_id""")),
+
     // E5 — H.264/AVC coded dimensions from the SPS NAL (r10 verdict
     // Missing #1, video leg): exp-Golomb bitstream parse with RBSP
     // emulation-prevention de-escape, the High-profile chroma block, and

@@ -254,4 +254,26 @@ class CompressedMetaSpec extends SparkTestBase {
         s"doc $id mismatch")
     }
   }
+
+  test("synthetic ID3 corpus round-trip: planted text frames parse back exactly") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val parsed = graft.operators.Multimodal.syntheticId3Corpus(docs)
+      .select(col("doc_id"), Id3v2TagsExpr.id3v2_tags(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.version"), col("m.n_frames"),
+        col("m.title"), col("m.artist"), col("m.album"))
+      .collect()
+    assert(parsed.nonEmpty && parsed.forall(!_.isNullAt(1)),
+      "every planted tag must parse")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val version = if (id % 2 == 0) "2.3" else "2.4"
+      val n = 2 + (if (id % 11 == 0) 0 else 1) + (if (id % 3 == 0) 1 else 0)
+      val title = "Title " + id + "x" * (id % 200).toInt
+      val artist = "Artist " + (id % 7)
+      val album = if (id % 11 == 0) null else "Album " + (id % 13)
+      assert((r.getString(1), r.getInt(2), r.getString(3), r.getString(4),
+        r.getString(5)) == ((version, n, title, artist, album)),
+        s"doc $id mismatch")
+    }
+  }
 }

@@ -59,7 +59,11 @@ class MediaFuzzSpec extends AnyFunSuite {
       "4F676753 00 04 2404000000000000 78563412 01000000 00000000 01 05" +
       "0000000000"),
     // hand-derived golden SPS (see the golden-vector test below)
-    "sps" -> hex("67 42 00 1E DA11E4"))
+    "sps" -> hex("67 42 00 1E DA11E4"),
+    // hand-derived golden ID3v2.3 tag: one TIT2 frame (BE u32 size 2,
+    // ISO-8859-1 "A") then an MPEG frame (see the golden-vector test)
+    "id3" -> hex("494433 0300 00 0000000C" +
+      "54495432 00000002 0000 0041" + "FFFB9000"))
 
   private def allParsers(b: Array[Byte]): Unit = {
     ImageHeader.parse(b)
@@ -70,6 +74,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     FlacHeader.parse(b)
     OggOpusHeader.parse(b)
     AvcSpsHeader.parse(b)
+    Id3v2Tags.parse(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -85,7 +90,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     val magics = Seq(
       hex("89504E470D0A1A0A"), hex("FFD8FF"), hex("474946383961"),
       "RIFF????WAVE".getBytes, "FORM????AIFF".getBytes,
-      hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes, "OggS".getBytes)
+      hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes, "OggS".getBytes,
+      hex("494433"))
     val rnd = new scala.util.Random(0xBEEF)
     magics.foreach { m =>
       (0 until 2000).foreach { _ =>
@@ -105,8 +111,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       assert(ImageHeader.parse(b) != null || AudioHeader.parse(b) != null ||
         VideoHeader.parse(b) != null || MpegAudioHeader.parse(b) != null ||
         AdtsHeader.parse(b) != null || FlacHeader.parse(b) != null ||
-        OggOpusHeader.parse(b) != null ||
-        AvcSpsHeader.parse(b) != null, s"$name no longer parses whole")
+        OggOpusHeader.parse(b) != null || AvcSpsHeader.parse(b) != null ||
+        Id3v2Tags.parse(b) != null, s"$name no longer parses whole")
     }
   }
 
@@ -433,5 +439,29 @@ class MediaFuzzSpec extends AnyFunSuite {
     allParsers(hex("00000010 66747970 69736F6D 00000000 7FFFFFEF 66726565"))
     allParsers(hex("00000010 66747970 69736F6D 00000000" +
       "00000018 6D6F6F76 7FFFFFEF 6D766864 00000000 00000000"))
+  }
+
+  test("ID3v2 golden vectors: v2.3 BE vs v2.4 syncsafe frame sizes, UTF-16 BOM, " +
+    "terminator strip; v2.2 and unsynchronised tags refuse") {
+    // v2.3: TIT2, plain BE u32 size 2, ISO-8859-1 "A" (the `valid` bytes)
+    assert(Id3v2Tags.parse(valid.find(_._1 == "id3").get._2) ==
+      (("2.3", 1, "A", null, null)))
+    // v2.4: frame size 129 crosses 128 so SYNCSAFE (00 00 01 01) differs
+    // from BE u32 (= 257) — reading the wrong branch overruns the tag and
+    // drops the frame; body is UTF-8 "B" * 128. Tag body 139 -> 00 00 01 0B.
+    assert(Id3v2Tags.parse(hex("494433 0400 00 0000010B" +
+      "54495432 00000101 0000 03" + "42" * 128)) ==
+      (("2.4", 1, "B" * 128, null, null)))
+    // UTF-16 with BOM (FE FF) + NUL terminator: decodes "Hi", strips the
+    // 00 00; TPE1 lands in artist, title/album stay null
+    assert(Id3v2Tags.parse(hex("494433 0300 00 00000013" +
+      "54504531 00000009 0000 01 FEFF 0048 0069 0000")) ==
+      (("2.3", 1, null, "Hi", null)))
+    // refusals: ID3v2.2 (3-byte frame ids, out of scope) and the
+    // unsynchronisation flag (0x80) — null, never a garbled guess
+    assert(Id3v2Tags.parse(hex("494433 0200 00 0000000C" +
+      "54495432 00000002 0000 0041")) == null)
+    assert(Id3v2Tags.parse(hex("494433 0300 80 0000000C" +
+      "54495432 00000002 0000 0041")) == null)
   }
 }
