@@ -146,6 +146,11 @@ object SeqPack {
     *    VARCHAR-only; hex is a bijection, so the checksum still pins every
     *    byte.
     *
+    * CONTRACT: `idCol` must be unique within each shard — it is the
+    * concatenation order, so a duplicate would make the payload bytes and
+    * stream_md5 nondeterministic. Violations raise in the value path
+    * (lag-over-the-same-sort guard), never export unstable bytes.
+    *
     * Scale shape: the cumulative offset is the one [[packSharded]] window
     * shuffle; slicing is a per-row `sequence` explode (arithmetic only);
     * the payload assembly is ONE groupBy(shard, bin) shuffle whose rows
@@ -160,10 +165,22 @@ object SeqPack {
         "__o", "__n", "__b0", "__b1", "__seg", "__s"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // idCol must be UNIQUE within a shard: a duplicate makes both the
+    // cumulative offset (orderBy ties) and the per-bin sort_array
+    // concatenation nondeterministic — silently unstable payload bytes
+    // and stream_md5. Refuse loudly (the u16-range convention below); the
+    // lag guard rides the same partition+order sort as the offset window,
+    // so it costs no extra shuffle.
+    val wo = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val offset = sum(col("__n")).over(w) - col("__n")
+    val prev = lag(col(idCol), 1).over(wo)
     val sliced = df
       .withColumn("__n", size(col(toksCol)).cast("long"))
       .filter(col("__n") > 0)
-      .withColumn("__o", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("__o", when(prev.isNull || prev =!= col(idCol), offset)
+        .otherwise(raise_error(concat(
+          lit("exportShards: duplicate id within shard: "),
+          col(idCol).cast("string")))))
       .withColumn("__b0", expr(s"__o div $budget"))
       .withColumn("__b1", expr(s"(__o + __n - 1) div $budget"))
       .select(col(shardCol).as("shard"), col(idCol).as("__id"), col("__o"),

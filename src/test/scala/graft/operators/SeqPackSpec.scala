@@ -112,4 +112,22 @@ class SeqPackSpec extends SparkTestBase {
       (0L, 2L, 2L, 13L, 0.8125), // 13/16 exact at 4 decimals
       (1L, 1L, 1L, 3L, 0.375)), got.toString)
   }
+
+  test("exportShards refuses duplicate ids within a shard (unstable payload bytes)") {
+    import spark.implicits._
+    // doc_id 5 twice in shard 0: the concatenation order (and so the
+    // exported byte stream) would be nondeterministic — must raise, not
+    // silently pick an order. A duplicate id across DIFFERENT shards is
+    // fine (each shard orders independently).
+    val dup = Seq((5L, 0L, Seq(1, 2)), (5L, 0L, Seq(3)), (7L, 0L, Seq(4)))
+      .toDF("doc_id", "shard", "toks")
+    val e = intercept[Exception] {
+      SeqPack.exportShards(dup, "shard", "doc_id", "toks", 8L).collect()
+    }
+    assert(e.getMessage.contains("duplicate id within shard"), e.getMessage)
+    val ok = Seq((5L, 0L, Seq(1, 2)), (5L, 1L, Seq(3)))
+      .toDF("doc_id", "shard", "toks")
+    assert(SeqPack.exportShards(ok, "shard", "doc_id", "toks", 8L)
+      .collect().length == 2)
+  }
 }
