@@ -1700,6 +1700,34 @@ object Extensions {
             abs(col("__a") - col("n_terms")).cast("double") / col("n_terms") <= 0.1)
             .otherwise(col("__a") === 0).as("within_tol"))
         .orderBy("source")
-    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, TRUE AS within_tol FROM tok GROUP BY source ORDER BY source"""))
+    }, Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term FROM documents WHERE regexp_matches(text, '\S')) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms, TRUE AS within_tol FROM tok GROUP BY source ORDER BY source""")),
+
+    // Certificate SCALE MODE (r11 verdict #2): the whole-corpus per-pair
+    // certificates (qe61/qe64) embed quadratic anchors — impossible at
+    // 100 TB. This is the bounded form: the PRODUCTION candidate path
+    // still runs at corpus scale (that is what is being certified), but
+    // the exact anchor and the per-pair compare restrict to a
+    // DETERMINISTIC hash-mod sample (md5Priority % 4 — the qe26
+    // splitByHash hash, so both engines compute the identical sample
+    // with no exchanged state). The anchor is quadratic only in the
+    // sample, so at production scale the mod is sized to hold the sample
+    // CONSTANT (mod 4m at m x corpus — ladder in BASELINE.md) and the
+    // certificate cost stops growing with the corpus. The anchor runs
+    // LIVE here, deliberately unpersisted: its bounded cost is the very
+    // claim, and the bench prices it. Per-pair floor stays 1.0 (total
+    // recall restricted to a subset is still total); an AGGREGATE-recall
+    // certificate in sampled mode must instead widen its floor by the
+    // sample's binomial error (documented in BASELINE.md §round-12).
+    ("qe65_cert_sampled", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      def inSample(c: org.apache.spark.sql.Column) =
+        pmod(graft.operators.Sampling.md5Priority(c), lit(4)) === 0
+      val exact = Dedup.jaccardPairs(docs.filter(inSample(col("doc_id"))), 3, 0.5)
+      val cand = Dedup.minhashCandidates(docs)
+        .filter(inSample(col("da")) && inSample(col("db")))
+      Certificates.pairsFound(exact, cand, "j")
+        .select(col("da"), col("db"), r4(col("j")).as("j"), col("found"))
+        .orderBy("da", "db")
+    }, Some("""WITH samp AS (SELECT doc_id, text FROM documents WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM samp), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j, TRUE AS found FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db"""))
   )
 }

@@ -148,6 +148,31 @@ object ScalingProbe {
         println(f"${"qe13c_fuzzy dedup-capped-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
 
+      // certificate economics (r11 verdict #2): the whole-corpus per-pair
+      // certificate (anchor column) embeds a quadratic exact anchor; the
+      // 100x mode (twin column, qe65) keeps the PRODUCTION candidate path
+      // at corpus scale but computes anchor + per-pair compare on a
+      // fixed-SIZE hash-mod sample — mod 4m holds the sample at ~1250
+      // docs per 5k-doc copy, so anchor work is CONSTANT per rung and
+      // the certificate's growth is the candidate path's own (linear),
+      // not the anchor's (quadratic)
+      if (wanted("qe65_cert")) {
+        val full = if (m <= anchorMaxM) time {
+          graft.operators.Certificates.pairsFound(
+            Dedup.jaccardPairs(docs, 3, 0.5), Dedup.minhashCandidates(docs), "j")
+        } else -1.0
+        val k = 4 * m
+        val sampled = time {
+          def inSample(c: org.apache.spark.sql.Column) =
+            pmod(graft.operators.Sampling.md5Priority(c), lit(k)) === 0
+          val exact = Dedup.jaccardPairs(docs.filter(inSample(col("doc_id"))), 3, 0.5)
+          val cand = Dedup.minhashCandidates(docs)
+            .filter(inSample(col("da")) && inSample(col("db")))
+          graft.operators.Certificates.pairsFound(exact, cand, "j")
+        }
+        println(f"${"qe65_cert full-vs-sampled"}%-34s $m%3d $nd%8d $full%9.2f $sampled%8.2f")
+      }
+
       // the qe11d split-packer (window cumsum + sequence explode) at the
       // registered 8-shard key: per-shard local sorts, no global order
       if (wanted("qe11d_pack")) {
