@@ -16,7 +16,17 @@ object Sinks {
   /** K1/K2 — MQTT publish at QoS 1/2 (ref `producer.c:152-161`,
     * `hko.cpp:69-72`). Expects a single string column named `payload`.
     *
-    * Two write modes:
+    * `target` selects the TRANSPORT by URI scheme (r11 verdict #3):
+    *  - a plain path is the spool directory (atomic claim-link protocol);
+    *  - `mqtt://host:port` opens a real MQTT 3.1.1 socket session per
+    *    sink task ([[MqttWireClient]] — connect in open(), publish per
+    *    row, disconnect in close(), the reference's mosquitto lifecycle).
+    *    Wire publishes run at min(qos, 1): QoS 2's four-way handshake is
+    *    not on the wire, and the engine's effective exactly-once comes
+    *    from the spool's dense offsets + checkpoints, not transport
+    *    dedupe — same layering the spool mode documents.
+    *
+    * Spool-mode write parallelism:
     *  - default (`partitioned = false`): all tasks publish into the topic's
     *    root lane — the reference's one-broker-session model. Correct under
     *    concurrency (atomic claims) but contended: callers throttle it to
@@ -24,19 +34,31 @@ object Sinks {
     *  - `partitioned = true`: each sink task publishes into its own
     *    `w-<partitionId>` lane with a private dense seq space — zero
     *    cross-task contention, so the sink runs at any parallelism. The
-    *    graft-mqtt reader merges lanes via its per-lane offset vector. */
-  class MqttLikePublishWriter(spoolDir: String, topic: String, qos: Int,
+    *    graft-mqtt reader merges lanes via its per-lane offset vector.
+    *    (Wire mode ignores it: broker sessions are already independent.) */
+  class MqttLikePublishWriter(target: String, topic: String, qos: Int,
                               partitioned: Boolean = false)
       extends ForeachWriter[Row] {
     private var lane: String = ""
     private var nextSeq = 0L
+    @transient private var wire: MqttWireClient = _
+    private def overWire: Boolean = target.startsWith("mqtt://")
     override def open(partitionId: Long, epochId: Long): Boolean = { // connect here
-      lane = if (partitioned) s"w-$partitionId" else ""
-      MqttLike.recordQos(spoolDir, topic, lane, qos)
-      // list the lane ONCE per task, then walk the cached seq forward:
-      // per-message nextSeq listings are O(spool) each, O(spool²) per lane
-      // lifetime — the same cost class the lazy-repair change removed
-      nextSeq = MqttLike.nextSeqIn(spoolDir, topic, lane)
+      if (overWire) {
+        val hp = target.stripPrefix("mqtt://").split(":", 2)
+        require(hp.length == 2 && hp(1).forall(_.isDigit),
+          s"mqtt:// target must be mqtt://host:port, got $target")
+        wire = new MqttWireClient(hp(0), hp(1).toInt,
+          s"graft-sink-$partitionId-$epochId")
+        wire.connect()
+      } else {
+        lane = if (partitioned) s"w-$partitionId" else ""
+        MqttLike.recordQos(target, topic, lane, qos)
+        // list the lane ONCE per task, then walk the cached seq forward:
+        // per-message nextSeq listings are O(spool) each, O(spool²) per lane
+        // lifetime — the same cost class the lazy-repair change removed
+        nextSeq = MqttLike.nextSeqIn(target, topic, lane)
+      }
       true
     }
     override def process(row: Row): Unit = {
@@ -47,10 +69,16 @@ object Sinks {
       // batch. Rejection belongs to the upstream validation/dead-letter
       // stage (T11); the sink skips the row like the reference's producer
       // skips an empty reading.
-      if (payload != null)
-        nextSeq = MqttLike.publishFrom(spoolDir, topic, payload, lane, nextSeq) + 1
+      if (payload != null) {
+        if (overWire)
+          wire.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            math.min(qos, 1))
+        else
+          nextSeq = MqttLike.publishFrom(target, topic, payload, lane, nextSeq) + 1
+      }
     }
-    override def close(errorOrNull: Throwable): Unit = () // disconnect here
+    override def close(errorOrNull: Throwable): Unit = // disconnect here
+      if (wire != null) { wire.close(); wire = null }
   }
 
   /** K3 — latest-value dashboard: per micro-batch, upsert each key's most

@@ -273,4 +273,101 @@ class MqttLikeSpec extends SparkTestBase {
     assert(MqttLike.listSeqs(dir) == Seq(0L, 1L), "non-null payloads publish densely")
     assert(java.nio.file.Files.readString(dir.resolve("1.msg")) == "ok-2")
   }
+
+  // ---- real MQTT 3.1.1 wire transport (r11 verdict #3) ----
+
+  test("MQTT codec: remaining-length varint round-trips at every boundary; " +
+    "PUBLISH encode/parse round-trips") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    // spec §2.2.3 boundary values: 0/127 one byte, 128/16383 two,
+    // 16384/2097151 three, 2097152/268435455 four
+    for (n <- Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455)) {
+      val bos = new ByteArrayOutputStream()
+      MqttCodec.writeRemainingLength(new DataOutputStream(bos), n)
+      val expectBytes = n match {
+        case v if v < 128 => 1
+        case v if v < 16384 => 2
+        case v if v < 2097152 => 3
+        case _ => 4
+      }
+      assert(bos.size == expectBytes, s"$n encoded in ${bos.size} bytes")
+      val back = MqttCodec.readRemainingLength(
+        new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+      assert(back == n, s"varint round trip: $n -> $back")
+    }
+    val (body, flags) = MqttCodec.publishBody("sensors/dd",
+      "hello".getBytes("UTF-8"), qos = 1, packetId = 42, dup = false)
+    assert(flags == 0x02, "QoS-1 non-dup non-retain flag nibble")
+    val (topic, payload, qos, pid) = MqttCodec.parsePublish(
+      MqttCodec.Packet(MqttCodec.Publish, flags, body))
+    assert((topic, new String(payload, "UTF-8"), qos, pid) ==
+      (("sensors/dd", "hello", 1, 42)))
+  }
+
+  test("wire publish -> broker stub -> spool bridge -> graft-mqtt source: " +
+    "end-to-end over a real socket, offsets and resume intact") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_wire").toString
+    val broker = new MqttBrokerStub()
+    val bridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool, "sensors/#")
+    try {
+      // the producer side: a real CONNECT/PUBLISH/PUBACK session
+      val pub = new MqttWireClient("127.0.0.1", broker.port, "graft-producer")
+      pub.connect()
+      (0 until 5).foreach(i => pub.publish("sensors/dd", payload(i).getBytes("UTF-8")))
+      pub.close()
+      // QoS-1 PUBACK confirms broker receipt, not bridge receipt — poll
+      // the bridge's durable-write counter before reading the spool
+      val deadline = System.currentTimeMillis() + 15000
+      while (bridge.received.get() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      bridge.failure.foreach(throw _)
+      assert(bridge.received.get() == 5, s"bridge received ${bridge.received.get()}/5")
+      // the spool now carries the wire messages under the normal contract:
+      // dense seqs, same DataSourceV2 read path, checkpoints untouched
+      val stream = spark.readStream.format("graft-mqtt")
+        .option("spoolDir", spool).option("topic", "sensors/dd").load()
+      val q = stream.writeStream.format("memory").queryName("mq_wire")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("mq_wire").orderBy("msg_seq").collect()
+        assert(rows.length == 5)
+        assert(rows.map(_.getAs[Long]("msg_seq")).toSeq == (0L until 5L))
+        assert(rows.map(_.getAs[String]("payload")).toSeq ==
+          (0 until 5).map(payload))
+      } finally q.stop()
+    } finally { bridge.close(); broker.close() }
+  }
+
+  test("publish sink over mqtt:// URI: streaming foreach publishes through " +
+    "the broker and lands in the subscribed spool") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_wire_sink").toString
+    val broker = new MqttBrokerStub()
+    val bridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool, "t/wire")
+    try {
+      val n = 16
+      val input = MemoryStream[Int](spark)
+      val q = input.toDS().coalesce(1)
+        .select(concat(lit("wire-"), col("value")).as("payload"))
+        .writeStream
+        .foreach(new Sinks.MqttLikePublishWriter(
+          s"mqtt://127.0.0.1:${broker.port}", "t/wire", qos = 1))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(0 until n)
+        q.processAllAvailable()
+      } finally q.stop()
+      val deadline = System.currentTimeMillis() + 15000
+      while (bridge.received.get() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      bridge.failure.foreach(throw _)
+      val dir = java.nio.file.Paths.get(spool, "t_wire")
+      val seqs = MqttLike.listSeqs(dir)
+      assert(seqs == (0L until n.toLong), s"spool seqs not dense: $seqs")
+      val bodies = seqs.map(s => java.nio.file.Files.readString(dir.resolve(s"$s.msg"))).toSet
+      assert(bodies == (0 until n).map(i => s"wire-$i").toSet)
+    } finally { bridge.close(); broker.close() }
+  }
 }
