@@ -71,9 +71,14 @@ object Artifacts {
                fit: => DataFrame): DataFrame = {
     // scale-audit choke point: record the would-be fit plan whether or not
     // this call actually fits, so SurfaceAuditSpec sees the same plans on a
-    // warm store as on a fresh clone (see PlanCapture.recordFitPlan)
-    PlanCapture.recordFitPlan(fit)
-    getOrFit(spark, kind, key, fit, 0)
+    // warm store as on a fresh clone (see PlanCapture.recordFitPlan).
+    // The thunk is forced AT MOST ONCE (lazy val shared with the fitting
+    // path): fit construction is itself eager work — k-means collect
+    // loops, checkpointed CC rounds — and capture-on cold-store runs would
+    // otherwise execute every fit twice.
+    lazy val f = fit
+    PlanCapture.recordFitPlan(f)
+    getOrFit(spark, kind, key, f, 0)
   }
 
   private def getOrFit(spark: SparkSession, kind: String, key: String,

@@ -372,7 +372,11 @@ object Dedup {
                                  idCol: String, vecCol: String,
                                  threshold: Double): DataFrame = {
     val spark = vectors.sparkSession
-    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"$vecCol-t$threshold")
+    // idCol is part of the key: the artifact's (da, db) VALUES are drawn
+    // from it, so two callers differing only in id column must never
+    // share a fit
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
+      s"$idCol-$vecCol-t$threshold")
     graft.Artifacts.getOrFit(spark, "cosine_pairs", key,
       embeddingNearDups(vectors, idCol, vecCol, threshold))
   }
@@ -529,8 +533,10 @@ object Dedup {
                              nlist: Int, seed: Long = 42L,
                              nHint: Long = 0L): DataFrame = {
     val spark = vectors.sparkSession
+    // idCol in the key for the same reason as persistedEmbeddingNearDups:
+    // the stored id/keep_id values come from it
     val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
-      s"$vecCol-t$threshold-nlist$nlist-seed$seed")
+      s"$idCol-$vecCol-t$threshold-nlist$nlist-seed$seed")
     graft.Artifacts.getOrFit(spark, "semdedup", key,
       semanticDedup(vectors, idCol, vecCol, threshold, nlist, seed, nHint))
   }

@@ -177,7 +177,15 @@ object SeqPack {
     val sliced = df
       .withColumn("__n", size(col(toksCol)).cast("long"))
       .filter(col("__n") > 0)
-      .withColumn("__o", when(prev.isNull || prev =!= col(idCol), offset)
+      // a NULL id is refused outright, not just on collision: lag() is
+      // null both at partition start and after a null-id row, so two null
+      // ids would BOTH take the prev.isNull branch and slip past the
+      // duplicate guard with nondeterministic orderBy-tie offsets — the
+      // exact instability the guard exists to refuse
+      .withColumn("__o",
+        when(col(idCol).isNull, raise_error(
+          lit("exportShards: null id (ids order the concatenation and must be non-null)")))
+        .when(prev.isNull || prev =!= col(idCol), offset)
         .otherwise(raise_error(concat(
           lit("exportShards: duplicate id within shard: "),
           col(idCol).cast("string")))))

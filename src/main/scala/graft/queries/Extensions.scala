@@ -65,6 +65,41 @@ object Extensions {
   private def crossSnapshotPair: org.apache.spark.sql.Column =
     (col("da") % 10 === 7) =!= (col("db") % 10 === 7)
 
+  /** qe62/qe62b's ONE embedding-dedup threshold: the persisted pair
+    * anchor, its CC drop-set artifact key, the blocked path, and both
+    * semdedup tiers must move together — a literal drifting in one of
+    * those spots would silently serve a stale artifact against fresh
+    * ground truth (content keys only self-invalidate on INPUT change). */
+  private val EmbThr = 0.45
+
+  /** qe62/qe62b's ONE semdedup frozen-vs-inline equality claim row: the
+    * persisted inline-fit classification (artifact) full-joined against a
+    * LIVE frozen apply at the persisted centroids — shared so the
+    * certificate and its pure-apply twin cannot drift. The mismatch sum
+    * coalesces to 0 so an EMPTY corpus yields the oracle's (n, TRUE) row,
+    * never a NULL ok (the qe62-r2 lesson). */
+  private def semdedupFrozenEquality(s: SparkSession, d: String): DataFrame = {
+    val emb = Engine.Tables(s, d).embeddings
+    val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+    val sem = Dedup.persistedSemanticDedup(emb, s"$d/embeddings.parquet",
+      "vec_id", "embedding", EmbThr, nlist = 8, nHint = nH)
+    val cents = graft.operators.IvfIndex.persistedCentroids(
+      emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
+    // the frozen side runs LIVE each invocation against the persisted
+    // inline-fit result — still a genuine cross-path equality (the
+    // artifact came from the fit path, the apply path re-derives it now)
+    val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", EmbThr)
+    sem.select(col("id"), col("cell").as("ca"),
+        col("keep_id").as("ka"), col("is_kept").as("ia"))
+      .join(froz.select(col("id"), col("cell").as("cb"),
+        col("keep_id").as("kb"), col("is_kept").as("ib")), Seq("id"), "full")
+      .agg(count(lit(1)).as("n_anchor"),
+        coalesce(sum(when(col("ca") <=> col("cb") && col("ka") <=> col("kb") &&
+          col("ia") <=> col("ib"), 0).otherwise(1)), lit(0L)).as("__nd"))
+      .select(lit("semdedup_frozen").as("variant"), col("n_anchor"),
+        (col("__nd") === 0).as("ok"))
+  }
+
   /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
     * IDENTICAL results by construction): one decontamination oracle so a
     * semantics fix cannot reach one twin and miss the other. */
@@ -1580,18 +1615,19 @@ object Extensions {
       // invocation prices only the LIVE approximate paths under test
       // (SRP-blocked candidates, the frozen apply scan) plus parquet reads
       val exactPairs = Dedup.persistedEmbeddingNearDups(
-        emb, s"$d/embeddings.parquet", "vec_id", "embedding", 0.45)
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", EmbThr)
         .select("da", "db")
       val blocked = Dedup.embeddingNearDupsBlocked(
-        emb, "vec_id", "embedding", 0.45, nHint = nH).select("da", "db")
+        emb, "vec_id", "embedding", EmbThr, nHint = nH).select("da", "db")
       val r1 = Certificates.pairRecall("blocked", exactPairs, blocked, 0.8)
       val sem = Dedup.persistedSemanticDedup(emb, s"$d/embeddings.parquet",
-        "vec_id", "embedding", 0.45, nlist = 8, nHint = nH)
+        "vec_id", "embedding", EmbThr, nlist = 8, nHint = nH)
       // the exact-CC drop set is anchor-side ground truth too: its
       // iterative CC rounds (several tiny shuffles per certificate run)
-      // persist alongside the pair anchor they derive from
+      // persist alongside the pair anchor they derive from (key DERIVED
+      // from EmbThr, never a second literal to drift)
       val exDrops = graft.Artifacts.getOrFit(s, "cosine_cc_drops",
-        graft.Artifacts.fitKey(s, Seq(s"$d/embeddings.parquet"), "t0.45"),
+        graft.Artifacts.fitKey(s, Seq(s"$d/embeddings.parquet"), s"t$EmbThr"),
         DupClusters.clusters(exactPairs)
           .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id")))
       val semDrops = sem.filter(col("is_kept") === 0).select("id")
@@ -1609,21 +1645,7 @@ object Extensions {
             when(col("n_anchor") > 0,
               col("__common").cast("double") / col("n_anchor") >= 0.3)
               .otherwise(lit(true))).as("ok"))
-      val cents = graft.operators.IvfIndex.persistedCentroids(
-        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
-      // the frozen side runs LIVE each invocation against the persisted
-      // inline-fit result — still a genuine cross-path equality (the
-      // artifact came from the fit path, the apply path re-derives it now)
-      val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
-      val r3 = sem.select(col("id"), col("cell").as("ca"),
-          col("keep_id").as("ka"), col("is_kept").as("ia"))
-        .join(froz.select(col("id"), col("cell").as("cb"),
-          col("keep_id").as("kb"), col("is_kept").as("ib")), Seq("id"), "full")
-        .agg(count(lit(1)).as("n_anchor"),
-          sum(when(col("ca") <=> col("cb") && col("ka") <=> col("kb") &&
-            col("ia") <=> col("ib"), 0).otherwise(1)).as("__nd"))
-        .select(lit("semdedup_frozen").as("variant"), col("n_anchor"),
-          (col("__nd") === 0).as("ok"))
+      val r3 = semdedupFrozenEquality(s, d)
       r1.unionAll(r2).unionAll(r3).orderBy("variant")
     }, Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), pairs AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45), sym AS (SELECT da AS id, db AS nb FROM pairs UNION SELECT db, da FROM pairs), reach(id, lbl) AS (SELECT id, id FROM (SELECT DISTINCT id FROM sym) UNION SELECT s.id, r.lbl FROM sym s JOIN reach r ON s.nb = r.id), comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id) SELECT 'blocked' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_anchor, TRUE AS ok UNION ALL SELECT 'semdedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM comp WHERE id <> cluster), TRUE UNION ALL SELECT 'semdedup_frozen', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE ORDER BY variant""")),
 
@@ -1637,24 +1659,9 @@ object Extensions {
     // self-diagnoses from which of the two moved. Emits qe62's
     // 'semdedup_frozen' row (same columns, same oracle-recomputable
     // n_anchor = corpus size).
-    ("qe62b_cert_embed_frozen", (s: SparkSession, d: String) => {
-      val emb = Engine.Tables(s, d).embeddings
-      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
-      val sem = Dedup.persistedSemanticDedup(emb, s"$d/embeddings.parquet",
-        "vec_id", "embedding", 0.45, nlist = 8, nHint = nH)
-      val cents = graft.operators.IvfIndex.persistedCentroids(
-        emb, s"$d/embeddings.parquet", "vec_id", "embedding", nlist = 8, nHint = nH)
-      val froz = Dedup.semanticDedupFrozen(emb, cents, "vec_id", "embedding", 0.45)
-      sem.select(col("id"), col("cell").as("ca"),
-          col("keep_id").as("ka"), col("is_kept").as("ia"))
-        .join(froz.select(col("id"), col("cell").as("cb"),
-          col("keep_id").as("kb"), col("is_kept").as("ib")), Seq("id"), "full")
-        .agg(count(lit(1)).as("n_anchor"),
-          sum(when(col("ca") <=> col("cb") && col("ka") <=> col("kb") &&
-            col("ia") <=> col("ib"), 0).otherwise(1)).as("__nd"))
-        .select(lit("semdedup_frozen").as("variant"), col("n_anchor"),
-          (col("__nd") === 0).as("ok"))
-    }, Some("""SELECT 'semdedup_frozen' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_anchor, TRUE AS ok""")),
+    ("qe62b_cert_embed_frozen", (s: SparkSession, d: String) =>
+      semdedupFrozenEquality(s, d),
+      Some("""SELECT 'semdedup_frozen' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_anchor, TRUE AS ok""")),
 
     // E4 certificate — HLL distinct-term error: per-source exact n_terms
     // (recomputed by DuckDB) with a within-10%-of-exact flag on the HLL

@@ -20,7 +20,8 @@ import scala.jdk.CollectionConverters._
   * DISCONNECT. QoS 2's four-way handshake is not implemented (the spool
   * layer's dense offsets + checkpoints already provide the effective
   * exactly-once the reference buys with QoS 2); a QoS 2 publish request
-  * downgrades loudly, never silently.
+  * REFUSES loudly ([[MqttWireClient.publish]] and the wire-mode sink
+  * both require qos <= 1), never silently downgrades.
   *
   * The wire REPLACES the spool's ingress/egress edge, not its contract:
   * [[MqttSpoolBridge]] subscribes at QoS 1 and writes each inbound
@@ -188,9 +189,13 @@ class MqttWireClient(host: String, port: Int, clientId: String,
     * read loop: `handler(topic, payload)` runs for each inbound PUBLISH
     * and the PUBACK is sent ONLY AFTER the handler returns — so a handler
     * that persists durably (the spool bridge) gets at-least-once across
-    * its own crashes, the QoS-1 contract. Blocks until [[close]] or
-    * socket error. */
-  def subscribeLoop(topicFilter: String)(handler: (String, Array[Byte]) => Unit): Unit = {
+    * its own crashes, the QoS-1 contract. `onSubscribed` fires right
+    * after the SUBACK is validated — the happens-before edge a publisher
+    * must wait on (this stub-scope broker keeps no retained messages, so
+    * a publish routed before the subscription lands is gone silently).
+    * Blocks until [[close]] or socket error. */
+  def subscribeLoop(topicFilter: String, onSubscribed: () => Unit = () => ())
+                   (handler: (String, Array[Byte]) => Unit): Unit = {
     val pid = claimPacketId()
     // SUBSCRIBE fixed-header flags are mandated 0b0010 (spec §3.8.1)
     writePacket(out, Subscribe, 0x02, u16(pid) ++ utf8(topicFilter) ++ Array[Byte](1))
@@ -198,6 +203,7 @@ class MqttWireClient(host: String, port: Int, clientId: String,
     require(ack.ptype == Suback, s"expected SUBACK, got type ${ack.ptype}")
     require(ack.body.length >= 3 && (ack.body(2) & 0xFF) <= 2,
       s"broker rejected subscription: rc=${if (ack.body.length >= 3) ack.body(2) & 0xFF else -1}")
+    onSubscribed()
     try {
       while (!closed.get()) {
         val p = readPacket(in)
@@ -236,19 +242,32 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
   private val client = new MqttWireClient(host, port, clientId)
   @volatile private var error: Throwable = _
   val received = new AtomicLong(0)
+  private val subscribed = new java.util.concurrent.CountDownLatch(1)
 
   private val thread = new Thread(() => {
     try {
       client.connect()
-      client.subscribeLoop(topicFilter) { (topic, payload) =>
-        MqttLike.publish(spoolDir, topic,
-          new String(payload, StandardCharsets.UTF_8))
-        received.incrementAndGet()
+      client.subscribeLoop(topicFilter, onSubscribed = () => subscribed.countDown()) {
+        (topic, payload) =>
+          MqttLike.publish(spoolDir, topic,
+            new String(payload, StandardCharsets.UTF_8))
+          received.incrementAndGet()
       }
-    } catch { case t: Throwable => error = t }
+    } catch { case t: Throwable => error = t; subscribed.countDown() }
   }, s"mqtt-spool-bridge-$clientId")
   thread.setDaemon(true)
   thread.start()
+
+  /** Block until the bridge's SUBSCRIBE is acked (or it failed): the
+    * broker keeps no retained messages, so a message published before
+    * this returns would be routed to nobody and silently lost — every
+    * producer racing a fresh bridge must wait here first. Throws the
+    * bridge's failure if the handshake died instead of subscribing. */
+  def awaitSubscribed(timeoutMs: Long = 15000): Unit = {
+    require(subscribed.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS),
+      s"bridge did not subscribe within ${timeoutMs}ms")
+    failure.foreach(throw _)
+  }
 
   def failure: Option[Throwable] = Option(error)
   def close(): Unit = { client.close(); thread.join(5000) }

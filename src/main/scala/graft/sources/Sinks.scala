@@ -21,10 +21,12 @@ object Sinks {
     *  - `mqtt://host:port` opens a real MQTT 3.1.1 socket session per
     *    sink task ([[MqttWireClient]] — connect in open(), publish per
     *    row, disconnect in close(), the reference's mosquitto lifecycle).
-    *    Wire publishes run at min(qos, 1): QoS 2's four-way handshake is
-    *    not on the wire, and the engine's effective exactly-once comes
-    *    from the spool's dense offsets + checkpoints, not transport
-    *    dedupe — same layering the spool mode documents.
+    *    Wire mode REFUSES qos = 2 at open() rather than silently
+    *    downgrading: QoS 2's four-way handshake is not on the wire, and
+    *    the engine's effective exactly-once comes from the spool's dense
+    *    offsets + checkpoints, not transport dedupe — callers wanting K2
+    *    semantics use a spool target (where the requested QoS is recorded
+    *    as lane metadata) or publish at qos = 1 explicitly.
     *
     * Spool-mode write parallelism:
     *  - default (`partitioned = false`): all tasks publish into the topic's
@@ -45,10 +47,24 @@ object Sinks {
     private def overWire: Boolean = target.startsWith("mqtt://")
     override def open(partitionId: Long, epochId: Long): Boolean = { // connect here
       if (overWire) {
-        val hp = target.stripPrefix("mqtt://").split(":", 2)
-        require(hp.length == 2 && hp(1).forall(_.isDigit),
+        require(qos <= 1, s"wire transport publishes at QoS 0/1, got $qos: " +
+          "QoS 2 effective exactly-once comes from the spool+checkpoint " +
+          "layer — use a spool target or qos = 1")
+        // split from the RIGHT so the port check also rejects bracketless
+        // IPv6 targets (whose first ':' is inside the host) descriptively
+        val cut = target.stripPrefix("mqtt://").lastIndexOf(':')
+        val (host, portStr) =
+          if (cut < 0) (target.stripPrefix("mqtt://"), "")
+          else target.stripPrefix("mqtt://").splitAt(cut) match {
+            case (h, p) => (h, p.drop(1))
+          }
+        // colon-free host also rejects bracketless IPv6 literals (whose
+        // rightmost colon is inside the address) with the descriptive
+        // message instead of a resolver error on a mangled host
+        require(host.nonEmpty && !host.contains(':') &&
+          portStr.nonEmpty && portStr.forall(_.isDigit),
           s"mqtt:// target must be mqtt://host:port, got $target")
-        wire = new MqttWireClient(hp(0), hp(1).toInt,
+        wire = new MqttWireClient(host, portStr.toInt,
           s"graft-sink-$partitionId-$epochId")
         wire.connect()
       } else {
@@ -71,8 +87,7 @@ object Sinks {
       // skips an empty reading.
       if (payload != null) {
         if (overWire)
-          wire.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            math.min(qos, 1))
+          wire.publish(topic, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8), qos)
         else
           nextSeq = MqttLike.publishFrom(target, topic, payload, lane, nextSeq) + 1
       }

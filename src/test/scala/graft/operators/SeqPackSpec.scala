@@ -129,5 +129,14 @@ class SeqPackSpec extends SparkTestBase {
       .toDF("doc_id", "shard", "toks")
     assert(SeqPack.exportShards(ok, "shard", "doc_id", "toks", 8L)
       .collect().length == 2)
+    // null ids are refused outright: lag() is null after a null-id row
+    // too, so two nulls would silently slip the duplicate guard with
+    // orderBy-tied (nondeterministic) offsets
+    val nulls = Seq((Option.empty[Long], 0L, Seq(1, 2)),
+      (Option.empty[Long], 0L, Seq(3))).toDF("doc_id", "shard", "toks")
+    val en = intercept[Exception] {
+      SeqPack.exportShards(nulls, "shard", "doc_id", "toks", 8L).collect()
+    }
+    assert(en.getMessage.contains("null id"), en.getMessage)
   }
 }

@@ -310,6 +310,9 @@ class MqttLikeSpec extends SparkTestBase {
     val broker = new MqttBrokerStub()
     val bridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool, "sensors/#")
     try {
+      // no retained messages in the stub: a publish racing the bridge's
+      // async SUBSCRIBE would be routed to nobody and silently lost
+      bridge.awaitSubscribed()
       // the producer side: a real CONNECT/PUBLISH/PUBACK session
       val pub = new MqttWireClient("127.0.0.1", broker.port, "graft-producer")
       pub.connect()
@@ -347,6 +350,7 @@ class MqttLikeSpec extends SparkTestBase {
     val broker = new MqttBrokerStub()
     val bridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool, "t/wire")
     try {
+      bridge.awaitSubscribed()
       val n = 16
       val input = MemoryStream[Int](spark)
       val q = input.toDS().coalesce(1)
@@ -369,5 +373,24 @@ class MqttLikeSpec extends SparkTestBase {
       val bodies = seqs.map(s => java.nio.file.Files.readString(dir.resolve(s"$s.msg"))).toSet
       assert(bodies == (0 until n).map(i => s"wire-$i").toSet)
     } finally { bridge.close(); broker.close() }
+  }
+
+  test("wire-mode sink refuses QoS 2 and malformed mqtt:// targets loudly") {
+    // QoS 2's four-way handshake is not on the wire: refuse at open(),
+    // never silently downgrade (effective exactly-once is the
+    // spool+checkpoint layer's job)
+    val w2 = new Sinks.MqttLikePublishWriter("mqtt://127.0.0.1:1883", "t/x", qos = 2)
+    val e2 = intercept[IllegalArgumentException] { w2.open(0L, 0L) }
+    assert(e2.getMessage.contains("QoS 0/1"), e2.getMessage)
+    // empty port must hit the descriptive require, not a bare
+    // NumberFormatException from "".toInt
+    val wEmpty = new Sinks.MqttLikePublishWriter("mqtt://10.0.0.5:", "t/x", qos = 1)
+    val eEmpty = intercept[IllegalArgumentException] { wEmpty.open(0L, 0L) }
+    assert(eEmpty.getMessage.contains("mqtt://host:port"), eEmpty.getMessage)
+    // bracketless IPv6: the rightmost-colon split leaves a non-numeric
+    // port or empty host — descriptive refusal either way
+    val w6 = new Sinks.MqttLikePublishWriter("mqtt://::1", "t/x", qos = 1)
+    val e6 = intercept[IllegalArgumentException] { w6.open(0L, 0L) }
+    assert(e6.getMessage.contains("mqtt://host:port"), e6.getMessage)
   }
 }
