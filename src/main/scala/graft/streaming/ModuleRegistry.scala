@@ -22,14 +22,26 @@ object ModuleRegistry {
   final case class HttpEndpoint(url: String, minIntervalMs: Long = 1000L) extends ModuleSource
 
   /** A module: where samples come from, how each micro-batch is transformed,
-    * where results go (collection/post_collection, declaratively). */
+    * where results go (collection/post_collection, declaratively).
+    *
+    * `broker` (None = spool-only) is the reference's `mqtt.host` settings
+    * key (`src/modules/dd/settings-sample.json`): when set to
+    * "host:port", [[start]] subscribes the source topic FROM that broker
+    * over the real wire (an [[graft.sources.MqttSpoolBridge]] staging
+    * into the spool, so offsets/checkpoints are unchanged) and the sink
+    * publishes TO it (`mqtt://` writer mode) — the reference's
+    * producer→broker→consumer→broker topology. The reference's
+    * username/password/ca_file_path keys are the client-auth/TLS seam of
+    * [[graft.sources.MqttWireClient]] (socket factory), not read here:
+    * this container has no CA material to validate them against. */
   final case class Module(
       name: String,
       source: ModuleSource,
       transform: DataFrame => DataFrame,
       sinkTopic: String,
       payload: DataFrame => Column,
-      triggerMs: Long = 1000L) // reference default cadence, global_vars.c:10
+      triggerMs: Long = 1000L, // reference default cadence, global_vars.c:10
+      broker: Option[String] = None)
 
   /** The reference's live HKO endpoint (`hko.cpp:98-100`); tests substitute
     * a `file://` URL the way graft-mqtt substitutes the broker. */
@@ -102,25 +114,54 @@ object ModuleRegistry {
     require(intervalMs > 0, s"$path: collection_event_interval_ms required and > 0")
     def req(ptr: String): String = at(ptr).getOrElse(
       throw new IllegalArgumentException(s"$path: required config key $ptr missing"))
+    // the reference's mqtt.host key (dd/ch settings-sample.json): when
+    // present the module runs against a real broker — port defaults to
+    // 1883 (the registered MQTT port) like every broker client does
+    def brokerOf(mod: String): Option[String] =
+      at(s"/$mod/mqtt/host").map { h =>
+        s"$h:${at(s"/$mod/mqtt/port").getOrElse("1883")}"
+      }
     val built = Seq(
       Option.when(root.has("dd"))(ddModule(req("/dd/mqtt/topic"),
-        at("/dd/sink_topic").getOrElse("sensors/dd_enriched"), intervalMs)),
+        at("/dd/sink_topic").getOrElse("sensors/dd_enriched"), intervalMs)
+        .copy(broker = brokerOf("dd"))),
       Option.when(root.has("ch"))(chModule(req("/ch/mqtt/topic"),
-        at("/ch/sink_topic").getOrElse("sensors/ch"), intervalMs)),
+        at("/ch/sink_topic").getOrElse("sensors/ch"), intervalMs)
+        .copy(broker = brokerOf("ch"))),
       Option.when(root.has("hko"))(hkoModule(
         at("/hko/url").getOrElse(HkoUrl),
         at("/hko/place").getOrElse("Happy Valley"),
-        req("/hko/topic"), intervalMs))
+        req("/hko/topic"), intervalMs)
+        // hko's settings put the broker host directly under /hko
+        // (hko/settings-sample.json) — it is the PUBLISH-side broker;
+        // the source stays the HTTP poll, so only the sink goes wire
+        .copy(broker = at("/hko/host").map(h =>
+          s"$h:${at("/hko/port").getOrElse("1883")}")))
     ).flatten
     built.map(m => m.name -> m).toMap
   }
 
-  /** Start a module as a streaming query over the spool transport — the
-    * engine's `ev_collect_data` loop equivalent. */
+  /** Start a module as a streaming query — the engine's `ev_collect_data`
+    * loop equivalent. Spool transport by default; with `m.broker` set the
+    * source topic is bridged in FROM the broker over the wire (spool as
+    * staging, so the DataSourceV2 offset/checkpoint contract is
+    * untouched) and the sink publishes TO it. */
   def start(spark: SparkSession, m: Module, spoolDir: String,
             checkpoint: Option[String]) = {
     val in = m.source match {
       case MqttTopic(topic) =>
+        m.broker.foreach { b =>
+          // one bridge per (broker, spool, topic) per JVM (the tempCaches
+          // pattern): restarts reuse the live daemon instead of stacking
+          // duplicate subscriptions that would double-write the spool
+          val Array(h, p) = b.split(":", 2)
+          bridges.computeIfAbsent(s"$b|$spoolDir|$topic", _ => {
+            val br = new graft.sources.MqttSpoolBridge(h, p.toInt, spoolDir,
+              topic, clientId = s"graft-bridge-${m.name}")
+            br.awaitSubscribed()
+            br
+          })
+        }
         spark.readStream.format("graft-mqtt")
           .option("spoolDir", spoolDir).option("topic", topic).load()
       case HttpEndpoint(url, minIntervalMs) =>
@@ -139,14 +180,17 @@ object ModuleRegistry {
     // one writer task per topic: publish allocates dense seqs, and a single
     // broker session is the reference's delivery model anyway (mqtt.c)
     val out = transformed.select(m.payload(transformed).as("payload")).coalesce(1)
+    val sinkTarget = m.broker.fold(spoolDir)(b => s"mqtt://$b")
     val w: DataStreamWriter[Row] = out.writeStream
-      .foreach(new graft.sources.Sinks.MqttLikePublishWriter(spoolDir, m.sinkTopic, 1))
+      .foreach(new graft.sources.Sinks.MqttLikePublishWriter(sinkTarget, m.sinkTopic, 1))
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(s"${m.triggerMs} milliseconds"))
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   private val tempCaches = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bridges =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.MqttSpoolBridge]()
 
   /** Start a registered module by name. */
   def start(spark: SparkSession, name: String, spoolDir: String,

@@ -204,6 +204,52 @@ class ModuleRegistrySpec extends SparkTestBase {
     val files = MqttLike.listSeqs(java.nio.file.Paths.get(spool, "sensors_sample_out"))
     assert(files.size == 1)
   }
+
+  test("dd module against a real broker (mqtt.host config): wire in, wire out — " +
+    "the reference's producer->broker->consumer->broker topology") {
+    import graft.sources.{MqttBrokerStub, MqttSpoolBridge, MqttWireClient}
+    val spool = java.nio.file.Files.createTempDirectory("modreg_wire").toString
+    val broker = new MqttBrokerStub()
+    // a second bridge plays the reference's downstream consumer of the
+    // ENRICHED topic, so the sink's wire publishes are observable
+    val outBridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool,
+      "wire/dd_enriched", clientId = "test-consumer")
+    try {
+      outBridge.awaitSubscribed()
+      // settings tree names the broker exactly like the reference's
+      // dd/settings-sample.json mqtt.host key
+      val settings = java.nio.file.Files.createTempFile("settings_wire", ".json")
+      java.nio.file.Files.writeString(settings,
+        s"""{
+           |  "collection_event_interval_ms": 100,
+           |  "dd": {"mqtt": {"topic": "wire/dd", "host": "127.0.0.1",
+           |                  "port": ${broker.port}},
+           |         "sink_topic": "wire/dd_enriched"}
+           |}""".stripMargin)
+      val m = ModuleRegistry.fromConfig(settings.toString)("dd")
+      assert(m.broker.contains(s"127.0.0.1:${broker.port}"))
+      val q = ModuleRegistry.start(spark, m, spool, None)
+      try {
+        // start() has already awaited the module's inbound bridge — a
+        // producer publishing right now cannot race the subscription
+        val pub = new MqttWireClient("127.0.0.1", broker.port, "test-producer")
+        pub.connect()
+        (0 until 3).foreach(i => pub.publish("wire/dd",
+          s"""{"timestamp_utc": "2024-12-23T08:00:0${i}Z", "temp_outdoor_celsius": ${20 + i}.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""".getBytes("UTF-8")))
+        pub.close()
+        val enriched = java.nio.file.Paths.get(spool, "wire_dd_enriched")
+        val deadline = System.currentTimeMillis() + 30000
+        while (MqttLike.listSeqs(enriched).size < 3) {
+          assert(System.currentTimeMillis() < deadline,
+            s"enriched topic has ${MqttLike.listSeqs(enriched).size}/3 " +
+              s"(inbound bridged: spool=${MqttLike.listSeqs(java.nio.file.Paths.get(spool, "wire_dd")).size})")
+          Thread.sleep(100)
+        }
+        val body = java.nio.file.Files.readString(enriched.resolve("0.msg"))
+        assert(body.contains(""""temp_outdoor_celsius":20.5"""), body)
+      } finally q.stop()
+    } finally { outBridge.close(); broker.close() }
+  }
 }
 
 class WindowedAggsSpec extends SparkTestBase {
