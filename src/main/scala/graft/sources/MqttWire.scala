@@ -100,10 +100,63 @@ object MqttCodec {
     Array[Byte]((n >>> 8).toByte, (n & 0xFF).toByte)
 
   def connectBody(clientId: String, cleanSession: Boolean,
-                  keepAliveSecs: Int): Array[Byte] =
-    utf8("MQTT") ++ Array[Byte](4, // protocol level 3.1.1
-      (if (cleanSession) 0x02 else 0x00).toByte) ++
-      u16(keepAliveSecs) ++ utf8(clientId)
+                  keepAliveSecs: Int,
+                  credentials: Option[(String, String)] = None): Array[Byte] = {
+    // flags: bit7 username present, bit6 password present, bit1 clean
+    // session (spec §3.1.2.3-9); payload order clientId, username,
+    // password (§3.1.3)
+    val flags = (if (cleanSession) 0x02 else 0x00) |
+      credentials.fold(0)(_ => 0x80 | 0x40)
+    utf8("MQTT") ++ Array[Byte](4, flags.toByte) ++ // protocol level 3.1.1
+      u16(keepAliveSecs) ++ utf8(clientId) ++
+      credentials.fold(Array.empty[Byte]) { case (u, p) => utf8(u) ++ utf8(p) }
+  }
+
+  /** Parse a `mqtt://[user:pass@]host:port` target into
+    * (host, port, credentials) — ONE parser for the sink writer and the
+    * ModuleRegistry bridge so their accepted syntax cannot drift. Splits
+    * userinfo at the LAST '@' and the port at the last ':' (so a
+    * bracketless IPv6 literal, whose colons sit inside the host, is
+    * refused descriptively instead of reaching the resolver mangled). */
+  def parseEndpoint(target: String): (String, Int, Option[(String, String)]) = {
+    def bad = s"mqtt:// target must be mqtt://host:port " +
+      s"(optionally user:pass@host:port), got $target"
+    val t = target.stripPrefix("mqtt://")
+    val atPos = t.lastIndexOf('@')
+    val (creds, hp) =
+      if (atPos < 0) (None, t)
+      else {
+        val ui = t.substring(0, atPos)
+        val c = ui.indexOf(':')
+        (Some(if (c < 0) (ui, "")
+              else (ui.substring(0, c), ui.substring(c + 1))), t.substring(atPos + 1))
+      }
+    val cut = hp.lastIndexOf(':')
+    require(cut > 0, bad)
+    val host = hp.substring(0, cut)
+    val portStr = hp.substring(cut + 1)
+    require(!host.contains(':') && portStr.nonEmpty && portStr.forall(_.isDigit), bad)
+    (host, portStr.toInt, creds)
+  }
+
+  /** Parse a CONNECT body's (clientId, username, password) — the broker
+    * side of [[connectBody]]. Returns null when the body is malformed. */
+  def parseConnect(p: Packet): (String, Option[(String, String)]) = {
+    def str(b: Array[Byte], off: Int): (String, Int) = {
+      val len = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+      (new String(b, off + 2, len, StandardCharsets.UTF_8), off + 2 + len)
+    }
+    val (_, afterProto) = str(p.body, 0) // "MQTT"
+    val flags = p.body(afterProto + 1) & 0xFF
+    val (clientId, afterId) = str(p.body, afterProto + 4) // level+flags+keepalive
+    val creds =
+      if ((flags & 0x80) != 0) {
+        val (u, afterU) = str(p.body, afterId)
+        val pw = if ((flags & 0x40) != 0) str(p.body, afterU)._1 else ""
+        Some((u, pw))
+      } else None
+    (clientId, creds)
+  }
 
   /** PUBLISH body + the flag nibble that must accompany it. */
   def publishBody(topic: String, payload: Array[Byte], qos: Int,
@@ -134,6 +187,7 @@ object MqttCodec {
   * TLS seam — pass `javax.net.ssl.SSLSocketFactory.getDefault`-backed
   * sockets for a TLS broker; defaults to plain TCP. */
 class MqttWireClient(host: String, port: Int, clientId: String,
+                     credentials: Option[(String, String)] = None,
                      socketFactory: (String, Int) => Socket =
                        (h, p) => { val s = new Socket(); s.connect(new InetSocketAddress(h, p), 10000); s }) {
   import MqttCodec._
@@ -147,14 +201,22 @@ class MqttWireClient(host: String, port: Int, clientId: String,
 
   /** CONNECT → CONNACK(0). Clean session, keepalive 0 (disabled — the
     * spec's "no keepalive" mode; callers with idle long-lived sessions
-    * should ping via [[pingInline]] on their own cadence). */
+    * fire [[ping]] on their own cadence). Credentials (the reference's
+    * settings username/password) ride the CONNECT flags per §3.1. */
   def connect(): Unit = {
-    writePacket(out, Connect, 0, connectBody(clientId, cleanSession = true, keepAliveSecs = 0))
+    writePacket(out, Connect, 0,
+      connectBody(clientId, cleanSession = true, keepAliveSecs = 0, credentials))
     val ack = readPacket(in)
     require(ack.ptype == Connack, s"expected CONNACK, got type ${ack.ptype}")
     require(ack.body.length == 2 && ack.body(1) == 0,
       s"broker refused connection: rc=${if (ack.body.length == 2) ack.body(1) else -1}")
   }
+
+  /** Fire a PINGREQ. The PINGRESP is consumed wherever the socket is
+    * being read (the publish ack wait and the subscribe loop both
+    * tolerate an interleaved pong), so this is safe from a keepalive
+    * timer thread. */
+  def ping(): Unit = writePacket(out, Pingreq, 0, Array.empty)
 
   private def claimPacketId(): Int = {
     // u16, nonzero, wraps — 65535 ids in flight is far beyond this
@@ -238,8 +300,9 @@ class MqttWireClient(host: String, port: Int, clientId: String,
   * contract), so a bridge crash can duplicate but never lose — QoS 1.
   * Runs on a daemon thread; `close()` tears down the socket. */
 class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
-                      topicFilter: String, clientId: String = "graft-bridge") {
-  private val client = new MqttWireClient(host, port, clientId)
+                      topicFilter: String, clientId: String = "graft-bridge",
+                      credentials: Option[(String, String)] = None) {
+  private val client = new MqttWireClient(host, port, clientId, credentials)
   @volatile private var error: Throwable = _
   val received = new AtomicLong(0)
   private val subscribed = new java.util.concurrent.CountDownLatch(1)
@@ -281,8 +344,12 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
   * (inbound QoS-1 PUBLISH is acked AFTER routing enqueues to every
   * matching session's outbound lane), PINGREQ/PINGRESP, DISCONNECT. No
   * retained messages, no persistent sessions, no QoS 2 — a production
-  * deployment points the same client at a real broker. */
-class MqttBrokerStub(port0: Int = 0) {
+  * deployment points the same client at a real broker. With
+  * `credentials` set, CONNECT must carry the matching username/password
+  * (the reference's settings keys) or the stub answers rc 4 (bad user
+  * name or password, spec §3.2.2.3) and drops the line. */
+class MqttBrokerStub(port0: Int = 0,
+                     credentials: Option[(String, String)] = None) {
   import MqttCodec._
 
   private val server = new ServerSocket(port0)
@@ -328,6 +395,10 @@ class MqttBrokerStub(port0: Int = 0) {
     try {
       val first = readPacket(session.in)
       if (first.ptype != Connect) { session.close(); return }
+      if (credentials.exists(want => parseConnect(first)._2 != Some(want))) {
+        writePacket(session.out, Connack, 0, Array[Byte](0, 4)) // bad user/pass
+        session.close(); return
+      }
       writePacket(session.out, Connack, 0, Array[Byte](0, 0))
       var open = true
       while (open && running.get()) {

@@ -50,22 +50,12 @@ object Sinks {
         require(qos <= 1, s"wire transport publishes at QoS 0/1, got $qos: " +
           "QoS 2 effective exactly-once comes from the spool+checkpoint " +
           "layer — use a spool target or qos = 1")
-        // split from the RIGHT so the port check also rejects bracketless
-        // IPv6 targets (whose first ':' is inside the host) descriptively
-        val cut = target.stripPrefix("mqtt://").lastIndexOf(':')
-        val (host, portStr) =
-          if (cut < 0) (target.stripPrefix("mqtt://"), "")
-          else target.stripPrefix("mqtt://").splitAt(cut) match {
-            case (h, p) => (h, p.drop(1))
-          }
-        // colon-free host also rejects bracketless IPv6 literals (whose
-        // rightmost colon is inside the address) with the descriptive
-        // message instead of a resolver error on a mangled host
-        require(host.nonEmpty && !host.contains(':') &&
-          portStr.nonEmpty && portStr.forall(_.isDigit),
-          s"mqtt:// target must be mqtt://host:port, got $target")
-        wire = new MqttWireClient(host, portStr.toInt,
-          s"graft-sink-$partitionId-$epochId")
+        // the one endpoint grammar (MqttCodec.parseEndpoint, shared with
+        // the ModuleRegistry bridge): mqtt://[user:pass@]host:port, with
+        // bracketless-IPv6 and empty-port shapes refused descriptively
+        val (host, port, creds) = MqttCodec.parseEndpoint(target)
+        wire = new MqttWireClient(host, port,
+          s"graft-sink-$partitionId-$epochId", creds)
         wire.connect()
       } else {
         lane = if (partitioned) s"w-$partitionId" else ""

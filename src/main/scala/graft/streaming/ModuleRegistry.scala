@@ -31,9 +31,10 @@ object ModuleRegistry {
     * into the spool, so offsets/checkpoints are unchanged) and the sink
     * publishes TO it (`mqtt://` writer mode) — the reference's
     * producer→broker→consumer→broker topology. The reference's
-    * username/password/ca_file_path keys are the client-auth/TLS seam of
-    * [[graft.sources.MqttWireClient]] (socket factory), not read here:
-    * this container has no CA material to validate them against. */
+    * username/password keys ride the endpoint's userinfo
+    * (`user:pass@host:port`, sent as MQTT CONNECT credentials); only
+    * ca_file_path remains a seam ([[graft.sources.MqttWireClient]]'s
+    * socket factory — this container has no CA material). */
   final case class Module(
       name: String,
       source: ModuleSource,
@@ -114,13 +115,19 @@ object ModuleRegistry {
     require(intervalMs > 0, s"$path: collection_event_interval_ms required and > 0")
     def req(ptr: String): String = at(ptr).getOrElse(
       throw new IllegalArgumentException(s"$path: required config key $ptr missing"))
-    // the reference's mqtt.host key (dd/ch settings-sample.json): when
-    // present the module runs against a real broker — port defaults to
-    // 1883 (the registered MQTT port) like every broker client does
+    // the reference's mqtt.host/username/password keys (dd/ch
+    // settings-sample.json): when host is present the module runs against
+    // a real broker — port defaults to 1883 (the registered MQTT port)
+    // like every broker client does, and credentials ride the endpoint's
+    // userinfo (one grammar, MqttCodec.parseEndpoint)
+    def endpoint(host: String, port: Option[String],
+                 user: Option[String], pass: Option[String]): String = {
+      val auth = user.fold("")(u => s"$u:${pass.getOrElse("")}@")
+      s"$auth$host:${port.getOrElse("1883")}"
+    }
     def brokerOf(mod: String): Option[String] =
-      at(s"/$mod/mqtt/host").map { h =>
-        s"$h:${at(s"/$mod/mqtt/port").getOrElse("1883")}"
-      }
+      at(s"/$mod/mqtt/host").map(h => endpoint(h, at(s"/$mod/mqtt/port"),
+        at(s"/$mod/mqtt/username"), at(s"/$mod/mqtt/password")))
     val built = Seq(
       Option.when(root.has("dd"))(ddModule(req("/dd/mqtt/topic"),
         at("/dd/sink_topic").getOrElse("sensors/dd_enriched"), intervalMs)
@@ -135,8 +142,8 @@ object ModuleRegistry {
         // hko's settings put the broker host directly under /hko
         // (hko/settings-sample.json) — it is the PUBLISH-side broker;
         // the source stays the HTTP poll, so only the sink goes wire
-        .copy(broker = at("/hko/host").map(h =>
-          s"$h:${at("/hko/port").getOrElse("1883")}")))
+        .copy(broker = at("/hko/host").map(h => endpoint(h, at("/hko/port"),
+          at("/hko/username"), at("/hko/password")))))
     ).flatten
     built.map(m => m.name -> m).toMap
   }
@@ -154,10 +161,10 @@ object ModuleRegistry {
           // one bridge per (broker, spool, topic) per JVM (the tempCaches
           // pattern): restarts reuse the live daemon instead of stacking
           // duplicate subscriptions that would double-write the spool
-          val Array(h, p) = b.split(":", 2)
+          val (h, p, creds) = graft.sources.MqttCodec.parseEndpoint(s"mqtt://$b")
           bridges.computeIfAbsent(s"$b|$spoolDir|$topic", _ => {
-            val br = new graft.sources.MqttSpoolBridge(h, p.toInt, spoolDir,
-              topic, clientId = s"graft-bridge-${m.name}")
+            val br = new graft.sources.MqttSpoolBridge(h, p, spoolDir,
+              topic, clientId = s"graft-bridge-${m.name}", credentials = creds)
             br.awaitSubscribed()
             br
           })

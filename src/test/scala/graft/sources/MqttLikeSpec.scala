@@ -375,6 +375,27 @@ class MqttLikeSpec extends SparkTestBase {
     } finally { bridge.close(); broker.close() }
   }
 
+  test("CONNECT credentials: right user/pass connects and publishes, wrong " +
+    "pass is refused with rc 4") {
+    val broker = new MqttBrokerStub(credentials = Some(("ref-user", "ref-pass")))
+    try {
+      val good = new MqttWireClient("127.0.0.1", broker.port, "c-good",
+        credentials = Some(("ref-user", "ref-pass")))
+      good.connect()
+      good.publish("t/auth", "hello".getBytes("UTF-8")) // PUBACK round-trips
+      good.close()
+      val bad = new MqttWireClient("127.0.0.1", broker.port, "c-bad",
+        credentials = Some(("ref-user", "wrong")))
+      val e = intercept[IllegalArgumentException] { bad.connect() }
+      assert(e.getMessage.contains("rc=4"), e.getMessage)
+      bad.close()
+      val anon = new MqttWireClient("127.0.0.1", broker.port, "c-anon")
+      val e2 = intercept[IllegalArgumentException] { anon.connect() }
+      assert(e2.getMessage.contains("rc=4"), e2.getMessage)
+      anon.close()
+    } finally broker.close()
+  }
+
   test("wire-mode sink refuses QoS 2 and malformed mqtt:// targets loudly") {
     // QoS 2's four-way handshake is not on the wire: refuse at open(),
     // never silently downgrade (effective exactly-once is the

@@ -209,30 +209,35 @@ class ModuleRegistrySpec extends SparkTestBase {
     "the reference's producer->broker->consumer->broker topology") {
     import graft.sources.{MqttBrokerStub, MqttSpoolBridge, MqttWireClient}
     val spool = java.nio.file.Files.createTempDirectory("modreg_wire").toString
-    val broker = new MqttBrokerStub()
+    // credentialed broker: the settings' username/password must reach the
+    // CONNECT packet for anything below to flow at all
+    val broker = new MqttBrokerStub(credentials = Some(("ref-user", "ref-pass")))
     // a second bridge plays the reference's downstream consumer of the
     // ENRICHED topic, so the sink's wire publishes are observable
     val outBridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool,
-      "wire/dd_enriched", clientId = "test-consumer")
+      "wire/dd_enriched", clientId = "test-consumer",
+      credentials = Some(("ref-user", "ref-pass")))
     try {
       outBridge.awaitSubscribed()
       // settings tree names the broker exactly like the reference's
-      // dd/settings-sample.json mqtt.host key
+      // dd/settings-sample.json mqtt.host/username/password keys
       val settings = java.nio.file.Files.createTempFile("settings_wire", ".json")
       java.nio.file.Files.writeString(settings,
         s"""{
            |  "collection_event_interval_ms": 100,
            |  "dd": {"mqtt": {"topic": "wire/dd", "host": "127.0.0.1",
-           |                  "port": ${broker.port}},
+           |                  "port": ${broker.port},
+           |                  "username": "ref-user", "password": "ref-pass"},
            |         "sink_topic": "wire/dd_enriched"}
            |}""".stripMargin)
       val m = ModuleRegistry.fromConfig(settings.toString)("dd")
-      assert(m.broker.contains(s"127.0.0.1:${broker.port}"))
+      assert(m.broker.contains(s"ref-user:ref-pass@127.0.0.1:${broker.port}"))
       val q = ModuleRegistry.start(spark, m, spool, None)
       try {
         // start() has already awaited the module's inbound bridge — a
         // producer publishing right now cannot race the subscription
-        val pub = new MqttWireClient("127.0.0.1", broker.port, "test-producer")
+        val pub = new MqttWireClient("127.0.0.1", broker.port, "test-producer",
+          credentials = Some(("ref-user", "ref-pass")))
         pub.connect()
         (0 until 3).foreach(i => pub.publish("wire/dd",
           s"""{"timestamp_utc": "2024-12-23T08:00:0${i}Z", "temp_outdoor_celsius": ${20 + i}.5, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""".getBytes("UTF-8")))
