@@ -883,13 +883,32 @@ object Dedup {
     * candidate side stays a bounded-k probe join; the exact side is the
     * oracle anchor, so this query belongs to the sf-small certification
     * tier, not the 100 TB production path. */
-  def containmentAgreement(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame = {
+  def containmentAgreement(docs: DataFrame, n: Int, k: Int, minC: Double): DataFrame =
+    containmentAgreementFrom(containmentPairs(docs, n, minC), docs, n, k, minC)
+
+  /** [[containmentPairs]] as a persisted fit artifact — the exact anchor
+    * the qe58c certificate re-scores ([[persistedJaccardPairs]] contract:
+    * computed once per corpus fingerprint, a parquet read thereafter). */
+  def persistedContainmentPairs(docs: DataFrame, dataPath: String,
+                                n: Int, minC: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"n$n-c$minC")
+    graft.Artifacts.getOrFit(spark, "containment_pairs", key,
+      containmentPairs(docs, n, minC))
+  }
+
+  /** [[containmentAgreement]] against a caller-supplied exact anchor
+    * (e.g. the persisted artifact) — one body so the inline and
+    * anchor-persisted forms cannot drift. `exact` must be the
+    * containmentPairs(docs, n, minC) frame; the bound/threshold algebra
+    * below depends on that contract. */
+  def containmentAgreementFrom(exact: DataFrame, docs: DataFrame,
+                               n: Int, k: Int, minC: Double): DataFrame = {
     val bound = 2.0 / math.sqrt(k.toDouble)
     require(bound < minC,
       s"containment agreement: 2/sqrt(k) = $bound >= minC = $minC — the " +
         "certificate would be vacuous (a pair the sketch misses entirely " +
         "still scores within_bound); raise k above (2/minC)^2")
-    val exact = containmentPairs(docs, n, minC)
     // candidate threshold minC − bound: anything the exact form keeps but
     // the sketch scores below that violates the bound anyway, so no
     // agreeing pair can be lost to the candidate filter
