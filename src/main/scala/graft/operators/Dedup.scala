@@ -901,8 +901,11 @@ object Dedup {
     * (e.g. the persisted artifact) — one body so the inline and
     * anchor-persisted forms cannot drift. `exact` must be the
     * containmentPairs(docs, n, minC) frame; the bound/threshold algebra
-    * below depends on that contract. */
-  def containmentAgreementFrom(exact: DataFrame, docs: DataFrame,
+    * below depends on that contract. BY-NAME so the vacuity refusal
+    * fires before the anchor is built: a persisted anchor's getOrFit is
+    * EAGER, and a rejected configuration must not first pay (and write)
+    * the full exact self-join. */
+  def containmentAgreementFrom(exact: => DataFrame, docs: DataFrame,
                                n: Int, k: Int, minC: Double): DataFrame = {
     val bound = 2.0 / math.sqrt(k.toDouble)
     require(bound < minC,

@@ -119,10 +119,13 @@ object MqttCodec {
     * bracketless IPv6 literal, whose colons sit inside the host, is
     * refused descriptively instead of reaching the resolver mangled). */
   def parseEndpoint(target: String): (String, Int, Option[(String, String)]) = {
-    def bad = s"mqtt:// target must be mqtt://host:port " +
-      s"(optionally user:pass@host:port), got $target"
     val t = target.stripPrefix("mqtt://")
     val atPos = t.lastIndexOf('@')
+    // the refusal message REDACTS userinfo: it lands in driver logs,
+    // task failure messages, and test reports — never echo a password
+    def bad = s"mqtt:// target must be mqtt://host:port " +
+      "(optionally user:pass@host:port), got mqtt://" +
+      (if (atPos < 0) t else s"<credentials>@${t.substring(atPos + 1)}")
     val (creds, hp) =
       if (atPos < 0) (None, t)
       else {
@@ -140,22 +143,28 @@ object MqttCodec {
   }
 
   /** Parse a CONNECT body's (clientId, username, password) — the broker
-    * side of [[connectBody]]. Returns null when the body is malformed. */
+    * side of [[connectBody]]. Returns null when the body is malformed
+    * (a truncated packet whose length-prefixed fields overrun the body
+    * must drop the line, not kill the serving thread). */
   def parseConnect(p: Packet): (String, Option[(String, String)]) = {
     def str(b: Array[Byte], off: Int): (String, Int) = {
       val len = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
       (new String(b, off + 2, len, StandardCharsets.UTF_8), off + 2 + len)
     }
-    val (_, afterProto) = str(p.body, 0) // "MQTT"
-    val flags = p.body(afterProto + 1) & 0xFF
-    val (clientId, afterId) = str(p.body, afterProto + 4) // level+flags+keepalive
-    val creds =
-      if ((flags & 0x80) != 0) {
-        val (u, afterU) = str(p.body, afterId)
-        val pw = if ((flags & 0x40) != 0) str(p.body, afterU)._1 else ""
-        Some((u, pw))
-      } else None
-    (clientId, creds)
+    try {
+      val (_, afterProto) = str(p.body, 0) // "MQTT"
+      val flags = p.body(afterProto + 1) & 0xFF
+      val (clientId, afterId) = str(p.body, afterProto + 4) // level+flags+keepalive
+      val creds =
+        if ((flags & 0x80) != 0) {
+          val (u, afterU) = str(p.body, afterId)
+          val pw = if ((flags & 0x40) != 0) str(p.body, afterU)._1 else ""
+          Some((u, pw))
+        } else None
+      (clientId, creds)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: StringIndexOutOfBoundsException => null
+    }
   }
 
   /** PUBLISH body + the flag nibble that must accompany it. */
@@ -316,10 +325,22 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
             new String(payload, StandardCharsets.UTF_8))
           received.incrementAndGet()
       }
-    } catch { case t: Throwable => error = t; subscribed.countDown() }
+    } catch { case t: Throwable =>
+      error = t
+      // drop the socket with the thread: a failed bridge must not keep a
+      // half-open session a late broker response could revive into an
+      // untracked writer
+      client.close()
+      subscribed.countDown()
+    }
   }, s"mqtt-spool-bridge-$clientId")
   thread.setDaemon(true)
   thread.start()
+
+  /** True while the bridge can still deliver: its loop thread is running
+    * and no failure was recorded. A cache holding bridges must replace a
+    * dead one, not reuse it into silent ingress loss. */
+  def isAlive: Boolean = thread.isAlive && error == null
 
   /** Block until the bridge's SUBSCRIBE is acked (or it failed): the
     * broker keeps no retained messages, so a message published before
@@ -395,7 +416,9 @@ class MqttBrokerStub(port0: Int = 0,
     try {
       val first = readPacket(session.in)
       if (first.ptype != Connect) { session.close(); return }
-      if (credentials.exists(want => parseConnect(first)._2 != Some(want))) {
+      val parsed = parseConnect(first)
+      if (parsed == null) { session.close(); return } // malformed: drop line
+      if (credentials.exists(want => parsed._2 != Some(want))) {
         writePacket(session.out, Connack, 0, Array[Byte](0, 4)) // bad user/pass
         session.close(); return
       }

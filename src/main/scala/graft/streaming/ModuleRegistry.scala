@@ -122,6 +122,17 @@ object ModuleRegistry {
     // userinfo (one grammar, MqttCodec.parseEndpoint)
     def endpoint(host: String, port: Option[String],
                  user: Option[String], pass: Option[String]): String = {
+      // the userinfo grammar splits the username at the FIRST ':' and
+      // the host at the LAST '@' — characters that would mis-parse are
+      // refused here with the config key named, never silently mangled
+      // into an rc-4 mystery at CONNECT time
+      user.foreach(u => require(!u.contains(':') && !u.contains('@'),
+        s"mqtt username must not contain ':' or '@', got '$u'"))
+      pass.foreach(p => require(!p.contains('@'),
+        "mqtt password must not contain '@' (the endpoint userinfo delimiter)"))
+      require(user.nonEmpty || pass.isEmpty,
+        "mqtt password configured without a username — it would be " +
+          "silently ignored; set username too")
       val auth = user.fold("")(u => s"$u:${pass.getOrElse("")}@")
       s"$auth$host:${port.getOrElse("1883")}"
     }
@@ -158,16 +169,33 @@ object ModuleRegistry {
     val in = m.source match {
       case MqttTopic(topic) =>
         m.broker.foreach { b =>
-          // one bridge per (broker, spool, topic) per JVM (the tempCaches
-          // pattern): restarts reuse the live daemon instead of stacking
-          // duplicate subscriptions that would double-write the spool
+          // one LIVE bridge per (broker address, spool, topic) per JVM
+          // (the tempCaches pattern): restarts reuse the live daemon
+          // instead of stacking duplicate subscriptions that would
+          // double-write the spool. Keyed WITHOUT credentials — a
+          // rotated password must replace the old bridge, not run a
+          // second one beside it. A dead cached bridge (broker restart:
+          // its loop exits with error set) is closed and replaced, not
+          // reused into silent ingress loss.
           val (h, p, creds) = graft.sources.MqttCodec.parseEndpoint(s"mqtt://$b")
-          bridges.computeIfAbsent(s"$b|$spoolDir|$topic", _ => {
-            val br = new graft.sources.MqttSpoolBridge(h, p, spoolDir,
-              topic, clientId = s"graft-bridge-${m.name}", credentials = creds)
-            br.awaitSubscribed()
-            br
+          val key = s"$h:$p|$spoolDir|$topic"
+          // the mapping only CONSTRUCTS (thread spawn, no blocking I/O
+          // on this thread) — CHM mapping functions must not block, and
+          // the subscribe handshake can take seconds
+          val br = bridges.compute(key, (_, old) => {
+            if (old != null && old.isAlive) old
+            else {
+              if (old != null) old.close()
+              new graft.sources.MqttSpoolBridge(h, p, spoolDir, topic,
+                clientId = s"graft-bridge-${m.name}", credentials = creds)
+            }
           })
+          // await OUTSIDE the map lock; a failed handshake must not leak
+          // the socket/thread or leave a dead entry to be "reused"
+          try br.awaitSubscribed()
+          catch { case t: Throwable =>
+            br.close(); bridges.remove(key, br); throw t
+          }
         }
         spark.readStream.format("graft-mqtt")
           .option("spoolDir", spoolDir).option("topic", topic).load()
