@@ -176,17 +176,27 @@ object MqttCodec {
     (vh ++ payload, flags)
   }
 
-  /** Parsed inbound PUBLISH: (topic, payload, qos, packetId). */
+  /** Parsed inbound PUBLISH: (topic, payload, qos, packetId) — null when
+    * the body is malformed (declared topic length overruns the packet):
+    * the broker parses untrusted client bytes and the client parses
+    * whatever the socket delivers, so a torn packet must drop the line,
+    * never kill a serving thread with an index error. Same never-throw
+    * discipline as the media byte parsers. */
   def parsePublish(p: Packet): (String, Array[Byte], Int, Int) = {
-    val qos = (p.flags >>> 1) & 0x03
-    val tlen = ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
-    val topic = new String(p.body, 2, tlen, StandardCharsets.UTF_8)
-    var off = 2 + tlen
-    val pid = if (qos > 0) {
-      val id = ((p.body(off) & 0xFF) << 8) | (p.body(off + 1) & 0xFF)
-      off += 2; id
-    } else 0
-    (topic, p.body.drop(off), qos, pid)
+    try {
+      val qos = (p.flags >>> 1) & 0x03
+      val tlen = ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
+      val topic = new String(p.body, 2, tlen, StandardCharsets.UTF_8)
+      var off = 2 + tlen
+      val pid = if (qos > 0) {
+        val id = ((p.body(off) & 0xFF) << 8) | (p.body(off + 1) & 0xFF)
+        off += 2; id
+      } else 0
+      if (off > p.body.length) null
+      else (topic, p.body.drop(off), qos, pid)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: StringIndexOutOfBoundsException => null
+    }
   }
 }
 
@@ -247,6 +257,7 @@ class MqttWireClient(host: String, port: Int, clientId: String,
       while (!acked) {
         val p = readPacket(in)
         if (p.ptype == Puback) {
+          if (p.body.length < 2) throw new IOException("truncated PUBACK")
           val got = ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
           require(got == pid, s"PUBACK for unexpected packet id $got (want $pid)")
           acked = true
@@ -280,7 +291,9 @@ class MqttWireClient(host: String, port: Int, clientId: String,
         val p = readPacket(in)
         p.ptype match {
           case Publish =>
-            val (topic, payload, qos, mid) = parsePublish(p)
+            val parsed = parsePublish(p)
+            if (parsed == null) throw new IOException("malformed PUBLISH from broker")
+            val (topic, payload, qos, mid) = parsed
             handler(topic, payload) // durable BEFORE the ack
             if (qos > 0) writePacket(out, Puback, 0, u16(mid))
           case Pingresp => ()
@@ -426,15 +439,21 @@ class MqttBrokerStub(port0: Int = 0,
       var open = true
       while (open && running.get()) {
         val p = readPacket(session.in)
-        p.ptype match {
+        // any malformed body (torn length fields) drops the line — a
+        // hostile or buggy client must never kill a serving thread
+        try p.ptype match {
           case Publish =>
-            val (topic, payload, qos, pid) = parsePublish(p)
-            // route BEFORE acking: once the publisher sees PUBACK the
-            // message is in every matching subscriber's TCP lane
-            sessions.iterator().asScala.filter(_.matches(topic))
-              .foreach(_.deliver(topic, payload))
-            published.incrementAndGet()
-            if (qos > 0) writePacket(session.out, Puback, 0, u16(pid))
+            val parsed = parsePublish(p)
+            if (parsed == null) open = false
+            else {
+              val (topic, payload, qos, pid) = parsed
+              // route BEFORE acking: once the publisher sees PUBACK the
+              // message is in every matching subscriber's TCP lane
+              sessions.iterator().asScala.filter(_.matches(topic))
+                .foreach(_.deliver(topic, payload))
+              published.incrementAndGet()
+              if (qos > 0) writePacket(session.out, Puback, 0, u16(pid))
+            }
           case Subscribe =>
             val pid = ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
             // single-filter payload: len-prefixed filter + requested qos
@@ -446,6 +465,9 @@ class MqttBrokerStub(port0: Int = 0,
           case Pingreq => writePacket(session.out, Pingresp, 0, Array.empty)
           case Disconnect => open = false
           case _ => open = false // unsupported (e.g. QoS 2 flow): drop line
+        } catch {
+          case _: ArrayIndexOutOfBoundsException |
+               _: StringIndexOutOfBoundsException => open = false
         }
       }
     } catch {

@@ -396,6 +396,51 @@ class MqttLikeSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("MQTT codec fuzz: random and truncated packet bodies never throw " +
+    "(the MediaFuzzSpec discipline on the wire parsers)") {
+    val rnd = new scala.util.Random(0x51DE)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      MqttCodec.parsePublish(MqttCodec.Packet(MqttCodec.Publish, rnd.nextInt(16), b))
+      MqttCodec.parseConnect(MqttCodec.Packet(MqttCodec.Connect, 0, b))
+    }
+    // truncations of a VALID publish: every prefix parses or returns null
+    val (valid, flags) = MqttCodec.publishBody("sensors/dd",
+      "payload".getBytes("UTF-8"), qos = 1, packetId = 7, dup = false)
+    (0 to valid.length).foreach { n =>
+      MqttCodec.parsePublish(MqttCodec.Packet(MqttCodec.Publish, flags, valid.take(n)))
+    }
+    assert(MqttCodec.parsePublish(
+      MqttCodec.Packet(MqttCodec.Publish, flags, valid)) != null)
+    // declared topic length overrunning the body must be null, not AIOOBE
+    assert(MqttCodec.parsePublish(MqttCodec.Packet(MqttCodec.Publish, 0,
+      Array[Byte](0x7F, 0x7F, 'a'))) == null)
+  }
+
+  test("broker stub survives a garbage-spewing client and keeps serving") {
+    val broker = new MqttBrokerStub()
+    try {
+      // hostile line: valid CONNECT, then a torn SUBSCRIBE whose filter
+      // length overruns the packet — the stub must drop THIS line only
+      val s = new java.net.Socket("127.0.0.1", broker.port)
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      MqttCodec.writePacket(out, MqttCodec.Connect, 0,
+        MqttCodec.connectBody("evil", cleanSession = true, keepAliveSecs = 0))
+      new java.io.DataInputStream(s.getInputStream).readNBytes(4) // CONNACK
+      MqttCodec.writePacket(out, MqttCodec.Subscribe, 0x02,
+        Array[Byte](0, 1, 0x7F, 0x7F, 'a'))
+      // the stub closes the hostile line; a well-behaved session must
+      // still connect, subscribe, and publish end-to-end afterwards
+      val ok = new MqttWireClient("127.0.0.1", broker.port, "polite")
+      ok.connect()
+      ok.publish("t/ok", "fine".getBytes("UTF-8"))
+      ok.close()
+      s.close()
+      assert(broker.published.get() == 1)
+    } finally broker.close()
+  }
+
   test("wire-mode sink refuses QoS 2 and malformed mqtt:// targets loudly") {
     // QoS 2's four-way handshake is not on the wire: refuse at open(),
     // never silently downgrade (effective exactly-once is the
