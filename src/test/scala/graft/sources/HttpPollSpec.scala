@@ -128,6 +128,44 @@ class HttpPollSpec extends SparkTestBase {
     }
   }
 
+  test("http:// polls over a real socket: JDK HttpServer end-to-end, " +
+    "content change arrives as a later poll") {
+    // the http(s) branch of HttpPoll.fetch was the one untested transport
+    // edge (zero egress, nothing public to fetch) — the JDK's built-in
+    // HttpServer closes it over localhost, the MqttBrokerStub pattern
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var body = """{"v": 1}"""
+    server.createContext("/rhrread", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    val cache = java.nio.file.Files.createTempDirectory("polls_http").toString
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/rhrread"
+    val q = spark.readStream.format("graft-http")
+      .option("url", url).option("minIntervalMs", "300")
+      .option("cacheDir", cache).load()
+      .writeStream.format("memory").queryName("http_sock")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      awaitCount("http_sock", 1)
+      assert(spark.table("http_sock").where("body = '{\"v\": 1}'").count() >= 1)
+      body = """{"v": 2}"""
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("http_sock").where("body = '{\"v\": 2}'").isEmpty) {
+        assert(System.currentTimeMillis() < deadline,
+          "updated endpoint content must arrive as a later poll over the socket")
+        Thread.sleep(100)
+      }
+      val urls = spark.table("http_sock").select("url").distinct().collect()
+      assert(urls.map(_.getString(0)).toSeq == Seq(url))
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("a failing endpoint is attempt-throttled to minIntervalMs") {
     val dir = java.nio.file.Files.createTempDirectory("httpthrottle")
     val doc = dir.resolve("absent.json")
