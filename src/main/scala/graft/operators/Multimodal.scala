@@ -386,15 +386,25 @@ object Multimodal {
     *    PRIV binary frame the walker must skip by size (and count),
     *    and doc_id%9 padding bytes end the tag body (walk must stop at
     *    the first zero id byte). */
-  def syntheticId3Corpus(docs: DataFrame): DataFrame = {
+  def syntheticId3Corpus(docs0: DataFrame): DataFrame = {
+    // the heaviest per-row payload assembly of the family (up-to-430-char
+    // titles encoded in four charsets). TWO structural choices keep it in
+    // whole-stage codegen rather than interpreted eval:
+    //  - a single-file documents scan is ONE task, so the sub-MB input
+    //    repartitions by available cores (the qe5h ImageIO lesson);
+    //  - the shared subtrees (enc selector, text-frame hex, body) are
+    //    STAGED as named columns, each referenced more than once —
+    //    CollapseProject keeps such non-cheap aliases at their project
+    //    boundary, where the fully-inlined form duplicated the encode
+    //    chains ~10x into a 175 KB expression tree that fell out of
+    //    codegen entirely (0 WholeStageCodegen spans, interpreted row
+    //    eval — measured 4x slower).
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
     val id = col("doc_id")
     val major = when(id % 2 === 0, 3).otherwise(4)
     val half = ((id - id % 2) / 2).cast("long")
-    val enc = when(id % 2 === 0, half % 2).otherwise(half % 4)
-    val title = concat(lit("Title "), id.cast("string"),
-      call_function("repeat", lit("x"), (id % 200).cast("int")))
-    val artist = concat(lit("Artist "), (id % 7).cast("string"))
-    val album = concat(lit("Album "), (id % 13).cast("string"))
+    val enc = col("__enc")
     def encHex(s: Column): Column = when(enc === 0, hex(encode(s, "ISO-8859-1")))
       .when(enc === 1, hex(encode(s, "UTF-16")))
       .when(enc === 2, hex(encode(s, "UTF-16BE")))
@@ -410,19 +420,29 @@ object Multimodal {
         when(major === 3, lpad(hex(n), 8, "0")).otherwise(ss32Hex(n)),
         lit("0000"), bodyHex)
     }
-    def textFrame(idHex: String, s: Column): Column =
-      frameHex(idHex, concat(h2(enc.cast("int")), encHex(s), termHex))
+    // each __fXXX is the COMPLETE encoded text-frame body for one id: the
+    // expensive encode runs once per row per frame, and frameHex's
+    // double reference (length + content) lands on the staged column
+    def textBody(s: Column): Column = concat(h2(enc.cast("int")), encHex(s), termHex)
     val privBody = lit("6F776E00" + "DEADBEEF01020304") // "own\0" + 8 junk
-    val body = concat(
-      textFrame("54495432", title),  // TIT2
-      textFrame("54504531", artist), // TPE1
-      when(id % 11 === 0, "").otherwise(textFrame("54414C42", album)), // TALB
-      when(id % 3 === 0, frameHex("50524956", privBody)).otherwise(""), // PRIV
-      call_function("repeat", lit("00"), (id % 9).cast("int"))) // padding
+    val staged = docs.select(col("doc_id"))
+      .withColumn("__enc", when(id % 2 === 0, half % 2).otherwise(half % 4))
+      .withColumn("__fTit", textBody(concat(lit("Title "), id.cast("string"),
+        call_function("repeat", lit("x"), (id % 200).cast("int")))))
+      .withColumn("__fArt", textBody(concat(lit("Artist "), (id % 7).cast("string"))))
+      .withColumn("__fAlb", textBody(concat(lit("Album "), (id % 13).cast("string"))))
+      .withColumn("__body", concat(
+        frameHex("54495432", col("__fTit")),  // TIT2
+        frameHex("54504531", col("__fArt")),  // TPE1
+        when(id % 11 === 0, "")
+          .otherwise(frameHex("54414C42", col("__fAlb"))), // TALB
+        when(id % 3 === 0, frameHex("50524956", privBody)).otherwise(""), // PRIV
+        call_function("repeat", lit("00"), (id % 9).cast("int")))) // padding
+    val body = col("__body")
     val tagSize = (length(body) / 2).cast("int")
     val hexPayload = concat(lit("494433"), h2(major.cast("int")), lit("0000"),
       ss32Hex(tagSize), body, lit("FFFB9000"), lit("00" * 8))
-    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+    staged.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
       lit("application/octet-stream").as("mime"))
   }
 
