@@ -430,7 +430,10 @@ object Multimodal {
       .withColumn("__fTit", textBody(concat(lit("Title "), id.cast("string"),
         call_function("repeat", lit("x"), (id % 200).cast("int")))))
       .withColumn("__fArt", textBody(concat(lit("Artist "), (id % 7).cast("string"))))
-      .withColumn("__fAlb", textBody(concat(lit("Album "), (id % 13).cast("string"))))
+      // guarded at the STAGE so the discarded-album rows (id%11) never
+      // pay the encode — the "" is what the body's own when discards
+      .withColumn("__fAlb", when(id % 11 === 0, "")
+        .otherwise(textBody(concat(lit("Album "), (id % 13).cast("string")))))
       .withColumn("__body", concat(
         frameHex("54495432", col("__fTit")),  // TIT2
         frameHex("54504531", col("__fArt")),  // TPE1

@@ -185,6 +185,10 @@ object MqttCodec {
   def parsePublish(p: Packet): (String, Array[Byte], Int, Int) = {
     try {
       val qos = (p.flags >>> 1) & 0x03
+      // both QoS bits set is MALFORMED per the spec ([MQTT-3.3.1-4]:
+      // "a PUBLISH Packet MUST NOT have both QoS bits set to 1") — the
+      // receiver must close the network connection, same as a torn body
+      if (qos == 3) return null
       val tlen = ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
       val topic = new String(p.body, 2, tlen, StandardCharsets.UTF_8)
       var off = 2 + tlen
@@ -192,8 +196,9 @@ object MqttCodec {
         val id = ((p.body(off) & 0xFF) << 8) | (p.body(off + 1) & 0xFF)
         off += 2; id
       } else 0
-      if (off > p.body.length) null
-      else (topic, p.body.drop(off), qos, pid)
+      (topic, p.body.drop(off), qos, pid)
+      // an overrunning declared length lands here via the String/array
+      // bounds checks — no explicit off guard needed (or reachable)
     } catch {
       case _: ArrayIndexOutOfBoundsException | _: StringIndexOutOfBoundsException => null
     }

@@ -18,7 +18,13 @@ object PlanSizeProbe {
       try {
         val s = fn(spark, sf).queryExecution.optimizedPlan.toString.length
         Some(n -> s)
-      } catch { case _: Throwable => None }
+      } catch { case t: Throwable =>
+        // a plan whose CONSTRUCTION fails (e.g. StackOverflow from the
+        // very blow-up this probe detects) must be the loudest line, not
+        // a silently dropped one
+        println(s"[plansize] $n FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        None
+      }
     }
     sizes.sortBy(-_._2).take(15).foreach { case (n, s) =>
       println(f"[plansize] $n%-36s ${s/1024}%6d KB")

@@ -416,6 +416,10 @@ class MqttLikeSpec extends SparkTestBase {
     // declared topic length overrunning the body must be null, not AIOOBE
     assert(MqttCodec.parsePublish(MqttCodec.Packet(MqttCodec.Publish, 0,
       Array[Byte](0x7F, 0x7F, 'a'))) == null)
+    // both QoS bits set is malformed per [MQTT-3.3.1-4]: refuse (drop the
+    // line), never route-and-ack a protocol violation
+    assert(MqttCodec.parsePublish(
+      MqttCodec.Packet(MqttCodec.Publish, 0x06, valid)) == null)
   }
 
   test("broker stub survives a garbage-spewing client and keeps serving") {
