@@ -386,12 +386,18 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
   * deployment points the same client at a real broker. With
   * `credentials` set, CONNECT must carry the matching username/password
   * (the reference's settings keys) or the stub answers rc 4 (bad user
-  * name or password, spec §3.2.2.3) and drops the line. */
+  * name or password, spec §3.2.2.3) and drops the line.
+  * `serverSocketFactory` is the TLS seam's server half — pass an
+  * `SSLContext.getServerSocketFactory`-backed factory to run the stub
+  * over TLS (the reference's mosquitto listens on TLS :8883); the codec
+  * and session logic are byte-identical either way. */
 class MqttBrokerStub(port0: Int = 0,
-                     credentials: Option[(String, String)] = None) {
+                     credentials: Option[(String, String)] = None,
+                     serverSocketFactory: Int => ServerSocket =
+                       p => new ServerSocket(p)) {
   import MqttCodec._
 
-  private val server = new ServerSocket(port0)
+  private val server = serverSocketFactory(port0)
   val port: Int = server.getLocalPort
   private val running = new AtomicBoolean(true)
   val published = new AtomicLong(0)

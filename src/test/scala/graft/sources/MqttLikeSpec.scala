@@ -422,6 +422,74 @@ class MqttLikeSpec extends SparkTestBase {
       MqttCodec.Packet(MqttCodec.Publish, 0x06, valid)) == null)
   }
 
+  test("TLS end-to-end: wire client and broker stub over SSL with a " +
+    "test-generated self-signed keypair, endpoint identification ON") {
+    // the reference's mosquitto listens on TLS :8883; the container has
+    // no CA material, so the test GENERATES a keypair (keytool ships in
+    // the JDK) with SAN=IP:127.0.0.1 and pins it as both the broker's
+    // key and the client's trust anchor — full handshake, certificate
+    // verification, and hostname (endpoint) identification, over the
+    // byte-identical codec/session logic
+    val dir = java.nio.file.Files.createTempDirectory("mqtt_tls")
+    val ks = dir.resolve("broker.p12")
+    val keytool = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "keytool").toString
+    import scala.sys.process._
+    val rc = Seq(keytool, "-genkeypair", "-alias", "broker", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "1", "-storepass", "changeit",
+      "-keypass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1",
+      "-keystore", ks.toString, "-storetype", "PKCS12").!
+    assert(rc == 0, "keytool keypair generation failed")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try store.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, "changeit".toCharArray)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(store) // the self-signed cert IS the pinned trust anchor
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+
+    val broker = new MqttBrokerStub(
+      serverSocketFactory = p => ctx.getServerSocketFactory.createServerSocket(p))
+    def tlsSocket(h: String, p: Int): java.net.Socket = {
+      val s = ctx.getSocketFactory.createSocket(h, p)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      // HTTPS-style endpoint identification: the cert's SAN must match
+      // the host we dialed — the production posture, not trust-blindly
+      val params = s.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(params)
+      s
+    }
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttWireClient("127.0.0.1", broker.port, "tls-sub",
+        socketFactory = tlsSocket)
+      val subscribed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        sub.connect()
+        sub.subscribeLoop("t/tls", onSubscribed = () => subscribed.countDown()) {
+          (_, payload) => got.put(new String(payload, "UTF-8"))
+        }
+      })
+      t.setDaemon(true); t.start()
+      assert(subscribed.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "TLS subscriber did not complete its handshake + SUBACK")
+      val pub = new MqttWireClient("127.0.0.1", broker.port, "tls-pub",
+        socketFactory = tlsSocket)
+      pub.connect()
+      pub.publish("t/tls", "over-tls".getBytes("UTF-8"))
+      pub.close()
+      val msg = got.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+      assert(msg == "over-tls", s"TLS round trip delivered '$msg'")
+      sub.close(); t.join(5000)
+    } finally broker.close()
+  }
+
   test("broker stub survives a garbage-spewing client and keeps serving") {
     val broker = new MqttBrokerStub()
     try {
