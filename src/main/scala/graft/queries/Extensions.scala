@@ -1741,6 +1741,32 @@ object Extensions {
       Certificates.pairsFound(exact, cand, "j")
         .select(col("da"), col("db"), r4(col("j")).as("j"), col("found"))
         .orderBy("da", "db")
-    }, Some("""WITH samp AS (SELECT doc_id, text FROM documents WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM samp), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j, TRUE AS found FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db"""))
+    }, Some("""WITH samp AS (SELECT doc_id, text FROM documents WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM samp), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 2 <= len(ws)), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT da, db, ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS j, TRUE AS found FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 ORDER BY da, db""")),
+
+    // Certificate scale mode, EMBEDDING family — qe65's bounded-sample
+    // idiom on the second quadratic-anchor family (all-pairs cosine):
+    // the production SRP-blocked path runs at corpus scale; the exact
+    // anchor and the recall compare restrict to the same deterministic
+    // md5-mod sample, so the certificate stays affordable at any corpus
+    // size. Aggregate recall (not per-pair: blocked recall is
+    // approximate by design); floor 0.7 = measured worst across the
+    // driver SFs minus one-pair granularity margin (CertProbe: 1.0 /
+    // 1.0 / 0.857 at sf0.001/0.01/0.1 — everything is seeded, so the
+    // measurement is deterministic, and the margin absorbs test-data
+    // regeneration drift, not randomness).
+    ("qe66_cert_embed_sampled", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      def inSample(c: org.apache.spark.sql.Column) =
+        pmod(graft.operators.Sampling.md5Priority(c), lit(4)) === 0
+      val exact = Dedup.embeddingNearDups(
+          emb.filter(inSample(col("vec_id"))), "vec_id", "embedding", EmbThr)
+        .select("da", "db")
+      val blocked = Dedup.embeddingNearDupsBlocked(
+          emb, "vec_id", "embedding", EmbThr, nHint = nH)
+        .filter(inSample(col("da")) && inSample(col("db")))
+        .select("da", "db")
+      Certificates.pairRecall("blocked_sampled", exact, blocked, 0.7)
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE ('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), p AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45) SELECT 'blocked_sampled' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_anchor, TRUE AS ok"""))
   )
 }

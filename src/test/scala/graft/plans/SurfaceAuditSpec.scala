@@ -75,7 +75,12 @@ class SurfaceAuditSpec extends SparkTestBase {
     // its visible plan (its brute anchor — like qe62's exact all-pairs
     // side — is truncated behind a localCheckpoint and audited by the
     // anchors' own allowlist entries above)
-    "qe60_cert_ann"
+    "qe60_cert_ann",
+    // the SAMPLED-mode certificate's exact cosine anchor: all-pairs by
+    // shape but over the deterministic md5-mod SAMPLE only — bounding
+    // this join is the query's entire point (the 100 TB certificate
+    // mode), so its BNLJ is quadratic in the sample, never the corpus
+    "qe66_cert_embed_sampled"
   )
 
   /** True iff the BNLJ's build (broadcast) side provably produces <= 1 row:
