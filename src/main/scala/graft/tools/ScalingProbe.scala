@@ -173,6 +173,39 @@ object ScalingProbe {
         println(f"${"qe65_cert full-vs-sampled"}%-34s $m%3d $nd%8d $full%9.2f $sampled%8.2f")
       }
 
+      // the embedding family's certificate economics (qe66): same shape
+      // as the qe65 row — full form embeds the quadratic all-pairs cosine
+      // anchor, sampled mode holds the sample constant via mod 4m while
+      // the production SRP-blocked path scans the whole corpus. The
+      // blocked knobs are pinned EXPLICITLY (occupancy-derived nbits,
+      // tables capped at 64): past m=2 the 0.45-threshold auto-sizer
+      // refuses (>64 tables, the documented wide-angle SRP economics),
+      // and this row measures COST growth — the recall floor lives in
+      // the registered qe66 at the driver SFs, not here
+      if (wanted("qe66_cert")) {
+        val bits = math.min(28, math.max(4,
+          math.ceil(math.log(math.max(1.0, m * 2000L / 32.0)) / math.log(2)).toInt))
+        def blockedAll = Dedup.embeddingNearDupsBlocked(emb, "vec_id",
+          "embedding", 0.45, nbits = bits, tables = 64, dim = dim)
+        val full = if (m <= anchorMaxM) time {
+          graft.operators.Certificates.pairRecall("blocked",
+            Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+              .select("da", "db"),
+            blockedAll.select("da", "db"), 0.7)
+        } else -1.0
+        val k = 4 * m
+        val sampled = time {
+          def inSample(c: org.apache.spark.sql.Column) =
+            pmod(graft.operators.Sampling.md5Priority(c), lit(k)) === 0
+          graft.operators.Certificates.pairRecall("blocked_sampled",
+            Dedup.embeddingNearDups(emb.filter(inSample(col("vec_id"))),
+              "vec_id", "embedding", 0.45).select("da", "db"),
+            blockedAll.filter(inSample(col("da")) && inSample(col("db")))
+              .select("da", "db"), 0.7)
+        }
+        println(f"${"qe66_cert full-vs-sampled"}%-34s $m%3d $ne%8d $full%9.2f $sampled%8.2f")
+      }
+
       // the qe11d split-packer (window cumsum + sequence explode) at the
       // registered 8-shard key: per-shard local sorts, no global order
       if (wanted("qe11d_pack")) {
