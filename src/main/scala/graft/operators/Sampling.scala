@@ -127,6 +127,18 @@ object Sampling {
                           seed: Long = 42L): DataFrame =
     df.filter(pmod(md5Priority(col(idCol), seed), lit(100)) < percent)
 
+  /** Membership predicate of the deterministic 1-in-k hash-mod sample —
+    * THE shared definition behind the sampled-mode certificates
+    * (qe65/qe66) and their floor-measuring probes (CertProbe,
+    * ScalingProbe): all of them must select the IDENTICAL rows as the
+    * DuckDB oracle's twin expression
+    * `('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 12))::BIGINT % k = 0`
+    * — one definition here, so a seed/mod/pmod edit cannot desynchronize
+    * a copy from the oracle or from the measurements that pinned the
+    * recall floors. */
+  def modSample(idCol: Column, k: Int, seed: Long = 42L): Column =
+    pmod(md5Priority(idCol, seed), lit(k)) === 0
+
   /** [[deterministicSample]] at parts-per-million granularity — the
     * sample-rate floor a fit cap actually needs: whole percent floors at
     * 1%, so "train on at most 200k rows" over 10^9 rows would silently

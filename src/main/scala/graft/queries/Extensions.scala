@@ -70,7 +70,7 @@ object Extensions {
     * semdedup tiers must move together — a literal drifting in one of
     * those spots would silently serve a stale artifact against fresh
     * ground truth (content keys only self-invalidate on INPUT change). */
-  private val EmbThr = 0.45
+  private[graft] val EmbThr = 0.45
 
   /** qe62/qe62b's ONE semdedup frozen-vs-inline equality claim row: the
     * persisted inline-fit classification (artifact) full-joined against a
@@ -1734,7 +1734,7 @@ object Extensions {
     ("qe65_cert_sampled", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       def inSample(c: org.apache.spark.sql.Column) =
-        pmod(graft.operators.Sampling.md5Priority(c), lit(4)) === 0
+        graft.operators.Sampling.modSample(c, 4)
       val exact = Dedup.jaccardPairs(docs.filter(inSample(col("doc_id"))), 3, 0.5)
       val cand = Dedup.minhashCandidates(docs)
         .filter(inSample(col("da")) && inSample(col("db")))
@@ -1758,7 +1758,7 @@ object Extensions {
       val emb = Engine.Tables(s, d).embeddings
       val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
       def inSample(c: org.apache.spark.sql.Column) =
-        pmod(graft.operators.Sampling.md5Priority(c), lit(4)) === 0
+        graft.operators.Sampling.modSample(c, 4)
       val exact = Dedup.embeddingNearDups(
           emb.filter(inSample(col("vec_id"))), "vec_id", "embedding", EmbThr)
         .select("da", "db")

@@ -13,12 +13,12 @@ object CertProbe {
       val d = s"/root/testdata/$sf"
       val emb = Engine.Tables(spark, d).embeddings
       val nH = Engine.parquetRowCount(spark, s"$d/embeddings.parquet")
-      def inSample(c: org.apache.spark.sql.Column) =
-        pmod(Sampling.md5Priority(c), lit(4)) === 0
+      def inSample(c: org.apache.spark.sql.Column) = Sampling.modSample(c, 4)
+      val thr = graft.queries.Extensions.EmbThr
       val samp = emb.filter(inSample(col("vec_id")))
-      val exact = Dedup.embeddingNearDups(samp, "vec_id", "embedding", 0.45)
+      val exact = Dedup.embeddingNearDups(samp, "vec_id", "embedding", thr)
         .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val blocked = Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", 0.45, nHint = nH)
+      val blocked = Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", thr, nHint = nH)
         .filter(inSample(col("da")) && inSample(col("db")))
         .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val hit = exact.count(blocked)

@@ -164,7 +164,7 @@ object ScalingProbe {
         val k = 4 * m
         val sampled = time {
           def inSample(c: org.apache.spark.sql.Column) =
-            pmod(graft.operators.Sampling.md5Priority(c), lit(k)) === 0
+            graft.operators.Sampling.modSample(c, k)
           val exact = Dedup.jaccardPairs(docs.filter(inSample(col("doc_id"))), 3, 0.5)
           val cand = Dedup.minhashCandidates(docs)
             .filter(inSample(col("da")) && inSample(col("db")))
@@ -183,10 +183,12 @@ object ScalingProbe {
       // and this row measures COST growth — the recall floor lives in
       // the registered qe66 at the driver SFs, not here
       if (wanted("qe66_cert")) {
-        val bits = math.min(28, math.max(4,
-          math.ceil(math.log(math.max(1.0, m * 2000L / 32.0)) / math.log(2)).toInt))
+        // nbits derives in the CALLEE from nHint (the production
+        // occupancy schedule — never a re-implemented copy that could
+        // drift); only tables is pinned at the 64 cap, which past m=2
+        // the 0.45-threshold recall target would refuse
         def blockedAll = Dedup.embeddingNearDupsBlocked(emb, "vec_id",
-          "embedding", 0.45, nbits = bits, tables = 64, dim = dim)
+          "embedding", 0.45, tables = 64, dim = dim, nHint = ne)
         val full = if (m <= anchorMaxM) time {
           graft.operators.Certificates.pairRecall("blocked",
             Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
@@ -196,7 +198,7 @@ object ScalingProbe {
         val k = 4 * m
         val sampled = time {
           def inSample(c: org.apache.spark.sql.Column) =
-            pmod(graft.operators.Sampling.md5Priority(c), lit(k)) === 0
+            graft.operators.Sampling.modSample(c, k)
           graft.operators.Certificates.pairRecall("blocked_sampled",
             Dedup.embeddingNearDups(emb.filter(inSample(col("vec_id"))),
               "vec_id", "embedding", 0.45).select("da", "db"),

@@ -456,8 +456,12 @@ class MqttLikeSpec extends SparkTestBase {
     val broker = new MqttBrokerStub(
       serverSocketFactory = p => ctx.getServerSocketFactory.createServerSocket(p))
     def tlsSocket(h: String, p: Int): java.net.Socket = {
-      val s = ctx.getSocketFactory.createSocket(h, p)
+      // connect with the SAME 10 s timeout as the client's default plain
+      // factory — an unconnected createSocket + bounded connect, so a
+      // wedged listener fails the assertion instead of hanging the suite
+      val s = ctx.getSocketFactory.createSocket()
         .asInstanceOf[javax.net.ssl.SSLSocket]
+      s.connect(new java.net.InetSocketAddress(h, p), 10000)
       // HTTPS-style endpoint identification: the cert's SAN must match
       // the host we dialed — the production posture, not trust-blindly
       val params = s.getSSLParameters
@@ -487,7 +491,11 @@ class MqttLikeSpec extends SparkTestBase {
       val msg = got.poll(15, java.util.concurrent.TimeUnit.SECONDS)
       assert(msg == "over-tls", s"TLS round trip delivered '$msg'")
       sub.close(); t.join(5000)
-    } finally broker.close()
+    } finally {
+      broker.close()
+      java.nio.file.Files.deleteIfExists(ks)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   test("broker stub survives a garbage-spewing client and keeps serving") {
