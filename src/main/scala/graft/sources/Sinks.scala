@@ -21,12 +21,15 @@ object Sinks {
     *  - `mqtt://host:port` opens a real MQTT 3.1.1 socket session per
     *    sink task ([[MqttWireClient]] — connect in open(), publish per
     *    row, disconnect in close(), the reference's mosquitto lifecycle).
-    *    Wire mode REFUSES qos = 2 at open() rather than silently
-    *    downgrading: QoS 2's four-way handshake is not on the wire, and
-    *    the engine's effective exactly-once comes from the spool's dense
-    *    offsets + checkpoints, not transport dedupe — callers wanting K2
-    *    semantics use a spool target (where the requested QoS is recorded
-    *    as lane metadata) or publish at qos = 1 explicitly.
+    *    Wire mode publishes at the requested QoS 0/1/2 — qos = 2 runs
+    *    the full PUBLISH/PUBREC/PUBREL/PUBCOMP handshake per message,
+    *    the reference's hko mode (`hko.cpp:69-72`). Sink sessions are
+    *    per-task ephemeral (clean session, unique client ids), so wire
+    *    QoS 2 is exactly-once per CONNECTION: a whole-task retry replays
+    *    the batch as fresh packet ids — at-least-once across retries,
+    *    same as the reference's mosquitto session after a process crash.
+    *    The engine's end-to-end effective exactly-once remains the
+    *    spool's dense offsets + checkpoints.
     *
     * Spool-mode write parallelism:
     *  - default (`partitioned = false`): all tasks publish into the topic's
@@ -47,9 +50,7 @@ object Sinks {
     private def overWire: Boolean = target.startsWith("mqtt://")
     override def open(partitionId: Long, epochId: Long): Boolean = { // connect here
       if (overWire) {
-        require(qos <= 1, s"wire transport publishes at QoS 0/1, got $qos: " +
-          "QoS 2 effective exactly-once comes from the spool+checkpoint " +
-          "layer — use a spool target or qos = 1")
+        require(qos >= 0 && qos <= 2, s"MQTT QoS must be 0, 1 or 2, got $qos")
         // the one endpoint grammar (MqttCodec.parseEndpoint, shared with
         // the ModuleRegistry bridge): mqtt://[user:pass@]host:port, with
         // bracketless-IPv6 and empty-port shapes refused descriptively

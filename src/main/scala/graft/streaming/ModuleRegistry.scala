@@ -42,7 +42,11 @@ object ModuleRegistry {
       sinkTopic: String,
       payload: DataFrame => Column,
       triggerMs: Long = 1000L, // reference default cadence, global_vars.c:10
-      broker: Option[String] = None)
+      broker: Option[String] = None,
+      // publish QoS: dd/ch publish at 1 (producer.c:152-153, ch.c:146-147),
+      // hko at 2 (hko.cpp:69-72) — wire mode runs the real four-way
+      // handshake; spool mode records it as lane metadata (K2)
+      qos: Int = 1)
 
   /** The reference's live HKO endpoint (`hko.cpp:98-100`); tests substitute
     * a `file://` URL the way graft-mqtt substitutes the broker. */
@@ -73,7 +77,8 @@ object ModuleRegistry {
       df => Pipelines.hkoPerDoc(df.withColumnRenamed("body", "doc"), place),
       sink,
       Pipelines.hkoPayloadCol, // the one wire-shape definition
-      triggerMs)
+      triggerMs,
+      qos = 2) // the reference's hko publishes at QoS 2 (hko.cpp:69-72)
 
   /** The reference's concrete modules (dd, ch, hko) with their hardcoded
     * defaults; `sample` is the no-op skeleton (`sample.c`). */
@@ -133,6 +138,22 @@ object ModuleRegistry {
       require(user.nonEmpty || pass.isEmpty,
         "mqtt password configured without a username — it would be " +
           "silently ignored; set username too")
+      // TRANSPORT-SECURITY DIVERGENCE, called out at config-parse time
+      // (not buried at CONNECT): the reference has no port key because
+      // mosquitto_connect hardcodes TLS :8883 (mqtt.c:81), so a
+      // reference-migrated settings file with credentials lands here on
+      // plaintext TCP :1883 — the credentials would cross the network in
+      // cleartext. Loud warning rather than refusal: every in-sandbox
+      // broker is loopback, and the TLS seam (MqttWireClient's
+      // socketFactory, proven in MqttLikeSpec) is a code-level injection
+      // the config tree cannot express until ca_file_path is wired.
+      if (user.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"mqtt credentials configured for $host:${port.getOrElse("1883")} " +
+            "over plaintext TCP: the reference only ever sends credentials " +
+            "over TLS :8883 (mqtt.c:81); CONNECT will carry them in " +
+            "cleartext. Wire an SSLSocketFactory into MqttWireClient " +
+            "(the tested TLS seam) before pointing this at a real network.")
       val auth = user.fold("")(u => s"$u:${pass.getOrElse("")}@")
       s"$auth$host:${port.getOrElse("1883")}"
     }
@@ -172,24 +193,30 @@ object ModuleRegistry {
           // one LIVE bridge per (broker address, spool, topic) per JVM
           // (the tempCaches pattern): restarts reuse the live daemon
           // instead of stacking duplicate subscriptions that would
-          // double-write the spool. Keyed WITHOUT credentials — a
-          // rotated password must replace the old bridge, not run a
-          // second one beside it. A dead cached bridge (broker restart:
-          // its loop exits with error set) is closed and replaced, not
-          // reused into silent ingress loss.
+          // double-write the spool. Keyed WITHOUT credentials, and a
+          // live bridge holding DIFFERENT credentials is replaced — a
+          // rotated password must reach CONNECT, not silently ride the
+          // old session. A terminally failed cached bridge (bad
+          // credentials: its loop exits with error set; socket-level
+          // outages self-heal via the reconnect loop) is closed and
+          // replaced, not reused into silent ingress loss.
           val (h, p, creds) = graft.sources.MqttCodec.parseEndpoint(s"mqtt://$b")
           val key = s"$h:$p|$spoolDir|$topic"
-          // the mapping only CONSTRUCTS (thread spawn, no blocking I/O
-          // on this thread) — CHM mapping functions must not block, and
-          // the subscribe handshake can take seconds
+          // the mapping only CONSTRUCTS — bridge construction spawns the
+          // daemon thread and returns; the TCP connect happens ON that
+          // thread (MqttWireClient defers the socket to connect()), so no
+          // blocking I/O runs under the CHM bin lock. The superseded
+          // bridge's close() (which joins its thread) runs OUTSIDE too.
+          var superseded: graft.sources.MqttSpoolBridge = null
           val br = bridges.compute(key, (_, old) => {
-            if (old != null && old.isAlive) old
+            if (old != null && old.isAlive && old.credentials == creds) old
             else {
-              if (old != null) old.close()
+              superseded = old
               new graft.sources.MqttSpoolBridge(h, p, spoolDir, topic,
                 clientId = s"graft-bridge-${m.name}", credentials = creds)
             }
           })
+          if (superseded != null) superseded.close()
           // await OUTSIDE the map lock; a failed handshake must not leak
           // the socket/thread or leave a dead entry to be "reused"
           try br.awaitSubscribed()
@@ -217,7 +244,7 @@ object ModuleRegistry {
     val out = transformed.select(m.payload(transformed).as("payload")).coalesce(1)
     val sinkTarget = m.broker.fold(spoolDir)(b => s"mqtt://$b")
     val w: DataStreamWriter[Row] = out.writeStream
-      .foreach(new graft.sources.Sinks.MqttLikePublishWriter(sinkTarget, m.sinkTopic, 1))
+      .foreach(new graft.sources.Sinks.MqttLikePublishWriter(sinkTarget, m.sinkTopic, m.qos))
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(s"${m.triggerMs} milliseconds"))
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

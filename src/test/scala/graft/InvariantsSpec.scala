@@ -70,9 +70,35 @@ class InvariantsSpec extends SparkTestBase {
     // single query beyond ~100 s already blows the driver's round budget
     // long before the tail window matters
     val results = names.map(_ -> 99.9)
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci, Bench.shortKey)
-    assert(line.length <= 1800,
+    // worst ADMISSIBLE stdout min map rides along (r12 verdict #2): the
+    // cap-many most-inflated queries, every value at the worst deci width
+    val worstMins = names.take(Bench.MinEntriesCap)
+      .map(n => "\"" + Bench.shortKey(n) + "\":100")
+      .mkString(""","min":{""", ",", "}")
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci,
+      Bench.shortKey, extra = worstMins)
+    // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
+    // epilogue shares them — 1880 leaves ~40 chars (≈3 more queries)
+    // before short keys must shrink further
+    assert(line.length <= 1880,
       s"bench stdout line ${line.length} chars — too close to the 2000-char window")
+  }
+
+  test("bench inflated-min selection: floor, cap, deterministic order, failed reps excluded") {
+    // (name, (median, spread, min)): only med-min >= floor qualifies;
+    // most-inflated first; capped; a failed query (-1 sentinel) never
+    // shows a bogus "min"
+    val timed = Seq(
+      "q_flat" -> (1.0, 0.1, 0.9),    // inflation 0.1 < floor: out
+      "q_hot" -> (10.0, 6.3, 3.9),    // the r12 qe62 case: in, first
+      "q_warm" -> (2.0, 0.5, 1.5),    // inflation 0.5: in, second
+      "q_fail" -> (-1.0, -1.0, -1.0)) // failed: out
+    assert(Bench.inflatedMins(timed) == Seq("q_hot" -> 3.9, "q_warm" -> 1.5))
+    // cap engages on a fleet of equally inflated queries, name-ordered
+    val many = (0 until 20).map(i => f"q$i%02d" -> (5.0, 2.0, 1.0))
+    val capped = Bench.inflatedMins(many)
+    assert(capped.size == Bench.MinEntriesCap)
+    assert(capped == capped.sortBy(_._1), "equal inflation must tie-break by name")
   }
 
   test("SURVEY's registered-query count matches the live registry (drift guard)") {
@@ -119,6 +145,11 @@ class InvariantsSpec extends SparkTestBase {
     // the reconstruction drifts by up to half a tick per value
     assert(math.abs(node.get("value").asDouble - sum) <= 0.05 * (names.size + 1),
       s"stdout total ${node.get("value").asDouble} != per-query sum $sum")
+    // the stdout min extra (inflated-queries diagnostic) must keep the
+    // line valid JSON with readable values
+    val withMins = Bench.renderLine(results, "/x", Bench.deci, Bench.shortKey,
+      extra = ""","min":{"q01":0.4}""")
+    assert(mapper.readTree(withMins).get("min").get("q01").asDouble == 0.4)
     val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
       extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01}""")
     val fnode = mapper.readTree(fileLine)

@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.streaming.Pipelines
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import scala.jdk.CollectionConverters._
 
 /** End-to-end connector test: the reference's dd producer→broker→consumer
   * path (SURVEY §3.1/§3.2) over the graft-mqtt DataSourceV2. */
@@ -521,13 +522,220 @@ class MqttLikeSpec extends SparkTestBase {
     } finally broker.close()
   }
 
-  test("wire-mode sink refuses QoS 2 and malformed mqtt:// targets loudly") {
-    // QoS 2's four-way handshake is not on the wire: refuse at open(),
-    // never silently downgrade (effective exactly-once is the
-    // spool+checkpoint layer's job)
-    val w2 = new Sinks.MqttLikePublishWriter("mqtt://127.0.0.1:1883", "t/x", qos = 2)
-    val e2 = intercept[IllegalArgumentException] { w2.open(0L, 0L) }
-    assert(e2.getMessage.contains("QoS 0/1"), e2.getMessage)
+  test("QoS 2 publish: four-way handshake completes; a DUP redelivery of an " +
+    "in-flight packet id is NOT re-routed (exactly-once at the broker)") {
+    val broker = new MqttBrokerStub()
+    try {
+      // subscriber counts actual deliveries
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttWireClient("127.0.0.1", broker.port, "q2-sub")
+      val subscribed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        sub.connect()
+        sub.subscribeLoop("t/q2", onSubscribed = () => subscribed.countDown()) {
+          (_, p) => got.put(new String(p, "UTF-8"))
+        }
+      })
+      t.setDaemon(true); t.start()
+      assert(subscribed.await(15, java.util.concurrent.TimeUnit.SECONDS))
+
+      // the happy path through the client API: PUBLISH→PUBREC→PUBREL→PUBCOMP
+      val pub = new MqttWireClient("127.0.0.1", broker.port, "q2-pub")
+      pub.connect()
+      pub.publish("t/q2", "exactly-once".getBytes("UTF-8"), qos = 2)
+      pub.close()
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "exactly-once")
+      assert(broker.publishedQos2.get() == 1)
+
+      // the redelivery path, driven at the packet level: a sender that
+      // never saw PUBREC retransmits PUBLISH with DUP and the SAME packet
+      // id (spec §4.3.3) — the broker must answer PUBREC both times but
+      // route only once
+      val s = new java.net.Socket("127.0.0.1", broker.port)
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      val in = new java.io.DataInputStream(s.getInputStream)
+      MqttCodec.writePacket(out, MqttCodec.Connect, 0,
+        MqttCodec.connectBody("q2-raw", cleanSession = true, keepAliveSecs = 0))
+      assert(MqttCodec.readPacket(in).ptype == MqttCodec.Connack)
+      val (body, flags) = MqttCodec.publishBody("t/q2",
+        "dup-once".getBytes("UTF-8"), qos = 2, packetId = 7, dup = false)
+      MqttCodec.writePacket(out, MqttCodec.Publish, flags, body)
+      val rec1 = MqttCodec.readPacket(in)
+      assert(rec1.ptype == MqttCodec.Pubrec && MqttCodec.ackPacketId(rec1) == 7)
+      val (bodyDup, flagsDup) = MqttCodec.publishBody("t/q2",
+        "dup-once".getBytes("UTF-8"), qos = 2, packetId = 7, dup = true)
+      MqttCodec.writePacket(out, MqttCodec.Publish, flagsDup, bodyDup)
+      val rec2 = MqttCodec.readPacket(in)
+      assert(rec2.ptype == MqttCodec.Pubrec && MqttCodec.ackPacketId(rec2) == 7)
+      MqttCodec.writePacket(out, MqttCodec.Pubrel, 0x02, MqttCodec.u16(7))
+      val comp = MqttCodec.readPacket(in)
+      assert(comp.ptype == MqttCodec.Pubcomp && MqttCodec.ackPacketId(comp) == 7)
+      s.close()
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "dup-once")
+      // no second delivery and no second route: exactly one message
+      assert(got.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "DUP redelivery was routed twice")
+      assert(broker.publishedQos2.get() == 2)
+      sub.close(); t.join(5000)
+    } finally broker.close()
+  }
+
+  test("QoS 2 mid-handshake disconnect: a resumed session (clean session off) " +
+    "completes the delivery exactly once, on both sides of PUBREC") {
+    val broker = new MqttBrokerStub()
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttWireClient("127.0.0.1", broker.port, "q2c-sub")
+      val subscribed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        sub.connect()
+        sub.subscribeLoop("t/q2crash", onSubscribed = () => subscribed.countDown()) {
+          (_, p) => got.put(new String(p, "UTF-8"))
+        }
+      })
+      t.setDaemon(true); t.start()
+      assert(subscribed.await(15, java.util.concurrent.TimeUnit.SECONDS))
+
+      // crash BEFORE PUBREC: the broker routed and holds the packet id,
+      // but the sender never saw PUBREC — on resume it retransmits
+      // PUBLISH+DUP; the persistent session's dedup state must swallow it
+      val pub = new MqttWireClient("127.0.0.1", broker.port, "q2c-pub",
+        cleanSession = false)
+      pub.connect()
+      broker.dropBeforeNextPubrec = true
+      intercept[java.io.IOException] {
+        pub.publish("t/q2crash", "crash-a".getBytes("UTF-8"), qos = 2)
+      }
+      pub.connect() // reconnect resumes: PUBLISH(DUP) -> PUBREC -> PUBREL -> PUBCOMP
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "crash-a")
+      assert(got.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "pre-PUBREC crash delivered twice")
+      assert(broker.publishedQos2.get() == 1)
+
+      // crash AFTER PUBREC: the sender owes only PUBREL — resume must NOT
+      // retransmit the PUBLISH (that could double-route under a broker
+      // that had released the id), just finish the release handshake
+      broker.dropAfterNextPubrec = true
+      try pub.publish("t/q2crash", "crash-b".getBytes("UTF-8"), qos = 2)
+      catch { case _: java.io.IOException => pub.connect() }
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "crash-b")
+      assert(got.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "post-PUBREC crash delivered twice")
+      assert(broker.publishedQos2.get() == 2)
+      pub.close(); sub.close(); t.join(5000)
+    } finally broker.close()
+  }
+
+  test("QoS 2 subscriber: maxQos 2 grant delivers exactly once to the handler " +
+    "through PUBREC/PUBREL/PUBCOMP") {
+    val broker = new MqttBrokerStub()
+    try {
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val sub = new MqttWireClient("127.0.0.1", broker.port, "q2s-sub")
+      val subscribed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        sub.connect()
+        sub.subscribeLoop("t/q2sub", onSubscribed = () => subscribed.countDown(),
+          maxQos = 2) { (_, p) =>
+          counts.merge(new String(p, "UTF-8"), 1, (a, b) => a + b)
+        }
+      })
+      t.setDaemon(true); t.start()
+      assert(subscribed.await(15, java.util.concurrent.TimeUnit.SECONDS))
+      val pub = new MqttWireClient("127.0.0.1", broker.port, "q2s-pub")
+      pub.connect()
+      (0 until 8).foreach(i =>
+        pub.publish("t/q2sub", s"m$i".getBytes("UTF-8"), qos = 2))
+      pub.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (counts.size < 8 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(counts.size == 8, s"delivered ${counts.size}/8 distinct messages")
+      assert(counts.values.asScala.forall(_ == 1),
+        s"some message delivered more than once: $counts")
+      sub.close(); t.join(5000)
+    } finally broker.close()
+  }
+
+  test("bridge reconnects with backoff after a broker restart: re-subscribes, " +
+    "ingest resumes, spool seqs stay dense") {
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_reconnect").toString
+    val broker1 = new MqttBrokerStub()
+    val port = broker1.port
+    val bridge = new MqttSpoolBridge("127.0.0.1", port, spool, "t/rec")
+    try {
+      bridge.awaitSubscribed()
+      val pub1 = new MqttWireClient("127.0.0.1", port, "rec-pub-1")
+      pub1.connect()
+      pub1.publish("t/rec", "before-restart".getBytes("UTF-8"))
+      pub1.close()
+      val d1 = System.currentTimeMillis() + 15000
+      while (bridge.received.get() < 1 && System.currentTimeMillis() < d1)
+        Thread.sleep(20)
+      assert(bridge.received.get() == 1)
+
+      // broker dies mid-stream; the bridge must stay ALIVE (retrying),
+      // not record a terminal failure
+      broker1.close()
+      Thread.sleep(200)
+      assert(bridge.isAlive, "bridge treated a broker outage as terminal")
+      assert(bridge.failure.isEmpty)
+
+      // broker returns ON THE SAME PORT; the bridge's backoff loop must
+      // reconnect and re-subscribe on its own (the reference's
+      // subscribe-in-on_connect pattern, dd/consumer.cpp:70-76). The
+      // rebind can transiently lose to the dying listener — retry it.
+      def rebind(attempt: Int = 0): MqttBrokerStub =
+        try new MqttBrokerStub(port)
+        catch { case _: java.net.BindException if attempt < 50 =>
+          Thread.sleep(100); rebind(attempt + 1)
+        }
+      val broker2 = rebind()
+      try {
+        val d2 = System.currentTimeMillis() + 20000
+        while (bridge.subscribeCount.get() < 2 && System.currentTimeMillis() < d2)
+          Thread.sleep(20)
+        assert(bridge.subscribeCount.get() >= 2,
+          "bridge did not re-subscribe after broker restart")
+        val pub2 = new MqttWireClient("127.0.0.1", port, "rec-pub-2")
+        pub2.connect()
+        pub2.publish("t/rec", "after-restart".getBytes("UTF-8"))
+        pub2.close()
+        val d3 = System.currentTimeMillis() + 15000
+        while (bridge.received.get() < 2 && System.currentTimeMillis() < d3)
+          Thread.sleep(20)
+        assert(bridge.received.get() == 2, "ingest did not resume after restart")
+        // the spool contract is unbroken across the outage: dense seqs,
+        // both messages durable, in order
+        val dir = java.nio.file.Paths.get(spool, "t_rec")
+        val seqs = MqttLike.listSeqs(dir)
+        assert(seqs == (0L until 2L), s"spool seqs not dense after restart: $seqs")
+        assert(seqs.map(s => java.nio.file.Files.readString(dir.resolve(s"$s.msg"))) ==
+          Seq("before-restart", "after-restart"))
+      } finally broker2.close()
+    } finally { bridge.close(); broker1.close() }
+  }
+
+  test("keepalive: an idle client outlives its declared keepalive window " +
+    "(PINGREQ fires from the timer; the pong is absorbed by the next ack wait)") {
+    val broker = new MqttBrokerStub()
+    try {
+      val c = new MqttWireClient("127.0.0.1", broker.port, "ka-client",
+        keepAliveSecs = 1)
+      c.connect()
+      Thread.sleep(2500) // > 2 keepalive periods idle: pings must have fired
+      c.publish("t/ka", "still-here".getBytes("UTF-8")) // PUBACK round-trips
+      c.close()
+      assert(broker.published.get() == 1)
+    } finally broker.close()
+  }
+
+  test("wire-mode sink refuses malformed mqtt:// targets and QoS 3 loudly") {
+    // QoS beyond the spec's 0/1/2 is refused at open(); qos = 2 is now a
+    // REAL wire mode (the four-way handshake — see the QoS 2 tests)
+    val w3 = new Sinks.MqttLikePublishWriter("mqtt://127.0.0.1:1883", "t/x", qos = 3)
+    val e3 = intercept[IllegalArgumentException] { w3.open(0L, 0L) }
+    assert(e3.getMessage.contains("0, 1 or 2"), e3.getMessage)
     // empty port must hit the descriptive require, not a bare
     // NumberFormatException from "".toInt
     val wEmpty = new Sinks.MqttLikePublishWriter("mqtt://10.0.0.5:", "t/x", qos = 1)

@@ -255,6 +255,54 @@ class ModuleRegistrySpec extends SparkTestBase {
       } finally q.stop()
     } finally { outBridge.close(); broker.close() }
   }
+
+  test("hko wire topology publishes at QoS 2 end-to-end: poll source -> " +
+    "parse -> broker at the reference's QoS level (hko.cpp:69-72)") {
+    import graft.sources.{MqttBrokerStub, MqttSpoolBridge}
+    val spool = java.nio.file.Files.createTempDirectory("modreg_hko_wire").toString
+    val doc = java.nio.file.Files.createTempFile("rhrread_wire", ".json")
+    java.nio.file.Files.writeString(doc,
+      """{"temperature": {"recordTime": "2024-12-23T08:00:00+08:00", "data": [
+        |  {"place": "Happy Valley", "value": 19.0, "unit": "C"}]}}""".stripMargin)
+    val broker = new MqttBrokerStub()
+    // the reference's downstream consumer of the hko topic, observing the
+    // sink's wire publishes (delivered to it at its QoS-1 grant)
+    val outBridge = new MqttSpoolBridge("127.0.0.1", broker.port, spool,
+      "wire/hko", clientId = "hko-consumer")
+    try {
+      outBridge.awaitSubscribed()
+      // hko settings put the broker host directly under /hko
+      // (hko/settings-sample.json); the module's sink publishes at QoS 2
+      val settings = java.nio.file.Files.createTempFile("settings_hko_wire", ".json")
+      java.nio.file.Files.writeString(settings,
+        s"""{
+           |  "collection_event_interval_ms": 100,
+           |  "hko": {"url": "${doc.toUri}", "place": "Happy Valley",
+           |          "topic": "wire/hko",
+           |          "host": "127.0.0.1", "port": ${broker.port}}
+           |}""".stripMargin)
+      val m = ModuleRegistry.fromConfig(settings.toString)("hko")
+      assert(m.qos == 2, "hko module must carry the reference's QoS 2")
+      assert(m.broker.contains(s"127.0.0.1:${broker.port}"))
+      val q = ModuleRegistry.start(spark, m, spool, None)
+      try {
+        val sink = java.nio.file.Paths.get(spool, "wire_hko")
+        val deadline = System.currentTimeMillis() + 30000
+        while (MqttLike.listSeqs(sink).isEmpty) {
+          assert(System.currentTimeMillis() < deadline,
+            "hko wire topology delivered nothing to the consumer bridge")
+          Thread.sleep(100)
+        }
+        // the wire saw REAL QoS 2 four-way handshakes, not a downgrade
+        assert(broker.publishedQos2.get() > 0,
+          "hko publishes did not arrive at QoS 2 on the wire")
+        assert(broker.publishedQos2.get() == broker.published.get(),
+          "some hko publish arrived below QoS 2")
+        val body = java.nio.file.Files.readString(sink.resolve("0.msg"))
+        assert(body.contains(""""temp_celsius":19.0"""), body)
+      } finally q.stop()
+    } finally { outBridge.close(); broker.close() }
+  }
 }
 
 class WindowedAggsSpec extends SparkTestBase {
