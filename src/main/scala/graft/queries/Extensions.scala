@@ -1068,24 +1068,10 @@ object Extensions {
     // end-to-end; the output is the per-(source, bin) packing manifest a
     // training job consumes.
     ("qe33_pipeline", (s: SparkSession, d: String) => {
-      val docs = Engine.Tables(s, d).documents
-      val train = graft.operators.Sampling.splitByHash(
-          docs.select("doc_id"), "doc_id",
-          Seq("train" -> 80, "val" -> 10, "test" -> 10))
-        .filter(col("split") === "train").select("doc_id")
-      val surv = Dedup.exactDedup(docs.join(train, "doc_id"), Seq("text"), "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      val bench = docs.filter(col("doc_id") % 19 === 3)
-      val cleaned = graft.operators.Decontaminate.clean(
-        docs.join(surv, "doc_id"), bench, 5)
-      val withTok = cleaned.filter(TextAnalysis.hasTokens(col("text")))
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"))
-      val mixed = graft.operators.Sampling.budgetedTakePerGroup(
-          withTok, "source", "doc_id", "n_tok", 1000L)
-        .select("source", "doc_id", "n_tok")
-      graft.operators.SeqPack.binStatsSharded(
-          mixed, "source", "doc_id", "n_tok", 256L)
+      // ONE pipeline definition (queries/Capstones.scala) shared with
+      // tools/ScalingProbe's ladder row — the probe certifies THIS
+      // composition, not a copy
+      Capstones.deconPipeline(Engine.Tables(s, d).documents, 1000L)
         .orderBy("shard", "bin")
     }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)), cln AS (SELECT surv.doc_id FROM surv LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN cln USING (doc_id) WHERE regexp_matches(d.text, '\S')), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 
@@ -1096,25 +1082,8 @@ object Extensions {
     // qe1 / qe39 / qe27 / qe11b — the statistical-gate sibling of qe33's
     // decontamination path.
     ("qe40_pipeline_gated", (s: SparkSession, d: String) => {
-      val docs = Engine.Tables(s, d).documents
-      val train = graft.operators.Sampling.splitByHash(
-          docs.select("doc_id"), "doc_id",
-          Seq("train" -> 80, "val" -> 10, "test" -> 10))
-        .filter(col("split") === "train").select("doc_id")
-      val surv = Dedup.exactDedup(docs.join(train, "doc_id"), Seq("text"), "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      val sdocs = docs.join(surv, "doc_id")
-      val gated = graft.operators.ZScore.gate(
-        sdocs.select("doc_id", "source", "n_chars"), "source", "n_chars", 2.0)
-      val wt = sdocs.join(gated.select("doc_id"), "doc_id")
-        .filter(TextAnalysis.hasTokens(col("text")))
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"))
-      val mixed = graft.operators.Sampling.budgetedTakePerGroup(
-          wt, "source", "doc_id", "n_tok", 1000L)
-        .select("source", "doc_id", "n_tok")
-      graft.operators.SeqPack.binStatsSharded(
-          mixed, "source", "doc_id", "n_tok", 256L)
+      // shared definition, see qe33 (queries/Capstones.scala)
+      Capstones.gatedPipeline(Engine.Tables(s, d).documents, 1000L)
         .orderBy("shard", "bin")
     }, Some("""WITH sp AS (SELECT doc_id FROM (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bk FROM documents) WHERE bk < 80), surv AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN sp USING (doc_id) GROUP BY d.text), st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sx, CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx FROM documents d JOIN surv USING (doc_id) GROUP BY source), p AS (SELECT source, sx / n AS mu, sqrt(GREATEST(0.0, (sxx - sx * sx / n) / n)) AS sd FROM st), keepz AS (SELECT doc_id FROM (SELECT d.doc_id, CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(d.n_chars AS DOUBLE) - mu) / sd END AS z FROM documents d JOIN surv USING (doc_id) JOIN p ON d.source = p.source) WHERE abs(z) <= 2.0), wt AS (SELECT d.doc_id, d.source, CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok, ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS pr FROM documents d JOIN keepz USING (doc_id) WHERE regexp_matches(d.text, '\S')), mix AS (SELECT doc_id, source, n_tok FROM (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY pr, doc_id) AS cum_w FROM wt) WHERE cum_w <= 1000), b AS (SELECT source AS shard, doc_id, n_tok, CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256 AS BIGINT) AS bin FROM mix) SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
 

@@ -231,6 +231,15 @@ object MqttCodec {
   def ackPacketId(p: Packet): Int =
     if (p.body.length < 2) -1
     else ((p.body(0) & 0xFF) << 8) | (p.body(1) & 0xFF)
+
+  /** CONNACK refusal, carrying the return code so callers can tell
+    * TRANSIENT refusals apart from TERMINAL ones: rc 1-3 (unacceptable
+    * protocol / id rejected / server unavailable) are conditions a retry
+    * can outlive — rc 3 is literally what a broker answers while
+    * restarting under load — while rc 4/5 (bad credentials / not
+    * authorized) never fix themselves by retrying (spec §3.2.2.3). */
+  final class ConnectRefused(val rc: Int)
+    extends IOException(s"broker refused connection: rc=$rc")
 }
 
 /** Minimal blocking MQTT 3.1.1 client over a TCP socket. One socket, one
@@ -298,8 +307,19 @@ class MqttWireClient(host: String, port: Int, clientId: String,
       connectBody(clientId, cleanSession, keepAliveSecs, credentials))
     val ack = readPacket(in)
     require(ack.ptype == Connack, s"expected CONNACK, got type ${ack.ptype}")
-    require(ack.body.length == 2 && ack.body(1) == 0,
-      s"broker refused connection: rc=${if (ack.body.length == 2) ack.body(1) else -1}")
+    if (!(ack.body.length == 2 && ack.body(1) == 0))
+      throw new ConnectRefused(if (ack.body.length == 2) ack.body(1) else -1)
+    // a fresh (clean) session starts with NO receiver dedup state — the
+    // broker discarded its side too, and a pid from the previous session
+    // must not swallow a new message that happens to reuse it
+    if (cleanSession) receivedQos2.clear()
+    // close() racing this connect can have missed the socket we just
+    // opened (its CAS already fired): honor the close, don't leak a live
+    // broker session nobody will ever tear down
+    if (closed.get()) {
+      try s.close() catch { case _: IOException => () }
+      throw new IOException(s"client $clientId is closed")
+    }
     if (keepAliveSecs > 0 && pinger == null) {
       pinger = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, s"mqtt-keepalive-$clientId"); t.setDaemon(true); t
@@ -440,8 +460,16 @@ class MqttWireClient(host: String, port: Int, clientId: String,
                 writePacket(out, Puback, 0, u16(mid))
               case 2 =>
                 // exactly-once receive: deliver on first sight of the id,
-                // answer a DUP redelivery with PUBREC alone (§4.3.3)
-                if (receivedQos2.add(mid)) handler(topic, payload)
+                // answer a DUP redelivery with PUBREC alone (§4.3.3).
+                // The id is recorded AFTER the handler returns — durable
+                // before dedup, same as durable-before-ack: a handler
+                // crash leaves the id unrecorded, so the broker's
+                // redelivery re-runs the handler instead of being
+                // swallowed by a delivery that never actually happened
+                if (!receivedQos2.contains(mid)) {
+                  handler(topic, payload)
+                  receivedQos2 += mid
+                }
                 writePacket(out, Pubrec, 0, u16(mid))
             }
           case Pubrel =>
@@ -517,7 +545,13 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
       val client = new MqttWireClient(host, port, clientId, credentials,
         cleanSession = true, keepAliveSecs = 30)
       current = client
-      try {
+      // close() races this loop: it closes `current`, but may have read
+      // the PREVIOUS client before this assignment landed — re-checking
+      // here guarantees a post-close client never connects and keeps a
+      // zombie subscription double-writing the spool (the while guard
+      // then exits; client.close() is idempotent)
+      if (closed.get()) client.close()
+      else try {
         client.connect()
         client.subscribeLoop(topicFilter, onSubscribed = () => {
           attempt = 0 // a completed handshake resets the backoff ladder
@@ -532,17 +566,24 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
         }
       } catch {
         case _: Throwable if closed.get() => () // orderly close() race
+        case t: MqttCodec.ConnectRefused if t.rc >= 4 =>
+          // bad credentials / not authorized (rc 4/5): terminal — a
+          // rotated-away password never fixes itself by retrying. rc 1-3
+          // (notably 3, "server unavailable" — a broker restarting under
+          // load) fall through to the retry branch below.
+          error = t
+          subscribed.countDown()
         case t: IllegalArgumentException =>
-          // broker REFUSED (rc != 0, rejected subscription): terminal —
-          // a rotated-away password never fixes itself by retrying
+          // protocol violation / rejected subscription: terminal
           error = t
           subscribed.countDown()
         case t: Throwable =>
           // socket-level failure (broker down/restarting): back off and
           // reconnect; jitter desynchronizes a fleet of bridges all
-          // watching the same restarted broker
+          // watching the same restarted broker. 200 ms doubling, clamped
+          // at 10 s (the << 6 rung is 12.8 s, so the clamp is live).
           lastError = t
-          val backoff = math.min(10000L, 200L << math.min(attempt, 5)) +
+          val backoff = math.min(10000L, 200L << math.min(attempt, 6)) +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(100)
           attempt += 1
           closeLatch.await(backoff, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -631,6 +672,7 @@ class MqttBrokerStub(port0: Int = 0,
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     @volatile var clientId: String = ""
+    @volatile var cleanSession: Boolean = true
     // (filter, granted qos) pairs; a topic's effective grant is the max
     // across matching filters (overlapping subscriptions, spec §3.3.5)
     @volatile var subs: List[(String, Int)] = Nil
@@ -689,6 +731,7 @@ class MqttBrokerStub(port0: Int = 0,
         session.close(); return
       }
       session.clientId = cid
+      session.cleanSession = cleanSession
       // session-present flag (§3.2.2.2): clean session discards server
       // state; otherwise surviving QoS 2 dedup state is reported present
       val present = if (cleanSession) { qos2Inflight.remove(cid); false }
@@ -708,10 +751,18 @@ class MqttBrokerStub(port0: Int = 0,
               if (qos == 2) {
                 // exactly-once inbound: route on FIRST sight of the id
                 // (mosquitto's strategy), hold it until PUBREL — a DUP
-                // redelivery finds the id in flight and is NOT re-routed
+                // redelivery finds the id in flight and is NOT re-routed.
+                // Dedup applies ONLY to DUP-flagged retransmissions: a
+                // non-DUP PUBLISH reusing an in-flight id is a NEW message
+                // from a sender that lost its session state (it should
+                // have connected clean, but swallowing its data while
+                // acking PUBREC/PUBCOMP would be silent loss — route it
+                // and re-arm the id).
                 val ids = qos2Inflight.computeIfAbsent(session.clientId,
                   _ => ConcurrentHashMap.newKeySet[Integer]())
-                if (ids.add(pid)) {
+                val dup = (p.flags & 0x08) != 0
+                if (ids.add(pid) || !dup) {
+                  ids.add(pid)
                   route(topic, payload, qos)
                   published.incrementAndGet()
                   publishedQos2.incrementAndGet()
@@ -776,6 +827,11 @@ class MqttBrokerStub(port0: Int = 0,
       case _: IOException => ()
     } finally {
       sessions.remove(session)
+      // a clean session's server state dies with the connection
+      // (§3.1.2-6) — without this, unique-per-epoch sink clientIds leak
+      // one qos2Inflight entry per streaming trigger forever
+      if (session.cleanSession && session.clientId.nonEmpty)
+        qos2Inflight.remove(session.clientId)
       session.close()
     }
   }

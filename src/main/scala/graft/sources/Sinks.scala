@@ -55,8 +55,15 @@ object Sinks {
         // the ModuleRegistry bridge): mqtt://[user:pass@]host:port, with
         // bracketless-IPv6 and empty-port shapes refused descriptively
         val (host, port, creds) = MqttCodec.parseEndpoint(target)
+        // the clientId carries a random component: (partitionId, epochId)
+        // alone collides across CONCURRENT queries sharing a broker, and
+        // two QoS 2 sessions with the same clientId share the broker's
+        // packet-id dedup state — one sink's in-flight id would swallow
+        // the other's distinct message. Sessions are clean/ephemeral, so
+        // a non-deterministic id costs nothing.
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
         wire = new MqttWireClient(host, port,
-          s"graft-sink-$partitionId-$epochId", creds)
+          s"graft-sink-$partitionId-$epochId-$nonce", creds)
         wire.connect()
       } else {
         lane = if (partitioned) s"w-$partitionId" else ""

@@ -212,59 +212,21 @@ object ScalingProbe {
       // full composed pipelines qe33 (hash split -> exact dedup -> 5-gram
       // decontamination -> token-budget mix -> sharded pack manifest) and
       // qe40 (split -> dedup -> per-source z-score gate -> mix -> pack),
-      // stage-for-stage the registered query bodies. No anchor column —
-      // every stage is already a bounded production path; these rows
-      // certify the COMPOSITION stays linear (no intermediate explodes
-      // when all stages run in one plan). The mix token budget scales
-      // with m so the later stages keep constant per-source selectivity
-      // instead of degenerating to a fixed-size tail of the pipeline.
+      // via the ONE shared definition the registered queries run
+      // (queries/Capstones.scala — never a re-implemented copy that could
+      // drift). No anchor column — every stage is already a bounded
+      // production path; these rows certify the COMPOSITION stays linear
+      // (no intermediate explodes when all stages run in one plan). The
+      // mix token budget scales with m so the later stages keep constant
+      // per-source selectivity instead of degenerating to a fixed-size
+      // tail of the pipeline.
       if (wanted("qe33_pipeline")) {
-        val t = time {
-          val train = graft.operators.Sampling.splitByHash(
-              docs.select("doc_id"), "doc_id",
-              Seq("train" -> 80, "val" -> 10, "test" -> 10))
-            .filter(col("split") === "train").select("doc_id")
-          val surv = graft.operators.Dedup.exactDedup(
-              docs.join(train, "doc_id"), Seq("text"), "doc_id")
-            .select(col("keep_id").as("doc_id"))
-          val bench = docs.filter(col("doc_id") % 19 === 3)
-          val cleaned = graft.operators.Decontaminate.clean(
-            docs.join(surv, "doc_id"), bench, 5)
-          val withTok = cleaned
-            .filter(graft.operators.TextAnalysis.hasTokens(col("text")))
-            .select(col("doc_id"), col("source"),
-              graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
-          val mixed = graft.operators.Sampling.budgetedTakePerGroup(
-              withTok, "source", "doc_id", "n_tok", 1000L * m)
-            .select("source", "doc_id", "n_tok")
-          graft.operators.SeqPack.binStatsSharded(
-            mixed, "source", "doc_id", "n_tok", 256L)
-        }
+        val t = time(graft.queries.Capstones.deconPipeline(docs, 1000L * m))
         println(f"${"qe33_pipeline capstone-decon"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
 
       if (wanted("qe40_pipeline")) {
-        val t = time {
-          val train = graft.operators.Sampling.splitByHash(
-              docs.select("doc_id"), "doc_id",
-              Seq("train" -> 80, "val" -> 10, "test" -> 10))
-            .filter(col("split") === "train").select("doc_id")
-          val surv = graft.operators.Dedup.exactDedup(
-              docs.join(train, "doc_id"), Seq("text"), "doc_id")
-            .select(col("keep_id").as("doc_id"))
-          val sdocs = docs.join(surv, "doc_id")
-          val gated = graft.operators.ZScore.gate(
-            sdocs.select("doc_id", "source", "n_chars"), "source", "n_chars", 2.0)
-          val wt = sdocs.join(gated.select("doc_id"), "doc_id")
-            .filter(graft.operators.TextAnalysis.hasTokens(col("text")))
-            .select(col("doc_id"), col("source"),
-              graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
-          val mixed = graft.operators.Sampling.budgetedTakePerGroup(
-              wt, "source", "doc_id", "n_tok", 1000L * m)
-            .select("source", "doc_id", "n_tok")
-          graft.operators.SeqPack.binStatsSharded(
-            mixed, "source", "doc_id", "n_tok", 256L)
-        }
+        val t = time(graft.queries.Capstones.gatedPipeline(docs, 1000L * m))
         println(f"${"qe40_pipeline capstone-zgate"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
 

@@ -385,14 +385,16 @@ class MqttLikeSpec extends SparkTestBase {
       good.connect()
       good.publish("t/auth", "hello".getBytes("UTF-8")) // PUBACK round-trips
       good.close()
+      // refusal is TYPED with the rc, so a bridge can tell terminal
+      // credential failures (rc 4/5) from a restarting broker (rc 3)
       val bad = new MqttWireClient("127.0.0.1", broker.port, "c-bad",
         credentials = Some(("ref-user", "wrong")))
-      val e = intercept[IllegalArgumentException] { bad.connect() }
-      assert(e.getMessage.contains("rc=4"), e.getMessage)
+      val e = intercept[MqttCodec.ConnectRefused] { bad.connect() }
+      assert(e.rc == 4 && e.getMessage.contains("rc=4"), e.getMessage)
       bad.close()
       val anon = new MqttWireClient("127.0.0.1", broker.port, "c-anon")
-      val e2 = intercept[IllegalArgumentException] { anon.connect() }
-      assert(e2.getMessage.contains("rc=4"), e2.getMessage)
+      val e2 = intercept[MqttCodec.ConnectRefused] { anon.connect() }
+      assert(e2.rc == 4, e2.getMessage)
       anon.close()
     } finally broker.close()
   }
@@ -570,12 +572,27 @@ class MqttLikeSpec extends SparkTestBase {
       MqttCodec.writePacket(out, MqttCodec.Pubrel, 0x02, MqttCodec.u16(7))
       val comp = MqttCodec.readPacket(in)
       assert(comp.ptype == MqttCodec.Pubcomp && MqttCodec.ackPacketId(comp) == 7)
-      s.close()
       assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "dup-once")
       // no second delivery and no second route: exactly one message
       assert(got.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
         "DUP redelivery was routed twice")
       assert(broker.publishedQos2.get() == 2)
+      // the dedup applies ONLY to DUP retransmissions: a NON-dup PUBLISH
+      // reusing an in-flight id is a new message from a state-lost sender
+      // and must be routed, never silently swallowed while acked
+      val (b9, f9) = MqttCodec.publishBody("t/q2",
+        "fresh-9".getBytes("UTF-8"), qos = 2, packetId = 9, dup = false)
+      MqttCodec.writePacket(out, MqttCodec.Publish, f9, b9) // pid 9 in flight
+      assert(MqttCodec.readPacket(in).ptype == MqttCodec.Pubrec)
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "fresh-9")
+      val (b9b, f9b) = MqttCodec.publishBody("t/q2",
+        "fresh-9-again".getBytes("UTF-8"), qos = 2, packetId = 9, dup = false)
+      MqttCodec.writePacket(out, MqttCodec.Publish, f9b, b9b)
+      assert(MqttCodec.readPacket(in).ptype == MqttCodec.Pubrec)
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "fresh-9-again",
+        "non-DUP publish with an in-flight id was swallowed")
+      s.close()
+      assert(broker.publishedQos2.get() == 4)
       sub.close(); t.join(5000)
     } finally broker.close()
   }
