@@ -276,7 +276,7 @@ class MqttWireClient(host: String, port: Int, clientId: String,
   @volatile private var in: DataInputStream = _
   private val nextPacketId = new AtomicInteger(1)
   private val closed = new AtomicBoolean(false)
-  private var pinger: java.util.concurrent.ScheduledExecutorService = _
+  @volatile private var pinger: java.util.concurrent.ScheduledExecutorService = _
   // QoS 2 sender state, the client half of exactly-once: survives a socket
   // death so connect() can resume the four-way handshake (spec §4.3.3 —
   // "must be treated as unacknowledged until the corresponding PUBREC /
@@ -309,17 +309,13 @@ class MqttWireClient(host: String, port: Int, clientId: String,
     require(ack.ptype == Connack, s"expected CONNACK, got type ${ack.ptype}")
     if (!(ack.body.length == 2 && ack.body(1) == 0))
       throw new ConnectRefused(if (ack.body.length == 2) ack.body(1) else -1)
-    // a fresh (clean) session starts with NO receiver dedup state — the
-    // broker discarded its side too, and a pid from the previous session
-    // must not swallow a new message that happens to reuse it
-    if (cleanSession) receivedQos2.clear()
-    // close() racing this connect can have missed the socket we just
-    // opened (its CAS already fired): honor the close, don't leak a live
-    // broker session nobody will ever tear down
-    if (closed.get()) {
-      try s.close() catch { case _: IOException => () }
-      throw new IOException(s"client $clientId is closed")
-    }
+    // receiver dedup state lives exactly as long as the SERVER's session
+    // (§4.1): clear it when we asked for a clean session AND when the
+    // CONNACK's session-present flag says the broker has no state for us
+    // (broker restarted and lost it) — either way a pid from the previous
+    // incarnation must not swallow a new message that happens to reuse it
+    val sessionPresent = (ack.body(0) & 0x01) != 0
+    if (cleanSession || !sessionPresent) receivedQos2.clear()
     if (keepAliveSecs > 0 && pinger == null) {
       pinger = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, s"mqtt-keepalive-$clientId"); t.setDaemon(true); t
@@ -327,6 +323,18 @@ class MqttWireClient(host: String, port: Int, clientId: String,
       val periodMs = math.max(500L, keepAliveSecs * 1000L / 2)
       pinger.scheduleAtFixedRate(() => try ping() catch { case _: Throwable => () },
         periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    // close() racing this connect can have missed the socket (and the
+    // pinger) created above — its CAS already fired, so it will never run
+    // again: honor the close HERE, after both resources exist. The
+    // volatile orders (we write socket/pinger then read closed; close()
+    // writes closed then reads socket/pinger) guarantee at least one side
+    // sees the other, so nothing leaks.
+    if (closed.get()) {
+      val p = pinger
+      if (p != null) p.shutdownNow()
+      try s.close() catch { case _: IOException => () }
+      throw new IOException(s"client $clientId is closed")
     }
     if (!cleanSession) resumeQos2()
   }
@@ -566,11 +574,14 @@ class MqttSpoolBridge(host: String, port: Int, spoolDir: String,
         }
       } catch {
         case _: Throwable if closed.get() => () // orderly close() race
-        case t: MqttCodec.ConnectRefused if t.rc >= 4 =>
-          // bad credentials / not authorized (rc 4/5): terminal — a
-          // rotated-away password never fixes itself by retrying. rc 1-3
-          // (notably 3, "server unavailable" — a broker restarting under
-          // load) fall through to the retry branch below.
+        case t: MqttCodec.ConnectRefused if t.rc != 3 && t.rc >= 0 =>
+          // deterministic refusals are terminal: rc 1 (protocol version),
+          // rc 2 (clientId rejected) and rc 4/5 (bad credentials / not
+          // authorized) answer an IDENTICAL retry identically — retrying
+          // them forever just hammers the broker while isAlive lies.
+          // Only rc 3 ("server unavailable" — a broker restarting under
+          // load) and a torn CONNACK (rc -1, a dying broker mid-write)
+          // fall through to the retry branch below.
           error = t
           subscribed.countDown()
         case t: IllegalArgumentException =>
@@ -667,6 +678,10 @@ class MqttBrokerStub(port0: Int = 0,
   // mid-handshake crash. A clean-session CONNECT discards it.
   private val qos2Inflight =
     new ConcurrentHashMap[String, java.util.Set[Integer]]()
+  // Latest session per clientId: a lingering half-open session's teardown
+  // must not wipe state a NEWER same-clientId connection is using — only
+  // the current owner's departure cleans up.
+  private val owners = new ConcurrentHashMap[String, Session]()
 
   private final class Session(socket: Socket) {
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
@@ -732,6 +747,7 @@ class MqttBrokerStub(port0: Int = 0,
       }
       session.clientId = cid
       session.cleanSession = cleanSession
+      owners.put(cid, session)
       // session-present flag (§3.2.2.2): clean session discards server
       // state; otherwise surviving QoS 2 dedup state is reported present
       val present = if (cleanSession) { qos2Inflight.remove(cid); false }
@@ -760,9 +776,10 @@ class MqttBrokerStub(port0: Int = 0,
                 // and re-arm the id).
                 val ids = qos2Inflight.computeIfAbsent(session.clientId,
                   _ => ConcurrentHashMap.newKeySet[Integer]())
+                // the id stays armed either way (add is a no-op when the
+                // non-DUP branch fires — it was already present)
                 val dup = (p.flags & 0x08) != 0
                 if (ids.add(pid) || !dup) {
-                  ids.add(pid)
                   route(topic, payload, qos)
                   published.incrementAndGet()
                   publishedQos2.incrementAndGet()
@@ -829,8 +846,12 @@ class MqttBrokerStub(port0: Int = 0,
       sessions.remove(session)
       // a clean session's server state dies with the connection
       // (§3.1.2-6) — without this, unique-per-epoch sink clientIds leak
-      // one qos2Inflight entry per streaming trigger forever
-      if (session.cleanSession && session.clientId.nonEmpty)
+      // one qos2Inflight entry per streaming trigger forever. Conditional
+      // on still OWNING the clientId: a dead half-open session's late
+      // teardown must not wipe the dedup state of a newer connection
+      // that took the same id over.
+      if (session.clientId.nonEmpty && owners.remove(session.clientId, session)
+          && session.cleanSession)
         qos2Inflight.remove(session.clientId)
       session.close()
     }

@@ -55,15 +55,17 @@ object Sinks {
         // the ModuleRegistry bridge): mqtt://[user:pass@]host:port, with
         // bracketless-IPv6 and empty-port shapes refused descriptively
         val (host, port, creds) = MqttCodec.parseEndpoint(target)
-        // the clientId carries a random component: (partitionId, epochId)
-        // alone collides across CONCURRENT queries sharing a broker, and
-        // two QoS 2 sessions with the same clientId share the broker's
-        // packet-id dedup state — one sink's in-flight id would swallow
-        // the other's distinct message. Sessions are clean/ephemeral, so
-        // a non-deterministic id costs nothing.
-        val nonce = java.util.UUID.randomUUID().toString.take(8)
-        wire = new MqttWireClient(host, port,
-          s"graft-sink-$partitionId-$epochId-$nonce", creds)
+        // the clientId is random: (partitionId, epochId) alone collides
+        // across CONCURRENT queries sharing a broker, and two QoS 2
+        // sessions with the same clientId share the broker's packet-id
+        // dedup state — one sink's in-flight id would swallow the other's
+        // distinct message. Sessions are clean/ephemeral, so a
+        // non-deterministic id costs nothing. Kept to exactly 23 bytes:
+        // spec §3.1.3.1 only obliges servers to accept 1-23 byte ids, and
+        // a spec-minimum broker answers longer ones rc 2 on EVERY task
+        // retry — deterministic retry exhaustion.
+        val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(20)
+        wire = new MqttWireClient(host, port, s"gs-$nonce", creds)
         wire.connect()
       } else {
         lane = if (partitioned) s"w-$partitionId" else ""
