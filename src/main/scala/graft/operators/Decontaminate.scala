@@ -36,6 +36,29 @@ object Decontaminate {
       contamination(corpus, benchmark, n).filter(col("n_hits") >= minHits),
       Seq("doc_id"), "left_anti")
 
+  /** Case- and punctuation-folded text: lowercase, every run of
+    * characters outside [a-z0-9] collapsed to one space. The
+    * normalization layer production decontamination applies BEFORE
+    * shingling — a benchmark answer quoted with different casing,
+    * smart quotes, or stray punctuation ("The answer is 42." vs
+    * "the answer is 42") shares zero EXACT shingles but is still
+    * leakage. One definition; the oracle mirrors it with
+    * `regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')`. */
+  def normalizedText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(lower(c), "[^a-z0-9]+", " ")
+
+  /** [[contamination]] over NORMALIZED shingles — the robust overlap
+    * check (case/punctuation-insensitive). Same scale shape: the
+    * normalization is one more codegen'd projection on each side; the
+    * benchmark stays broadcast-sized. Catches a strict superset of
+    * [[contamination]]'s hits on any corpus (folding never separates
+    * two texts it previously matched). */
+  def contaminationNormalized(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col("doc_id"), normalizedText(col("text")).as("text"))
+    contamination(norm(corpus), norm(benchmark), n)
+  }
+
   /** Bloom-pre-filtered form of [[contamination]] — IDENTICAL results (the
     * exact-join verify removes the bloom's false positives; blooms have no
     * false negatives), different scale envelope: the corpus scan probes a

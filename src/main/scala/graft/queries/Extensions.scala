@@ -731,6 +731,19 @@ object Extensions {
         .orderBy("doc_id")
     }, Some(DecontaminateSql)),
 
+    // Normalized decontamination — qe12's overlap check over case- and
+    // punctuation-folded shingles, the robustness layer production
+    // pipelines run (a quoted benchmark answer with different casing or
+    // punctuation shares zero EXACT 5-grams but is still leakage).
+    // Catches a strict superset of qe12's hits; same broadcast shape.
+    ("qe12c_decon_normalized", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val bench = docs.filter(col("doc_id") % 19 === 3)
+      val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+      graft.operators.Decontaminate.contaminationNormalized(corpus, bench, 5)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+
     // Duplicate clusters — connected components over the exact near-dup
     // pair graph (qe2 semantics); cluster = min doc_id of the component.
     // Oracle: recursive CTE reachability → min reachable id.

@@ -64,6 +64,37 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("normalized contamination catches case/punctuation-disguised leakage " +
+    "exact shingles miss, and is a superset of the exact hits") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leakage disguised by casing, smart punctuation, and extra commas:
+      // zero EXACT 5-grams in common, five normalized ones
+      (1L, "The QUICK, brown fox—jumps over the lazy DOG!"),
+      (2L, "no overlap with anything in the benchmark set"),
+      (3L, "the quick brown fox jumps over the lazy dog") // exact copy
+    ).toDF("doc_id", "text")
+    val exact = Decontaminate.contamination(corpus, bench, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!exact.contains(1L), "exact shingles must miss the disguised copy")
+    val norm = Decontaminate.contaminationNormalized(corpus, bench, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(norm(1L) == 5L, s"normalization must recover every folded 5-gram, got $norm")
+    assert(norm(3L) == 5L)
+    assert(!norm.contains(2L))
+    // superset property on real data: every exactly-contaminated doc stays
+    // flagged (folding never separates texts it previously matched)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val b = docs.filter(col("doc_id") % 19 === 3)
+    val c = docs.filter(col("doc_id") % 19 =!= 3)
+    val exactIds = Decontaminate.contamination(c, b, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val normIds = Decontaminate.contaminationNormalized(c, b, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(normIds),
+      s"normalized hits lost exact hits: ${exactIds.diff(normIds)}")
+  }
+
   test("contamination probe broadcasts the benchmark side") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val bench = docs.filter(col("doc_id") % 19 === 3)
