@@ -62,9 +62,12 @@ object Bench {
     * (median − min) exceeds [[MinSpreadFloor]]: on a quiet host the map
     * is empty, on a hot host it carries exactly the evidence. The cap is
     * a tail-window budget, not a claim of completeness — bench_out.json
-    * keeps every query's min at full precision. */
+    * keeps every query's min at full precision. (Cap 6 leaves ~2
+    * registrations of worst-case headroom under the 1880-char guard at
+    * 155 queries; the r13 sweep's inflation evidence was fully told by
+    * its top 6 entries.) */
   val MinSpreadFloor = 0.3
-  val MinEntriesCap = 8
+  val MinEntriesCap = 6
 
   /** Select (name, min) for the stdout diagnostic map from the per-query
     * (median, spread, min) triples — most-inflated first. */

@@ -829,6 +829,33 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming NORMALIZED contamination over a replay == batch (the fold " +
+    "is one more stateless projection; stream-static probe unchanged)") {
+    val docs = Engine.Tables(spark, Sf0001).documents
+    val bench = docs.filter(col("doc_id") % 19 === 3)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 3)
+    val want = graft.operators.Decontaminate.contaminationNormalized(corpus, bench, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = graft.operators.Decontaminate.contaminationNormalized(
+      input.toDF().toDF("doc_id", "text"), bench, 5)
+    val q = stream.writeStream.format("memory").queryName("t_contam_norm")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val rows = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_contam_norm").groupBy("doc_id")
+        .agg(max("n_hits").as("n_hits")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"stream normalized contamination diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming bloom contamination over a replay == batch (frozen sketch, stream-static verify)") {
     val docs = Engine.Tables(spark, Sf0001).documents
     val bench = docs.filter(col("doc_id") % 19 === 3)
