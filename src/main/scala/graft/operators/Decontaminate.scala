@@ -50,9 +50,16 @@ object Decontaminate {
   /** [[contamination]] over NORMALIZED shingles — the robust overlap
     * check (case/punctuation-insensitive). Same scale shape: the
     * normalization is one more codegen'd projection on each side; the
-    * benchmark stays broadcast-sized. Catches a strict superset of
-    * [[contamination]]'s hits on any corpus (folding never separates
-    * two texts it previously matched). */
+    * benchmark stays broadcast-sized.
+    *
+    * NOT a strict superset of [[contamination]]'s hits: folding catches
+    * disguised leakage exact shingles miss, but it can also DROP an
+    * exact hit — a matched window containing a punctuation-only token
+    * ("&", "—") folds below n tokens and stops shingling (and two
+    * n-grams differing only in such a token fold together, changing
+    * DISTINCT counts). The two checks are complementary; a maximal
+    * decontamination pass runs BOTH and unions the evidence, which is
+    * what production pipelines do (each check is one linear scan). */
   def contaminationNormalized(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
     def norm(df: DataFrame) =
       df.select(col("doc_id"), normalizedText(col("text")).as("text"))

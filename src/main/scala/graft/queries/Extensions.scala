@@ -103,8 +103,14 @@ object Extensions {
   /** Shared by qe12 (exact set join) and qe12b (bloom-prefiltered —
     * IDENTICAL results by construction): one decontamination oracle so a
     * semantics fix cannot reach one twin and miss the other. */
-  private val DecontaminateSql =
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
+  /** One decontamination oracle pipeline, parameterized on the tokenized
+    * text expression so the exact (qe12/qe12b) and normalized (qe12c)
+    * forms cannot drift: a semantics fix to the shingle window reaches
+    * all three registrations. */
+  private def decontaminateSqlFor(textExpr: String): String =
+    raw"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex($textExpr, '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
+
+  private val DecontaminateSql = decontaminateSqlFor("text")
 
   /** Shared by qe13b (fuzzy dedup e2e) and qe13c (hot-bucket-capped —
     * cluster-equal by the chain-link argument): the exact-edge
@@ -735,14 +741,17 @@ object Extensions {
     // punctuation-folded shingles, the robustness layer production
     // pipelines run (a quoted benchmark answer with different casing or
     // punctuation shares zero EXACT 5-grams but is still leakage).
-    // Catches a strict superset of qe12's hits; same broadcast shape.
+    // COMPLEMENTARY to qe12, not a superset: folding can also drop an
+    // exact hit whose window loses a punctuation-only token below n —
+    // maximal pipelines run both and union the evidence. Same broadcast
+    // shape.
     ("qe12c_decon_normalized", (s: SparkSession, d: String) => {
       val docs = Engine.Tables(s, d).documents
       val bench = docs.filter(col("doc_id") % 19 === 3)
       val corpus = docs.filter(col("doc_id") % 19 =!= 3)
       graft.operators.Decontaminate.contaminationNormalized(corpus, bench, 5)
         .orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+'), t -> len(t) > 0) AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok) WHERE i + 4 <= len(ws)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 3), corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 3) SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")),
+    }, Some(decontaminateSqlFor("regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"))),
 
     // Duplicate clusters — connected components over the exact near-dup
     // pair graph (qe2 semantics); cluster = min doc_id of the component.

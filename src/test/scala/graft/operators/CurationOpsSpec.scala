@@ -82,8 +82,20 @@ class CurationOpsSpec extends SparkTestBase {
     assert(norm(1L) == 5L, s"normalization must recover every folded 5-gram, got $norm")
     assert(norm(3L) == 5L)
     assert(!norm.contains(2L))
-    // superset property on real data: every exactly-contaminated doc stays
-    // flagged (folding never separates texts it previously matched)
+    // the checks are COMPLEMENTARY, not nested: a matched window whose
+    // punctuation-only token folds away drops below n tokens and stops
+    // shingling — an EXACT hit the normalized check misses (which is why
+    // maximal pipelines run both and union the evidence)
+    val bench2 = Seq((200L, "& alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus2 = Seq((10L, "& alpha beta gamma delta")).toDF("doc_id", "text")
+    val exact2 = Decontaminate.contamination(corpus2, bench2, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact2(10L) == 1L, "exact check must flag the verbatim copy")
+    assert(Decontaminate.contaminationNormalized(corpus2, bench2, 5).count() == 0,
+      "folding '&' away leaves 4 tokens < n=5: no normalized shingles by design")
+    // on the synthetic corpus (pure lowercase-alnum text) normalization is
+    // an identity, so the two checks must agree EXACTLY — a cheap
+    // end-to-end equivalence over real data
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val b = docs.filter(col("doc_id") % 19 === 3)
     val c = docs.filter(col("doc_id") % 19 =!= 3)
@@ -91,8 +103,8 @@ class CurationOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val normIds = Decontaminate.contaminationNormalized(c, b, 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(exactIds.subsetOf(normIds),
-      s"normalized hits lost exact hits: ${exactIds.diff(normIds)}")
+    assert(exactIds == normIds,
+      s"on an already-normalized corpus the checks must coincide: ${exactIds.diff(normIds)} / ${normIds.diff(exactIds)}")
   }
 
   test("contamination probe broadcasts the benchmark side") {
