@@ -68,15 +68,10 @@ object HttpPoll {
       finally in.close()
     }
 
-  def listPolls(dir: Path): Seq[Long] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".poll"))
-        .map(_.stripSuffix(".poll").toLong).toSeq.sorted
-      finally s.close()
-    }
+  /** Sorted cached poll seqs — the spool's foreign-file-tolerant listing
+    * (one helper for both connectors; a stray non-numeric `.poll` file is
+    * ignored, never a stream-killing parse error). */
+  def listPolls(dir: Path): Seq[Long] = MqttLike.listNumbered(dir, ".poll")
 
   /** Read a cached poll: (fetch epoch-micros, body). */
   def readPoll(dir: Path, seq: Long): (Long, String) = {
@@ -152,39 +147,81 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
   // trigger costs O(polls log polls) forever on a long-lived query
   private var nextSeq = -1L
 
+  // The highest offset the CHECKPOINT has ever shown this stream
+  // (deserialized start/end offsets on restart, committed ends live).
+  // nextSeq is floored at it: the cache listing alone is NOT a safe seq
+  // authority — after the blessed external janitor prunes seqs below the
+  // committed offset (or the cache is lost while the checkpoint
+  // survives), a listing-derived nextSeq would restart at 0 and REUSE
+  // committed seq numbers, silently replaying new bodies under seqs
+  // downstream already consumed.
+  private val checkpointFloor = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def raiseFloor(o: Offset): Offset = {
+    o match {
+      case s: SeqOffset =>
+        checkpointFloor.getAndAccumulate(s.root, math.max(_, _))
+      case _ => ()
+    }
+    o
+  }
+
   override def initialOffset(): Offset = SeqOffset(0L)
-  override def deserializeOffset(json: String): Offset = SeqOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = raiseFloor(SeqOffset.parse(json))
   // polls retained for replay DELIBERATELY: the cache doubles as the
   // poll archive (a fresh checkpoint replays history from seq 0). A
   // deployment that wants bounded storage prunes seqs below the
   // committed offset on its own cadence — an external janitor, not the
   // source, owns the retention policy.
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = { raiseFloor(end); () }
 
   /** Poll-then-report: at most one fetch per call, rate-limited; the
     * offset is simply how many polls have ever been cached. */
   override def latestOffset(): Offset = {
-    if (nextSeq < 0L) nextSeq = HttpPoll.listPolls(cacheDir).lastOption.fold(0L)(_ + 1)
+    if (nextSeq < 0L) {
+      // first call of this driver's lifetime: clear any tmp a CRASHED
+      // previous writer left behind, then list once. Running the janitor
+      // per tick would re-list the unboundedly-growing archive on every
+      // poll — the O(n)-per-tick cost class nextSeq's caching removed.
+      // (Janitor failure must not kill the query: problems hold the
+      // offset, never crash the stream.)
+      try MqttLike.ageTmpsIn(cacheDir, ".poll-", ".tmp")
+      catch { case scala.util.control.NonFatal(_) => () }
+      nextSeq = HttpPoll.listPolls(cacheDir).lastOption.fold(0L)(_ + 1)
+    }
+    // the checkpoint outranks the listing (see checkpointFloor)
+    nextSeq = math.max(nextSeq, checkpointFloor.get())
     val nowNs = System.nanoTime()
     if (nowNs - lastAttemptNs >=
         java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(minIntervalMs)) {
       lastAttemptNs = nowNs
-      // janitor failure must not kill the query: latestOffset's contract
-      // below is that problems hold the offset, never crash the stream
-      try MqttLike.ageTmpsIn(cacheDir, ".poll-", ".tmp")
-      catch { case scala.util.control.NonFatal(_) => () }
       try {
         val body = HttpPoll.fetch(url)
         Files.createDirectories(cacheDir)
         val tmp = cacheDir.resolve(s".poll-${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, s"${System.currentTimeMillis() * 1000L}\n$body")
-        Files.move(tmp, cacheDir.resolve(s"$nextSeq.poll"), StandardCopyOption.ATOMIC_MOVE)
+        try {
+          Files.writeString(tmp, s"${System.currentTimeMillis() * 1000L}\n$body")
+          Files.move(tmp, cacheDir.resolve(s"$nextSeq.poll"), StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          // our own failed write must not depend on the 15-minute orphan
+          // janitor: delete the scratch now (best-effort)
+          case scala.util.control.NonFatal(e) =>
+            try Files.deleteIfExists(tmp)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
         nextSeq += 1
       } catch {
+        // a thread interrupt is SHUTDOWN, not an endpoint failure: restore
+        // the flag and propagate so stop isn't delayed a full fetch
+        // timeout and the log doesn't blame the endpoint
+        case e @ (_: InterruptedException | _: java.io.InterruptedIOException |
+                  _: java.nio.channels.ClosedByInterruptException) =>
+          Thread.currentThread().interrupt()
+          throw e
         // hold the offset and retry next interval — but SAY so (the
         // reference logs before looping, hko.cpp:127-129): a misconfigured
         // url would otherwise be indistinguishable from "no data yet"
-        case e: Exception =>
+        case scala.util.control.NonFatal(e) =>
           log.warn(s"graft-http: poll of $url failed, offset held " +
             s"(retry in ${minIntervalMs} ms): $e")
       }
@@ -211,7 +248,21 @@ class HttpPollMicroBatchStream(url: String, minIntervalMs: Long, cacheDir: Path)
         private var seq = p.fromSeq - 1
         override def next(): Boolean = { seq += 1; seq < p.untilSeq }
         override def get(): InternalRow = {
-          val (tsUs, body) = HttpPoll.readPoll(Paths.get(p.dir), seq)
+          val (tsUs, body) =
+            try HttpPoll.readPoll(Paths.get(p.dir), seq)
+            catch {
+              case e: java.nio.file.NoSuchFileException =>
+                // steer the two real causes instead of a bare missing-file
+                // trace: the cache is written by the DRIVER, so in a
+                // multi-host deployment cacheDir must be shared storage
+                // executors can see; and pruning seqs the checkpoint still
+                // references breaks the replay contract
+                throw new java.io.IOException(
+                  s"graft-http: cached poll $seq missing from ${p.dir}. The " +
+                    "poll cache is driver-written: executors on other hosts " +
+                    "need cacheDir on SHARED storage, and an external janitor " +
+                    "must never prune seqs at or above the committed offset.", e)
+            }
           InternalRow(UTF8String.fromString(p.url), UTF8String.fromString(body),
             tsUs, seq)
         }

@@ -165,14 +165,29 @@ object MqttLike {
       try s.iterator().asScala.map(_.getFileName.toString).toVector finally s.close()
     }
 
+  /** Parse a `<digits><suffix>` stem to its seq, or None for a FOREIGN
+    * file: the spool and poll caches are externally-writable interfaces
+    * (a bridge process, an operator's stray `readme.msg`), and one
+    * non-numeric stem must not NumberFormatException every subsequent
+    * offset poll into a permanently dead stream — foreign files are
+    * ignored, never parsed. Stems longer than 18 digits (Long overflow)
+    * are foreign too. */
+  private[sources] def numberedStem(name: String, suffix: String): Option[Long] =
+    if (!name.endsWith(suffix)) None
+    else {
+      val stem = name.dropRight(suffix.length)
+      if (stem.nonEmpty && stem.length <= 18 && stem.forall(_.isDigit))
+        Some(stem.toLong)
+      else None
+    }
+
   /** Repair from an already-taken listing; returns the visible msg seq set
     * INCLUDING newly promoted claims, so callers that also need the dense
     * prefix pay one directory listing, not two. */
   private def repairFrom(dir: Path, names: Vector[String]): Set[Long] = {
-    val msgs = names.filter(_.endsWith(".msg"))
-      .map(_.stripSuffix(".msg").toLong).toSet
-    val promoted = names.filter(n => n.startsWith(".") && n.endsWith(".claim"))
-      .map(_.stripPrefix(".").stripSuffix(".claim").toLong)
+    val msgs = names.flatMap(numberedStem(_, ".msg")).toSet
+    val promoted = names.filter(_.startsWith("."))
+      .flatMap(n => numberedStem(n.stripPrefix("."), ".claim"))
       .filterNot(msgs)
       .map { n => promote(dir, n); n }
     // tmp files are pre-claim scratch: an orphan older than the cutoff was
@@ -212,13 +227,19 @@ object MqttLike {
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  def listSeqs(dir: Path): Seq[Long] =
+  def listSeqs(dir: Path): Seq[Long] = listNumbered(dir, ".msg")
+
+  /** Sorted seqs of `<digits><suffix>` files in a directory, foreign
+    * files ignored ([[numberedStem]]) — ONE listing helper for the spool
+    * (.msg) and the HTTP poll cache (.poll), so a parsing fix cannot
+    * reach one connector and miss the other. */
+  private[sources] def listNumbered(dir: Path, suffix: String): Seq[Long] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
       try s.iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".msg"))
-        .map(_.stripSuffix(".msg").toLong).toSeq.sorted
+        .map(_.getFileName.toString)
+        .flatMap(numberedStem(_, suffix)).toSeq.sorted
       finally s.close()
     }
 

@@ -179,4 +179,53 @@ class HttpPollSpec extends SparkTestBase {
     assert(HttpPoll.listPolls(cache).isEmpty,
       "no fetch may happen until minIntervalMs after the FAILED attempt")
   }
+
+  test("checkpoint floor outranks a pruned cache: committed seq numbers are " +
+    "never reused after restart") {
+    val doc = java.nio.file.Files.createTempFile("floorbody", ".json")
+    java.nio.file.Files.writeString(doc, "payload")
+    val cache = java.nio.file.Files.createTempDirectory("pollfloor")
+    val st = new HttpPollMicroBatchStream(doc.toUri.toString, 0L, cache)
+    (0 until 3).foreach(_ => st.latestOffset())
+    assert(HttpPoll.listPolls(cache) == (0L until 3L))
+    // the blessed external janitor prunes everything below the committed
+    // offset — here the whole cache (offset 3 fully consumed downstream)
+    HttpPoll.listPolls(cache).foreach(s =>
+      java.nio.file.Files.delete(cache.resolve(s"$s.poll")))
+    // restart: a fresh stream sees an empty cache but the CHECKPOINT says
+    // 3 — numbering must resume at 3, never restart at 0 and replay new
+    // bodies under seqs downstream already consumed
+    val st2 = new HttpPollMicroBatchStream(doc.toUri.toString, 0L, cache)
+    st2.deserializeOffset(SeqOffset(3L).json())
+    val off = st2.latestOffset().asInstanceOf[SeqOffset].root
+    assert(off == 4L, s"restart after prune must resume numbering at the floor, got $off")
+    assert(HttpPoll.listPolls(cache) == Seq(3L),
+      s"new poll must land at the floored seq, cache has ${HttpPoll.listPolls(cache)}")
+  }
+
+  test("foreign files in the poll cache and the spool are ignored, never a " +
+    "stream-killing parse error") {
+    // the caches are externally-writable interfaces: an operator's stray
+    // readme/notes file must not NumberFormatException every offset poll
+    val cache = java.nio.file.Files.createTempDirectory("pollforeign")
+    java.nio.file.Files.writeString(cache.resolve("latest.poll"), "not a seq")
+    java.nio.file.Files.writeString(cache.resolve("readme.txt"), "notes")
+    java.nio.file.Files.writeString(cache.resolve("99999999999999999999.poll"), "overflow")
+    val doc = java.nio.file.Files.createTempFile("foreignbody", ".json")
+    java.nio.file.Files.writeString(doc, "x")
+    val st = new HttpPollMicroBatchStream(doc.toUri.toString, 0L, cache)
+    assert(st.latestOffset().asInstanceOf[SeqOffset].root == 1L)
+    assert(HttpPoll.listPolls(cache) == Seq(0L))
+
+    val spool = java.nio.file.Files.createTempDirectory("spoolforeign").toString
+    MqttLike.publish(spool, "t/f", "m0")
+    val lane = java.nio.file.Paths.get(spool, "t_f")
+    java.nio.file.Files.writeString(lane.resolve("readme.msg"), "foreign")
+    java.nio.file.Files.writeString(lane.resolve(".notes.claim"), "foreign")
+    assert(MqttLike.listSeqs(lane) == Seq(0L))
+    assert(MqttLike.repairAndDensePrefix(lane) == 1L,
+      "offset poll must survive foreign .msg/.claim files")
+    MqttLike.publish(spool, "t/f", "m1") // publisher's claim walk too
+    assert(MqttLike.listSeqs(lane) == Seq(0L, 1L))
+  }
 }
