@@ -22,18 +22,17 @@ object Verify {
       // stale output from a previous run must never stand in for a query
       // that now throws — delete FIRST so a failure leaves no dir and the
       // driver's compare reports the failure instead of old results
-      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-        finally s.close()
-      }
-      rmTree(out)
+      // (ONE walk/reverse/delete owner: Replay.clearTree empties, then
+      // the root itself goes)
+      graft.streaming.Replay.clearTree(out)
+      Files.deleteIfExists(out)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        rmTree(out) // a partial write must not look like a result either
+        // a partial write must not look like a result either
+        graft.streaming.Replay.clearTree(out)
+        Files.deleteIfExists(out)
       }
     }
     // JSON string escape: a tab or CR in builder-authored SQL would

@@ -45,12 +45,20 @@ object Pipelines {
       .withColumn("j", from_json(col(payloadCol),
         DdSchema.add("_corrupt_record", StringType),
         Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
-      .withColumn("parsed", col("j._corrupt_record").isNull)
       .select(col("*"),
         isoParse(col("j.timestamp_utc")).as("ts"),
         coalesce(col("j.temp_outdoor_celsius"), lit(888.8)).as("temp_outdoor_celsius"),
         coalesce(col("j.temp_indoor_celsius"), lit(888.8)).as("temp_indoor_celsius"),
         coalesce(col("j.rh_outdoor"), lit(888.8)).as("rh_outdoor"))
+      // `parsed` = structurally valid JSON AND a parseable timestamp —
+      // the SAME contract chParse applies (ts.isNotNull): JSON
+      // well-formedness alone would publish an enriched payload with no
+      // ts field at all (to_json drops null fields), and a NULL payload
+      // column (from_json(null) → null struct, corrupt-record null)
+      // would count as "parsed". Sensor values stay defaultable (888.8);
+      // the timestamp is the one field a reading cannot lack.
+      .withColumn("parsed",
+        col("j._corrupt_record").isNull && col("ts").isNotNull)
       .drop("j")
 
   /** T11 error routing: split a parsed frame into (good, dead-letter).
@@ -81,7 +89,14 @@ object Pipelines {
         posexplode(col("j.temperature.data")).as(Seq("pos", "d")))
       .filter(col("d.place") === place && col("d.unit") === "C")
       .groupBy(col("hko_timestamp"))
-      .agg(max_by(col("d.value"), col("pos")).as("temp_celsius"))
+      // BATCH VIEW CAVEAT: grouping by recordTime collapses polls that
+      // share one (the endpoint updates every few minutes while the
+      // reference polls every second) — this form is the per-recordTime
+      // rollup; [[hkoPerDoc]] is the reference-faithful one-row-per-poll
+      // form the running module uses. The tie-break struct makes the
+      // cross-document tie deterministic (same pos in different docs):
+      // highest position wins, value breaks the remaining tie.
+      .agg(max_by(col("d.value"), struct(col("pos"), col("d.value"))).as("temp_celsius"))
       // a matched entry whose `value` field is missing parses to null —
       // the reference logs and skips publishing (hko.cpp:108-111), and
       // the streaming twin [[hkoPerDoc]] drops it; batch must agree or

@@ -52,10 +52,13 @@ object StatefulOps {
 
   private def etaOf(tSec: Long, pct: Double, rate: Double): Option[String] = {
     val delta = pct / rate
-    // truncation toward zero mirrors the reference's (time_t) float->int
-    // conversion at module_rpi_ups_hat.c:213; delta >= 0 so trunc == floor
+    // floor, matching the batch twin's floor() exactly: the reference's
+    // (time_t) conversion truncates (module_rpi_ups_hat.c:213), and for
+    // the normal pct >= 0 case trunc == floor — but a negative pct (the
+    // typed API accepts arbitrary Datasets; only upsDecode clamps) would
+    // make the two twins differ by one second
     if (rate > 0 && delta < EtaHorizonSec)
-      Some(EtaFmt.format(java.time.Instant.ofEpochSecond(tSec + delta.toLong)))
+      Some(EtaFmt.format(java.time.Instant.ofEpochSecond(tSec + math.floor(delta).toLong)))
     else None
   }
 
@@ -65,7 +68,12 @@ object StatefulOps {
     * remaining = pct/rate/3600 and eta = ts + pct/rate sec, None when
     * rate <= 0. */
   private def upsStep(r: UpsReading, st: Option[UpsState]): (UpsState, UpsDerived) = {
-    val sign = if (r.current_ma > 0) 1 else -1
+    // NaN classifies as Charging, matching the BATCH twin exactly: Spark
+    // SQL comparisons order NaN greater than every number (so the window
+    // form's `current_ma > 0` is TRUE for NaN), while Scala's primitive
+    // `>` is false for NaN — without the isNaN arm the two twins would
+    // disagree on the same row
+    val sign = if (r.current_ma > 0 || r.current_ma.isNaN) 1 else -1
     val tSec = r.ts.getTime / 1000
     val base = st match {
       case Some(s) if s.prevSign == sign => s // keep baseline (no flip)
@@ -76,8 +84,14 @@ object StatefulOps {
     // exists for it, same as the rate<=0 case
     val elapsed = tSec - base.t0 + 1
     val rate = if (elapsed > 0) (base.pct0 - r.batt_pct) / elapsed else 0.0
+    // rate.isNaN rides for the same Spark-vs-Scala NaN-ordering reason as
+    // `sign` above: a NaN batt_pct makes rate NaN, which the batch twin's
+    // `when(rate > 0, ...)` KEEPS (emitting NaN use/remaining) — the eta
+    // stays None on both sides (NaN delta fails `< EtaHorizonSec` in both
+    // orderings)
     val (use, rem) =
-      if (rate > 0) (Some(rate), Some(r.batt_pct / rate / 3600.0)) else (None, None)
+      if (rate > 0 || rate.isNaN) (Some(rate), Some(r.batt_pct / rate / 3600.0))
+      else (None, None)
     (base, UpsDerived(r.device_id, r.ts, r.batt_pct,
       // the rule of record is ScalarOps.chargeStatus (> 0 = Charging);
       // this is its typed-path transcription — keep the boundary in sync

@@ -69,10 +69,13 @@ class PipelinesSpec extends SparkTestBase {
     val payloads = Seq(
       """{"timestamp_utc": "2024-12-23T08:00:00Z", "temp_outdoor_celsius": 24.1, "temp_indoor_celsius": 22.8, "rh_outdoor": 61.0}""",
       """{"timestamp_utc": "2024-12-23T08:00:01Z", "temp_indoor_celsius": 22.9}""",
+      // valid JSON but NO timestamp: chParse's contract (ts required) —
+      // publishing it would emit an enriched payload with no ts field
+      """{"temp_outdoor_celsius": 25.0}""",
       """not a json""").toDF("payload")
     val parsed = Pipelines.ddConsumer(payloads)
     val (good, dead) = Pipelines.deadLetterSplit(parsed, col("parsed"))
-    assert(good.count() == 2 && dead.count() == 1)
+    assert(good.count() == 2 && dead.count() == 2)
     val row2 = good.filter(col("temp_indoor_celsius") === 22.9).head()
     assert(row2.getAs[Double]("temp_outdoor_celsius") == 888.8)
     assert(row2.getAs[Double]("rh_outdoor") == 888.8)
