@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per (kind, key) runs the fit plan and writes the result as parquet under
   * the artifact root; every later call — including in a NEW JVM — reads the
   * parquet back and never re-runs the fit. The registered frozen queries
-  * (qe3d/qe7d/qe47/qe52b/qe54b/qe56c/qe58d) all consume artifacts through
-  * this store, so the plan they bench is the honest pure-apply shape.
+  * (qe3d/qe7d/qe47/qe52b/qe54b/qe56c/qe58d), the incremental forms
+  * (qe43), the shard export (qe11e), and the certificate tier's persisted
+  * anchors (qe60–qe66) all consume artifacts through this store, so the
+  * plan they bench is the honest pure-apply shape.
   *
   * Staleness is handled by CONTENT KEYING, not invalidation: callers build
   * `key` from [[inputFingerprint]] (size + mtime of every input data file)
@@ -45,8 +47,12 @@ object Artifacts {
     val entries = paths.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
+      // the FULL qualified path, not the basename: two inputs whose data
+      // files share names/lengths/mtimes (a cp -a snapshot served from a
+      // second directory) must not collide onto one key and silently
+      // serve each other's fits
       Engine.dataFiles(fs, fs.getFileStatus(path))
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -100,8 +106,10 @@ object Artifacts {
           // must never be collected), so nothing else would ever delete it
           try fit.write.mode("overwrite").parquet(tmp.toString)
           catch { case e: Throwable =>
+            // NonFatal, not just IOException: a RuntimeException from the
+            // cleanup delete must never MASK the original fit failure
             try fs.delete(tmp, true)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
             throw e
           }
           val renamed = fs.rename(tmp, destPath)
@@ -134,6 +142,14 @@ object Artifacts {
               // both are valid fits of the same content key.
               val nested2 = new org.apache.hadoop.fs.Path(destPath, tmp.getName)
               if (renamed2 && fs.exists(nested2) && ready) fs.delete(nested2, true)
+              // recovery rename LOST to a concurrent winner: our recovered
+              // fit still sits at the tmp path (rename false = no move) —
+              // discard it like the plain lost-race branch below, or it
+              // leaks forever (prune never collects fresh .tmp-* names)
+              if (!renamed2 && ready) {
+                try fs.delete(tmp, true)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
               require(renamed2 || ready,
                 s"artifact $dest: recovery rename failed and no winner present")
             }
@@ -163,19 +179,31 @@ object Artifacts {
     }
   }
 
+  /** A live writer's tmp must never be collected, but a writer that died
+    * WITHOUT its in-process cleanup (kill -9, host reboot) leaves its
+    * .tmp-* directory forever — age out tmps whose directory mtime is
+    * older than this. Generous 6 h: a long fit refreshes the dir mtime as
+    * part files land, so only a truly dead writer's tmp goes stale. */
+  private val TmpOrphanMs = 6L * 60 * 60 * 1000
+
   /** Bound the store: keep the 8 most-recently-written keys per kind and
     * drop older ones — stale fits of prior test-data generations. The
     * bound is above the live working set (one key per scale factor and
     * knob set), so live keys are never evicted; a concurrent reader of a
-    * pruned stale key at worst refits. Best-effort. */
+    * pruned stale key at worst refits. Orphaned .tmp-* dirs from writers
+    * that died uncleanly age out past [[TmpOrphanMs]]. Best-effort. */
   private def prune(fs: org.apache.hadoop.fs.FileSystem,
                     kindDir: org.apache.hadoop.fs.Path): Unit =
-    try fs.listStatus(kindDir).toSeq
-      .filterNot(_.getPath.getName.startsWith(".tmp-"))
-      .sortBy(-_.getModificationTime)
-      .drop(8)
-      .foreach(st => fs.delete(st.getPath, true))
-    catch { case _: java.io.IOException => }
+    try {
+      val (tmps, keys) = fs.listStatus(kindDir).toSeq
+        .partition(_.getPath.getName.startsWith(".tmp-"))
+      val cutoff = System.currentTimeMillis() - TmpOrphanMs
+      tmps.filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+      keys.sortBy(-_.getModificationTime)
+        .drop(8)
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case _: java.io.IOException => }
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -35,37 +35,42 @@ object Certificates {
     * same statistic SimilaritySpec's sweeps assert. */
   def topKRecall(exact: DataFrame,
                  variants: Seq[(String, DataFrame, Double)]): DataFrame = {
-    val ex = exact.select(col("qid"), col("cid"))
+    require(variants.nonEmpty,
+      "topKRecall: at least one variant is required (reduce over an empty " +
+        "ladder would throw an opaque empty.reduceLeft)")
     variants.map { case (name, approx, floor) =>
-      ex.join(approx.select(col("qid"), col("cid")).distinct()
-          .withColumn("__hit", lit(1)), Seq("qid", "cid"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("__hit"), lit(0))).as("__hits"))
-        .select(lit(name).as("variant"), col("n_exact"),
-          // divisor guard: an empty exact side (degenerate query set) is
-          // vacuously ok rather than an ANSI DIVIDE_BY_ZERO crash
-          when(col("n_exact") > 0,
-            col("__hits").cast("double") / col("n_exact") >= lit(floor))
-            .otherwise(lit(true)).as("recall_ok"))
+      recallClaim(name, exact, approx, Seq("qid", "cid"),
+        "n_exact", "recall_ok", floor)
     }.reduce(_ unionAll _)
   }
 
   /** Aggregate pair-recall claim row (variant, n_anchor, ok) over
     * (da, db) pair frames — the [[topKRecall]] idiom for near-dup PAIR
-    * families (one shape, so the divisor/dedup/empty-anchor semantics
-    * cannot drift between certificate rungs). An empty exact side is
-    * vacuously ok (count is 0, never null). */
+    * families. An empty exact side is vacuously ok (count is 0, never
+    * null). */
   def pairRecall(variant: String, exactPairs: DataFrame,
                  approxPairs: DataFrame, floor: Double): DataFrame =
-    exactPairs.select(col("da"), col("db"))
-      .join(approxPairs.select(col("da"), col("db")).distinct()
-        .withColumn("__hit", lit(1)), Seq("da", "db"), "left")
-      .agg(count(lit(1)).as("n_anchor"),
+    recallClaim(variant, exactPairs, approxPairs, Seq("da", "db"),
+      "n_anchor", "ok", floor)
+
+  /** ONE recall-claim shape for both certificate families, parameterized
+    * only by the join keys and output names — so the divisor guard, the
+    * candidate dedup, and the empty-anchor convention are structurally
+    * identical and cannot drift (the two previous copies had already
+    * drifted on a null-sum coalesce). An empty anchor is vacuously ok
+    * rather than an ANSI DIVIDE_BY_ZERO crash. */
+  private def recallClaim(variant: String, anchor: DataFrame, approx: DataFrame,
+                          keys: Seq[String], nName: String, okName: String,
+                          floor: Double): DataFrame =
+    anchor.select(keys.map(col): _*)
+      .join(approx.select(keys.map(col): _*).distinct()
+        .withColumn("__hit", lit(1)), keys, "left")
+      .agg(count(lit(1)).as(nName),
         coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L)).as("__h"))
-      .select(lit(variant).as("variant"), col("n_anchor"),
-        when(col("n_anchor") > 0,
-          col("__h").cast("double") / col("n_anchor") >= lit(floor))
-          .otherwise(lit(true)).as("ok"))
+      .select(lit(variant).as("variant"), col(nName),
+        when(col(nName) > 0,
+          col("__h").cast("double") / col(nName) >= lit(floor))
+          .otherwise(lit(true)).as(okName))
 
   /** Per-pair found certificate (the strongest form, usable when the
     * approximate path's recall is asserted TOTAL on real data — the

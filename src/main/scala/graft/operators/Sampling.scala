@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Refuse input columns that collide with an operator's generated
+    * (output or temporary) names — withColumn would silently REPLACE the
+    * caller's column and a later drop() would delete their data
+    * (SeqPack.requireNoCollision's contract, applied to this file's
+    * fixed names: rn/shard/ord/split/cum_w/__pr/...). */
+  private def requireFresh(fn: String, df: DataFrame, generated: String*): Unit = {
+    val bad = generated.filter(df.columns.contains)
+    require(bad.isEmpty,
+      s"$fn: input column(s) ${bad.mkString(", ")} collide with the " +
+        s"generated column(s) ${generated.mkString("/")}; rename the input")
+  }
+
   /** 48-bit priority: first 12 hex chars of md5("seed:id"). 48 bits keeps
     * the value positive in a SIGNED 64-bit integer on every engine (the
     * full low 64 bits would compare differently as Spark's signed long vs
@@ -115,6 +127,8 @@ object Sampling {
     * priority — the distributed, reproducible "reservoir"). */
   def sampleIdsPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                         k: Int, seed: Long = 42L): DataFrame = {
+    require(!groupCols.contains("sample_ids"),
+      "sampleIdsPerGroup: a group column named sample_ids would duplicate the output column")
     val bk = udaf(new BottomKPairs(k))
     df.groupBy(groupCols.map(col): _*)
       .agg(bk(md5Priority(col(idCol), seed), col(idCol)).as("sample_ids"))
@@ -124,8 +138,11 @@ object Sampling {
     * shuffle, codegen'd systematic sampling). Samples NEST: the p% sample
     * is a subset of every q% sample with q > p. */
   def deterministicSample(df: DataFrame, idCol: String, percent: Int,
-                          seed: Long = 42L): DataFrame =
+                          seed: Long = 42L): DataFrame = {
+    require(percent >= 0 && percent <= 100,
+      s"deterministicSample: percent must be in [0,100], got $percent")
     df.filter(pmod(md5Priority(col(idCol), seed), lit(100)) < percent)
+  }
 
   /** Membership predicate of the deterministic 1-in-k hash-mod sample —
     * THE shared definition behind the sampled-mode certificates
@@ -136,8 +153,13 @@ object Sampling {
     * — one definition here, so a seed/mod/pmod edit cannot desynchronize
     * a copy from the oracle or from the measurements that pinned the
     * recall floors. */
-  def modSample(idCol: Column, k: Int, seed: Long = 42L): Column =
+  def modSample(idCol: Column, k: Int, seed: Long = 42L): Column = {
+    // k = 0 would be pmod-by-zero → NULL predicate → every row silently
+    // dropped: a misconfigured certificate probe would report an empty
+    // sample as if the data were empty, instead of failing
+    require(k >= 1, s"modSample: modulus k must be >= 1, got $k")
     pmod(md5Priority(idCol, seed), lit(k)) === 0
+  }
 
   /** [[deterministicSample]] at parts-per-million granularity — the
     * sample-rate floor a fit cap actually needs: whole percent floors at
@@ -145,8 +167,11 @@ object Sampling {
     * sample 10^7 (1%), growing linearly with the corpus instead of
     * holding the cap. */
   def deterministicSamplePpm(df: DataFrame, idCol: String, ppm: Int,
-                             seed: Long = 42L): DataFrame =
+                             seed: Long = 42L): DataFrame = {
+    require(ppm >= 0 && ppm <= 1000000,
+      s"deterministicSamplePpm: ppm must be in [0,1000000], got $ppm")
     df.filter(pmod(md5Priority(col(idCol), seed), lit(1000000)) < ppm)
+  }
 
   /** Domain-mixing stratified take: per-group deterministic bottom-k by md5
     * priority, where k may vary per group via `kExpr` (derive it from target
@@ -157,7 +182,7 @@ object Sampling {
     * mixture ablations over the same corpus). */
   def stratifiedTake(df: DataFrame, groupCol: String, idCol: String,
                      kExpr: Column, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    requireFresh("stratifiedTake", df, "rn")
     val w = Window.partitionBy(groupCol).orderBy(md5Priority(col(idCol), seed), col(idCol))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kExpr)
@@ -175,6 +200,7 @@ object Sampling {
     * materialization) — scales to any corpus. */
   def ppsSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                 seed: Long = 42L): DataFrame = {
+    requireFresh("ppsSample", df, "__pr")
     // fail fast on w <= 0 (u/w would sort garbage first, silently): the
     // guard lives in the value path so pruning can't drop it
     val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
@@ -186,11 +212,6 @@ object Sampling {
       .drop("__pr")
   }
 
-  /** Deterministic train/val/test split: hash-range assignment adds a
-    * `split` column. Stable across runs/partitionings, disjoint and
-    * exhaustive, and stable under corpus growth (a row's split never
-    * changes when other rows are added) — the property random splits
-    * lack. Weights are percentages summing to 100. */
   /** Budgeted per-group take: walk each group's rows in deterministic
     * md5-priority order and keep rows while the running `weightCol` total
     * stays within `budget` (inclusive) — the token-budget form of domain
@@ -207,6 +228,7 @@ object Sampling {
                            weightCol: String, budget: Long,
                            seed: Long = 42L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    requireFresh("budgetedTakePerGroup", df, "cum_w")
     // fail fast on w <= 0 (the ppsSample guard): a zero/negative weight
     // makes the running total non-monotone, so the selection would no
     // longer be a prefix of the priority order and the documented
@@ -243,6 +265,8 @@ object Sampling {
     * — the corpus itself is never touched here. */
   def temperatureTargets(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"temperatureTargets: budget must be >= 0, got $budget")
+    require(!Seq("n_docs", "w", "target", "sum_w").contains(groupCol),
+      s"temperatureTargets: group column '$groupCol' collides with an output column")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
     val tot = counts.agg(sum("w").as("sum_w"))
@@ -259,15 +283,30 @@ object Sampling {
     * mixture ablations stay comparable across budgets. */
   def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
                      budget: Long, seed: Long = 42L): DataFrame = {
+    requireFresh("temperatureMix", df, "target")
     val t = temperatureTargets(df, groupCol, budget).select(col(groupCol), col("target"))
     stratifiedTake(df.join(broadcast(t), Seq(groupCol)), groupCol, idCol,
       col("target"), seed).drop("target")
   }
 
+  /** Deterministic train/val/test split: hash-range assignment adds a
+    * `split` column. Stable across runs/partitionings, disjoint and
+    * exhaustive, and stable under corpus growth (a row's split never
+    * changes when other rows are added) — the property random splits
+    * lack. Weights are percentages summing to 100. A null id is REFUSED
+    * (fused into the bucket expression, the ppsSample pattern): its
+    * md5 bucket would be NULL, so every when() clause misses and the row
+    * gets split = NULL — silently breaking disjoint-and-exhaustive and
+    * vanishing from every filter(split === ...). */
   def splitByHash(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                   seed: Long = 42L): DataFrame = {
     require(splits.map(_._2).sum == 100, "split weights must sum to 100")
-    val bucket = pmod(md5Priority(col(idCol), seed), lit(100))
+    requireFresh("splitByHash", df, "split")
+    val id = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(
+        s"splitByHash: null id in $idCol — the split would be NULL, " +
+          "breaking the disjoint-and-exhaustive contract")))
+    val bucket = pmod(md5Priority(id, seed), lit(100))
     val expr = splits.tail.foldLeft((when(bucket < splits.head._2, splits.head._1),
       splits.head._2)) { case ((acc, cum), (name, w)) =>
       (acc.when(bucket < cum + w, name), cum + w)
@@ -289,6 +328,7 @@ object Sampling {
   def trainOrder(df: DataFrame, idCol: String, shards: Int,
                  seed: Long = 42L): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    requireFresh("trainOrder", df, "shard", "ord")
     val pri = md5Priority(col(idCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(pri, col(idCol))
     df.withColumn("shard", pmod(pri, lit(shards)).cast("int"))
@@ -309,6 +349,7 @@ object Sampling {
     * [[splitByHash]]. Output: input columns + split. */
   def splitByCluster(df: DataFrame, clusters: DataFrame, idCol: String,
                      splits: Seq[(String, Int)], seed: Long = 42L): DataFrame = {
+    requireFresh("splitByCluster", df, "__cid", "__rep")
     val cl = clusters.select(col("doc_id").as("__cid"), col("cluster").as("__rep"))
     splitByHash(
       df.join(cl, col(idCol) === col("__cid"), "left")

@@ -32,13 +32,34 @@ object SeqPack {
         s"output column(s) ${generated.mkString("/")}; rename the input")
   }
 
+  /** Running-sum packing offset with the null/duplicate-id refusal FUSED
+    * in (same window sort, no extra shuffle — exportShards' guard applied
+    * to every packer): a null or repeated id makes the orderBy-tie running
+    * sum order-dependent, so the bins would be silently nondeterministic
+    * run to run — the exact instability exportShards refuses loudly, and
+    * a packer documented "deterministic and oracle-exact" must refuse
+    * identically. lag() is null at partition start AND after a null-id
+    * row, so the null check must precede the duplicate check. */
+  private def guardedOffset(fn: String, idCol: String, len: org.apache.spark.sql.Column,
+                            sortW: org.apache.spark.sql.expressions.WindowSpec,
+                            runW: org.apache.spark.sql.expressions.WindowSpec)
+      : org.apache.spark.sql.Column = {
+    val prev = lag(col(idCol), 1).over(sortW)
+    when(col(idCol).isNull, raise_error(
+      lit(s"$fn: null id (ids order the packing and must be non-null)")))
+      .when(prev.isNull || prev =!= col(idCol), sum(len).over(runW) - len)
+      .otherwise(raise_error(concat(
+        lit(s"$fn: duplicate id within a shard: "), col(idCol).cast("string"))))
+  }
+
   /** Adds `bin` (long) to each row — global document order, single-task
     * sort. Use [[packSharded]] at scale. */
   def pack(df: DataFrame, idCol: String, tokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"pack: token budget must be positive, got $budget")
     requireNoCollision("pack", Seq(idCol, tokCol), Seq("bin", "__cum"))
-    val w = Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
+    val sortW = Window.orderBy(col(idCol))
+    val runW = sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", guardedOffset("pack", idCol, col(tokCol), sortW, runW))
       .withColumn("bin", expr(s"__cum div $budget"))
       .drop("__cum")
   }
@@ -51,9 +72,9 @@ object SeqPack {
                   budget: Long): DataFrame = {
     require(budget > 0, s"packSharded: token budget must be positive, got $budget")
     requireNoCollision("packSharded", Seq(shardCol, idCol, tokCol), Seq("bin", "__cum"))
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokCol)).over(w) - col(tokCol))
+    val sortW = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val runW = sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", guardedOffset("packSharded", idCol, col(tokCol), sortW, runW))
       .withColumn("bin", expr(s"__cum div $budget"))
       .drop("__cum")
   }
@@ -104,15 +125,20 @@ object SeqPack {
     // guard closes, one layer down
     requireNoCollision("packSplitSharded", Seq(shardCol, idCol, tokCol),
       Seq("__o", "__b0", "__b1", "__L"))
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sortW = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val runW = sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // tokCol is re-aliased to the internal __L BEFORE any expr() so no
     // caller-supplied name is ever spliced into a SQL string (a name
     // needing backticks would parse wrong or not at all); the exprs are
-    // integer `div` over internal names and a literal only
-    df.withColumn("__o", sum(col(tokCol)).over(w) - col(tokCol))
-      .withColumn("__L", col(tokCol))
+    // integer `div` over internal names and a literal only.
+    // The non-positive filter runs BEFORE the offset window — exportShards'
+    // shape and the oracle's (WHERE n_tok > 0 inside the windowed CTE): a
+    // negative count filtered AFTER the window would vanish from the
+    // output yet still subtract from every later doc's offset, silently
+    // double-booking bin token ranges
+    df.withColumn("__L", col(tokCol))
       .filter(col("__L") > 0)
+      .withColumn("__o", guardedOffset("packSplitSharded", idCol, col("__L"), sortW, runW))
       .withColumn("__b0", expr(s"__o div $budget"))
       .withColumn("__b1", expr(s"(__o + __L - 1) div $budget"))
       .select(col(shardCol), col(idCol), col("__o"), col("__b0"),
@@ -230,8 +256,13 @@ object SeqPack {
                             df: DataFrame, shardCol: String, idCol: String,
                             toksCol: String, budget: Long,
                             inputPaths: Seq[String], paramsKey: String): DataFrame = {
+    // EVERY identity-bearing param rides the fit key (the cosine_pairs
+    // idCol lesson): relying on the caller to hand-encode budget/columns
+    // into paramsKey would let a second call at a different budget
+    // silently return shards fitted at the old one
     val shards = graft.Artifacts.getOrFit(spark, "token_shards",
-      graft.Artifacts.fitKey(spark, inputPaths, paramsKey),
+      graft.Artifacts.fitKey(spark, inputPaths,
+        s"$paramsKey|$shardCol|$idCol|$toksCol|b$budget"),
       exportShards(df, shardCol, idCol, toksCol, budget)
         .select("shard", "bin", "payload"))
     shards.select(col("shard"), col("bin"),

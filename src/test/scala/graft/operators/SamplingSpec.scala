@@ -237,4 +237,32 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.temperatureTargets(df, "source", 0L).head().getLong(3) == 0L)
     assert(Sampling.temperatureMix(df, "source", "doc_id", 10L).count() == 1L)
   }
+
+  test("guards: null id refused by splitByHash; colliding generated names " +
+    "refused; k=0 modSample refused instead of silently empty") {
+    import spark.implicits._
+    val nulled = Seq(Some(1L), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      Sampling.splitByHash(nulled, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).collect()
+    }
+    assert(e.getMessage.contains("null id"), e.getMessage)
+    // a caller column named like a generated one must be refused, not
+    // silently replaced-then-dropped (data loss)
+    val clash = Seq((1L, "a", 7)).toDF("doc_id", "source", "rn")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.stratifiedTake(clash, "source", "doc_id", lit(1))
+    }
+    assert(e2.getMessage.contains("rn"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.trainOrder(Seq((1L, 2L)).toDF("doc_id", "ord"), "doc_id", 4)
+    }
+    assert(e3.getMessage.contains("ord"), e3.getMessage)
+    // pmod-by-zero would NULL the predicate and silently empty the sample
+    val e4 = intercept[IllegalArgumentException] { Sampling.modSample(col("x"), 0) }
+    assert(e4.getMessage.contains("k must be >= 1"), e4.getMessage)
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSample(nulled, "doc_id", 101)
+    }
+  }
 }

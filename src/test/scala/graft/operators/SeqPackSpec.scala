@@ -139,4 +139,35 @@ class SeqPackSpec extends SparkTestBase {
     }
     assert(en.getMessage.contains("null id"), en.getMessage)
   }
+
+  test("every packer refuses duplicate/null ids like the export does; " +
+    "split packing filters non-positive counts BEFORE the offset window") {
+    import spark.implicits._
+    // a duplicate id makes the orderBy-tie running sum order-dependent —
+    // the packers were documented deterministic but only the export
+    // refused; now the whole family does
+    val dup = Seq((0L, 5L, 3L), (0L, 5L, 4L)).toDF("shard", "doc_id", "n_tok")
+    val e = intercept[Exception] {
+      SeqPack.packSharded(dup, "shard", "doc_id", "n_tok", 8L).collect()
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    val e2 = intercept[Exception] {
+      SeqPack.pack(dup.drop("shard"), "doc_id", "n_tok", 8L).collect()
+    }
+    assert(e2.getMessage.contains("duplicate id"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      SeqPack.packSplitSharded(dup, "shard", "doc_id", "n_tok", 8L).collect()
+    }
+    assert(e3.getMessage.contains("duplicate id"), e3.getMessage)
+    // a negative count dropped AFTER the offset window would still shift
+    // every later doc's offset (bin ranges double-book); filtering first
+    // means doc3 starts exactly where doc1 ended
+    val neg = Seq((0L, 1L, 8L), (0L, 2L, -3L), (0L, 3L, 7L))
+      .toDF("shard", "doc_id", "n_tok")
+    val slices = SeqPack.packSplitSharded(neg, "shard", "doc_id", "n_tok", 10L)
+      .orderBy("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))) // (doc, bin, tok)
+    assert(slices.toSeq == Seq((1L, 0L, 8L), (3L, 0L, 2L), (3L, 1L, 5L)),
+      s"negative-count doc must not shift later offsets: ${slices.toSeq}")
+  }
 }
