@@ -50,9 +50,17 @@ object LmScore {
     * coalesce(cnt, 0) makes their contribution the smoothed floor rather
     * than dropping the rows (an inner join would silently deflate n_tok). */
   def nll(docs: DataFrame, lm: DataFrame): DataFrame = {
-    // totals are 1 row derived from the (small relative to corpus) LM frame
+    // totals are 1 row derived from the (small relative to corpus) LM
+    // frame. An EMPTY lm (wrong artifact path, over-eager filter) makes
+    // sum() NULL — every score would be silently NULL and a downstream
+    // gate would drop or pass the whole corpus; refuse loudly instead,
+    // fused into the value path (nllStream's require, without an extra
+    // driver job per call)
     val tot = lm.agg(
-      sum(col("cnt")).cast("double").as("t_tok"),
+      when(count(lit(1)) > 0, sum(col("cnt")).cast("double"))
+        .otherwise(raise_error(lit(
+          "nll: empty language model — fit the LM before scoring " +
+            "(an empty frame would silently NULL every score)"))).as("t_tok"),
       count(lit(1)).cast("double").as("v"))
     val tc = docs.filter(TextAnalysis.hasTokens(col("text")))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))

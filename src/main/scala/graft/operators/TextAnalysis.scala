@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,9 +23,13 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
-  /** Punctuation-character ratio — quality-scoring signal. */
+  /** Punctuation-character ratio — quality-scoring signal. Empty text is
+    * 0.0, not an ANSI DIVIDE_BY_ZERO: the in-file caller guards via
+    * hasTokens, but this is a public helper and the zero case must not
+    * depend on every call site remembering the filter. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text))
 
   /** Per-document stats frame: doc_id, n_tokens, avg_token_len, punct_ratio.
     * Tokens materialize behind their own projection: column-level helpers
@@ -80,7 +85,10 @@ object TextAnalysis {
     val Seq(en, de, es, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
     scored.select(
       col("doc_id"),
-      when(greatest(en, de, es, fr) === 0, lit("und"))
+      // coalesce: a NULL text yields NULL marker scores, every when-arm
+      // is NULL (skipped), and the row would fall through to the
+      // catch-all "fr" — a null document must be "und", not French
+      when(coalesce(greatest(en, de, es, fr), lit(0L)) === 0, lit("und"))
         .when(en >= de && en >= es && en >= fr, lit("en"))
         .when(de >= es && de >= fr, lit("de"))
         .when(es >= fr, lit("es"))
@@ -178,9 +186,15 @@ object TextAnalysis {
     docs
       .filter(hasTokens(col("text")))
       .select(col("doc_id"), tokens(col("text")).as("__ws"))
+      // the start sequence stops at the FIRST window reaching the document
+      // end (upper bound size - width + stride - 1, clamped at 0): starts
+      // running all the way to size-1 would emit trailing windows that are
+      // strict suffixes of the previous chunk — zero new tokens, duplicated
+      // passage content inflating n_tok accounting and dup pressure
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), size(col("__ws")) - 1, lit(stride)),
+          sequence(lit(0),
+            greatest(lit(0), size(col("__ws")) - width + stride - 1), lit(stride)),
           st => slice(col("__ws"), st + 1, lit(width)))).as(Seq("chunk_id", "__ct")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(col("__ct")).cast("long").as("n_tok"),
@@ -214,8 +228,14 @@ object TextAnalysis {
     docs
       .filter(hasTokens(col("text")))
       .select(col("doc_id"), tokens(col("text")).as("__ws"))
-      .withColumn("__st", concat(array(lit(0)), bpos))
-      .withColumn("__en", concat(bpos, array(size(ws))))
+      // stage the boundary scan behind its OWN alias: __st and __en both
+      // reference it, and an inlined copy would run the interpreted
+      // md5-per-token filter twice per row (CollapseProject keeps
+      // multiply-referenced non-cheap aliases at their project boundary —
+      // the qe5p lesson)
+      .withColumn("__bp", bpos)
+      .withColumn("__st", concat(array(lit(0)), col("__bp")))
+      .withColumn("__en", concat(col("__bp"), array(size(ws))))
       .select(col("doc_id"),
         posexplode(zip_with(col("__st"), col("__en"),
           (a, b) => struct((b - a).cast("long").as("n_tok"),
@@ -539,24 +559,32 @@ object TextAnalysis {
           sum("n_b").cast("double") / sum("n_w")).as("toks_per_word"))
 
   /** Document fingerprint (md5 of text) + per-fingerprint duplicate count.
-    * At 100 TB the window runs per-fingerprint after a hash shuffle — skew
+    * Null-text documents are dropped EXPLICITLY (md5(NULL) is NULL and
+    * the equi-join would silently never match them — the filter declares
+    * the semantics instead of hiding them in join null behavior). At
+    * 100 TB the count is one hash-shuffled aggregate over fingerprints
+    * (vocab-of-texts cardinality) joined back onto the doc scan — skew
     * only if one exact text dominates, which exact-dedup removes first. */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val byFp = docs.groupBy(md5(col("text")).as("fp")).agg(
-      min("doc_id").as("keep_id"), count("*").as("fp_dups"))
-    docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(byFp, "fp")
+    val withFp = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val byFp = withFp.groupBy("fp").agg(count(lit(1)).as("fp_dups"))
+    withFp.join(byFp, "fp")
       .select(col("doc_id"), col("fp"), col("fp_dups"))
   }
 
   /** Per-document top-`k` keywords by TF-IDF — the keyword/tag extraction
     * pass a curation pipeline runs for topic routing and domain-mix
-    * accounting. Ratio idf (`score_ppm = tf * 1e6 * N div df`) instead of
-    * the textbook `tf * ln(N/df)`: the ranking signal is the same
-    * (monotone in both tf and N/df) but the arithmetic is EXACT long
-    * multiply/divide, so any engine reproduces it bit-for-bit — `ln` is
+    * accounting. Ratio idf (`score_ppm = floor(tf * 1e6 * N / df)` in
+    * IEEE double) instead of the textbook `tf * ln(N/df)`: the ranking
+    * signal is the same (monotone in both tf and N/df) and double
+    * multiply/divide is deterministic IEEE round-to-nearest in every
+    * engine, so the oracle reproduces it bit-for-bit — `ln` is
     * correctly-rounded nowhere and a last-ulp divergence at a rank
-    * boundary would flip the emitted row set. Ties break on the word.
+    * boundary would flip the emitted row set. Double, not long,
+    * arithmetic: the integer form `tf * 1000000 * N` overflows int64 at
+    * ~1e10 docs — an ANSI ARITHMETIC_OVERFLOW at exactly the corpus
+    * scale this operator is designed for. Ties break on the word.
     *
     * Scale shape: ONE hash shuffle builds tf(doc, word) with map-side
     * combine; df and N derive from that frame (vocab ≪ corpus — df is a
@@ -568,16 +596,23 @@ object TextAnalysis {
     * partition before the per-doc shuffle. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"tfidfTopK: k must be >= 1, got $k")
+    // tf feeds THREE consumers (scoring join, df aggregate, N aggregate):
+    // unmaterialized, column pruning makes the canonicalized subplans
+    // diverge so ReuseExchange never fires and the corpus tokenize+shuffle
+    // runs three times (the bm25TopK/domainTerms observation) — pin it
     val tf = docs.filter(hasTokens(col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .auditedCheckpoint()
     val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("word"))
     tf.join(broadcast(idf), "word")
       .crossJoin(broadcast(n))
-      .withColumn("score_ppm", expr("(tf * 1000000L * n) DIV df"))
+      .withColumn("score_ppm",
+        floor(col("tf").cast("double") * lit(1000000.0) * col("n") / col("df"))
+          .cast("long"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("doc_id", "word", "tf", "score_ppm", "rnk")

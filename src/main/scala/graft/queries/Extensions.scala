@@ -301,7 +301,7 @@ object Extensions {
     // E4 — n-gram-heuristic language ID (same marker sets in both engines)
     ("qe4b_langid", (s: SparkSession, d: String) => {
       TextAnalysis.langId(Engine.Tables(s, d).documents).orderBy("doc_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok) SELECT doc_id, CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess FROM sc ORDER BY doc_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents), sc AS (SELECT doc_id, CAST(len(list_filter(ws, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en, CAST(len(list_filter(ws, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de, CAST(len(list_filter(ws, t -> t IN ('el','los','es','y','que'))) AS BIGINT) AS s_es, CAST(len(list_filter(ws, t -> t IN ('le','les','est','et','des'))) AS BIGINT) AS s_fr FROM tok) SELECT doc_id, CASE WHEN COALESCE(GREATEST(s_en, s_de, s_es, s_fr), 0) = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess FROM sc ORDER BY doc_id""")),
 
     // E4 — document fingerprinting (md5) + duplicate counts
     ("qe4c_fingerprint", (s: SparkSession, d: String) => {
@@ -1126,7 +1126,7 @@ object Extensions {
     ("qe36_chunk", (s: SparkSession, d: String) => {
       TextAnalysis.chunk(Engine.Tables(s, d).documents, 64, 48)
         .orderBy("doc_id", "chunk_id")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), st AS (SELECT doc_id, ws, unnest(range(0, GREATEST(1, len(ws) - 64 + 48), 48)) AS s FROM tok) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(len(list_slice(ws, s + 1, s + 64)) AS BIGINT) AS n_tok, array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text FROM st ORDER BY doc_id, chunk_id""")),
 
     // E4 — Gopher-style stopword-ratio quality signal with fit/apply
     // split: top-20 document-frequency terms induced from the corpus
@@ -1252,7 +1252,7 @@ object Extensions {
     ("qe50_tfidf", (s: SparkSession, d: String) => {
       TextAnalysis.tfidfTopK(Engine.Tables(s, d).documents, 5)
         .orderBy("doc_id", "rnk")
-    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), w AS (SELECT doc_id, unnest(ws) AS word FROM tok), tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), sc AS (SELECT doc_id, word, tf, CAST((tf * 1000000 * n) // df AS BIGINT) AS score_ppm FROM tf CROSS JOIN nn JOIN dfq USING (word)) SELECT doc_id, word, tf, score_ppm, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rnk FROM sc QUALIFY rnk <= 5 ORDER BY doc_id, rnk""")),
+    }, Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws FROM documents WHERE regexp_matches(text, '\S')), w AS (SELECT doc_id, unnest(ws) AS word FROM tok), tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2), dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf), sc AS (SELECT doc_id, word, tf, CAST(FLOOR(CAST(tf AS DOUBLE) * 1000000.0 * n / df) AS BIGINT) AS score_ppm FROM tf CROSS JOIN nn JOIN dfq USING (word)) SELECT doc_id, word, tf, score_ppm, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, word) AS BIGINT) AS rnk FROM sc QUALIFY rnk <= 5 ORDER BY doc_id, rnk""")),
 
     // E5 (layout) — Z-order data-skipping card: min/max-quantize
     // (partkey, suppkey) into 16-bit grid coords (the fit/apply shape: a

@@ -644,12 +644,16 @@ class CurationOpsSpec extends SparkTestBase {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val got = TextAnalysis.chunk(docs, 4, 3).orderBy("chunk_id").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
-    // starts 0,3,6,9 -> [t1..t4] [t4..t7] [t7..t10] [t10]
+    // starts 0,3,6 -> [t1..t4] [t4..t7] [t7..t10]: the window at 6 reaches
+    // the document end, so no later start is emitted — a start at 9 would
+    // yield [t10], a strict SUFFIX of the previous chunk (zero new tokens,
+    // duplicated passage content)
     assert(got.toSeq == Seq(
       (0L, 4L, "t1 t2 t3 t4"),
       (1L, 4L, "t4 t5 t6 t7"),
-      (2L, 4L, "t7 t8 t9 t10"),
-      (3L, 1L, "t10")))
+      (2L, 4L, "t7 t8 t9 t10")))
+    // every token is still covered exactly once at first occurrence
+    assert(got.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
   }
 
   test("chunking with stride == width tiles without overlap and rebuilds the doc") {
