@@ -87,7 +87,9 @@ object Dedup {
 
   /** E2 ground truth — all document pairs with shingle-set Jaccard ≥
     * threshold. Exact but quadratic per hot shingle; see [[minhashCandidates]]
-    * for the scale path. Output: da, db, j (rounded 4).
+    * for the scale path. Output: da, db, j — FULL precision; rounding
+    * (ScalarOps.r4) is the CALLER's job at the oracle boundary (qe2 does),
+    * and persisted anchors deliberately store the unrounded value.
     *
     * The self-join runs on `xxhash64(shingle)` rather than the shingle
     * string: an 8-byte fixed-width shuffle/compare key instead of a ~20-byte
@@ -259,6 +261,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // the chain pass sorts each OVER-CAP bucket in one window partition:
+    // a per-key chain needs a per-key total order, so the mega-bucket the
+    // cap exists for lands in a single task — n log n single-task sort of
+    // F rows (spillable), the deliberate trade against the F^2/2 clique
+    // edges it replaces. At F ~ 1e8 that task is a straggler, not a
+    // blow-up; stitching partition-local chains across boundaries would
+    // remove it but needs a boundary-row exchange per bucket.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bucket").orderBy("doc_id")
     val hot = sized.filter(col("__bs") > cap)
@@ -289,6 +298,14 @@ object Dedup {
     * batch asserted in StreamingSpec). */
   def minhashCandidatesAgainst(increment: DataFrame, index: DataFrame,
                                n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    // CONTRACT: the increment is DISJOINT from the indexed corpus (the
+    // incremental-crawl shape — new docs probed against history). An
+    // increment overlapping the index yields MIRRORED pairs for doc pairs
+    // present on both sides ((A,B) and (B,A) survive dropDuplicates,
+    // which does not collapse orientations), so a consumer applying the
+    // documented drop-the-db-side convention would drop BOTH copies.
+    // De-mirror with least/greatest before survivor selection if an
+    // overlap is ever intended.
     // row-local signatures: the increment side must stay aggregation-free
     // (streaming) and is usually small enough that sharing a shingle
     // relation buys nothing
@@ -466,7 +483,10 @@ object Dedup {
       when(size(col(vecCol)) === d, col(vecCol))
         .otherwise(raise_error(concat(
           lit(s"embedding dim mismatch: expected $d, got "),
-          size(col(vecCol)).cast("string")))).as("v"))
+          // coalesce: size(NULL) is NULL and concat-with-NULL would fire
+          // raise_error with a NULL message — the descriptive text lost
+          coalesce(size(col(vecCol)).cast("string"),
+            lit("null (missing embedding)"))))).as("v"))
     // null-ELEMENT vectors hash to all-zero sign bits in EVERY table (the
     // documented HOF-parity rule in SrpBuckets), so they would all pile
     // into bucket 0 of every table — a quadratic hot bucket. They can
@@ -833,9 +853,23 @@ object Dedup {
     * driver-certified. The exact side is the certification anchor; the
     * production path is [[containmentCandidatesFrozen]] alone. */
   def containmentFrozenAgreement(increment: DataFrame, corpus: DataFrame,
-                                 n: Int, k: Int, minC: Double): DataFrame =
+                                 n: Int, k: Int, minC: Double): DataFrame = {
+    // refuse a vacuous configuration BEFORE the expensive argument
+    // evaluates: the corpus index build below is an EAGER checkpoint, and
+    // Scala evaluates it before the callee's own require could throw —
+    // the most expensive job in the query would run just to be refused
+    requireAgreementNonVacuous(k, minC)
     containmentFrozenAgreementIndexed(increment,
       containmentIndexFit(corpus, n).auditedCheckpoint(), n, k, minC)
+  }
+
+  private def requireAgreementNonVacuous(k: Int, minC: Double): Unit = {
+    val bound = 2.0 / math.sqrt(k.toDouble)
+    require(bound < minC,
+      s"containment agreement: 2/sqrt(k) = $bound >= minC = $minC — the " +
+        "certificate would be vacuous (a pair the sketch misses entirely " +
+        "still scores within_bound); raise k above (2/minC)^2")
+  }
 
   /** [[containmentFrozenAgreement]] against an ALREADY-MATERIALIZED corpus
     * shingle index — the form the registered qe58d runs, with the index a
@@ -844,11 +878,8 @@ object Dedup {
     * read the same artifact scan. */
   def containmentFrozenAgreementIndexed(increment: DataFrame, shB: DataFrame,
                                         n: Int, k: Int, minC: Double): DataFrame = {
+    requireAgreementNonVacuous(k, minC)
     val bound = 2.0 / math.sqrt(k.toDouble)
-    require(bound < minC,
-      s"containment agreement: 2/sqrt(k) = $bound >= minC = $minC — the " +
-        "certificate would be vacuous (a pair the sketch misses entirely " +
-        "still scores within_bound); raise k above (2/minC)^2")
     val shA = shingles(increment, n).select(col("doc_id"), xxhash64(col("s")).as("s"))
       .auditedCheckpoint()
     val cnt = shA.groupBy("doc_id").agg(count("*").as("n_sh"))
@@ -979,6 +1010,13 @@ object Dedup {
     * hamming distance d share a chunk when d < 4 chunks), verify with
     * `bit_count(xor) <= maxHamming`. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // the 16-bit/4-chunk pigeonhole only guarantees a shared chunk for
+    // hamming <= 3: a larger bound would SILENTLY lose every pair whose
+    // four chunks all differ — refuse loudly (the bandBuckets discipline)
+    // rather than return a result that claims more than the blocking finds
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4-chunk blocking guarantees recall only for " +
+        s"maxHamming <= 3, got $maxHamming — widen the blocking before raising it")
     val sig = simhash64(docs)
     val chunked = sig.select(col("doc_id"), col("simhash"), posexplode(array(
       (0 until 4).map(c => shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))

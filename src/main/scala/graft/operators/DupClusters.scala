@@ -40,15 +40,18 @@ object DupClusters {
     // would seed lbl=id can take min(id, neighbors) in the same shuffle
     var labels = sym.groupBy("id")
       .agg(least(col("id"), min(col("nb"))).as("lbl")).auditedCheckpoint()
-    // labels only ever DECREASE, so the exact label-sum strictly falls
-    // while anything changes — one scan of the checkpointed frame probes
-    // the fixpoint without a join (decimal sum: exact at any n, where a
-    // long sum of 64-bit ids could wrap and fake convergence)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty edge list
-    }
-    var prevSum = labelSum(labels)
+    // convergence probe: did ANY node's label change this round? Labels
+    // only ever decrease, so unchanged == fixpoint. A count of changed
+    // rows (join of two checkpointed |nodes|-sized frames) is
+    // TYPE-AGNOSTIC — the previous decimal-label-SUM probe assumed
+    // numeric ids: string ids (url keys) would CRASH the cast under ANSI,
+    // and with ANSI off every cast is NULL, the sum reads zero each
+    // round, and the loop declares convergence after round one with
+    // silently wrong clusters (the exact outcome the non-convergence
+    // guard below exists to prevent).
+    def changedAny(prev: DataFrame, next: DataFrame): Boolean =
+      !next.join(prev.select(col("id"), col("lbl").as("__prev")), "id")
+        .filter(col("lbl") =!= col("__prev")).isEmpty
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -68,9 +71,7 @@ object DupClusters {
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .auditedCheckpoint()
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = !changedAny(labels, jumped)
       labels = jumped
       iter += 1
     }
@@ -101,13 +102,17 @@ object DupClusters {
     * min) — map-side-combinable, never a row_number window that would
     * sort a hot cluster's copies into one partition. Quality stays an
     * equi-join (not broadcast-pinned): at 100 TB the quality frame is
-    * corpus-sized. The join is INNER: a member with no quality row drops
-    * from the count and the argmax — score the corpus before resolving
-    * clusters. Returns (cluster, keep_id, n_members, best_q). */
+    * corpus-sized. The join is LEFT: a member with no quality row scores
+    * NULL and rides the null fallback below — an INNER join would remove
+    * it from the cluster entirely, and a cluster whose EVERY member was
+    * skipped by the scorer would vanish from this frame, making
+    * keepBestCopy silently drop all its copies including the would-be
+    * survivor. n_members therefore counts ALL members, scored or not.
+    * Returns (cluster, keep_id, n_members, best_q). */
   def survivorsByQuality(members: DataFrame, quality: DataFrame,
                          qualityCol: String): DataFrame = {
     // checkpointed: feeds both the per-cluster max and the tie-break pass
-    val joined = members.join(quality, "doc_id").auditedCheckpoint()
+    val joined = members.join(quality, Seq("doc_id"), "left").auditedCheckpoint()
     val best = joined.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"))
     // ties break to the smallest doc_id via min over the max-q members —

@@ -76,7 +76,14 @@ object IvfIndex {
     * SimilaritySpec. */
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
+    // a null / null-element / mis-sized vector makes l2_dist NULL against
+    // EVERY centroid and the argmin would silently funnel the row into a
+    // bogus cell (poisoning occupancy cards, probes, and persisted codes)
+    // while the fit path throws on the same row — refuse loudly instead,
+    // keeping fit/frozen result-equality honest on dirty input too
+    val d = centroids.select(size(col("centroid"))).head.getInt(0)
+    val scored = checkedVectors(vectors, vecCol, d, "assign")
+      .crossJoin(broadcast(centroids))
       .withColumn("__d2", graft.functions.L2Dist.l2_dist(col(vecCol), col("centroid")))
     // argmin as max_by over (-d2, -cell): associative, partial-aggregated
     // map-side — the windowed row_number form would sort |vectors|·nlist
@@ -124,8 +131,32 @@ object IvfIndex {
         lit(i).as("cell"))
     }
     val best = if (ds.length == 1) ds.head else least(ds.toIndexedSeq: _*)
-    vectors.withColumn(outCol, best.getField("cell"))
+    // same refusal as [[assign]]: a corrupt vector's distances are NULL
+    // against every centroid, and struct ordering (null smallest) would
+    // silently assign cell 0 (the guard is ONE when per row, checked
+    // before the unrolled argmin evaluates)
+    checkedVectors(vectors, vecCol, cents.head._2.length, "assignInline")
+      .withColumn(outCol, best.getField("cell"))
   }
+
+  /** Fused vector validity gate for the assignment paths: refuses null,
+    * null-element, and mis-sized vectors with a descriptive error (the
+    * raise_error rides the value path so pruning cannot drop it; the
+    * message coalesces — size(NULL) is NULL and a bare concat would fire
+    * with no text). */
+  private def checkedVectors(vectors: DataFrame, vecCol: String, d: Int,
+                             fn: String): DataFrame =
+    vectors.withColumn(vecCol,
+      // null-element detection via the fused L2 kernel (l2_dist(v,v) is
+      // NULL iff v is null or carries a null element), NOT an exists()
+      // HOF — ArrayExists is interpreted and would break the frozen-path
+      // whole-stage-codegen plan pin (PlanSpec qe3d)
+      when(size(col(vecCol)) === d &&
+          graft.functions.L2Dist.l2_dist(col(vecCol), col(vecCol)).isNotNull,
+        col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"$fn: invalid vector (null, null element, or dim != $d): size="),
+          coalesce(size(col(vecCol)).cast("string"), lit("null"))))))
 
   /** Fit-ONCE-per-process frozen centroid table: the first call per
     * (cacheKey, vecCol, nlist, seed) runs [[build]]'s seeded k-means and
@@ -139,7 +170,11 @@ object IvfIndex {
                       nHint: Long = 0L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val rows = centroidCache.computeIfAbsent(s"$cacheKey|$vecCol|$nlist|$seed", _ => {
+    // EVERY fit-affecting param rides the key (the cosine_pairs idCol
+    // lesson): idCol and nHint steer the maxTrain hash-mod training
+    // sample, so two calls differing only there fit DIFFERENT centroids
+    val rows = centroidCache.computeIfAbsent(
+      s"$cacheKey|$idCol|$vecCol|$nlist|$seed|h$nHint", _ => {
       val (_, cents) = build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)
       cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     })
@@ -163,7 +198,8 @@ object IvfIndex {
                          vecCol: String, nlist: Int, seed: Long = 42L,
                          nHint: Long = 0L): DataFrame = {
     val spark = vectors.sparkSession
-    val key = graft.Artifacts.fitKey(spark, Seq(dataPath), s"$vecCol-nlist$nlist-seed$seed")
+    val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
+      s"$idCol-$vecCol-nlist$nlist-seed$seed-h$nHint")
     graft.Artifacts.getOrFit(spark, "ivf_centroids", key,
       build(vectors, idCol, vecCol, nlist, seed, nHint = nHint)._2)
   }
@@ -191,8 +227,15 @@ object IvfIndex {
                     vecCol: String): DataFrame = {
     // localCheckpoint: counts feeds both the card and its total — without
     // it the corpus-assignment scan would run once per consumer
-    val counts = assignInline(vectors, centroids, vecCol)
-      .groupBy("cell").agg(count("*").as("n")).auditedCheckpoint()
+    val occupied = assignInline(vectors, centroids, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    // EVERY cell appears, zero-occupancy included: a dead cell is itself
+    // a quantizer-misfit signal (data drifted away from the centroid),
+    // and omitting it would hide exactly what the card exists to surface
+    val counts = centroids.select(col("cell").cast("int").as("cell"))
+      .join(occupied, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .auditedCheckpoint()
     // total via a broadcast 1-row cross join, not an empty-partition window
     // (which would emit the single-partition WARN even on this tiny card)
     counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
@@ -209,12 +252,11 @@ object IvfIndex {
                         idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val probes = probeCells(centroids, queries, idCol, vecCol, nprobe)
     val cands = assigned.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
-    val scored = cands.join(probes, "cell")
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    // the ONE ranking contract (Similarity.rankTopK): score/tiebreak/rank
+    // semantics shared with every other ladder rung, so a contract fix
+    // cannot reach brute/SRP and miss IVF (the qe60 certificates assume
+    // identical ranking across rungs)
+    Similarity.rankTopK(cands.join(probes, "cell"), k)
   }
 
   /** The query-side probe list — each query expanded to its `nprobe`

@@ -92,7 +92,9 @@ object PqIndex {
                          nbits: Int, seed: Long = 42L, nHint: Long = 0L): DataFrame = {
     val spark = vectors.sparkSession
     val key = graft.Artifacts.fitKey(spark, Seq(dataPath),
-      s"$vecCol-nlist$nlist-m$m-nbits$nbits-seed$seed")
+      // idCol/nHint steer the maxTrain training sample — fit-affecting,
+      // so they ride the key (the cosine_pairs idCol lesson)
+      s"$idCol-$vecCol-nlist$nlist-m$m-nbits$nbits-seed$seed-h$nHint")
     graft.Artifacts.getOrFit(spark, "pq_codebooks", key,
       fitCodebooks(vectors, centroids, idCol, vecCol, m, nbits, seed, nHint = nHint))
   }
@@ -183,23 +185,29 @@ object PqIndex {
             col("codes").getItem(j).cast("int") + 128 + 1) // un-bias (see encode)
         }.toIndexedSeq: _*),
         (c, r) => c + r)
-    val cands = encoded.select(col(idCol).as("cid"), col("cell"),
-      decoded.as("__approx"))
+    val cands = encoded.select(col(idCol).as("cid"), col("cell"), col("codes"))
     val probes = IvfIndex.probeCells(centroids, queries, idCol, vecCol, nprobe)
     val shortW = Window.partitionBy("qid").orderBy(col("acos").desc, col("cid"))
+    // decode AFTER the probe equi-join cuts the corpus to probed cells —
+    // decoding every encoded row would waste a factor nlist/nprobe; and
+    // the shortlist window shuffles only (qid, cid, acos): carrying the
+    // d-double query vector through it (and full decoded arrays for
+    // never-probed cells) forfeited the m-byte payload PQ exists for
     val shortlist = cands.join(probes, "cell")
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"),
-        CosineSim.cosine_sim(col("qv"), col("__approx")).as("acos"))
+      .select(col("qid"), col("cid"),
+        CosineSim.cosine_sim(col("qv"), decoded).as("acos"))
       .withColumn("__sr", row_number().over(shortW))
       .filter(col("__sr") <= k * refine)
-      .select(col("qid"), col("qv"), col("cid"))
-    val exact = raw.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .join(broadcast(shortlist), "cid")
-      .select(col("qid"), col("cid"),
-        CosineSim.cosine_sim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    exact.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"))
+    // the |q|*k*refine shortlist re-joins the query vectors HERE, and AQE
+    // picks the strategy: a pinned broadcast grows linearly with
+    // |queries| — the unbounded-|queries| hazard lshTopK documents
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val exactIn = raw.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .join(shortlist, "cid").join(qv, "qid")
+    // the ONE ranking contract shared with every ladder rung
+    Similarity.rankTopK(exactIn, k)
   }
 
   /** Convenience end-to-end form: encode the corpus, then

@@ -73,8 +73,8 @@ object Similarity {
     * paths. `carry` columns ride through scoring into the output (e.g.
     * knnClassify's label); `excludeSameId = false` keeps qid == cid pairs
     * (disjoint id spaces). */
-  private def rankTopK(joined: DataFrame, k: Int, carry: Seq[String] = Nil,
-                       excludeSameId: Boolean = true): DataFrame = {
+  private[operators] def rankTopK(joined: DataFrame, k: Int, carry: Seq[String] = Nil,
+                                  excludeSameId: Boolean = true): DataFrame = {
     val base = if (excludeSameId) joined.filter(col("qid") =!= col("cid")) else joined
     val scored = base
       .select(Seq(col("qid"), col("cid")) ++ carry.map(col) :+
@@ -129,15 +129,32 @@ object Similarity {
     def checked(v: org.apache.spark.sql.Column) =
       when(size(v) === d, v).otherwise(raise_error(concat(
         lit(s"lshTopK: embedding dim mismatch: expected $d, got "),
-        size(v).cast("string"))))
+        // coalesce: size(NULL) is NULL and the concat would fire
+        // raise_error with a NULL message (the embeddingNearDupsBlocked
+        // lesson); null vectors are dropped below, so this arm is for
+        // genuinely mis-sized arrays
+        coalesce(size(v).cast("string"), lit("null")))))
+    // BOTH paths drop null and null-ELEMENT vectors before hashing — the
+    // SrpBuckets caller contract: a null element zeroes every table's
+    // sign bits, piling such rows into bucket 0 of ALL tables (quadratic
+    // hot bucket) and emitting null-cos rows into the top-k; and a wholly
+    // null vector previously CRASHED the single-table path while the
+    // multi-table path dropped it — same input, opposite behavior.
+    // validity via the fused L2 kernel's null propagation, NOT an
+    // exists() HOF: ArrayExists is interpreted (CodegenFallback) and
+    // would break the qe3b/qe3d whole-stage-codegen plan pins —
+    // l2_dist(v, v) is 0.0 for every valid vector (zero vectors
+    // included) and NULL iff the vector is null or has a null element
+    def hashable(df: DataFrame) = df.filter(col("embedding").isNotNull &&
+      graft.functions.L2Dist.l2_dist(col("embedding"), col("embedding")).isNotNull)
     if (tables == 1) {
       // single-table fused kernel: same buckets as srpBucket(seed=42),
       // asserted bit-equal in SimilaritySpec
       def bucketOf(v: org.apache.spark.sql.Column) =
         get(graft.functions.SrpBucketsExpr.srp_buckets(v, 1, nbits, d, 42L), lit(0))
-      val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      val q = hashable(queries).select(col("vec_id").as("qid"), col("embedding").as("qv"),
         bucketOf(checked(col("embedding"))).as("bucket"))
-      val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      val c = hashable(candidates).select(col("vec_id").as("cid"), col("embedding").as("cv"),
         bucketOf(checked(col("embedding"))).as("bucket"))
       rankTopK(c.join(q, "bucket"), k)
     } else {
@@ -149,7 +166,7 @@ object Similarity {
       // their sign bits would all-zero into one hot bucket per table —
       // drop them from hashing (the embeddingNearDupsBlocked rule).
       def bucketed(df: DataFrame, idName: String) =
-        df.filter(col("embedding").isNotNull)
+        hashable(df)
           .select(col("vec_id").as(idName), posexplode(
             graft.functions.SrpBucketsExpr.srp_buckets(
               checked(col("embedding")), tables, nbits, d, 42L))
