@@ -185,18 +185,24 @@ object PqIndex {
             col("codes").getItem(j).cast("int") + 128 + 1) // un-bias (see encode)
         }.toIndexedSeq: _*),
         (c, r) => c + r)
-    val cands = encoded.select(col(idCol).as("cid"), col("cell"), col("codes"))
     val probes = IvfIndex.probeCells(centroids, queries, idCol, vecCol, nprobe)
     val shortW = Window.partitionBy("qid").orderBy(col("acos").desc, col("cid"))
-    // decode AFTER the probe equi-join cuts the corpus to probed cells —
-    // decoding every encoded row would waste a factor nlist/nprobe; and
-    // the shortlist window shuffles only (qid, cid, acos): carrying the
-    // d-double query vector through it (and full decoded arrays for
-    // never-probed cells) forfeited the m-byte payload PQ exists for
+    // decode ONCE PER CANDIDATE, and only candidates in PROBED cells: the
+    // semi-join on the (≤ nlist-row, broadcastable) distinct probed-cell
+    // set cuts the corpus first, the decode projection runs once per
+    // surviving row, and THEN the pair join fans out — decoding inside
+    // the pair join would recompute per (candidate, query) pair, and
+    // decoding before any cut wastes a factor nlist/nprobe on cells no
+    // query probes. The shortlist window shuffles only (qid, cid, acos):
+    // carrying the d-double query vector through it forfeited the m-byte
+    // payload PQ exists for.
+    val probedCells = probes.select(col("cell")).distinct()
+    val cands = encoded.join(probedCells, Seq("cell"), "left_semi")
+      .select(col(idCol).as("cid"), col("cell"), decoded.as("__approx"))
     val shortlist = cands.join(probes, "cell")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        CosineSim.cosine_sim(col("qv"), decoded).as("acos"))
+        CosineSim.cosine_sim(col("qv"), col("__approx")).as("acos"))
       .withColumn("__sr", row_number().over(shortW))
       .filter(col("__sr") <= k * refine)
       .select(col("qid"), col("cid"))
