@@ -125,16 +125,23 @@ object Bench {
     // their generated-code JIT state to the codegen LRU once 69 other
     // queries' plans pass through, so every rep measures cold. Warm
     // back-to-back medians are also what every prior round recorded.
-    // (median, max-min spread, min): spread and min land in bench_out.json
-    // so an environmental outlier (the BENCH_r07 94 s vs 69.5/71.4 s
-    // episode) is visible in the artifact itself instead of needing a
-    // re-run to detect — and under a warming host (r11's load 2.8->7.1
-    // sweep) even the median absorbs ambient; the per-query MIN is the
-    // cleanest read this sweep produced (r11 verdict #7)
-    def exec(name: String): (Double, Double, Double) = {
+    // (median, max-min spread, min, fit): spread and min land in
+    // bench_out.json so an environmental outlier (the BENCH_r07 94 s vs
+    // 69.5/71.4 s episode) is visible in the artifact itself instead of
+    // needing a re-run to detect — and under a warming host (r11's load
+    // 2.8->7.1 sweep) even the median absorbs ambient; the per-query MIN
+    // is the cleanest read this sweep produced (r11 verdict #7). FIT is
+    // the Artifacts ledger delta across this query's reps (r13 verdict
+    // #1): on a cold store the first rep that touches a key pays its
+    // one-time fit, and this column is what separates that from a real
+    // apply-path regression — with reps >= 2 the fit charge lands on
+    // rep 1 only, so median/min are already the pure-apply read.
+    def exec(name: String): (Double, Double, Double, Double) = {
+      val f0 = Artifacts.fitNanos.get
       val ts = (1 to reps).map(_ => execOnce(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
-      else (median(ts), ts.max - ts.min, ts.min)
+      val fit = (Artifacts.fitNanos.get - f0) / 1e9
+      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0, fit)
+      else (median(ts), ts.max - ts.min, ts.min, fit)
     }
 
     // ambient-host context: the driver box has measured 1.19-1.35x
@@ -157,10 +164,18 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val timed = names.map(n => n -> exec(n))
-    val results = timed.map { case (n, (med, _, _)) => n -> med }
-    val spreads = timed.map { case (n, (_, sp, _)) => n -> sp }
-    val mins = timed.map { case (n, (_, _, mn)) => n -> mn }
+    // per-query 1-min load sample taken just BEFORE each query's reps:
+    // the start/end pair bounds the sweep, but attributing a single hot
+    // query (the r13 qe62 driver-vs-builder question) needs the ambient
+    // reading at that query's own slot in the sweep
+    val sweep = names.map { n => val ld = loadAvg; (n, exec(n), ld) }
+    val loadsPerQ = sweep.map { case (n, _, ld) => n -> ld }
+    val timed4 = sweep.map { case (n, t, _) => n -> t }
+    val timed = timed4.map { case (n, (med, sp, mn, _)) => n -> ((med, sp, mn)) }
+    val results = timed4.map { case (n, (med, _, _, _)) => n -> med }
+    val spreads = timed4.map { case (n, (_, sp, _, _)) => n -> sp }
+    val mins = timed4.map { case (n, (_, _, mn, _)) => n -> mn }
+    val fits = timed4.map { case (n, (_, _, _, f)) => n -> f }
     // stdout must fit the driver's tail window: it keeps only the LAST
     // 2000 chars of output and the sbt epilogue shares that window, so
     // an oversized line loses its HEAD — the {"metric":"total",... part —
@@ -178,7 +193,15 @@ object Bench {
     val minExtra = if (stdoutMins.isEmpty) "" else
       stdoutMins.map { case (k, v) => "\"" + keyed(k) + "\":" + deci(v) }
         .mkString(""","min":{""", ",", "}")
-    println(renderLine(results, sfDir, deci, keyed, extra = minExtra))
+    // fit|apply split in the DRIVER-PARSED line (r13 verdict #1): total
+    // seconds the sweep spent executing artifact fits and how many fits
+    // ran. fit 0.0/n 0 on a warm store; a cold store shows exactly the
+    // one-time anchor cost that would otherwise masquerade as ambient.
+    // ~30 chars — inside the tail-window budget guarded in InvariantsSpec.
+    val fitTotal = fits.map(_._2).sum
+    val fitExtra =
+      s""","fit":{"sec":${deci(fitTotal)},"n":${fits.count(_._2 > 0.05)}}"""
+    println(renderLine(results, sfDir, deci, keyed, extra = minExtra + fitExtra))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the
     // per-query (max-min) spread across reps so environment noise is
@@ -187,16 +210,26 @@ object Bench {
       .mkString("{", ",", "}")
     val minJson = mins.map { case (k, v) => "\"" + k + "\":" + v.toString }
       .mkString("{", ",", "}")
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // full-precision fit seconds per query (only queries that fit — the
+    // map stays small and readable) + the per-query ambient load samples:
+    // together these split any inflated median into fit-cost vs
+    // hot-host-at-that-slot without a re-run
     // getSystemLoadAverage returns -1.0 where the platform cannot report
     // it — record null, not a misleading negative load
-    val loadEnd = loadAvg
     val fmtLoad: Double => String = v =>
       if (v < 0) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val fitJson = fits.filter(_._2 > 0.001)
+      .map { case (k, v) => "\"" + k + "\":" + v.toString }
+      .mkString("{", ",", "}")
+    val loadJson = loadsPerQ
+      .map { case (k, v) => "\"" + k + "\":" + fmtLoad(v) }
+      .mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val loadEnd = loadAvg
     val loads = s"${fmtLoad(loadStart)},${fmtLoad(loadEnd)}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson""") + "\n")
     spark.stop()
   }
 }

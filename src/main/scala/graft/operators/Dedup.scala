@@ -299,13 +299,14 @@ object Dedup {
   def minhashCandidatesAgainst(increment: DataFrame, index: DataFrame,
                                n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     // CONTRACT: the increment is DISJOINT from the indexed corpus (the
-    // incremental-crawl shape — new docs probed against history). An
-    // increment overlapping the index yields MIRRORED pairs for doc pairs
-    // present on both sides ((A,B) and (B,A) survive dropDuplicates,
-    // which does not collapse orientations), so a consumer applying the
-    // documented drop-the-db-side convention would drop BOTH copies.
-    // De-mirror with least/greatest before survivor selection if an
-    // overlap is ever intended.
+    // incremental-crawl shape — new docs probed against history). The
+    // contract is ENFORCED below, not just documented: pair dedup keys on
+    // the UNORDERED (least, greatest) pair, so an increment overlapping
+    // the index — which yields mirrored (A,B)/(B,A) band matches — emits
+    // each pair ONCE, and a consumer applying the documented
+    // drop-the-db-side convention can never drop both copies. Under the
+    // contract only one orientation exists, so the guard is free and the
+    // emitted orientation (da = indexed, db = increment) is unchanged.
     // row-local signatures: the increment side must stay aggregation-free
     // (streaming) and is usually small enough that sharing a shingle
     // relation buys nothing
@@ -324,9 +325,16 @@ object Dedup {
       // micro-batch replay (the registered qe43 shape) is bounded by the
       // increment; an always-on ingest stream should instead carry an event
       // time column, call withWatermark on it BEFORE this operator, and
-      // dedup via dropDuplicatesWithinWatermark("da","db") so pair state
-      // ages out with the watermark.
-      .dropDuplicates("da", "db")
+      // dedup via dropDuplicatesWithinWatermark on the same keys so pair
+      // state ages out with the watermark.
+      // Keyed on the UNORDERED pair (contract enforcement above): the
+      // helper columns are dropped after the dedup, so the output schema
+      // and — under the disjoint contract — the output rows are identical
+      // to the plain ("da","db") form.
+      .withColumn("__lo", least(col("da"), col("db")))
+      .withColumn("__hi", greatest(col("da"), col("db")))
+      .dropDuplicates("__lo", "__hi")
+      .drop("__lo", "__hi")
   }
 
   /** Verify LSH candidates with exact Jaccard — candidates are few, so this

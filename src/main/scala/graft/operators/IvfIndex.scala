@@ -81,7 +81,11 @@ object IvfIndex {
     // bogus cell (poisoning occupancy cards, probes, and persisted codes)
     // while the fit path throws on the same row — refuse loudly instead,
     // keeping fit/frozen result-equality honest on dirty input too
-    val d = centroids.select(size(col("centroid"))).head.getInt(0)
+    // guarded take(1), matching assignInline's require: a bare .head on an
+    // empty centroid frame throws an undiagnosable NoSuchElementException
+    val dRow = centroids.select(size(col("centroid"))).take(1)
+    require(dRow.nonEmpty, "assign: centroid frame is empty — fit the index first")
+    val d = dRow(0).getInt(0)
     val scored = checkedVectors(vectors, vecCol, d, "assign")
       .crossJoin(broadcast(centroids))
       .withColumn("__d2", graft.functions.L2Dist.l2_dist(col(vecCol), col("centroid")))
@@ -239,7 +243,11 @@ object IvfIndex {
     // total via a broadcast 1-row cross join, not an empty-partition window
     // (which would emit the single-partition WARN even on this tiny card)
     counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
-      .withColumn("frac", round(col("n") / col("__t"), 4)).drop("__t")
+      // empty corpus: every n is 0 and n/__t is 0/0 (NULL here, an error
+      // under ANSI) — an all-zero card with frac 0.0 is the honest read
+      .withColumn("frac",
+        when(col("__t") === 0, lit(0.0))
+          .otherwise(round(col("n") / col("__t"), 4))).drop("__t")
       .orderBy("cell")
   }
 

@@ -306,7 +306,13 @@ class MqttWireClient(host: String, port: Int, clientId: String,
     writePacket(out, Connect, 0,
       connectBody(clientId, cleanSession, keepAliveSecs, credentials))
     val ack = readPacket(in)
-    require(ack.ptype == Connack, s"expected CONNACK, got type ${ack.ptype}")
+    // IOException, not require/IAE: a dying broker can emit a garbled-but-
+    // framed first packet, and the bridge classifies IAE as TERMINAL
+    // (protocol violation) — a transient would permanently kill the
+    // bridge instead of entering its backoff/retry path. IAE-terminal is
+    // reserved for post-CONNACK violations (e.g. a rejected SUBACK).
+    if (ack.ptype != Connack)
+      throw new IOException(s"expected CONNACK, got type ${ack.ptype}")
     if (!(ack.body.length == 2 && ack.body(1) == 0))
       throw new ConnectRefused(if (ack.body.length == 2) ack.body(1) else -1)
     // receiver dedup state lives exactly as long as the SERVER's session

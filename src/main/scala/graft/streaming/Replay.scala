@@ -49,7 +49,10 @@ object Replay {
     ranked.cache()
     try {
       val total = ranked.count()
-      val buckets = math.max(1L, math.min(n.toLong, total)).toInt
+      // empty replay writes NOTHING (clearTree already ran): the old
+      // max(1, total) floor emitted one zero-row chunk — exactly the
+      // empty-micro-batch hazard chunking exists to avoid
+      val buckets = math.min(n.toLong, total).toInt
       (0 until buckets).foreach { i =>
         // balanced assignment: row r lands in bucket r*buckets/total
         ranked.filter(floor(col("__rn") * buckets / math.max(total, 1L)) === i)

@@ -75,8 +75,11 @@ class InvariantsSpec extends SparkTestBase {
     val worstMins = names.take(Bench.MinEntriesCap)
       .map(n => "\"" + Bench.shortKey(n) + "\":100")
       .mkString(""","min":{""", ",", "}")
+    // worst admissible fit extra (r13 verdict #1): 3-digit seconds +
+    // 3-digit fit count
+    val worstFit = ""","fit":{"sec":100,"n":155}"""
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci,
-      Bench.shortKey, extra = worstMins)
+      Bench.shortKey, extra = worstMins + worstFit)
     // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
     // epilogue shares them — 1880 leaves ~40 chars (≈3 more queries)
     // before short keys must shrink further
@@ -148,10 +151,13 @@ class InvariantsSpec extends SparkTestBase {
     // the stdout min extra (inflated-queries diagnostic) must keep the
     // line valid JSON with readable values
     val withMins = Bench.renderLine(results, "/x", Bench.deci, Bench.shortKey,
-      extra = ""","min":{"q01":0.4}""")
+      extra = ""","min":{"q01":0.4},"fit":{"sec":12.3,"n":9}""")
     assert(mapper.readTree(withMins).get("min").get("q01").asDouble == 0.4)
+    // the r13-verdict fit split must parse beside the min map
+    assert(mapper.readTree(withMins).get("fit").get("sec").asDouble == 12.3)
+    assert(mapper.readTree(withMins).get("fit").get("n").asInt == 9)
     val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
-      extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01}""")
+      extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01},"fit":{"qe62_cert_embed":4.2},"load":{"q01_project":1.25}""")
     val fnode = mapper.readTree(fileLine)
     assert(fnode.get("reps").asInt == 3)
     assert(fnode.get("spread").get("q01_project").asDouble == 0.05)
@@ -161,6 +167,11 @@ class InvariantsSpec extends SparkTestBase {
     assert(fnode.get("min").get("q01_project").asDouble == 0.01)
     assert(fnode.get("load_avg").get(0).isNull &&
       fnode.get("load_avg").get(1).asDouble == 2.5)
+    // r14: per-query fit seconds + per-query ambient load ride the file
+    // form so an inflated median splits into fit-cost vs hot-host without
+    // a re-run
+    assert(fnode.get("fit").get("qe62_cert_embed").asDouble == 4.2)
+    assert(fnode.get("load").get("q01_project").asDouble == 1.25)
     assert(math.abs(fnode.get("value").asDouble -
       names.map(n => fnode.get("queries").get(n).asDouble).sum) < 1e-9)
   }

@@ -81,6 +81,55 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("AQE skew-join: a planted hot key triggers OptimizeSkewedJoin in the executed plan") {
+    // the 100 TB skew story must not rest on manual salting alone (r13
+    // verdict #4): Engine.session runs with AQE on, so a skewed
+    // sort-merge partition should be re-split AT RUNTIME by
+    // OptimizeSkewedJoin — asserted here on the executed plan itself
+    // (ShuffledJoin renders `(skew=true)` once the rule fires), with
+    // thresholds scaled down to test size the same way the stage-metrics
+    // test above scales its reducer count. forceOptimizeSkewedJoin stays
+    // OFF: the point is that the DEFAULT decision logic fires.
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50k",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 7 owns 90% of 60k rows; a ~100-byte payload makes the hot
+      // map-output partition ~5 MB vs ~KB-sized siblings — far over both
+      // the scaled threshold and factor x median
+      val big = spark.range(60000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 64).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("payload"))
+      // one right row per key: keeps the join OUTPUT linear in the big
+      // side (a skewed right side would also square the hot key's output,
+      // which tests the data generator, not the optimizer)
+      val right = spark.range(64)
+        .select(col("id").as("k"), lpad(col("id").cast("string"), 100, "y").as("rp"))
+      // aggregate over payload so column pruning cannot shrink the hot
+      // map-output partition below the scaled skew threshold
+      val joined = big.join(right, "k")
+        .agg(sum(length(col("payload"))).as("bytes"))
+      // drive THIS dataset's own QueryExecution (a write spawns a clone
+      // whose adaptive plan we could not inspect afterwards); the agg
+      // keeps the driver-side result one row while still executing the
+      // full join
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"planted 90%-hot-key join did not trigger OptimizeSkewedJoin; executed plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedSum == plain groupBy sum") {
     val df = spark.range(5000)
       .select((col("id") % 3).as("k"), (col("id") % 97).cast("double").as("v"))
