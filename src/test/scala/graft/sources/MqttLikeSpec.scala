@@ -747,6 +747,152 @@ class MqttLikeSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("soak: concurrent QoS 0/1/2 producers across broker kills — spool seqs " +
+    "stay dense, every acked QoS 1/2 message survives, duplicates are bounded") {
+    // The r13-new wire machinery (QoS 2 four-way handshake, reconnect
+    // backoff, keepalive pinger) is concurrency-heavy; this soak runs all
+    // of it AT ONCE: three producers at QoS 0/1/2 (the QoS 0 one with a
+    // 1 s keepalive so PINGREQs interleave the publishes), the broker
+    // killed and rebound twice mid-stream, the bridge reconnecting on its
+    // own. Invariants at the end are the spool contract under honest MQTT
+    // semantics: dense seqs; every ACKED QoS 1/2 message present (a gate
+    // keeps producers from publishing into the no-subscriber window after
+    // a broker rebirth, where even QoS 2 acks route to nobody); duplicate
+    // copies bounded by the at-least-once budget (QoS 1 retries + QoS 2
+    // handshakes that straddled a broker death, whose packet-id dedup
+    // state died with the incarnation); QoS 0 spool content a subset of
+    // what was sent. Reference contract: mqtt.c:49-97.
+    val spool = java.nio.file.Files.createTempDirectory("mqtt_soak").toString
+    @volatile var broker = new MqttBrokerStub()
+    val port = broker.port
+    val bridge = new MqttSpoolBridge("127.0.0.1", port, spool, "t/soak")
+    val gate = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val halt = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val restarts = 2
+
+    final class Soaker(val qos: Int, id: String) extends Thread(s"soak-$id") {
+      val acked = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val sentQos0 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var retries = 0 // re-publishes of an already-attempted message
+      private val client = new MqttWireClient("127.0.0.1", port, s"soak-$id",
+        cleanSession = false, keepAliveSecs = if (qos == 0) 1 else 0)
+      override def run(): Unit = {
+        var i = 0
+        var connected = false
+        var attempted = false // current message already hit publish() once
+        while (!halt.get()) {
+          if (!gate.get()) { connected = false; Thread.sleep(10) }
+          else {
+            val msg = s"m$qos-$id-$i"
+            try {
+              // connect() resumes any QoS 2 handshake the last death
+              // interrupted (delivering that message); the re-publish
+              // below is then a DUPLICATE by design — counted in retries
+              // and covered by the soak's bounded-dup budget
+              if (!connected) { client.connect(); connected = true }
+              if (attempted) retries += 1
+              if (qos == 0) sentQos0.add(msg)
+              attempted = true
+              client.publish("t/soak", msg.getBytes("UTF-8"), qos)
+              if (qos > 0) acked.add(msg)
+              attempted = false
+              i += 1
+              // throttle: an unthrottled QoS 0 loop fires ~60k msg/s on
+              // loopback, leaving the bridge a minutes-deep TCP backlog
+              // the post-soak drain can never quiesce inside the budget
+              Thread.sleep(2)
+            } catch {
+              case _: java.io.IOException | _: RuntimeException =>
+                connected = false
+                if (qos == 0) { attempted = false; i += 1 } // fire-and-forget
+                Thread.sleep(10)
+            }
+          }
+        }
+        client.close()
+      }
+    }
+
+    val producers = Seq(new Soaker(0, "p0"), new Soaker(1, "p1"), new Soaker(2, "p2"))
+    try {
+      bridge.awaitSubscribed()
+      producers.foreach(_.start())
+      gate.set(true)
+
+      def rebind(attempt: Int = 0): MqttBrokerStub =
+        try new MqttBrokerStub(port)
+        catch { case _: java.net.BindException if attempt < 50 =>
+          Thread.sleep(100); rebind(attempt + 1)
+        }
+      (1 to restarts).foreach { r =>
+        Thread.sleep(900) // let the producers hammer this incarnation
+        gate.set(false)
+        Thread.sleep(150) // drain in-flight handshakes the gate let through
+        broker.close()
+        Thread.sleep(150)
+        broker = rebind()
+        // producers stay gated until the bridge has RE-SUBSCRIBED: a
+        // broker acks a publish with zero subscribers, so opening the
+        // gate earlier would leak acked-but-routed-to-nobody messages
+        val d = System.currentTimeMillis() + 20000
+        while (bridge.subscribeCount.get() < r + 1 && System.currentTimeMillis() < d)
+          Thread.sleep(20)
+        assert(bridge.subscribeCount.get() >= r + 1,
+          s"bridge did not re-subscribe after restart $r")
+        gate.set(true)
+      }
+      Thread.sleep(900)
+      halt.set(true)
+      producers.foreach(_.join(15000))
+      assert(producers.forall(!_.isAlive), "a producer thread wedged")
+      // drain: routed messages land in the spool asynchronously — the
+      // spool must be QUIET (two consecutive unchanged polls) before the
+      // invariants read it, else listSeqs races the bridge's claim/promote
+      // and reports phantom gaps
+      var last = -1L
+      var quiet = 0
+      val d = System.currentTimeMillis() + 15000
+      while (quiet < 2 && System.currentTimeMillis() < d) {
+        Thread.sleep(300)
+        val r = bridge.received.get()
+        if (r == last) quiet += 1 else { quiet = 0; last = r }
+      }
+      assert(quiet >= 2, "bridge never quiesced after producers stopped")
+      assert(bridge.isAlive && bridge.failure.isEmpty,
+        s"bridge unhealthy after soak: ${bridge.failure}")
+
+      val dir = java.nio.file.Paths.get(spool, "t_soak")
+      val seqs = MqttLike.listSeqs(dir)
+      assert(seqs == (0L until seqs.size), s"spool seqs not dense: $seqs")
+      val spooled = seqs.map(s => java.nio.file.Files.readString(dir.resolve(s"$s.msg")))
+      val counts = spooled.groupBy(identity).view.mapValues(_.size).toMap
+      import scala.jdk.CollectionConverters._
+      // enough traffic that the soak actually soaked
+      val ackedAll = producers.filter(_.qos > 0).flatMap(_.acked.asScala.toSeq)
+      assert(ackedAll.size > 50, s"soak produced too little traffic: ${ackedAll.size}")
+      // zero-loss: every acked QoS 1/2 message reached the spool
+      val lost = ackedAll.filterNot(counts.contains)
+      assert(lost.isEmpty, s"acked messages missing from spool: ${lost.take(5)}")
+      // bounded dups: extra copies only from counted re-publishes and
+      // handshakes straddling a broker death (one per producer-restart)
+      val extraCopies = counts.valuesIterator.map(_ - 1).sum
+      val budget = producers.map(_.retries).sum + restarts * producers.size
+      assert(extraCopies <= budget,
+        s"$extraCopies duplicate copies exceed the at-least-once budget $budget")
+      // QoS 0 messages in the spool are a subset of what was sent; nothing
+      // foreign or corrupt ever landed
+      val sent0 = producers.flatMap(_.sentQos0.asScala.toSeq).toSet
+      val spooled0 = spooled.filter(_.startsWith("m0-"))
+      assert(spooled0.forall(sent0.contains), "spool holds a QoS 0 payload never sent")
+      assert(spooled.forall(_.matches("m[0-2]-p[0-2]-\\d+")),
+        "spool holds a corrupt payload")
+    } finally {
+      halt.set(true); gate.set(false)
+      producers.foreach(_.join(2000))
+      bridge.close(); broker.close()
+    }
+  }
+
   test("wire-mode sink refuses malformed mqtt:// targets and QoS 3 loudly") {
     // QoS beyond the spec's 0/1/2 is refused at open(); qos = 2 is now a
     // REAL wire mode (the four-way handshake — see the QoS 2 tests)

@@ -133,6 +133,103 @@ class StateEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MinHash candidates: kill/resume mid-replay == uninterrupted batch candidate set") {
+    // restart-equivalence for the streaming dedup state (r13 verdict #3):
+    // the (band, bucket) membership lists must survive a checkpointed
+    // kill/resume, so a doc arriving AFTER the restart still pairs with
+    // members who arrived BEFORE it — the invariant a resumed crawl-dedup
+    // pipeline actually depends on.
+    withRocksDb {
+      val docs = Engine.Tables(spark, Sf0001).documents
+      val want = graft.operators.Dedup.minhashCandidates(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "testdata must contain candidate pairs")
+
+      // id-ordered waves: wave 1 = low ids, wave 2 = high ids, so any
+      // (low, high) candidate pair can only exist if wave-1 state
+      // survived the restart
+      val rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (wave1, wave2) = rows.splitAt(rows.size / 2)
+      val wave1Ids = wave1.map(_._1).toSet
+      val crossWave = want.filter(p => wave1Ids.contains(p._1) != wave1Ids.contains(p._2))
+      assert(crossWave.nonEmpty,
+        "split produced no cross-wave pairs — the restart would be untested")
+
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_res_dedup").toString
+      val input = MemoryStream[(Long, String)](spark)
+      val stream = StreamingDedup.minhashCandidatesStream(
+        input.toDF().toDF("doc_id", "text"))
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        batch.collect().foreach(r => got.add((r.getAs[Long]("da"), r.getAs[Long]("db"))))
+        ()
+      }
+      def start() = stream.toDF().writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).foreachBatch(sink _).start()
+
+      val q1 = start()
+      try { input.addData(wave1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { input.addData(wave2); q2.processAllAvailable() } finally q2.stop()
+
+      val all = Set.from(got.asScala)
+      assert(all == want,
+        s"resumed candidates diverged from uninterrupted batch: " +
+          s"missing=${(want -- all).take(5)} extra=${(all -- want).take(5)}")
+      // and the cross-wave pairs specifically are present — the direct
+      // witness that pre-kill membership state paired with post-resume docs
+      assert(crossWave.subsetOf(all), s"cross-restart pairs lost: ${(crossWave -- all).take(5)}")
+    }
+  }
+
+  test("streaming packer: kill/resume mid-replay == uninterrupted batch pack manifest") {
+    withRocksDb {
+      val docs = Engine.Tables(spark, Sf0001).documents
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 4)
+      val want = graft.operators.SeqPack.packSharded(docs, "shard", "doc_id", "n_tok", 2048L)
+        .select("shard", "doc_id", "bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.map(_._3).max > 0, "corpus must span multiple bins")
+
+      val rows = docs.select("shard", "doc_id", "n_tok").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val (wave1, wave2) = rows.splitAt(rows.size / 2)
+      assert(wave2.nonEmpty)
+
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_res_pack").toString
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      val stream = StreamingSeqPack.packStream(
+        input.toDF().toDF("shard", "doc_id", "n_tok"), 2048L)
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long)]()
+      def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        batch.collect().foreach(r => got.add((r.getAs[Long]("shard"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))))
+        ()
+      }
+      def start() = stream.toDF().writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).foreachBatch(sink _).start()
+
+      val q1 = start()
+      try { input.addData(wave1); q1.processAllAvailable() } finally q1.stop()
+      val wave1Packs = Set.from(got.asScala)
+      val q2 = start()
+      try { input.addData(wave2); q2.processAllAvailable() } finally q2.stop()
+
+      val all = Set.from(got.asScala)
+      assert(all == want,
+        s"resumed pack manifest diverged from uninterrupted batch: " +
+          s"missing=${(want -- all).take(5)} extra=${(all -- want).take(5)}")
+      // direct witness that the per-shard cumulative token counter
+      // survived the kill: some post-resume doc lands mid-bin (bin > 0),
+      // not every shard restarting from bin 0
+      val resumedBins = (all -- wave1Packs).groupBy(_._1).map { case (_, s) => s.map(_._3).min }
+      assert(resumedBins.exists(_ > 0),
+        "every shard resumed at bin 0 — checkpointed cum state was lost")
+    }
+  }
+
   test("watchdog timer armed by v1 fires after a restart under a v2 processor with added state") {
     /** v2 watchdog: same "timer" variable plus an added last-value cache. */
     class WatchdogProcessorV2(toleranceMs: Long)
