@@ -62,12 +62,12 @@ object Bench {
     * (median − min) exceeds [[MinSpreadFloor]]: on a quiet host the map
     * is empty, on a hot host it carries exactly the evidence. The cap is
     * a tail-window budget, not a claim of completeness — bench_out.json
-    * keeps every query's min at full precision. (Cap 6 leaves ~2
-    * registrations of worst-case headroom under the 1880-char guard at
-    * 155 queries; the r13 sweep's inflation evidence was fully told by
-    * its top 6 entries.) */
+    * keeps every query's min at full precision. (Cap 5 — down from 6
+    * when the r14 fit extra joined the line — leaves ~2 registrations of
+    * worst-case headroom under the 1880-char guard at 156 queries; the
+    * r13 sweep's inflation evidence was fully told by its top entries.) */
   val MinSpreadFloor = 0.3
-  val MinEntriesCap = 6
+  val MinEntriesCap = 5
 
   /** Select (name, min) for the stdout diagnostic map from the per-query
     * (median, spread, min) triples — most-inflated first. */
@@ -200,7 +200,7 @@ object Bench {
     // ~30 chars — inside the tail-window budget guarded in InvariantsSpec.
     val fitTotal = fits.map(_._2).sum
     val fitExtra =
-      s""","fit":{"sec":${deci(fitTotal)},"n":${fits.count(_._2 > 0.05)}}"""
+      s""","fit":{"s":${deci(fitTotal)},"n":${fits.count(_._2 > 0.05)}}"""
     println(renderLine(results, sfDir, deci, keyed, extra = minExtra + fitExtra))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the

@@ -449,6 +449,65 @@ object Multimodal {
       lit("application/octet-stream").as("mime"))
   }
 
+  /** Deterministic JPEG EXIF/ICC corpus: per doc, an SOI-led marker
+    * stream with an Exif APP1 (TIFF header + IFD0), optional ICC_PROFILE
+    * APP2 chunks, an SOF0 (so qe5a's image_dims also reads these
+    * payloads), and EOI. Planted to certify every branch the EXIF layout
+    * forks on:
+    *  - BOTH byte orders occur ("II" on even doc_id, "MM" on odd) — tag,
+    *    type, count, and the value slot all flip with it, so a one-endian
+    *    parser garbles half the corpus;
+    *  - the Orientation entry (tag 0x0112, SHORT, the full 1–8 range)
+    *    sits FIRST in a 2-entry IFD with a ResolutionUnit entry after it
+    *    (the walker must stride 12-byte entries, not read a fixed slot),
+    *    and every 9th doc OMITS it (null orientation, 1-entry IFD);
+    *  - every 3rd doc carries an ICC profile — as TWO APP2 chunks on
+    *    every 6th (the multi-segment spill real profiles need), so the
+    *    reported byte total certifies the per-chunk 14-byte header math. */
+  def syntheticJpegExifCorpus(docs0: DataFrame): DataFrame = {
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
+    val id = col("doc_id")
+    def be16Hex(v: Column): Column = lpad(hex(v.cast("int")), 4, "0")
+    val orient = (id % 8 + 1).cast("int")
+    val hasOrient = id % 9 =!= 0
+    val nEntries = when(hasOrient, 2).otherwise(1)
+    // IFD0 entries, both endians; value SHORTs sit in the first two bytes
+    // of the 4-byte slot, endian-ordered, zero-padded
+    val orientLe = concat(lit("12010300" + "01000000"), le16Hex(orient), lit("0000"))
+    val orientBe = concat(lit("01120003" + "00000001"), be16Hex(orient), lit("0000"))
+    val ruLe = lit("28010300" + "01000000" + "0200" + "0000")
+    val ruBe = lit("01280003" + "00000001" + "0002" + "0000")
+    val tiff = when(id % 2 === 0,
+      concat(lit("49492A00" + "08000000"), le16Hex(nEntries),
+        when(hasOrient, orientLe).otherwise(""), ruLe, lit("00000000")))
+      .otherwise(
+        concat(lit("4D4D002A" + "00000008"), be16Hex(nEntries),
+          when(hasOrient, orientBe).otherwise(""), ruBe, lit("00000000")))
+    // APP1 length covers itself + "Exif\0\0" + the TIFF body
+    val tiffLen = lit(14) + nEntries * 12
+    val app1 = concat(lit("FFE1"), be16Hex(lit(2 + 6) + tiffLen),
+      lit("457869660000"), tiff)
+    // ICC chunks: len = 2 (len) + 12 (signature) + 2 (seq/total) + payload
+    val iccTotal = (id % 400 + 20).cast("int")
+    val iccSig = "4943435F50524F46494C4500" // "ICC_PROFILE\0"
+    val p1 = shiftright(iccTotal, 1)
+    val p2 = iccTotal - p1
+    def chunk(seq: Int, total: Int, payload: Column): Column =
+      concat(lit("FFE2"), be16Hex(payload + 16), lit(iccSig),
+        h2(lit(seq)), h2(lit(total)),
+        call_function("repeat", lit("AB"), payload))
+    val app2 = when(id % 6 === 0, concat(chunk(1, 2, p1), chunk(2, 2, p2)))
+      .when(id % 3 === 0, chunk(1, 1, iccTotal))
+      .otherwise("")
+    val sof = concat(lit("FFC0" + "000B" + "08"),
+      be16Hex((id % 240 + 1).cast("int")), be16Hex((id % 320 + 1).cast("int")),
+      lit("01" + "011100"))
+    val hexPayload = concat(lit("FFD8"), app1, app2, sof, lit("FFD9"))
+    docs.select(id.as("doc_id"), unhex(hexPayload).as("payload"),
+      lit("image/jpeg").as("mime"))
+  }
+
   /** Deterministic AAC-in-ADTS corpus — the second compressed-audio leg
     * beside [[syntheticMpegAudioCorpus]] (r10 verdict Missing #1 names
     * MP3/AAC together): per doc, n_frames back-to-back ADTS frames with

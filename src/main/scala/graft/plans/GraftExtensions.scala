@@ -184,5 +184,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[graft.functions.Id3v2TagsExpr],
       graft.functions.BinaryMetaExpr.unaryBuilder("id3v2_tags",
         graft.functions.Id3v2TagsExpr(_))))
+    ext.injectFunction(fn("jpeg_exif",
+      classOf[graft.functions.JpegExifExpr],
+      graft.functions.BinaryMetaExpr.unaryBuilder("jpeg_exif",
+        graft.functions.JpegExifExpr(_))))
   }
 }

@@ -77,7 +77,7 @@ class InvariantsSpec extends SparkTestBase {
       .mkString(""","min":{""", ",", "}")
     // worst admissible fit extra (r13 verdict #1): 3-digit seconds +
     // 3-digit fit count
-    val worstFit = ""","fit":{"sec":100,"n":155}"""
+    val worstFit = s""","fit":{"s":100,"n":${names.size}}"""
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci,
       Bench.shortKey, extra = worstMins + worstFit)
     // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
@@ -151,10 +151,10 @@ class InvariantsSpec extends SparkTestBase {
     // the stdout min extra (inflated-queries diagnostic) must keep the
     // line valid JSON with readable values
     val withMins = Bench.renderLine(results, "/x", Bench.deci, Bench.shortKey,
-      extra = ""","min":{"q01":0.4},"fit":{"sec":12.3,"n":9}""")
+      extra = ""","min":{"q01":0.4},"fit":{"s":12.3,"n":9}""")
     assert(mapper.readTree(withMins).get("min").get("q01").asDouble == 0.4)
     // the r13-verdict fit split must parse beside the min map
-    assert(mapper.readTree(withMins).get("fit").get("sec").asDouble == 12.3)
+    assert(mapper.readTree(withMins).get("fit").get("s").asDouble == 12.3)
     assert(mapper.readTree(withMins).get("fit").get("n").asInt == 9)
     val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
       extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01},"fit":{"qe62_cert_embed":4.2},"load":{"q01_project":1.25}""")

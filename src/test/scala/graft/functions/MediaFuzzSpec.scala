@@ -63,7 +63,17 @@ class MediaFuzzSpec extends AnyFunSuite {
     // hand-derived golden ID3v2.3 tag: one TIT2 frame (BE u32 size 2,
     // ISO-8859-1 "A") then an MPEG frame (see the golden-vector test)
     "id3" -> hex("494433 0300 00 0000000C" +
-      "54495432 00000002 0000 0041" + "FFFB9000"))
+      "54495432 00000002 0000 0041" + "FFFB9000"),
+    // hand-derived golden EXIF JPEG: little-endian TIFF, orientation 6,
+    // two ICC chunks (see the golden-vector test below)
+    "jpegexif" -> hex("FFD8" +
+      "FFE1 002E 457869660000" +
+      "49492A00 08000000 0200" +
+      "12010300 01000000 0600 0000" +
+      "28010300 01000000 0200 0000" + "00000000" +
+      "FFE2 0013 4943435F50524F46494C4500 0102 ABCDEF" +
+      "FFE2 0012 4943435F50524F46494C4500 0202 ABCD" +
+      "FFD9"))
 
   private def allParsers(b: Array[Byte]): Unit = {
     ImageHeader.parse(b)
@@ -75,6 +85,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     OggOpusHeader.parse(b)
     AvcSpsHeader.parse(b)
     Id3v2Tags.parse(b)
+    JpegExif.parse(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -112,7 +123,8 @@ class MediaFuzzSpec extends AnyFunSuite {
         VideoHeader.parse(b) != null || MpegAudioHeader.parse(b) != null ||
         AdtsHeader.parse(b) != null || FlacHeader.parse(b) != null ||
         OggOpusHeader.parse(b) != null || AvcSpsHeader.parse(b) != null ||
-        Id3v2Tags.parse(b) != null, s"$name no longer parses whole")
+        Id3v2Tags.parse(b) != null || JpegExif.parse(b) != null,
+        s"$name no longer parses whole")
     }
   }
 
@@ -463,5 +475,45 @@ class MediaFuzzSpec extends AnyFunSuite {
       "54495432 00000002 0000 0041")) == null)
     assert(Id3v2Tags.parse(hex("494433 0300 80 0000000C" +
       "54495432 00000002 0000 0041")) == null)
+  }
+
+  test("JPEG EXIF golden vectors: both TIFF endians, multi-chunk ICC sum, " +
+    "absent-orientation null, torn TIFF refuses without erasing ICC") {
+    // the `valid` exemplar: little-endian ("II") TIFF, orientation 6
+    // walked PAST a ResolutionUnit entry, ICC spilled over two chunks
+    // whose payloads sum 3 + 2 = 5 bytes
+    assert(JpegExif.parse(valid.find(_._1 == "jpegexif").get._2) ==
+      ((Some(6), Some("II"), 2, 5L)))
+    // big-endian ("MM"): every multi-byte field flips — orientation 8
+    assert(JpegExif.parse(hex("FFD8 FFE1 002E 457869660000" +
+      "4D4D002A 00000008 0002" +
+      "01120003 00000001 0008 0000" +
+      "01280003 00000001 0002 0000" + "00000000" + "FFD9")) ==
+      ((Some(8), Some("MM"), 0, 0L)))
+    // Exif block WITHOUT an Orientation tag: byte order reads, orientation
+    // stays null (legal per EXIF 2.3 — the tag is optional)
+    assert(JpegExif.parse(hex("FFD8 FFE1 0022 457869660000" +
+      "4D4D002A 00000008 0001" +
+      "01280003 00000001 0002 0000" + "00000000" + "FFD9")) ==
+      ((None, Some("MM"), 0, 0L)))
+    // plain JFIF JPEG (the `valid` "jpeg" exemplar): a row with no EXIF
+    // and no ICC — present file, absent metadata
+    assert(JpegExif.parse(valid.find(_._1 == "jpeg").get._2) ==
+      ((None, None, 0, 0L)))
+    // torn TIFF (wrong magic 43): the Exif block contributes nothing,
+    // but the ICC chunk AFTER it still counts — a refusal is per-field,
+    // never a whole-payload erase
+    assert(JpegExif.parse(hex("FFD8 FFE1 0022 457869660000" +
+      "4D4D002B 00000008 0001" +
+      "01280003 00000001 0002 0000" + "00000000" +
+      "FFE2 0013 4943435F50524F46494C4500 0101 ABCDEF" + "FFD9")) ==
+      ((None, None, 1, 3L)))
+    // not JPEG at all: null, never a guess
+    assert(JpegExif.parse(hex("89504E470D0A1A0A")) == null)
+    // orientation out of the spec's 1-8 range: ignored, not reported
+    assert(JpegExif.parse(hex("FFD8 FFE1 0022 457869660000" +
+      "49492A00 08000000 0100" +
+      "12010300 01000000 0900 0000" + "00000000" + "FFD9")) ==
+      ((None, Some("II"), 0, 0L)))
   }
 }
