@@ -127,8 +127,14 @@ object Artifacts {
             // ledger charges failed fits too: their wall time was still
             // spent, and a bench rep that died mid-fit should still show
             // where its seconds went
-            fitNanos.addAndGet(System.nanoTime() - fitT0)
+            val dt = System.nanoTime() - fitT0
+            fitNanos.addAndGet(dt)
             fitCount.incrementAndGet()
+            // stderr, never stdout: the bench JSON line owns stdout. One
+            // line per fit is the per-KIND split of the ledger total —
+            // which anchor a cold store actually paid for.
+            System.err.println(
+              f"[artifacts] fit $kind/$key ${dt / 1e9}%.1f s")
           }
           val renamed = fs.rename(tmp, destPath)
           // Cross-JVM race, POSIX-rename semantics: the loser's rename

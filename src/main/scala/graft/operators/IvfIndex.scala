@@ -47,15 +47,31 @@ object IvfIndex {
       // (up to n = 2*10^11; beyond that the 1-ppm floor re-enters)
       else Sampling.deterministicSamplePpm(withVec, idCol,
         math.min(1000000, math.max(1, math.ceil(maxTrain * 1e6 / n).toInt)), seed)
+    // training-sample-sized parallelism: the sample is <= maxTrain rows
+    // but INHERITS the corpus's partitioning — at 100 TB that is tens of
+    // thousands of near-empty tasks per k-means iteration (20+ jobs per
+    // fit), pure scheduler burn; at toy scale it is what made the
+    // persisted-anchor fits wall-clock-bound (BASELINE.md r14 fit costs).
+    // ~50k rows per training partition keeps every task meaningful at any
+    // corpus size. REPARTITION, not coalesce: coalesce would propagate
+    // upstream and collapse the full-corpus sampling scan itself to a
+    // handful of tasks, while this shuffle moves only the sample rows
+    // (deterministic: index-based round-robin over deterministic input).
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__v").setPredictionCol("cell")
-      .fit(train)
+      .fit(train.repartition(trainPartitions(math.min(n, maxTrain))))
     val assigned = model.transform(withVec).drop("__v")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
     (assigned, centroids)
   }
+
+  /** Partition count for a k-means TRAINING frame of `rows` rows: ~50k
+    * rows per task, at least 1 — shared by the IVF and PQ fits so the
+    * sample-sized-parallelism rule cannot drift between them. */
+  private[operators] def trainPartitions(rows: Long): Int =
+    math.max(1, math.min(64, math.ceil(rows.toDouble / 50000).toInt))
 
   /** APPLY-side cell assignment from a centroid FRAME — the fit/apply
     * split for the coarse quantizer (same pattern as

@@ -7,6 +7,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.parallel.CollectionConverters._
 
 /** IVF-PQ: product-quantized residuals on top of the frozen IVF coarse
   * quantizer ([[IvfIndex]]) — the memory-bounded ANN form actually deployed
@@ -68,19 +69,39 @@ object PqIndex {
       // the training cap at corpus scale
       else Sampling.deterministicSamplePpm(vectors, idCol,
         math.min(1000000, math.max(1, math.ceil(maxTrain * 1e6 / n).toInt)), seed)
-    // one residual pass feeds all m subspace fits
+    // one residual pass feeds all m subspace fits. Repartitioned to
+    // training-sample-sized parallelism BEFORE the checkpoint (see
+    // IvfIndex.trainPartitions): the m sequential k-means fits each run
+    // 20+ jobs over this frame, and corpus-inherited partitioning would
+    // multiply every one of them by near-empty tasks (repartition, not
+    // coalesce — coalesce would collapse the sampling scan itself).
     val resid = withResidual(train, cents, vecCol).select(col("__resid"))
+      .repartition(IvfIndex.trainPartitions(math.min(n, maxTrain)))
       .auditedCheckpoint()
-    val rows = (0 until m).flatMap { j =>
+    // the m subspace fits are INDEPENDENT (disjoint slices, per-subspace
+    // seeds) — submit them as concurrent Spark jobs instead of a
+    // sequential driver loop: each MLlib fit carries ~1+ s of fixed
+    // overhead (k-means|| init rounds, per-iteration job launch), and at
+    // m=32 the sequential form made this THE dominant cold-store anchor
+    // cost (45 s of qe60's 48 s fit bill, BASELINE.md r14). Results land
+    // in a j-indexed array, so output order — and the persisted artifact —
+    // is byte-identical to the sequential form.
+    val perSub = new Array[Seq[(Int, Int, Seq[Double])]](m)
+    val pv = (0 until m).toVector.par
+    val fitPool = new java.util.concurrent.ForkJoinPool(
+      math.min(m, math.max(1, spark.sparkContext.defaultParallelism / 2)))
+    pv.tasksupport =
+      new scala.collection.parallel.ForkJoinTaskSupport(fitPool)
+    try pv.foreach { j =>
       val sub = resid.select(
         array_to_vector(slice(col("__resid"), j * ds + 1, ds)).as("__v"))
       val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(20)
         .setFeaturesCol("__v").setPredictionCol("code").fit(sub)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      perSub(j) = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (j, i, c.toArray.toSeq)
-      }
-    }
-    rows.toDF("sub", "code", "codeword")
+      }.toSeq
+    } finally fitPool.shutdown()
+    perSub.toSeq.flatten.toDF("sub", "code", "codeword")
   }
 
   /** PERSISTED codebook artifact — first call per (input fingerprint,
