@@ -1774,6 +1774,37 @@ object Extensions {
         .filter(inSample(col("da")) && inSample(col("db")))
         .select("da", "db")
       Certificates.pairRecall("blocked_sampled", exact, blocked, 0.7)
-    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE ('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), p AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45) SELECT 'blocked_sampled' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_anchor, TRUE AS ok"""))
+    }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE ('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % 4 = 0), p AS (SELECT a.vec_id AS da, b.vec_id AS db FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45) SELECT 'blocked_sampled' AS variant, (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_anchor, TRUE AS ok""")),
+
+    // E1 (crawl leg, r14) — URL canonicalization: scheme/host case,
+    // default ports, fragments, tracking params, param order, "/./"
+    // segments all normalize away; registrable domain certifies the
+    // 2-vs-3-label public-suffix heuristic in both directions (com/org
+    // vs co.uk). Pure codegen Column algebra — no UDF, no shuffle. The
+    // oracle RECOMPUTES the expected canonical string from doc_id
+    // arithmetic (the multimodal planted-corpus discipline), so any
+    // rule misfire hash-mismatches.
+    ("qe67_url_canonicalize", (s: SparkSession, d: String) => {
+      val urls = graft.operators.UrlOps.syntheticUrlCorpus(
+        Engine.Tables(s, d).documents)
+      urls.select(col("doc_id"),
+          graft.operators.UrlOps.canonicalizeUrl(col("url")).as("canonical_url"),
+          graft.operators.UrlOps.hostOf(col("url")).as("host"),
+          graft.operators.UrlOps.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }, Some("""WITH u AS (SELECT doc_id, doc_id // 4 AS g FROM documents), t AS (SELECT doc_id, g, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END AS tld FROM u) SELECT doc_id, 'https://www.site' || CAST(g % 50 AS VARCHAR) || '.' || tld || '/a' || CAST(g % 7 AS VARCHAR) || '/page' || CAST(g AS VARCHAR) || CASE WHEN g % 2 = 0 THEN '?b=2&id=' || CAST(g AS VARCHAR) ELSE '?id=' || CAST(g AS VARCHAR) END AS canonical_url, 'www.site' || CAST(g % 50 AS VARCHAR) || '.' || tld AS host, 'site' || CAST(g % 50 AS VARCHAR) || '.' || tld AS domain FROM t ORDER BY doc_id""")),
+
+    // E1 (crawl leg, r14) — dedup by canonical URL: min-id survivor per
+    // canonical key, the re-crawl dedup pass that needs no text. Four
+    // messy spellings share each canonical page, so the oracle's
+    // survivor/is_kept columns are pure doc_id arithmetic — the grouping
+    // is certified without the oracle parsing a single URL.
+    ("qe68_url_dedup", (s: SparkSession, d: String) => {
+      val urls = graft.operators.UrlOps.syntheticUrlCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.UrlOps.dedupByCanonical(urls, "doc_id", "url")
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id"""))
   )
 }

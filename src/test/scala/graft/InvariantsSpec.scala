@@ -75,9 +75,8 @@ class InvariantsSpec extends SparkTestBase {
     val worstMins = names.take(Bench.MinEntriesCap)
       .map(n => "\"" + Bench.shortKey(n) + "\":100")
       .mkString(""","min":{""", ",", "}")
-    // worst admissible fit extra (r13 verdict #1): 3-digit seconds +
-    // 3-digit fit count
-    val worstFit = s""","fit":{"s":100,"n":${names.size}}"""
+    // worst admissible fit extra (r13 verdict #1): 3-digit seconds
+    val worstFit = ""","fit":100"""
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci,
       Bench.shortKey, extra = worstMins + worstFit)
     // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
@@ -151,11 +150,10 @@ class InvariantsSpec extends SparkTestBase {
     // the stdout min extra (inflated-queries diagnostic) must keep the
     // line valid JSON with readable values
     val withMins = Bench.renderLine(results, "/x", Bench.deci, Bench.shortKey,
-      extra = ""","min":{"q01":0.4},"fit":{"s":12.3,"n":9}""")
+      extra = ""","min":{"q01":0.4},"fit":12.3""")
     assert(mapper.readTree(withMins).get("min").get("q01").asDouble == 0.4)
     // the r13-verdict fit split must parse beside the min map
-    assert(mapper.readTree(withMins).get("fit").get("s").asDouble == 12.3)
-    assert(mapper.readTree(withMins).get("fit").get("n").asInt == 9)
+    assert(mapper.readTree(withMins).get("fit").asDouble == 12.3)
     val fileLine = Bench.renderLine(results, "/x", _.toString, identity,
       extra = s""","reps":3,"load_avg":[null,2.50],"spread":{"q01_project":0.05},"min":{"q01_project":0.01},"fit":{"qe62_cert_embed":4.2},"load":{"q01_project":1.25}""")
     val fnode = mapper.readTree(fileLine)
