@@ -62,12 +62,12 @@ object Bench {
     * (median − min) exceeds [[MinSpreadFloor]]: on a quiet host the map
     * is empty, on a hot host it carries exactly the evidence. The cap is
     * a tail-window budget, not a claim of completeness — bench_out.json
-    * keeps every query's min at full precision. (Cap 5 — down from 6
-    * when the r14 fit extra joined the line — leaves ~2 registrations of
-    * worst-case headroom under the 1880-char guard at 156 queries; the
-    * r13 sweep's inflation evidence was fully told by its top entries.) */
+    * keeps every query's min at full precision. (Cap 3 — down from 6 as
+    * the r14 fit extra and four new registrations consumed the line's
+    * headroom; the r13 sweep's inflation story was told by its top 2–3
+    * entries, and the full min map rides bench_out.json regardless.) */
   val MinSpreadFloor = 0.3
-  val MinEntriesCap = 5
+  val MinEntriesCap = 3
 
   /** Select (name, min) for the stdout diagnostic map from the per-query
     * (median, spread, min) triples — most-inflated first. */

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Image deduplication over DECODED pixels (SURVEY §2.4, the image leg of
+  * the E1/E2 dedup families): a crawl stores the same image under many
+  * byte-level spellings — PNG vs BMP containers, different encoder
+  * settings, color-model roundtrips — so dedup on payload bytes misses
+  * exactly the duplicates that matter. Both operators here key on pixels
+  * ([[Multimodal.JdkImageCodec]] real decode), not bytes:
+  *
+  *  - EXACT: [[pixelHash]] — md5 over the row-major RGB raster — is
+  *    container/encoder-invariant by construction; [[dedupByPixels]] is
+  *    the min-id-survivor dedup on that key (the [[Dedup.exactDedup]]
+  *    convention).
+  *  - PERCEPTUAL: [[dHash64]] — the published difference-hash: area-average
+  *    the luminance onto a 9×8 grid, bit (i,j) = [cell(i,j+1) > cell(i,j)]
+  *    — is stable under small pixel perturbations; [[nearDupPairs]] finds
+  *    pairs within a Hamming budget by LSH-style BANDING: the 64 bits
+  *    split into 4 disjoint 16-bit bands and candidates equi-join on
+  *    (band index, band value). Pigeonhole: hamming(a,b) <= 3 forces at
+  *    least one clean band, so recall is EXACT (not probabilistic) for
+  *    maxHamming <= 3; the verify stage then computes true Hamming via
+  *    bit_count(a XOR b). No all-pairs stage anywhere: the join is an
+  *    equi-join on band values, the same shuffle shape as MinHash-LSH —
+  *    the 100 TB path.
+  *
+  * Undecodable payloads refuse with null signatures (the engine's
+  * refuse-don't-guess contract): [[dedupByPixels]] keeps each as its own
+  * singleton group; [[nearDupPairs]] excludes them. */
+object ImageDedup {
+
+  case class SigRow(doc_id: Long, width: Int, height: Int,
+                    pixel_hash: String, dhash: Option[Long])
+
+  /** md5 hex over the row-major 24-bit RGB raster — identical for any two
+    * encodings of the same pixels, regardless of container or encoder. */
+  def pixelHash(img: java.awt.image.BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = img.getWidth; val h = img.getHeight
+    val buf = new Array[Byte](w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        buf(x * 3) = ((rgb >> 16) & 0xFF).toByte
+        buf(x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+        buf(x * 3 + 2) = (rgb & 0xFF).toByte
+        x += 1
+      }
+      md.update(buf)
+      y += 1
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Difference hash on a 9×8 luminance grid. Cell averages use exact
+    * integer block sums over the raster (NOT AWT scaling — deterministic
+    * on every JVM); bit i*8+j (i = row 0..7, j = col 0..7) is set iff
+    * cell (i, j+1) is strictly brighter than cell (i, j). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val i = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val j = math.min(8, x * 9 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        cells(i)(j) += lum
+        counts(i)(j) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        // compare MEAN luminance scaled to a common denominator so cells
+        // of unequal pixel count (w or h not divisible by the grid)
+        // compare exactly, with no integer-division bias
+        val l = cells(i)(j) * counts(i)(j + 1)
+        val r = cells(i)(j + 1) * counts(i)(j)
+        if (r > l) bits |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode stage: (doc_id, payload) → per-image signatures, one
+    * mapPartitions pass (the [[Multimodal.decodeAll]] shape). Undecodable
+    * payloads yield null hash columns. */
+  def imageSignatures(media: DataFrame): Dataset[SigRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = if (payload == null) null
+            else Multimodal.JdkImageCodec.read(payload)
+          if (img == null) SigRow(id, -1, -1, null, None)
+          else SigRow(id, img.getWidth, img.getHeight,
+            pixelHash(img), Some(dHash64(img)))
+        }
+      }
+  }
+
+  /** Exact pixel dedup: min-id survivor per pixel hash. Undecodable rows
+    * (null hash) are their own singleton groups — a dedup pass must never
+    * merge what it could not read. One hash aggregation; the hash key is
+    * uniform, so no skew handling is needed. */
+  def dedupByPixels(media: DataFrame): DataFrame = {
+    val sigs = imageSignatures(media).toDF()
+      .withColumn("__key",
+        coalesce(col("pixel_hash"), concat(lit("doc:"), col("doc_id"))))
+    val survivors = sigs.groupBy(col("__key"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+    sigs.join(survivors, Seq("__key"), "left")
+      .withColumn("is_kept", (col("doc_id") === col("survivor_id")).cast("int"))
+      .drop("__key")
+  }
+
+  /** Perceptual near-dup pairs (da < db, true Hamming distance) within
+    * `maxHamming` (must be <= 3: the 4-band pigeonhole guarantee's
+    * boundary — a larger budget would need more bands or multi-probe).
+    * Band equi-join → distinct candidate pairs → bit_count verify. */
+  def nearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"nearDupPairs: 4x16 banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sigs = imageSignatures(media).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"))
+    val banded = sigs.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .dropDuplicates("da", "db")
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  // ---- planted corpora ------------------------------------------------
+
+  /** Luminance grid whose dHash PROVABLY encodes the group id: 64 bits =
+    * the low 21 bits of `g`, each repeated 3× (bit k of the hash = bit
+    * k/3 of g; bit 63 = 0), so two distinct groups differ in >= 3 dHash
+    * bits — [[nearDupPairs]] at maxHamming 2 can never pair them — while
+    * every in-group spelling hashes identically. Cells step ±12 in
+    * luminance per desired bit from a 128 base (range [32, 224], margin
+    * 12 ≫ any single-pixel perturbation's <= 1 effect on a cell mean). */
+  private def groupGrid(g: Long): Array[Array[Int]] = {
+    val grid = Array.ofDim[Int](8, 9)
+    var i = 0
+    while (i < 8) {
+      grid(i)(0) = 128
+      var j = 0
+      while (j < 8) {
+        val k = i * 8 + j
+        val bit = if (k == 63) 0L else (g >> (k / 3)) & 1L
+        grid(i)(j + 1) = grid(i)(j) + (if (bit == 1L) 12 else -12)
+        j += 1
+      }
+      i += 1
+    }
+    grid
+  }
+
+  private def paint(grid: Array[Array[Int]], cell: Int,
+                    perturb: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8 * cell) {
+      var x = 0
+      while (x < 9 * cell) {
+        val l = grid(y / cell)(x / cell)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    // one interior pixel nudged +1: flips the PIXEL hash, provably not
+    // the dHash (cell mean moves by 1/cell^2 < the 12-step margin)
+    if (perturb) {
+      val l = math.min(255, grid(0)(0) + 1)
+      img.setRGB(1, 1, (l << 16) | (l << 8) | l)
+    }
+    img
+  }
+
+  private def encodeImg(img: java.awt.image.BufferedImage,
+                        fmt: String, bgr: Boolean): Array[Byte] = {
+    val src = if (!bgr) img else {
+      // repaint into a different color model: same pixels, different
+      // encoder input — the roundtrip a pixel-keyed dedup must collapse
+      val c = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gr = c.createGraphics()
+      try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, fmt, out)
+    out.toByteArray
+  }
+
+  /** Exact-dup corpus: four docs per group (g = doc_id / 4) carry the SAME
+    * raster under four byte-level spellings — PNG, BMP, PNG via a BGR
+    * color-model roundtrip, BMP via BGR — so [[dedupByPixels]]'s groups
+    * are pure doc_id arithmetic for the oracle (survivor = 4g). */
+  def syntheticDupImageCorpus(docs: DataFrame): DataFrame =
+    synthCorpus(docs, perturbLast = false)
+
+  /** Near-dup corpus: spellings 0/1 carry the group raster, spellings 2/3
+    * carry the SAME raster with one interior pixel nudged — pixel hashes
+    * split 2+2 inside each group, but all four dHashes are (provably)
+    * identical, and distinct groups differ by >= 3 bits: [[nearDupPairs]]
+    * at maxHamming 2 emits exactly the 6 in-group pairs, Hamming 0. */
+  def syntheticNearDupImageCorpus(docs: DataFrame): DataFrame =
+    synthCorpus(docs, perturbLast = true)
+
+  private def synthCorpus(docs: DataFrame, perturbLast: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ImageIO encode is the per-row cost: spread the single-file scan
+    // over the cores (the qe5h lesson)
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 4
+          val v = (id % 4).toInt
+          val grid = groupGrid(g)
+          val perturb = perturbLast && v >= 2
+          val img = paint(grid, cell = 4, perturb = perturb)
+          val bytes = v match {
+            case 0 => encodeImg(img, "png", bgr = false)
+            case 1 => encodeImg(img, "bmp", bgr = false)
+            case 2 => encodeImg(img, "png", bgr = true)
+            case _ => encodeImg(img, "bmp", bgr = true)
+          }
+          (id, bytes, if (v % 2 == 0) "image/png" else "image/bmp")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+}

@@ -1805,6 +1805,35 @@ object Extensions {
       graft.operators.UrlOps.dedupByCanonical(urls, "doc_id", "url")
         .select(col("doc_id"), col("survivor_id"), col("is_kept"))
         .orderBy("doc_id")
-    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
+    // E1/E5 (image leg, r14) — exact image dedup over DECODED pixels:
+    // four byte-level spellings of the same raster (PNG, BMP, and both
+    // via a BGR color-model roundtrip) collapse onto one pixel-hash key,
+    // which byte-level dedup provably cannot do. Real ImageIO decode per
+    // row; min-id survivor; oracle is pure doc_id arithmetic.
+    ("qe69_image_pixel_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.ImageDedup.syntheticDupImageCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.ImageDedup.dedupByPixels(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
+    // E2/E5 (image leg, r14) — PERCEPTUAL image near-dup via dHash-64 +
+    // 4x16-band LSH join + bit_count verify, fully oracled: the planted
+    // rasters encode the group id into the dHash through a x3 repetition
+    // code, so in-group spellings (including pixel-perturbed ones whose
+    // PIXEL hash differs) are Hamming-0 while distinct groups are >= 3
+    // bits apart — at maxHamming 2 the exact output is the 6 in-group
+    // pairs per group, recomputable by the oracle as arithmetic. The
+    // 4-band pigeonhole makes recall EXACT (not probabilistic) for
+    // Hamming <= 3; banding is an equi-join, never all-pairs.
+    ("qe70_image_neardup", (s: SparkSession, d: String) => {
+      val media = graft.operators.ImageDedup.syntheticNearDupImageCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.ImageDedup.nearDupPairs(media, maxHamming = 2)
+        .orderBy("da", "db")
+    }, Some("""SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id ORDER BY da, db"""))
   )
 }
