@@ -111,6 +111,20 @@ object UrlOps {
         (col(idCol) === col("survivor_id")).cast("int"))
   }
 
+  /** STREAMING canonical-URL dedup: canonicalize (stateless projection)
+    * then `dropDuplicates` on the canonical key — streaming dedup state,
+    * FIRST-seen survivor (a stream cannot know a smaller id is coming;
+    * under an id-ordered replay first-seen == min-id, the batch
+    * convention — asserted in StreamingSpec). Emits only the kept rows:
+    * the crawl-ingest shape, where duplicates are dropped in flight.
+    * LONG-RUNNING STREAMS: keyed dedup state grows with distinct URLs —
+    * an always-on ingest should watermark an event-time column BEFORE
+    * this operator and use dropDuplicatesWithinWatermark so state ages
+    * out (re-crawl dups arrive close together in practice). */
+  def dedupByCanonicalStream(docs: DataFrame, urlCol: String): DataFrame =
+    docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .dropDuplicates("canonical_url")
+
   /** Deterministic messy-URL corpus over the documents table: four docs
     * share each canonical page (group = doc_id / 4) and each carries a
     * different spelling — uppercase scheme; uppercase host + explicit

@@ -888,6 +888,39 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming canonical-URL dedup over an id-ordered replay == batch survivors") {
+    // dedupByCanonicalStream keeps the FIRST row per canonical key; under
+    // an id-ordered replay that is exactly the batch form's min-id
+    // survivor set, including across micro-batch boundaries (a wave-2
+    // spelling of a wave-1 page must be dropped by carried dedup state)
+    val docs = graft.Engine.Tables(spark, Sf0001).documents
+    val urls = graft.operators.UrlOps.syntheticUrlCorpus(docs)
+    val want = graft.operators.UrlOps.dedupByCanonical(urls, "doc_id", "url")
+      .filter(col("is_kept") === 1)
+      .select("doc_id", "canonical_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.operators.UrlOps.dedupByCanonicalStream(
+        input.toDF().toDF("doc_id", "url"), "url")
+      .select("doc_id", "canonical_url")
+      .writeStream.format("memory").queryName("t_urldedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = urls.select("doc_id", "url").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // waves of 3 deliberately split each 4-doc spelling group across
+      // micro-batches
+      rows.grouped(3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_urldedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want,
+        s"stream dedup diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub over a replay == batch (stateless projection)") {
     val batch = Seq(
       (1L, "mail a@b.co now"), (2L, "host 10.0.0.1"), (3L, "clean"))
