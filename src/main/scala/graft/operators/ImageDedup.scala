@@ -131,6 +131,22 @@ object ImageDedup {
       .drop("__key")
   }
 
+  /** STREAMING exact pixel dedup: the signature stage is a stateless
+    * mapPartitions projection (streaming-legal), and the dedup is
+    * `dropDuplicates` state on the pixel hash — FIRST-seen survivor
+    * (under an id-ordered replay, first-seen == the batch min-id
+    * convention; asserted in StreamingSpec). Undecodable rows (null
+    * hash) key on their own doc_id, so they always survive. Emits kept
+    * rows only — the crawl-ingest shape. Watermark +
+    * dropDuplicatesWithinWatermark for bounded state on always-on
+    * streams, as with [[UrlOps.dedupByCanonicalStream]]. */
+  def dedupByPixelsStream(media: DataFrame): DataFrame =
+    imageSignatures(media).toDF()
+      .withColumn("__key",
+        coalesce(col("pixel_hash"), concat(lit("doc:"), col("doc_id"))))
+      .dropDuplicates("__key")
+      .drop("__key")
+
   /** Perceptual near-dup pairs (da < db, true Hamming distance) within
     * `maxHamming` (must be <= 3: the 4-band pigeonhole guarantee's
     * boundary — a larger budget would need more bands or multi-probe).

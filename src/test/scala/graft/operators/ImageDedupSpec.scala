@@ -104,6 +104,17 @@ class ImageDedupSpec extends SparkTestBase {
     assert(out == Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 2L, 1), (3L, 3L, 1), (4L, 4L, 1)))
   }
 
+  test("plan hygiene: the band join is an equi-join, never a cartesian/nested-loop") {
+    val docs = spark.range(16).select(col("id").as("doc_id"))
+    val media = ImageDedup.syntheticNearDupImageCorpus(docs)
+    val pairs = ImageDedup.nearDupPairs(media, maxHamming = 2)
+    pairs.collect() // drive this QueryExecution so AQE finalizes
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must equi-join on (band, bucket):\n$plan")
+  }
+
   test("nearDupPairs: perturbed spellings pair at Hamming 0, distinct groups never pair; " +
     "maxHamming above the pigeonhole boundary refuses") {
     val docs = spark.range(12).select(col("id").as("doc_id"))
