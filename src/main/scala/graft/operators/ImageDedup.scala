@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanCapture.CheckpointOps
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -110,8 +111,16 @@ object ImageDedup {
           val img = if (payload == null) null
             else Multimodal.JdkImageCodec.read(payload)
           if (img == null) SigRow(id, -1, -1, null, None)
-          else SigRow(id, img.getWidth, img.getHeight,
-            pixelHash(img), Some(dHash64(img)))
+          else SigRow(id, img.getWidth, img.getHeight, pixelHash(img),
+            // dHash REFUSES sub-grid images (w < 9 or h < 8): a 1x1
+            // tracking pixel has no gradients to hash — every such image
+            // would share one hash value, turning the band join into an
+            // effective cartesian on that hot bucket (a real crawl holds
+            // millions of them). The PIXEL hash still covers them: exact
+            // dedup of tracking pixels works, perceptual similarity of a
+            // gradient-free image is not a meaningful question.
+            if (img.getWidth < 9 || img.getHeight < 8) None
+            else Some(dHash64(img)))
         }
       }
   }
@@ -121,7 +130,11 @@ object ImageDedup {
     * merge what it could not read. One hash aggregation; the hash key is
     * uniform, so no skew handling is needed. */
   def dedupByPixels(media: DataFrame): DataFrame = {
+    // checkpoint the signatures: they feed BOTH sides of the survivor
+    // join, and the ImageIO decode is the dominant per-row cost — without
+    // it every image decodes twice per action
     val sigs = imageSignatures(media).toDF()
+      .auditedCheckpoint()
       .withColumn("__key",
         coalesce(col("pixel_hash"), concat(lit("doc:"), col("doc_id"))))
     val survivors = sigs.groupBy(col("__key"))
@@ -154,9 +167,12 @@ object ImageDedup {
   def nearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"nearDupPairs: 4x16 banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    // checkpoint before the SELF-join: both banded sides would otherwise
+    // re-run the full decode pass
     val sigs = imageSignatures(media).toDF()
       .filter(col("dhash").isNotNull)
       .select(col("doc_id"), col("dhash"))
+      .auditedCheckpoint()
     val banded = sigs.select(col("doc_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -263,6 +279,13 @@ object ImageDedup {
       .mapPartitions { it =>
         it.map { id =>
           val g = id / 4
+          // the grid encodes only the LOW 21 BITS of g: past that, two
+          // groups would paint identical rasters and the arithmetic
+          // oracles (and the >= 3-bit separation proof) silently break —
+          // refuse loudly at the corpus bound (8.4M docs; the OPERATORS
+          // have no such bound, only this planted test corpus does)
+          require(g < (1L << 21),
+            s"synthetic image corpus: group id $g exceeds the 21-bit dHash encoding")
           val v = (id % 4).toInt
           val grid = groupGrid(g)
           val perturb = perturbLast && v >= 2

@@ -41,10 +41,30 @@ object UrlOps {
     when(s =!= "", s)
   }
 
-  /** Lowercased host (no port), or null for a non-URL. */
-  def hostOf(url: Column): Column = {
+  /** The authority with any RFC 3986 userinfo ("user[:pass]@") stripped —
+    * a host may not contain '@', so everything up to the LAST '@' is
+    * userinfo. Canonicalization DROPS userinfo (standard crawl practice:
+    * credentials are not page identity and must never reach a persisted
+    * dedup key). */
+  private def authorityOf(url: Column): Column = {
     val hp = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    when(schemeOf(url).isNotNull, lower(regexp_extract(hp, "^([^:]*)", 1)))
+    regexp_replace(hp, "^.*@", "")
+  }
+
+  /** A syntactically valid host[:port] authority: anything after a colon
+    * must be a pure decimal port. ':8080x' and bracketed IPv6 literals
+    * fail here — both REFUSE (null canonical/host) rather than silently
+    * merging a garbled authority into a real page's dedup group (IPv6
+    * hosts are documented out of scope, refused not guessed). */
+  private def validAuthority(auth: Column): Column =
+    auth.rlike("^[^:@/?#]*(:[0-9]+)?$")
+
+  /** Lowercased host (no port, no userinfo), or null for a non-URL or a
+    * malformed authority. */
+  def hostOf(url: Column): Column = {
+    val auth = authorityOf(url)
+    when(schemeOf(url).isNotNull && validAuthority(auth),
+      lower(regexp_extract(auth, "^([^:]*)", 1)))
   }
 
   /** Registrable-domain HEURISTIC: the last two host labels, or the last
@@ -66,12 +86,14 @@ object UrlOps {
         .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1))))
   }
 
-  /** The canonical form (rules above), or null for a non-URL. */
+  /** The canonical form (rules above; userinfo dropped), or null for a
+    * non-URL or a malformed authority. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = schemeOf(url)
     val noFrag = regexp_extract(url, "^([^#]*)", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val hostPort = regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^.*@", "")
     val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val portNorm = when(port === "", "")
@@ -80,17 +102,18 @@ object UrlOps {
       .otherwise(concat(lit(":"), port))
     val pathQ = regexp_replace(rest, "^[^/?]*", "")
     val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
-    // collapse "/./" until none remain (two passes cover "/././" chains
-    // the single regexp_replace pass leaves behind: replacement re-joins
-    // "/." pairs sharing a slash)
-    val path1 = regexp_replace(regexp_replace(path0, "/\\./", "/"), "/\\./", "/")
+    // collapse dot-segment chains in ONE pass: "(/\.)+/" matches the whole
+    // run ("/./././" of any length), and a trailing "/." (directory-self
+    // reference at path end) normalizes to "/"
+    val path1 = regexp_replace(
+      regexp_replace(path0, "(/\\.)+/", "/"), "(/\\.)+$", "/")
     val path = when(path1 === "", "/").otherwise(path1)
     val query = regexp_extract(pathQ, "\\?(.*)$", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && not(p.rlike(TrackingRe)))
     val qNorm = when(size(params) === 0, "")
       .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
-    when(scheme.isNotNull,
+    when(scheme.isNotNull && validAuthority(hostPort),
       concat(scheme, lit("://"), host, portNorm, path, qNorm))
   }
 
@@ -103,12 +126,19 @@ object UrlOps {
     * evenly (hot-key domains differ in path, so the KEY is not skewed
     * even when the domain is). */
   def dedupByCanonical(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    // non-URLs (null canonical) key on their own id: a dedup pass must
+    // never merge what it could not parse, and a null-keyed equi-join
+    // would otherwise emit NULL survivor/is_kept for exactly those rows
+    // (the ImageDedup.dedupByPixels singleton convention)
     val canon = docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
-    val survivors = canon.groupBy(col("canonical_url"))
+      .withColumn("__key",
+        coalesce(col("canonical_url"), concat(lit("doc:"), col(idCol))))
+    val survivors = canon.groupBy(col("__key"))
       .agg(min(col(idCol)).as("survivor_id"))
-    canon.join(survivors, Seq("canonical_url"), "left")
+    canon.join(survivors, Seq("__key"), "left")
       .withColumn("is_kept",
         (col(idCol) === col("survivor_id")).cast("int"))
+      .drop("__key")
   }
 
   /** STREAMING canonical-URL dedup: canonicalize (stateless projection)
@@ -121,9 +151,18 @@ object UrlOps {
     * an always-on ingest should watermark an event-time column BEFORE
     * this operator and use dropDuplicatesWithinWatermark so state ages
     * out (re-crawl dups arrive close together in practice). */
-  def dedupByCanonicalStream(docs: DataFrame, urlCol: String): DataFrame =
+  def dedupByCanonicalStream(docs: DataFrame, idCol: String,
+                             urlCol: String): DataFrame =
     docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
-      .dropDuplicates("canonical_url")
+      // same singleton convention as the batch form: dropDuplicates
+      // treats nulls as EQUAL, so un-keyed non-URL rows would silently
+      // merge into one survivor. Keyed on the caller's id (NOT
+      // monotonically_increasing_id, whose values repeat across
+      // micro-batches and would collide inside the dedup state).
+      .withColumn("__key",
+        coalesce(col("canonical_url"), concat(lit("doc:"), col(idCol))))
+      .dropDuplicates("__key")
+      .drop("__key")
 
   /** Deterministic messy-URL corpus over the documents table: four docs
     * share each canonical page (group = doc_id / 4) and each carries a

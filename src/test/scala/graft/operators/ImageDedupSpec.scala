@@ -73,6 +73,22 @@ class ImageDedupSpec extends SparkTestBase {
     assert(ImageDedup.dHash64(rev) == 0L)
   }
 
+  test("sub-grid images refuse the dHash (tracking-pixel hot-bucket guard) but keep the pixel hash") {
+    val rows = Seq(
+      (0L, png(solid(1, 1, 0xFFFFFF))),   // the classic 1x1 tracking pixel
+      (1L, png(solid(8, 8, 0x123456))),   // width below the 9-col grid
+      (2L, png(solid(36, 32, 0x123456)))) // full-grid solid: hashes fine
+      .toDF("doc_id", "payload")
+    val sigs = ImageDedup.imageSignatures(rows).collect()
+      .map(s => s.doc_id -> ((s.pixel_hash != null, s.dhash.isDefined))).toMap
+    assert(sigs(0L) == ((true, false)) && sigs(1L) == ((true, false)),
+      "sub-grid images must keep exact pixel dedup but refuse the perceptual hash")
+    assert(sigs(2L) == ((true, true)))
+    // and nearDupPairs silently excludes them instead of pairing every
+    // tracking pixel with every other
+    assert(ImageDedup.nearDupPairs(rows.filter(col("doc_id") < 2), 2).count() == 0)
+  }
+
   test("banding pigeonhole: Hamming <= 3 always shares a band; crafted 4-bit spread does not") {
     def bands(x: Long): Set[(Int, Long)] =
       (0 until 4).map(b => (b, (x >>> (b * 16)) & 0xFFFFL)).toSet

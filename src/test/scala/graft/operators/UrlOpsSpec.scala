@@ -29,6 +29,47 @@ class UrlOpsSpec extends SparkTestBase {
       "https://h.net/p?b=2&id=7"))
   }
 
+  test("userinfo drops from the key; malformed authorities refuse; dot chains collapse fully") {
+    // userinfo is not page identity: same page with/without credentials
+    // canonicalizes identically, and the HOST is the real host (a naive
+    // ':'-split would read 'alice' as the host)
+    assert(canon(
+      "https://alice:pw@example.com/x",
+      "https://example.com/x") ==
+      Seq("https://example.com/x", "https://example.com/x"))
+    val hosts = Seq("https://alice:pw@example.com/x", "https://bob@h.net/y")
+      .toDF("url").select(UrlOps.hostOf(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("example.com", "h.net"))
+    // a non-numeric port is a malformed authority: refuse, never merge
+    // into the portless page's dedup group (same for bracketed IPv6 —
+    // documented out of scope)
+    assert(canon("http://h.net:8080x/y", "https://[::1]:443/z") == Seq(null, null))
+    // arbitrarily long "/./" chains collapse in one canonical pass, and a
+    // trailing "/." normalizes like a directory self-reference
+    assert(canon(
+      "https://h.net/./././././x",
+      "https://h.net/a/.",
+      "https://h.net/a/././.") ==
+      Seq("https://h.net/x", "https://h.net/a/", "https://h.net/a/"))
+  }
+
+  test("dedup treats non-URL rows as singletons, batch and stream shape alike") {
+    val docs = Seq(
+      (0L, "https://a.com/p"),
+      (1L, "HTTPS://A.COM/p"),
+      (2L, "not a url"),
+      (3L, "also not a url")).toDF("doc_id", "url")
+    val out = UrlOps.dedupByCanonical(docs, "doc_id", "url")
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // the two non-URLs each survive as their own group — never merged
+    // onto one null key, never NULLed out of the is_kept audit
+    assert(out == Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 2L, 1), (3L, 3L, 1)))
+    val streamed = UrlOps.dedupByCanonicalStream(docs, "doc_id", "url")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(0L, 2L, 3L))
+  }
+
   test("canonicalization is idempotent; non-URLs refuse with null") {
     val messy = Seq(
       "HTTPS://A.B:443/x/./y?q=1&utm_source=s#f",

@@ -902,7 +902,7 @@ class StreamingDedupSpec extends SparkTestBase {
 
     val input = MemoryStream[(Long, String)](spark)
     val q = graft.operators.UrlOps.dedupByCanonicalStream(
-        input.toDF().toDF("doc_id", "url"), "url")
+        input.toDF().toDF("doc_id", "url"), "doc_id", "url")
       .select("doc_id", "canonical_url")
       .writeStream.format("memory").queryName("t_urldedup")
       .outputMode(OutputMode.Append()).start()
