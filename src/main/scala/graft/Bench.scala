@@ -62,12 +62,14 @@ object Bench {
     * (median − min) exceeds [[MinSpreadFloor]]: on a quiet host the map
     * is empty, on a hot host it carries exactly the evidence. The cap is
     * a tail-window budget, not a claim of completeness — bench_out.json
-    * keeps every query's min at full precision. (Cap 3 — down from 6 as
-    * the r14 fit extra and four new registrations consumed the line's
-    * headroom; the r13 sweep's inflation story was told by its top 2–3
-    * entries, and the full min map rides bench_out.json regardless.) */
+    * keeps every query's min at full precision. (Cap 2 — stepped down
+    * from 6 as the r14 fit extra and five new registrations consumed the
+    * line's headroom; the r13 inflation story was told by its top 1–2
+    * entries, and the full min map rides bench_out.json regardless. This
+    * lever is now EXHAUSTED at 161 queries: the next registration must
+    * drop the stdout min map entirely and lean on bench_out.json.) */
   val MinSpreadFloor = 0.3
-  val MinEntriesCap = 3
+  val MinEntriesCap = 2
 
   /** Select (name, min) for the stdout diagnostic map from the per-query
     * (median, spread, min) triples — most-inflated first. */

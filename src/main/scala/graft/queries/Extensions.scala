@@ -1834,6 +1834,19 @@ object Extensions {
         Engine.Tables(s, d).documents)
       graft.operators.ImageDedup.nearDupPairs(media, maxHamming = 2)
         .orderBy("da", "db")
-    }, Some("""SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id ORDER BY da, db"""))
+    }, Some("""SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id ORDER BY da, db""")),
+
+    // E1/E5 (audio leg, r14) — exact audio dedup over DECODED samples:
+    // the same recording as WAV (LE, 8-bit stored unsigned) and AIFF
+    // (BE, signed), with and without planted skip-chunks, collapses onto
+    // one sample-hash key through the real javax.sound decode +
+    // normalization. Oracle is pure doc_id arithmetic, like qe69.
+    ("qe71_audio_sample_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id"""))
   )
 }
