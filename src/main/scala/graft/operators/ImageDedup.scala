@@ -163,7 +163,17 @@ object ImageDedup {
   /** Perceptual near-dup pairs (da < db, true Hamming distance) within
     * `maxHamming` (must be <= 3: the 4-band pigeonhole guarantee's
     * boundary — a larger budget would need more bands or multi-probe).
-    * Band equi-join → distinct candidate pairs → bit_count verify. */
+    * Band equi-join → distinct candidate pairs → bit_count verify.
+    *
+    * BUCKET WIDTH scales with the Hamming budget (the 100 TB lever the
+    * r14 scaling ladder exposed): at maxHamming <= 2 at most 2 of the 4
+    * 16-bit bands can be dirty, so at least one of the C(4,2)=6 band
+    * PAIRS is fully clean — candidates equi-join on 32-bit pair buckets
+    * (cross-corpus collisions ~N²/2³², negligible to ~10⁹ images) with
+    * the same EXACT-recall guarantee. Single 16-bit bands remain only
+    * for maxHamming == 3 (just 1 clean band guaranteed there) and
+    * saturate once N ≫ 2¹⁶ per band: the ladder measured that candidate
+    * stage going quadratic past ~20k images before this split. */
   def nearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"nearDupPairs: 4x16 banding guarantees recall only for maxHamming <= 3, got $maxHamming")
@@ -173,10 +183,18 @@ object ImageDedup {
       .filter(col("dhash").isNotNull)
       .select(col("doc_id"), col("dhash"))
       .auditedCheckpoint()
+    def band16(b: Int) =
+      shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(0xFFFFL)
+    val buckets =
+      if (maxHamming <= 2)
+        (for (a <- 0 until 4; b <- a + 1 until 4) yield (a, b)).zipWithIndex.map {
+          case ((a, b), idx) => struct(lit(idx).as("band"),
+            (band16(a) * lit(65536L) + band16(b)).as("bucket"))
+        }
+      else (0 until 4).map(b =>
+        struct(lit(b).as("band"), band16(b).as("bucket")))
     val banded = sigs.select(col("doc_id"), col("dhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      explode(array(buckets: _*)).as("bb"))
       .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -206,7 +224,15 @@ object ImageDedup {
       var j = 0
       while (j < 8) {
         val k = i * 8 + j
-        val bit = if (k == 63) 0L else (g >> (k / 3)) & 1L
+        // bit k encodes g-bit (k*13 mod 21): 13 is coprime to 21 and
+        // 63 = 3*21, so every g-bit still appears EXACTLY 3 times
+        // (>= 3-bit group separation preserved) but SCATTERED across the
+        // hash — a contiguous k/3 layout packed each 16-bit band with
+        // only ~5 g-bits, so thousands of groups shared each band bucket
+        // and the ladder's candidate stage read quadratic from CORPUS
+        // clustering the operator doesn't have on real (near-uniform)
+        // dHashes
+        val bit = if (k == 63) 0L else (g >> ((k * 13) % 21)) & 1L
         grid(i)(j + 1) = grid(i)(j) + (if (bit == 1L) 12 else -12)
         j += 1
       }

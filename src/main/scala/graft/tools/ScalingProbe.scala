@@ -148,6 +148,45 @@ object ScalingProbe {
         println(f"${"qe13c_fuzzy dedup-capped-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
 
+      // r14 media/crawl dedup legs, end-to-end (synthesize → decode →
+      // dedup): all are expected LINEAR — the only joins are hash-key
+      // equi-joins — and the per-row real decode (ImageIO / javax.sound)
+      // is the dominant constant. The image rungs stop at m=8: the
+      // planted corpus's 21-bit group encoding refuses past that with
+      // the ladder's 1e6-per-copy id offsets (operator itself unbounded).
+      if (wanted("qe69_image") && m <= 8) {
+        val t = time {
+          graft.operators.ImageDedup.dedupByPixels(
+            graft.operators.ImageDedup.syntheticDupImageCorpus(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe69_image dedup-pixels-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+      if (wanted("qe70_image") && m <= 8) {
+        val t = time {
+          graft.operators.ImageDedup.nearDupPairs(
+            graft.operators.ImageDedup.syntheticNearDupImageCorpus(docs.select("doc_id")),
+            maxHamming = 2)
+        }
+        println(f"${"qe70_image neardup-dhash-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+      if (wanted("qe71_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.dedupBySamples(
+            graft.operators.AudioDedup.syntheticDupAudioCorpus(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe71_audio dedup-samples-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+      if (wanted("qe68_url")) {
+        val t = time {
+          graft.operators.UrlOps.dedupByCanonical(
+            graft.operators.UrlOps.syntheticUrlCorpus(docs.select("doc_id")),
+            "doc_id", "url").select("doc_id", "is_kept")
+        }
+        println(f"${"qe68_url dedup-canonical-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+
       // certificate economics (r11 verdict #2): the whole-corpus per-pair
       // certificate (anchor column) embeds a quadratic exact anchor; the
       // 100x mode (twin column, qe65) keeps the PRODUCTION candidate path

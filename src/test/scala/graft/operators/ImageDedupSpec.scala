@@ -104,6 +104,21 @@ class ImageDedupSpec extends SparkTestBase {
     // one flip in EACH band: no shared band — the boundary the require guards
     val spread = base ^ 1L ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
     assert(bands(base).intersect(bands(spread)).isEmpty)
+    // pair-band guarantee (the maxHamming <= 2 scale path): any <= 2 flips
+    // leave at least one of the C(4,2)=6 band PAIRS fully clean
+    def pairBands(x: Long): Set[(Int, Int, Long, Long)] =
+      (for (a <- 0 until 4; b <- a + 1 until 4)
+        yield (a, b, (x >>> (a * 16)) & 0xFFFFL, (x >>> (b * 16)) & 0xFFFFL)).toSet
+    (0 until 500).foreach { _ =>
+      var flipped = base
+      (0 until rnd.nextInt(3)).foreach(_ => flipped ^= 1L << rnd.nextInt(64))
+      assert(pairBands(base).intersect(pairBands(flipped)).nonEmpty,
+        f"hamming<=2 pair lost by pair-banding: $flipped%016x")
+    }
+    // 3 flips across 3 distinct bands: no clean pair — exactly why
+    // maxHamming == 3 stays on single bands
+    val spread3 = base ^ 1L ^ (1L << 16) ^ (1L << 32)
+    assert(pairBands(base).intersect(pairBands(spread3)).isEmpty)
   }
 
   test("dedupByPixels: spellings collapse, undecodable rows are singletons") {
