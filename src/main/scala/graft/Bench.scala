@@ -52,32 +52,13 @@ object Bench {
     case c => c.toString
   }
 
-  /** The stdout line cannot carry 154 full-precision mins inside the
-    * driver's 2000-char tail window (the median map alone is ~1760 chars
-    * worst-case), but the mins that DIAGNOSE anything are the inflated
-    * ones — where a warming host pushed the median far above the
-    * query's best rep (the r12 qe62 10-s-median-vs-3.9-s-min case, only
-    * visible in the ephemeral bench_out.json until now). Emit min beside
-    * median for the [[MinEntriesCap]] most-inflated queries whose
-    * (median − min) exceeds [[MinSpreadFloor]]: on a quiet host the map
-    * is empty, on a hot host it carries exactly the evidence. The cap is
-    * a tail-window budget, not a claim of completeness — bench_out.json
-    * keeps every query's min at full precision. (Cap 2 — stepped down
-    * from 6 as the r14 fit extra and five new registrations consumed the
-    * line's headroom; the r13 inflation story was told by its top 1–2
-    * entries, and the full min map rides bench_out.json regardless. This
-    * lever is now EXHAUSTED at 161 queries: the next registration must
-    * drop the stdout min map entirely and lean on bench_out.json.) */
-  val MinSpreadFloor = 0.3
-  val MinEntriesCap = 2
-
-  /** Select (name, min) for the stdout diagnostic map from the per-query
-    * (median, spread, min) triples — most-inflated first. */
-  def inflatedMins(timed: Seq[(String, (Double, Double, Double))]): Seq[(String, Double)] =
-    timed.collect { case (n, (med, _, mn)) if mn >= 0 && med - mn >= MinSpreadFloor =>
-      (n, mn, med - mn)
-    }.sortBy { case (n, _, infl) => (-infl, n) }
-      .take(MinEntriesCap).map { case (n, mn, _) => (n, mn) }
+  // The inflated-min stdout map (r12 verdict #2, capped at 6 then 2
+  // entries) was retired at 164 registrations: the tail-window budget it
+  // rode on is spent, exactly as its own comment predicted at 161. The
+  // hot-host self-diagnosis lives on in bench_out.json, which has always
+  // carried EVERY query's min at full precision plus per-query 1-min
+  // load samples — the stdout map was a capped preview of that record,
+  // never the record itself.
 
   /** True median: even-length inputs average the two middle values —
     * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
@@ -173,7 +154,6 @@ object Bench {
     val sweep = names.map { n => val ld = loadAvg; (n, exec(n), ld) }
     val loadsPerQ = sweep.map { case (n, _, ld) => n -> ld }
     val timed4 = sweep.map { case (n, t, _) => n -> t }
-    val timed = timed4.map { case (n, (med, sp, mn, _)) => n -> ((med, sp, mn)) }
     val results = timed4.map { case (n, (med, _, _, _)) => n -> med }
     val spreads = timed4.map { case (n, (_, sp, _, _)) => n -> sp }
     val mins = timed4.map { case (n, (_, _, mn, _)) => n -> mn }
@@ -189,22 +169,18 @@ object Bench {
     // the authoritative record.
     val keyed = if (results.map(r => shortKey(r._1)).distinct.size == results.size)
       shortKey else identity[String] _ // collision → full names, never ambiguity
-    // hot-host self-diagnosis in the DRIVER-PARSED artifact (r12 verdict
-    // #2): the capped inflated-min map rides the same JSON line
-    val stdoutMins = inflatedMins(timed)
-    val minExtra = if (stdoutMins.isEmpty) "" else
-      stdoutMins.map { case (k, v) => "\"" + keyed(k) + "\":" + deci(v) }
-        .mkString(""","min":{""", ",", "}")
     // fit|apply split in the DRIVER-PARSED line (r13 verdict #1): total
     // seconds the sweep spent executing artifact fits — 0.0 on a warm
     // store; a cold store shows exactly the one-time anchor cost that
     // would otherwise masquerade as ambient. Bare seconds (~11 chars):
     // the per-query fit map and count live in bench_out.json, and the
-    // tail-window budget (InvariantsSpec) is too tight for more at 158
-    // queries.
+    // tail-window budget (InvariantsSpec) is too tight for more at 164
+    // queries. stdout also keys sf by BASENAME for the same budget;
+    // bench_out.json keeps the full directory.
     val fitTotal = fits.map(_._2).sum
     val fitExtra = s""","fit":${deci(fitTotal)}"""
-    println(renderLine(results, sfDir, deci, keyed, extra = minExtra + fitExtra))
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(renderLine(results, sfShort, deci, keyed, extra = fitExtra))
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the
     // per-query (max-min) spread across reps so environment noise is

@@ -25,10 +25,31 @@ object AudioDedup {
   case class AudioSig(doc_id: Long, channels: Int, sample_rate: Int,
                       n_frames: Long, sample_hash: String)
 
-  /** md5 hex over (channels, rate, every normalized sample, frame-major
-    * channel order); null when javax.sound cannot decode the bytes to
-    * integer PCM. */
-  def sampleHash(payload: Array[Byte]): AudioSig = {
+  /** One decoded PCM clip: format identity + the raw frame bytes with the
+    * fields needed to read normalized samples out of them. */
+  private case class Pcm(channels: Int, rate: Int, nFrames: Int,
+                         raw: Array[Byte], bytesPer: Int, frameSize: Int,
+                         bigEndian: Boolean, half: Int, unsigned: Boolean) {
+    /** Normalized (sign-corrected) sample for (frame, channel) — the ONE
+      * place the endianness/sign-storage subtlety lives. */
+    def sample(i: Int, c: Int): Int = {
+      val off = i * frameSize + c * bytesPer
+      var v = 0
+      var j = 0
+      while (j < bytesPer) {
+        val b = raw(off + j) & 0xFF
+        v = if (bigEndian) (v << 8) | b else v | (b << (8 * j))
+        j += 1
+      }
+      if (unsigned) v - half
+      else if (v >= half) v - (half << 1) else v // sign-extend
+    }
+  }
+
+  /** javax.sound decode to integer PCM; null when the bytes are not a
+    * decodable PCM container (the refuse-don't-guess boundary both the
+    * exact and perceptual hashes share). */
+  private def decodePcm(payload: Array[Byte]): Pcm = {
     import javax.sound.sampled._
     if (payload == null) return null
     val ais =
@@ -42,39 +63,105 @@ object AudioDedup {
       val frameSize = f.getFrameSize
       val raw = ais.readAllBytes()
       if (frameSize <= 0 || raw.length % frameSize != 0) return null
-      val n = raw.length / frameSize
-      val ch = f.getChannels
-      val half = 1 << (f.getSampleSizeInBits - 1)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(java.nio.ByteBuffer.allocate(8)
-        .putInt(ch).putInt(f.getSampleRate.toInt).array())
-      val word = java.nio.ByteBuffer.allocate(4)
-      var i = 0
-      while (i < n) {
-        var c = 0
-        while (c < ch) {
-          val off = i * frameSize + c * bytesPer
-          var v = 0
-          var j = 0
-          while (j < bytesPer) {
-            val b = raw(off + j) & 0xFF
-            v = if (f.isBigEndian) (v << 8) | b else v | (b << (8 * j))
-            j += 1
-          }
-          val s =
-            if (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - half
-            else if (v >= half) v - (half << 1) else v // sign-extend
-          word.clear(); word.putInt(s)
-          md.update(word.array())
-          c += 1
-        }
-        i += 1
-      }
-      AudioSig(-1L, ch, f.getSampleRate.toInt, n,
-        md.digest().map("%02x".format(_)).mkString)
+      Pcm(f.getChannels, f.getSampleRate.toInt, raw.length / frameSize,
+        raw, bytesPer, frameSize, f.isBigEndian,
+        1 << (f.getSampleSizeInBits - 1),
+        f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
     } catch { case _: Exception => null }
     finally ais.close()
   }
+
+  /** md5 hex over (channels, rate, every normalized sample, frame-major
+    * channel order); null when javax.sound cannot decode the bytes to
+    * integer PCM. */
+  def sampleHash(payload: Array[Byte]): AudioSig = {
+    val p = decodePcm(payload)
+    if (p == null) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.ByteBuffer.allocate(8)
+      .putInt(p.channels).putInt(p.rate).array())
+    val word = java.nio.ByteBuffer.allocate(4)
+    var i = 0
+    while (i < p.nFrames) {
+      var c = 0
+      while (c < p.channels) {
+        word.clear(); word.putInt(p.sample(i, c))
+        md.update(word.array())
+        c += 1
+      }
+      i += 1
+    }
+    AudioSig(-1L, p.channels, p.rate, p.nFrames,
+      md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Perceptual audio hash (eHash-64): the dHash discipline transplanted
+    * to waveforms. The clip's frames split into 72 equal windows laid out
+    * on the same 8×9 grid as [[ImageDedup.dHash64]]; a window's ENERGY is
+    * the integer sum of |normalized sample| over its frames × channels
+    * (channel-mix by summation — no floats anywhere); bit i*8+j is set
+    * iff window (i, j+1) has strictly greater MEAN energy than window
+    * (i, j), compared cross-multiplied so unequal window lengths (frame
+    * count not divisible by 72) introduce no integer-division bias.
+    * Stable under small per-sample perturbations (a ±1 sample moves a
+    * window energy by 1 against planted margins of dozens); identical
+    * across WAV/AIFF spellings because the decode normalizes endianness
+    * and sign storage. Same comparison topology as dHash ⇒ the ×3
+    * repetition-code corpus proof and the [[ImageDedup.bandBuckets]]
+    * pigeonhole recall guarantee transfer unchanged.
+    *
+    * Refuses (None) clips shorter than 72 frames: a sub-2ms blip has no
+    * energy CONTOUR to hash, and every such clip would pile into a few
+    * hot hash buckets, turning the band join cartesian on real crawls —
+    * the audio analog of the image leg's tracking-pixel guard. */
+  def eHash64(payload: Array[Byte]): Option[Long] = {
+    val p = decodePcm(payload)
+    if (p == null || p.nFrames < 72) return None
+    val energy = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var i = 0
+    while (i < p.nFrames) {
+      val w = math.min(71, (i.toLong * 72 / p.nFrames).toInt)
+      var c = 0
+      var mag = 0L
+      while (c < p.channels) { mag += math.abs(p.sample(i, c).toLong); c += 1 }
+      energy(w) += mag
+      counts(w) += 1
+      i += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var j = 0
+      while (j < 8) {
+        val w = r * 9 + j
+        val l = energy(w) * counts(w + 1)
+        val rr = energy(w + 1) * counts(w)
+        if (rr > l) bits |= 1L << (r * 8 + j)
+        j += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual signature stage: (doc_id, payload) → (doc_id, h64) rows
+    * for clips that decode and meet the 72-frame floor. */
+  def perceptualSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => eHash64(p).map(h => (id, h)) })
+      .toDF("doc_id", "h64")
+  }
+
+  /** Perceptual near-dup pairs (da < db, true Hamming distance) within
+    * `maxHamming` <= 3 — the shared banded-LSH join + bit_count verify
+    * ([[ImageDedup.hamming64Pairs]]); never an all-pairs stage. */
+  def nearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame =
+    ImageDedup.hamming64Pairs(
+      perceptualSignatures(media).auditedCheckpoint(), maxHamming)
 
   /** Decode stage: one mapPartitions pass to per-clip signatures. */
   def audioSignatures(media: DataFrame): Dataset[AudioSig] = {
@@ -123,8 +210,8 @@ object AudioDedup {
   private def sampleOf(g: Long, i: Int, c: Int): Int =
     (((g * 31 + i * 7 + c * 13) % 201) - 100).toInt
 
-  private def writeWav(g: Long, ch: Int, rate: Int, bits: Int, frames: Int,
-                       junk: Boolean): Array[Byte] = {
+  private def writeWav(sample: (Int, Int) => Int, ch: Int, rate: Int,
+                       bits: Int, frames: Int, junk: Boolean): Array[Byte] = {
     val bytesPer = bits / 8
     val dataSize = frames * ch * bytesPer
     val junkLen = if (junk) 12 else 0
@@ -141,7 +228,7 @@ object AudioDedup {
     while (i < frames) {
       var c = 0
       while (c < ch) {
-        val v = sampleOf(g, i, c)
+        val v = sample(i, c)
         if (bits == 8) bb.put((v + 128).toByte) // WAV 8-bit stores UNSIGNED
         else bb.putShort(v.toShort)
         c += 1
@@ -151,8 +238,8 @@ object AudioDedup {
     bb.array()
   }
 
-  private def writeAiff(g: Long, ch: Int, rate: Int, bits: Int, frames: Int,
-                        anno: Boolean): Array[Byte] = {
+  private def writeAiff(sample: (Int, Int) => Int, ch: Int, rate: Int,
+                        bits: Int, frames: Int, anno: Boolean): Array[Byte] = {
     val bytesPer = bits / 8
     val dataSize = frames * ch * bytesPer
     val annoLen = if (anno) 12 else 0
@@ -168,7 +255,7 @@ object AudioDedup {
     while (i < frames) {
       var c = 0
       while (c < ch) {
-        val v = sampleOf(g, i, c)
+        val v = sample(i, c)
         if (bits == 8) bb.put(v.toByte) // AIFF 8-bit stores SIGNED
         else bb.putShort(v.toShort)
         c += 1
@@ -197,13 +284,62 @@ object AudioDedup {
           val bits = if (g % 3 == 0) 8 else 16
           val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
           val frames = (g % 40 + 5).toInt
+          val sample = (i: Int, c: Int) => sampleOf(g, i, c)
           val bytes = (id % 4).toInt match {
-            case 0 => writeWav(g, ch, rate, bits, frames, junk = false)
-            case 1 => writeAiff(g, ch, rate, bits, frames, anno = false)
-            case 2 => writeWav(g, ch, rate, bits, frames, junk = true)
-            case _ => writeAiff(g, ch, rate, bits, frames, anno = true)
+            case 0 => writeWav(sample, ch, rate, bits, frames, junk = false)
+            case 1 => writeAiff(sample, ch, rate, bits, frames, anno = false)
+            case 2 => writeWav(sample, ch, rate, bits, frames, junk = true)
+            case _ => writeAiff(sample, ch, rate, bits, frames, anno = true)
           }
           (id, bytes, if (id % 2 == 0) "audio/wav" else "audio/aiff")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** Frames per planted perceptual window — 4 exact frames per window
+    * (n = 288 = 72·4), so window boundaries are exact and each planted
+    * energy step is 4·12 = 48 against a noise budget of ±1. */
+  private val NearFramesPerWin = 4
+
+  /** Planted waveform for the near-dup corpus: window w (0..71, laid on
+    * the [[ImageDedup.groupGrid]] 8×9 grid) holds an alternating-sign
+    * square wave of amplitude = the grid's luminance level for group `g`
+    * — the grid's ×3 repetition code thereby lands in the eHash verbatim
+    * (same comparison topology), giving >= 3-bit separation between
+    * groups. `noisy` bumps the MAGNITUDE of each window's first frame by
+    * 1: every sample hash splits, no energy comparison can flip. */
+  private def nearSampleOf(grid: Array[Array[Int]], i: Int, noisy: Boolean): Int = {
+    val w = i / NearFramesPerWin
+    val amp = grid(w / 9)(w % 9) +
+      (if (noisy && i % NearFramesPerWin == 0) 1 else 0)
+    if (i % 2 == 0) amp else -amp
+  }
+
+  /** Near-dup corpus: spellings 0/1 carry the group's planted waveform
+    * as WAV/AIFF (16-bit mono — sample hashes MATCH across the pair),
+    * spellings 2/3 the same waveform with one +1-magnitude sample per
+    * energy window (sample hashes split; every eHash comparison holds) —
+    * [[nearDupPairs]] at maxHamming 2 emits exactly the 6 in-group
+    * pairs, Hamming 0, oracle-recomputable as doc_id arithmetic. */
+  def syntheticNearDupAudioCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 4
+          require(g < (1L << 21),
+            s"synthetic audio corpus: group id $g exceeds the 21-bit eHash encoding")
+          val v = (id % 4).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val frames = 72 * NearFramesPerWin
+          val grid = ImageDedup.groupGrid(g)
+          val sample = (i: Int, _: Int) => nearSampleOf(grid, i, noisy = v >= 2)
+          val bytes =
+            if (v % 2 == 0) writeWav(sample, 1, rate, 16, frames, junk = false)
+            else writeAiff(sample, 1, rate, 16, frames, anno = false)
+          (id, bytes, if (v % 2 == 0) "audio/wav" else "audio/aiff")
         }
       }.toDF("doc_id", "payload", "mime")
   }

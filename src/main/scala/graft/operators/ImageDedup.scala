@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.PlanCapture.CheckpointOps
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Image deduplication over DECODED pixels (SURVEY §2.4, the image leg of
@@ -181,30 +181,49 @@ object ImageDedup {
     // re-run the full decode pass
     val sigs = imageSignatures(media).toDF()
       .filter(col("dhash").isNotNull)
-      .select(col("doc_id"), col("dhash"))
+      .select(col("doc_id"), col("dhash").as("h64"))
       .auditedCheckpoint()
-    def band16(b: Int) =
-      shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(0xFFFFL)
-    val buckets =
-      if (maxHamming <= 2)
-        (for (a <- 0 until 4; b <- a + 1 until 4) yield (a, b)).zipWithIndex.map {
-          case ((a, b), idx) => struct(lit(idx).as("band"),
-            (band16(a) * lit(65536L) + band16(b)).as("bucket"))
-        }
-      else (0 until 4).map(b =>
-        struct(lit(b).as("band"), band16(b).as("bucket")))
-    val banded = sigs.select(col("doc_id"), col("dhash"),
-      explode(array(buckets: _*)).as("bb"))
-      .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bucket"))
+    hamming64Pairs(sigs, maxHamming)
+  }
+
+  /** Near-dup pairs (da < db, true Hamming) for ANY 64-bit perceptual
+    * hash frame (doc_id, h64) — the banded-LSH join + bit_count verify
+    * shared by the image ([[nearDupPairs]]) and audio
+    * ([[AudioDedup.nearDupPairs]]) legs. Callers checkpoint `sigs` when
+    * the signature stage is expensive (it feeds both join sides). */
+  private[operators] def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hamming64Pairs: 4x16 banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val banded = sigs.select(col("doc_id"), col("h64"),
+      explode(array(bandBuckets(col("h64"), maxHamming): _*)).as("bb"))
+      .select(col("doc_id"), col("h64"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        col("a.h64").as("ha"), col("b.h64").as("hb"))
       .dropDuplicates("da", "db")
     cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** LSH band-bucket columns for a 64-bit dHash column — the shared
+    * banding scheme of [[nearDupPairs]] and [[VideoDedup.containmentPairs]]
+    * (struct(band, bucket); equi-join both fields). 32-bit band-PAIR
+    * buckets when `maxHamming <= 2` (C(4,2)=6 buckets, at least one clean
+    * pair by pigeonhole, no saturation past 2^16 rows); single 16-bit
+    * bands only at the maxHamming == 3 boundary. */
+  private[operators] def bandBuckets(dhash: Column, maxHamming: Int): Seq[Column] = {
+    def band16(b: Int) =
+      shiftrightunsigned(dhash, b * 16).bitwiseAND(0xFFFFL)
+    if (maxHamming <= 2)
+      (for (a <- 0 until 4; b <- a + 1 until 4) yield (a, b)).zipWithIndex.map {
+        case ((a, b), idx) => struct(lit(idx).as("band"),
+          (band16(a) * lit(65536L) + band16(b)).as("bucket"))
+      }
+    else (0 until 4).map(b =>
+      struct(lit(b).as("band"), band16(b).as("bucket")))
   }
 
   // ---- planted corpora ------------------------------------------------
@@ -216,7 +235,7 @@ object ImageDedup {
     * every in-group spelling hashes identically. Cells step ±12 in
     * luminance per desired bit from a 128 base (range [32, 224], margin
     * 12 ≫ any single-pixel perturbation's <= 1 effect on a cell mean). */
-  private def groupGrid(g: Long): Array[Array[Int]] = {
+  private[operators] def groupGrid(g: Long): Array[Array[Int]] = {
     val grid = Array.ofDim[Int](8, 9)
     var i = 0
     while (i < 8) {
@@ -241,7 +260,7 @@ object ImageDedup {
     grid
   }
 
-  private def paint(grid: Array[Array[Int]], cell: Int,
+  private[operators] def paint(grid: Array[Array[Int]], cell: Int,
                     perturb: Boolean): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -264,7 +283,7 @@ object ImageDedup {
     img
   }
 
-  private def encodeImg(img: java.awt.image.BufferedImage,
+  private[operators] def encodeImg(img: java.awt.image.BufferedImage,
                         fmt: String, bgr: Boolean): Array[Byte] = {
     val src = if (!bgr) img else {
       // repaint into a different color model: same pixels, different

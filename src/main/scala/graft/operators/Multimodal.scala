@@ -782,8 +782,12 @@ object Multimodal {
     /** Build a spec-shaped MJPEG AVI: RIFF('AVI ' LIST('hdrl' stub)
       * LIST('movi' '00dc'-chunks)) — the hdrl LIST is planted so the
       * reader's chunk walk (not a fixed offset) is exercised. Each frame
-      * is a REAL ImageIO-encoded JPEG of a painted gradient. */
-    def build(frames: Seq[Array[Byte]]): Array[Byte] = {
+      * is a REAL ImageIO-encoded JPEG of a painted gradient. With
+      * `junk = true` a top-level JUNK chunk (the AVI spec's alignment
+      * padding, skipped by any conforming walk) sits between hdrl and
+      * movi — a pure container-level byte-spelling change that leaves
+      * the frame payloads untouched. */
+    def build(frames: Seq[Array[Byte]], junk: Boolean = false): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       def le32(v: Int): Array[Byte] =
         Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -799,7 +803,8 @@ object Multimodal {
         chunk("avih", new Array[Byte](56))) // stub main header, correct size
       val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
         frames.flatMap(f => chunk("00dc", f)).toArray)
-      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      val pad = if (junk) chunk("JUNK", new Array[Byte](12)) else Array.emptyByteArray
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ pad ++ movi
       out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
       out.write(body)
       out.toByteArray

@@ -1847,6 +1847,54 @@ object Extensions {
       graft.operators.AudioDedup.dedupBySamples(media)
         .select(col("doc_id"), col("survivor_id"), col("is_kept"))
         .orderBy("doc_id")
-    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id"""))
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
+    // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
+    // content: four byte-level spellings of the same clip (PNG frames,
+    // BMP frames, a JUNK alignment chunk in the container, a BGR
+    // color-model roundtrip) collapse onto one frame-sequence hash
+    // through the real RIFF walk + ImageIO frame decode — byte-level
+    // dedup provably cannot. n_frames rides along so the oracle also
+    // certifies the frame walk; everything is doc_id arithmetic.
+    ("qe72_video_frame_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.VideoDedup.syntheticDupVideoCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.VideoDedup.dedupByFrames(media)
+        .select(col("doc_id"), col("n_frames"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST((doc_id // 4) % 3 + 2 AS INTEGER) AS n_frames, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
+    // E2/E5 (video leg, r14) — perceptual, TRIM-ROBUST video containment:
+    // per-frame dHash + the shared band join + bit_count verify, then a
+    // video pair is kept when every frame of the SHORTER clip has a
+    // counterpart — catching both the re-encoded-with-pixel-noise
+    // spelling (pixel hashes split, dHashes identical) and the
+    // truncated-tail spelling (prefix frames all match). The planted
+    // frame rasters encode (group, frame index) with >= 3-bit dHash
+    // separation, so the exact output is the 6 in-group pairs per group
+    // with matched counts the oracle recomputes as arithmetic (n-1 where
+    // the trimmed spelling is involved, n otherwise).
+    // E2/E5 (audio leg, r14) — PERCEPTUAL audio near-dup via eHash-64
+    // (72 windowed energies on the dHash 8×9 comparison grid) + the
+    // shared band join + bit_count verify: WAV/AIFF spellings AND
+    // noisy-sample re-encodings of one recording pair at Hamming 0 while
+    // distinct recordings stay >= 3 bits apart — the planted waveform
+    // carries the groupGrid ×3 repetition code in its energy contour, so
+    // the exact output is the 6 in-group pairs per group, arithmetic to
+    // the oracle. Completes the perceptual matrix: text MinHash/SimHash,
+    // image dHash, video frame-containment, audio eHash.
+    ("qe74_audio_neardup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticNearDupAudioCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.nearDupPairs(media, maxHamming = 2)
+        .orderBy("da", "db")
+    }, Some("""SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id ORDER BY da, db""")),
+
+    ("qe73_video_containment", (s: SparkSession, d: String) => {
+      val media = graft.operators.VideoDedup.syntheticNearDupVideoCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.VideoDedup.containmentPairs(media, maxHamming = 2)
+        .orderBy("da", "db")
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v FROM documents), p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS g, b.v AS vb FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT da, db, CAST(g % 3 + 2 AS BIGINT) AS na, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS nb, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_a, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_b, TRUE AS contained FROM p ORDER BY da, db"""))
   )
 }

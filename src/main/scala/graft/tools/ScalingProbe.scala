@@ -178,6 +178,38 @@ object ScalingProbe {
         }
         println(f"${"qe71_audio dedup-samples-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      // the video/audio-perceptual rungs (r14 closing) synthesize from a
+      // DENSE id range instead of the offset-union docs frame: the video
+      // corpus's (group, frame) keys live in 21 bits of dHash encoding
+      // (g*5+4 < 2^21), which the ladder's 1e6-per-copy offsets blow past
+      // m=2 — with dense ids the same row counts ladder cleanly. The
+      // operators themselves are id-unbounded; only the planted corpora
+      // carry the encoding bound.
+      def denseDocs: DataFrame = spark.range(nd).toDF("doc_id")
+      if (wanted("qe72_video")) {
+        val t = time {
+          graft.operators.VideoDedup.dedupByFrames(
+            graft.operators.VideoDedup.syntheticDupVideoCorpus(denseDocs))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe72_video dedup-frames-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+      if (wanted("qe73_video")) {
+        val t = time {
+          graft.operators.VideoDedup.containmentPairs(
+            graft.operators.VideoDedup.syntheticNearDupVideoCorpus(denseDocs),
+            maxHamming = 2)
+        }
+        println(f"${"qe73_video containment-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
+      if (wanted("qe74_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.nearDupPairs(
+            graft.operators.AudioDedup.syntheticNearDupAudioCorpus(denseDocs),
+            maxHamming = 2)
+        }
+        println(f"${"qe74_audio neardup-ehash-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       if (wanted("qe68_url")) {
         val t = time {
           graft.operators.UrlOps.dedupByCanonical(

@@ -70,37 +70,19 @@ class InvariantsSpec extends SparkTestBase {
     // single query beyond ~100 s already blows the driver's round budget
     // long before the tail window matters
     val results = names.map(_ -> 99.9)
-    // worst ADMISSIBLE stdout min map rides along (r12 verdict #2): the
-    // cap-many most-inflated queries, every value at the worst deci width
-    val worstMins = names.take(Bench.MinEntriesCap)
-      .map(n => "\"" + Bench.shortKey(n) + "\":100")
-      .mkString(""","min":{""", ",", "}")
-    // worst admissible fit extra (r13 verdict #1): 3-digit seconds
+    // worst admissible fit extra (r13 verdict #1): 3-digit seconds. (The
+    // capped stdout min map retired at 164 registrations — its budget is
+    // spent; bench_out.json has always carried the full min map.)
     val worstFit = ""","fit":100"""
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1", Bench.deci,
-      Bench.shortKey, extra = worstMins + worstFit)
+    // stdout keys sf by basename (main does the same); bench_out.json
+    // keeps the full directory
+    val line = Bench.renderLine(results, "sf0.1", Bench.deci,
+      Bench.shortKey, extra = worstFit)
     // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
     // epilogue shares them — 1880 leaves ~40 chars (≈3 more queries)
     // before short keys must shrink further
     assert(line.length <= 1880,
       s"bench stdout line ${line.length} chars — too close to the 2000-char window")
-  }
-
-  test("bench inflated-min selection: floor, cap, deterministic order, failed reps excluded") {
-    // (name, (median, spread, min)): only med-min >= floor qualifies;
-    // most-inflated first; capped; a failed query (-1 sentinel) never
-    // shows a bogus "min"
-    val timed = Seq(
-      "q_flat" -> (1.0, 0.1, 0.9),    // inflation 0.1 < floor: out
-      "q_hot" -> (10.0, 6.3, 3.9),    // the r12 qe62 case: in, first
-      "q_warm" -> (2.0, 0.5, 1.5),    // inflation 0.5: in, second
-      "q_fail" -> (-1.0, -1.0, -1.0)) // failed: out
-    assert(Bench.inflatedMins(timed) == Seq("q_hot" -> 3.9, "q_warm" -> 1.5))
-    // cap engages on a fleet of equally inflated queries, name-ordered
-    val many = (0 until 20).map(i => f"q$i%02d" -> (5.0, 2.0, 1.0))
-    val capped = Bench.inflatedMins(many)
-    assert(capped.size == Bench.MinEntriesCap)
-    assert(capped == capped.sortBy(_._1), "equal inflation must tie-break by name")
   }
 
   test("SURVEY's registered-query count matches the live registry (drift guard)") {

@@ -54,4 +54,55 @@ class AudioDedupSpec extends SparkTestBase {
       (4L, 4L, 1), (5L, 4L, 0), (6L, 4L, 0), (7L, 4L, 0),
       (8L, 8L, 1), (9L, 9L, 1)))
   }
+
+  private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
+    AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+
+  test("eHash64: the planted energy contour lands the groupGrid bits verbatim " +
+    "(cross-modal: equals the image dHash of the same group); noise and container do not move it") {
+    val bytes = nearBytes(0L until 8L)
+    (0 to 1).foreach { g =>
+      val hashes = (g * 4 until g * 4 + 4).map(i => AudioDedup.eHash64(bytes(i.toLong)))
+      assert(hashes.forall(_.isDefined), s"group $g: a spelling refused the eHash")
+      assert(hashes.map(_.get).distinct.size == 1,
+        s"group $g spellings hash apart: ${hashes.map(h => f"${h.get}%016x")}")
+      // same comparison topology, same planted code: the audio eHash IS
+      // the image dHash of that group's painted grid
+      val img = ImageDedup.paint(ImageDedup.groupGrid(g.toLong), cell = 4, perturb = false)
+      assert(hashes.head.get == ImageDedup.dHash64(img),
+        s"group $g: eHash and dHash diverge on the same planted code")
+    }
+    // sample hashes really split 2+2 inside each group (the work the
+    // exact pass cannot do)
+    val exactHashes = (0 until 4).map(i => AudioDedup.sampleHash(bytes(i.toLong)).sample_hash)
+    assert(exactHashes.distinct.size == 2, s"expected clean/noisy split, got $exactHashes")
+    // refusal floor: a clip under 72 frames has no energy contour
+    val short = AudioDedup.syntheticDupAudioCorpus(Seq(0L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]]("payload") // 5-frame clip
+    assert(AudioDedup.eHash64(short).isEmpty)
+    assert(AudioDedup.eHash64("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioDedup.eHash64(null).isEmpty)
+  }
+
+  test("audio nearDupPairs: noisy re-encodings pair at Hamming 0, distinct recordings never; " +
+    "band join stays an equi-join; boundary refuses") {
+    val docs = (0L until 12L).toDF("doc_id")
+    val media = AudioDedup.syntheticNearDupAudioCorpus(docs)
+    val pairs = AudioDedup.nearDupPairs(media, maxHamming = 2)
+    pairs.collect() // drive so AQE finalizes before the plan audit
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (0 until 3).flatMap { g =>
+      val ids = (g * 4 until g * 4 + 4).map(_.toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b, 0)
+    }.toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must equi-join on (band, bucket):\n$plan")
+    intercept[IllegalArgumentException] {
+      AudioDedup.nearDupPairs(media, maxHamming = 4)
+    }
+  }
 }

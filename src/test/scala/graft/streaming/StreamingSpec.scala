@@ -949,6 +949,34 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming video frame dedup over an id-ordered replay == batch survivors " +
+    "(container walk + frame decode in-flight, dedup state across micro-batches)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.limit(24)
+    val media = graft.operators.VideoDedup.syntheticDupVideoCorpus(docs)
+    val want = graft.operators.VideoDedup.dedupByFrames(media)
+      .filter(col("is_kept") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.operators.VideoDedup.dedupByFramesStream(
+        input.toDF().toDF("doc_id", "payload"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("t_viddedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = media.select("doc_id", "payload").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+      // waves of 3 split each 4-spelling group across micro-batches: the
+      // dedup state must carry a wave-1 content hash into wave 2
+      rows.grouped(3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_viddedup").collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"stream video dedup diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub over a replay == batch (stateless projection)") {
     val batch = Seq(
       (1L, "mail a@b.co now"), (2L, "host 10.0.0.1"), (3L, "clean"))
