@@ -135,9 +135,17 @@ object AudioDedup {
       var j = 0
       while (j < 8) {
         val w = r * 9 + j
-        val l = energy(w) * counts(w + 1)
-        val rr = energy(w + 1) * counts(w)
-        if (rr > l) bits |= 1L << (r * 8 + j)
+        // 128-bit cross-multiply: energy reaches windowFrames × channels
+        // × 2^31 on 32-bit PCM, so energy × counts overflows a Long past
+        // ~107 s at 44.1 kHz — a wrapped product flips comparison bits
+        // and silently breaks the perturbation-stability guarantee. 64
+        // exact BigInteger compares per clip are noise next to the
+        // decode.
+        val l = java.math.BigInteger.valueOf(energy(w))
+          .multiply(java.math.BigInteger.valueOf(counts(w + 1)))
+        val rr = java.math.BigInteger.valueOf(energy(w + 1))
+          .multiply(java.math.BigInteger.valueOf(counts(w)))
+        if (rr.compareTo(l) > 0) bits |= 1L << (r * 8 + j)
         j += 1
       }
       r += 1
@@ -181,17 +189,9 @@ object AudioDedup {
   /** Exact sample dedup: min-id survivor per sample hash; undecodable
     * rows stay singletons. Checkpointed signatures feed both sides of
     * the survivor join — each clip decodes once per action. */
-  def dedupBySamples(media: DataFrame): DataFrame = {
-    val sigs = audioSignatures(media).toDF()
-      .auditedCheckpoint()
-      .withColumn("__key",
-        coalesce(col("sample_hash"), concat(lit("doc:"), col("doc_id"))))
-    val survivors = sigs.groupBy(col("__key"))
-      .agg(min(col("doc_id")).as("survivor_id"))
-    sigs.join(survivors, Seq("__key"), "left")
-      .withColumn("is_kept", (col("doc_id") === col("survivor_id")).cast("int"))
-      .drop("__key")
-  }
+  def dedupBySamples(media: DataFrame): DataFrame =
+    Dedup.minIdSurvivorByKey(
+      audioSignatures(media).toDF().auditedCheckpoint(), "sample_hash")
 
   // ---- planted corpus --------------------------------------------------
 

@@ -22,6 +22,37 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(idCol).as("keep_id"), count("*").as("dup_cnt"))
 
+  /** Min-id-survivor dedup on a nullable content-hash column — the E1
+    * media-leg shape shared by [[ImageDedup.dedupByPixels]],
+    * [[AudioDedup.dedupBySamples]] and [[VideoDedup.dedupByFrames]]: a
+    * null hash (refused decode) keys on its own doc_id and stays a
+    * singleton — a dedup pass must never merge what it could not read;
+    * survivor = min doc_id per key; `is_kept` flags survivors. One hash
+    * aggregation on a uniform digest key — no skew handling needed.
+    * Callers checkpoint `sigs` first when the signature stage is the
+    * dominant cost (it feeds both sides of the survivor join). */
+  def minIdSurvivorByKey(sigs: DataFrame, hashCol: String): DataFrame = {
+    val keyed = sigs.withColumn("__key",
+      coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))
+    val survivors = keyed.groupBy(col("__key"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+    keyed.join(survivors, Seq("__key"), "left")
+      .withColumn("is_kept", (col("doc_id") === col("survivor_id")).cast("int"))
+      .drop("__key")
+  }
+
+  /** FIRST-seen streaming twin of [[minIdSurvivorByKey]]: stateless
+    * upstream projection + `dropDuplicates` state on the same key —
+    * under an id-ordered replay first-seen == the batch min-id survivor
+    * set (asserted per leg in StreamingSpec). Emits kept rows only. Pair
+    * with a watermark + dropDuplicatesWithinWatermark for bounded state
+    * on always-on streams. */
+  def firstSeenByKey(sigs: DataFrame, hashCol: String): DataFrame =
+    sigs.withColumn("__key",
+        coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))
+      .dropDuplicates("__key")
+      .drop("__key")
+
   /** Distinct n-word shingle list from a pre-tokenized array column.
     * Guarded for short docs. */
   private def shingleListCol(ws: Column, n: Int): Column =

@@ -129,20 +129,12 @@ object ImageDedup {
     * (null hash) are their own singleton groups — a dedup pass must never
     * merge what it could not read. One hash aggregation; the hash key is
     * uniform, so no skew handling is needed. */
-  def dedupByPixels(media: DataFrame): DataFrame = {
+  def dedupByPixels(media: DataFrame): DataFrame =
     // checkpoint the signatures: they feed BOTH sides of the survivor
     // join, and the ImageIO decode is the dominant per-row cost — without
     // it every image decodes twice per action
-    val sigs = imageSignatures(media).toDF()
-      .auditedCheckpoint()
-      .withColumn("__key",
-        coalesce(col("pixel_hash"), concat(lit("doc:"), col("doc_id"))))
-    val survivors = sigs.groupBy(col("__key"))
-      .agg(min(col("doc_id")).as("survivor_id"))
-    sigs.join(survivors, Seq("__key"), "left")
-      .withColumn("is_kept", (col("doc_id") === col("survivor_id")).cast("int"))
-      .drop("__key")
-  }
+    Dedup.minIdSurvivorByKey(
+      imageSignatures(media).toDF().auditedCheckpoint(), "pixel_hash")
 
   /** STREAMING exact pixel dedup: the signature stage is a stateless
     * mapPartitions projection (streaming-legal), and the dedup is
@@ -154,11 +146,7 @@ object ImageDedup {
     * dropDuplicatesWithinWatermark for bounded state on always-on
     * streams, as with [[UrlOps.dedupByCanonicalStream]]. */
   def dedupByPixelsStream(media: DataFrame): DataFrame =
-    imageSignatures(media).toDF()
-      .withColumn("__key",
-        coalesce(col("pixel_hash"), concat(lit("doc:"), col("doc_id"))))
-      .dropDuplicates("__key")
-      .drop("__key")
+    Dedup.firstSeenByKey(imageSignatures(media).toDF(), "pixel_hash")
 
   /** Perceptual near-dup pairs (da < db, true Hamming distance) within
     * `maxHamming` (must be <= 3: the 4-band pigeonhole guarantee's
@@ -230,8 +218,13 @@ object ImageDedup {
 
   /** Luminance grid whose dHash PROVABLY encodes the group id: 64 bits =
     * the low 21 bits of `g`, each repeated 3× (bit k of the hash = bit
-    * k/3 of g; bit 63 = 0), so two distinct groups differ in >= 3 dHash
-    * bits — [[nearDupPairs]] at maxHamming 2 can never pair them — while
+    * (k·13 mod 21) of g — SCATTERED, see the inline comment; bit 63 = 0),
+    * so two distinct groups differ in >= 3 dHash bits, and the three
+    * copies of each g-bit land at k, k+21, k+42 — always spanning three
+    * DISTINCT 16-bit bands, which is why every band pair covers all 21
+    * g-bits and cross-group band-bucket collisions are structurally zero
+    * in the planted corpora. [[nearDupPairs]] at maxHamming 2 can never
+    * pair distinct groups, while
     * every in-group spelling hashes identically. Cells step ±12 in
     * luminance per desired bit from a 128 base (range [32, 224], margin
     * 12 ≫ any single-pixel perturbation's <= 1 effect on a cell mean). */

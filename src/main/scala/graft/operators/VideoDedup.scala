@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *
   * Refuse-don't-guess: a payload that is not an AVI, or any frame that
   * does not decode, yields a null signature — [[dedupByFrames]] keeps it
-  * as its own singleton group; [[containmentPairs]] only sees decodable
-  * frames and videos with zero usable frames never pair. */
+  * as its own singleton group, and [[frameDHashes]] refuses the whole
+  * clip (all-or-nothing), so [[containmentPairs]] never reports
+  * containment over a partially-read clip. */
 object VideoDedup {
 
   case class VideoSig(doc_id: Long, n_frames: Int, content_hash: String)
@@ -77,19 +78,11 @@ object VideoDedup {
     * [[Dedup.exactDedup]] convention). Null-signature rows are their own
     * singleton groups. One hash aggregation on a uniform md5 key — no
     * skew handling needed. */
-  def dedupByFrames(media: DataFrame): DataFrame = {
+  def dedupByFrames(media: DataFrame): DataFrame =
     // checkpoint: the signatures feed BOTH sides of the survivor join and
     // the full frame decode is the dominant per-row cost
-    val sigs = videoSignatures(media).toDF()
-      .auditedCheckpoint()
-      .withColumn("__key",
-        coalesce(col("content_hash"), concat(lit("doc:"), col("doc_id"))))
-    val survivors = sigs.groupBy(col("__key"))
-      .agg(min(col("doc_id")).as("survivor_id"))
-    sigs.join(survivors, Seq("__key"), "left")
-      .withColumn("is_kept", (col("doc_id") === col("survivor_id")).cast("int"))
-      .drop("__key")
-  }
+    Dedup.minIdSurvivorByKey(
+      videoSignatures(media).toDF().auditedCheckpoint(), "content_hash")
 
   /** STREAMING exact frame dedup twin: stateless signature projection +
     * `dropDuplicates` on the content hash — FIRST-seen survivor (== the
@@ -98,27 +91,30 @@ object VideoDedup {
     * dropDuplicatesWithinWatermark for bounded state on always-on
     * streams, as with [[ImageDedup.dedupByPixelsStream]]. */
   def dedupByFramesStream(media: DataFrame): DataFrame =
-    videoSignatures(media).toDF()
-      .withColumn("__key",
-        coalesce(col("content_hash"), concat(lit("doc:"), col("doc_id"))))
-      .dropDuplicates("__key")
-      .drop("__key")
+    Dedup.firstSeenByKey(videoSignatures(media).toDF(), "content_hash")
 
-  /** Per-frame dHash rows — frames that decode and meet dHash's 9×8
-    * minimum ([[ImageDedup.imageSignatures]] refusal rationale) emit one
-    * row each; everything else drops out. */
+  /** Per-frame dHash rows. ALL-OR-NOTHING per clip: a video emits frame
+    * rows only if EVERY container frame decodes and meets dHash's 9×8
+    * minimum ([[ImageDedup.imageSignatures]] refusal rationale) —
+    * otherwise the whole clip refuses and drops out. Per-frame silent
+    * drops would shrink a clip's frame count, and [[containmentPairs]]
+    * would then report containment over only the readable subset —
+    * merging what the engine could not read, the exact hazard
+    * [[contentHash]]'s null-on-partial-read contract exists to prevent. */
   def frameDHashes(media: DataFrame): Dataset[FrameHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        Option(if (p == null) null else Multimodal.MjpegAvi.framePayloads(p))
-          .toSeq.flatten.zipWithIndex.flatMap { case (f, i) =>
-            val img = Multimodal.JdkImageCodec.read(f)
-            if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-            else Some(FrameHash(id, i, ImageDedup.dHash64(img)))
-          }
+        val frames =
+          Option(if (p == null) null else Multimodal.MjpegAvi.framePayloads(p))
+            .toSeq.flatten.zipWithIndex.map { case (f, i) =>
+              val img = Multimodal.JdkImageCodec.read(f)
+              if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+              else Some(FrameHash(id, i, ImageDedup.dHash64(img)))
+            }
+        if (frames.exists(_.isEmpty)) Nil else frames.flatten
       })
   }
 
@@ -165,8 +161,14 @@ object VideoDedup {
         .withColumnRenamed("n_frames", "na"), Seq("da"))
       .join(counts.withColumnRenamed("doc_id", "db")
         .withColumnRenamed("n_frames", "nb"), Seq("db"))
+      // the SHORTER clip must be fully covered — matched_a===na OR
+      // matched_b===nb would also accept the LONGER side being covered,
+      // which a looped/frozen-frame clip satisfies trivially ([x,x,x]
+      // vs [x,y]: every long-side frame matches x, yet y has no
+      // counterpart)
       .withColumn("contained",
-        col("matched_a") === col("na") || col("matched_b") === col("nb"))
+        when(col("na") <= col("nb"), col("matched_a") === col("na"))
+          .otherwise(col("matched_b") === col("nb")))
       .select(col("da"), col("db"), col("na"), col("nb"),
         col("matched_a"), col("matched_b"), col("contained"))
   }

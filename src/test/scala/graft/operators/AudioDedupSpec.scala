@@ -90,7 +90,7 @@ class AudioDedupSpec extends SparkTestBase {
     val docs = (0L until 12L).toDF("doc_id")
     val media = AudioDedup.syntheticNearDupAudioCorpus(docs)
     val pairs = AudioDedup.nearDupPairs(media, maxHamming = 2)
-    pairs.collect() // drive so AQE finalizes before the plan audit
+    // one collect serves both the data assert and the AQE-finalized plan
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val want = (0 until 3).flatMap { g =>
       val ids = (g * 4 until g * 4 + 4).map(_.toLong)

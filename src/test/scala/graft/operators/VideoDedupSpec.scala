@@ -114,6 +114,24 @@ class VideoDedupSpec extends SparkTestBase {
     val got = VideoDedup.containmentPairs(rows, maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6))).toSet
     assert(got == Set((0L, 1L, false), (0L, 2L, true), (1L, 2L, true)))
+    // a LOOPED clip does not contain a shorter clip it only partially
+    // covers: [f1,f1,f1] vs [f1,f2] — every long-side frame matches f1,
+    // but short-side f2 has no counterpart
+    val looped = Seq(
+      (0L, avi(enc(f1, "png"), enc(f2, "png"))),
+      (1L, avi(enc(f1, "png"), enc(f1, "png"), enc(f1, "png"))))
+      .toDF("doc_id", "payload")
+    val lp = VideoDedup.containmentPairs(looped, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6))).toSet
+    assert(lp == Set((0L, 1L, false)),
+      s"a looped cover of one frame must not read as containment: $lp")
+    // all-or-nothing refusal: a clip with one unreadable frame never
+    // pairs (partial-read containment would merge what was not read)
+    val broken = Seq(
+      (0L, avi(enc(f1, "png"), enc(f2, "png"))),
+      (3L, avi(enc(f1, "png"), "garbage".getBytes("UTF-8"))))
+      .toDF("doc_id", "payload")
+    assert(VideoDedup.containmentPairs(broken, maxHamming = 2).count() == 0)
   }
 
   test("plan hygiene: the frame band join is an equi-join, never a cartesian/nested-loop") {
