@@ -19,8 +19,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** stdout keys each query by its unique id prefix — see the tail-window
-    * comment in main; uniqueness is guarded in InvariantsSpec. */
-  val shortKey: String => String = n => n.takeWhile(_ != '_')
+    * comment in main; uniqueness is guarded in InvariantsSpec. From 165
+    * registrations the constant leading 'q' is stripped too ("01",
+    * "e13b"): every name carries it, so it spent one budget char per
+    * query saying nothing, and dropping it bought ~15 registrations of
+    * headroom the cap-and-retire ladder (min map cap 6 → 2 → gone) had
+    * exhausted. bench_out.json keys by FULL name as always. */
+  val shortKey: String => String = n => n.takeWhile(_ != '_').stripPrefix("q")
 
   /** Locale-pinned formatters: the default-locale f"%.1f" would print
     * "0,1" on a comma-decimal locale (de_DE), breaking the JSON. stdout

@@ -25,6 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - GIF (GIF87a/89a spec): 6-byte version signature, then the logical
   *    screen descriptor — width and height as LITTLE-endian u16s at
   *    offsets 6 and 8.
+  *  - BMP (Windows BMP spec): "BM" file header (14 bytes), then a DIB
+  *    header whose leading u32 LE size selects the layout —
+  *    BITMAPCOREHEADER (12: u16 LE dims) or BITMAPINFOHEADER through V5
+  *    (40–124: s32 LE dims, negative height = top-down).
   *
   * Anything unrecognized (or truncated mid-header) yields NULL, never a
   * guess — the honest behavior for a curation gate deciding whether a
@@ -32,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * beyond the 3-field result row; the payload bytes are read in place. */
 object ImageHeader {
 
-  import ByteReads.{be16, be32, le16}
+  import ByteReads.{be16, be32, le16, le32}
 
   /** Parse (mime, width, height) from container header bytes; null if the
     * payload is not a recognized, intact image header. */
@@ -87,6 +91,26 @@ object ImageHeader {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w <= 0 || h <= 0) return null
       ("image/gif", w, h)
+    } else if (isBmp(b)) {
+      // BITMAPFILEHEADER(14) then the DIB header, whose leading u32 LE
+      // size selects the layout (Windows BMP spec): 12 = BITMAPCOREHEADER
+      // (u16 LE dims), 40..124 = BITMAPINFOHEADER..V5 (s32 LE dims; a
+      // negative height means top-down row order — magnitude is the
+      // pixel height). Other sizes: not a BMP we can read — null.
+      if (b.length < 18) return null
+      val dib = le32(b, 14)
+      if (dib == 12) {
+        if (b.length < 22) return null
+        val w = le16(b, 18); val h = le16(b, 20)
+        if (w <= 0 || h <= 0) return null
+        ("image/bmp", w, h)
+      } else if (dib >= 40 && dib <= 124) {
+        if (b.length < 26) return null
+        val w = le32(b, 18); val h0 = le32(b, 22)
+        // Int.MinValue has no positive magnitude — refuse, don't wrap
+        if (w <= 0 || h0 == 0 || h0 == Int.MinValue) return null
+        ("image/bmp", w, math.abs(h0))
+      } else null
     } else null
   }
 
@@ -100,6 +124,11 @@ object ImageHeader {
   private def isGif(b: Array[Byte]): Boolean =
     b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** "BM" is only 2 bytes of magic — the DIB-header-size check in the
+    * parse body is what keeps arbitrary "BM…" bytes from mis-parsing. */
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
   /** SOFn frame-header markers: C0–CF minus C4 (DHT), C8 (JPG ext), CC (DAC). */
   private def isSof(m: Int): Boolean =

@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    "trak" boxes (one per track), which are counted, not descended.
   *
   * Both mvhd versions must be handled — they move the timescale field.
+  *
+  * The second container family is AVI (Microsoft RIFF spec): the avih
+  * main header inside LIST('hdrl') carries dwMicroSecPerFrame,
+  * dwTotalFrames and dwStreams — reported on the same struct with
+  * timescale pinned at 1000 (duration == duration_ms).
+  *
   * Anything unrecognized, truncated mid-box, or torn (a child box
   * overrunning its parent's extent) yields NULL, never a guess. One
   * codegen'd call per row; bytes are read in place. */
@@ -41,6 +47,11 @@ object VideoHeader {
   /** JVM-facing form for Dataset/mapPartitions callers. */
   def parse(b: Array[Byte]): (String, Int, Long, Long, Int) = {
     if (b == null || b.length < 16) return null
+    // AVI (Microsoft RIFF spec): RIFF('AVI ' LIST('hdrl' avih …) …) —
+    // presentation metadata lives in the avih main header. Reported on
+    // the same struct with timescale fixed at 1000 (AVI counts time in
+    // microseconds per frame; duration == duration_ms by construction).
+    if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ")) return parseAvi(b)
     // an ISO BMFF file opens with an ftyp box (the brand declaration)
     if (!fourcc(b, 4, "ftyp")) return null
     var off = 0
@@ -89,6 +100,49 @@ object VideoHeader {
     if (timescale <= 0 || duration < 0) return null
     if (duration > Long.MaxValue / 1000L) return null // ms form would overflow
     ("video/mp4", timescale, duration, duration * 1000L / timescale, tracks)
+  }
+
+  /** RIFF-AVI walk: find LIST('hdrl'), read its leading avih chunk (the
+    * AVIMAINHEADER, 56 bytes): dwMicroSecPerFrame u32 LE at +0,
+    * dwTotalFrames at +16, dwStreams at +24. duration_ms =
+    * usPerFrame·totalFrames/1000 in exact Long math with an overflow
+    * refusal (both fields are u32 — the product can pass 2^63). A
+    * missing or torn hdrl/avih yields null, never a guess. */
+  private def parseAvi(b: Array[Byte]): (String, Int, Long, Long, Int) = {
+    import ByteReads.le32
+    def u32(i: Int): Long = le32(b, i) & 0xFFFFFFFFL
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = u32(off + 4)
+      if (fourcc(b, off, "LIST") && off + 12 <= b.length &&
+        fourcc(b, off + 8, "hdrl")) {
+        val end = math.min(b.length.toLong, off + 8L + size)
+        var p = off + 12
+        while (p + 8 <= end) {
+          val cs = u32(p + 4)
+          if (fourcc(b, p, "avih")) {
+            // the header's 14 declared u32 fields must fit the chunk AND
+            // the buffer — a truncated avih reads garbage otherwise
+            if (cs < 56 || p + 8 + 56 > end) return null
+            val usPerFrame = u32(p + 8)
+            val totalFrames = u32(p + 8 + 16)
+            val streams = u32(p + 8 + 24)
+            if (streams > Int.MaxValue) return null
+            if (usPerFrame != 0 && totalFrames > Long.MaxValue / usPerFrame)
+              return null // u32·u32 can pass 2^63
+            val durMs = usPerFrame * totalFrames / 1000L
+            return ("video/x-msvideo", 1000, durMs, durMs, streams.toInt)
+          }
+          val nxt = p.toLong + 8L + cs + (cs & 1L)
+          p = if (nxt > end) end.toInt else nxt.toInt
+        }
+        return null // hdrl without an avih: not a movie header we can read
+      }
+      val next = off.toLong + 8L + size + (size & 1L)
+      if (next > b.length) return null
+      off = next.toInt
+    }
+    null
   }
 
   /** Total box length at off, or -1 if unparseable. Handles the size==1

@@ -799,8 +799,16 @@ object Multimodal {
         if (payload.length % 2 == 1) b.write(0) // RIFF even padding
         b.toByteArray
       }
+      // REAL main header (AVIMAINHEADER), not a zeroed stub: 25 fps
+      // (40000 µs/frame), the actual frame count, one stream — so the
+      // VideoHeader triage reads duration_ms = 40·n and n_tracks = 1
+      // off any clip this builder produces
+      val avih = new Array[Byte](56)
+      System.arraycopy(le32(40000), 0, avih, 0, 4)         // dwMicroSecPerFrame
+      System.arraycopy(le32(frames.length), 0, avih, 16, 4) // dwTotalFrames
+      System.arraycopy(le32(1), 0, avih, 24, 4)            // dwStreams
       val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
-        chunk("avih", new Array[Byte](56))) // stub main header, correct size
+        chunk("avih", avih))
       val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
         frames.flatMap(f => chunk("00dc", f)).toArray)
       val pad = if (junk) chunk("JUNK", new Array[Byte](12)) else Array.emptyByteArray
@@ -922,6 +930,31 @@ object Multimodal {
     * replay==batch equivalence is test-asserted). Unrecognized payloads
     * surface as kind='unknown' rather than being dropped — the
     * dead-letter decision belongs to the caller (T11 pattern). */
+  /** The triage KIND as a standalone column — for pipelines that must
+    * route payloads WITHOUT a join (at 100 TB, shuffling payload bytes
+    * to reattach a kind column would dominate the plan; deriving kind in
+    * place is a stateless projection, and whole-stage codegen's common
+    * subexpression elimination runs each parser once per row). Same
+    * precedence as [[mediaTriage]]. */
+  def mediaKind(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(graft.functions.ImageDimsExpr.image_dims(payload).isNotNull, "image")
+      .when(graft.functions.AudioMetaExpr.audio_meta(payload).isNotNull, "audio")
+      .when(graft.functions.VideoMetaExpr.video_meta(payload).isNotNull, "video")
+      .otherwise("unknown")
+
+  /** MIXED duplicate-group corpus for the crawl-dedup capstone: each
+    * 4-spelling duplicate group keeps ONE modality — family rotates by
+    * (doc_id div 4) % 3 over the image/audio/video dup corpora, so the
+    * groups stay intact, the triage has to route every spelling to the
+    * right leg, and the qe75 oracle stays pure doc_id arithmetic. Union
+    * of disjoint filtered slices — narrow, no shuffle. */
+  def mixedDupMediaCorpus(docs: DataFrame): DataFrame = {
+    val fam = expr("doc_id div 4") % 3
+    ImageDedup.syntheticDupImageCorpus(docs.where(fam === 0))
+      .unionByName(AudioDedup.syntheticDupAudioCorpus(docs.where(fam === 1)))
+      .unionByName(VideoDedup.syntheticDupVideoCorpus(docs.where(fam === 2)))
+  }
+
   def mediaTriage(media: DataFrame): DataFrame = {
     val img = graft.functions.ImageDimsExpr.image_dims(col("payload"))
     val aud = graft.functions.AudioMetaExpr.audio_meta(col("payload"))

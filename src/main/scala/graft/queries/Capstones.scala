@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{Decontaminate, Dedup, Sampling, SeqPack, TextAnalysis, ZScore}
+import graft.operators.{AudioDedup, Decontaminate, Dedup, ImageDedup,
+  Multimodal, Sampling, SeqPack, TextAnalysis, VideoDedup, ZScore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,5 +64,25 @@ object Capstones {
     val gated = ZScore.gate(
       sdocs.select("doc_id", "source", "n_chars"), "source", "n_chars", 2.0)
     mixAndPack(tokenized(sdocs.join(gated.select("doc_id"), "doc_id")), budget)
+  }
+
+  /** qe75 — crawl media-dedup capstone: one mixed binary column → byte
+    * triage ([[Multimodal.mediaKind]], an in-place projection — no join
+    * reattaches payloads) → the per-modality content-keyed dedup legs →
+    * one survivor verdict per doc. Unrecognized payloads pass through as
+    * kept singletons (the T11 dead-letter posture: the caller decides,
+    * the dedup never merges what the triage could not read). */
+  def crawlMediaDedup(media: DataFrame): DataFrame = {
+    val kinds = media.withColumn("kind", Multimodal.mediaKind(col("payload")))
+    def leg(kind: String, dedup: DataFrame => DataFrame): DataFrame =
+      dedup(kinds.filter(col("kind") === kind))
+        .select(col("doc_id"), lit(kind).as("kind"),
+          col("survivor_id"), col("is_kept"))
+    leg("image", ImageDedup.dedupByPixels)
+      .unionByName(leg("audio", AudioDedup.dedupBySamples))
+      .unionByName(leg("video", VideoDedup.dedupByFrames))
+      .unionByName(kinds.filter(col("kind") === "unknown")
+        .select(col("doc_id"), col("kind"),
+          col("doc_id").as("survivor_id"), lit(1).as("is_kept")))
   }
 }

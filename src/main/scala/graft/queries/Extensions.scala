@@ -1874,6 +1874,13 @@ object Extensions {
     // separation, so the exact output is the 6 in-group pairs per group
     // with matched counts the oracle recomputes as arithmetic (n-1 where
     // the trimmed spelling is involved, n otherwise).
+    ("qe73_video_containment", (s: SparkSession, d: String) => {
+      val media = graft.operators.VideoDedup.syntheticNearDupVideoCorpus(
+        Engine.Tables(s, d).documents)
+      graft.operators.VideoDedup.containmentPairs(media, maxHamming = 2)
+        .orderBy("da", "db")
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v FROM documents), p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS g, b.v AS vb FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT da, db, CAST(g % 3 + 2 AS BIGINT) AS na, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS nb, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_a, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_b, TRUE AS contained FROM p ORDER BY da, db""")),
+
     // E2/E5 (audio leg, r14) — PERCEPTUAL audio near-dup via eHash-64
     // (72 windowed energies on the dHash 8×9 comparison grid) + the
     // shared band join + bit_count verify: WAV/AIFF spellings AND
@@ -1890,11 +1897,20 @@ object Extensions {
         .orderBy("da", "db")
     }, Some("""SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INTEGER) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id ORDER BY da, db""")),
 
-    ("qe73_video_containment", (s: SparkSession, d: String) => {
-      val media = graft.operators.VideoDedup.syntheticNearDupVideoCorpus(
+    // E1/E5 capstone (r14) — the crawl media-dedup pipeline end-to-end:
+    // one mixed binary column (each 4-spelling duplicate group is image,
+    // audio, OR video by (doc_id div 4) % 3), byte-level triage routes
+    // every spelling to its modality's content-keyed dedup leg, and the
+    // union is one survivor verdict per doc. Triage correctness, routing
+    // completeness (no doc lost or double-routed) and all three legs'
+    // grouping are certified in one oracle that is pure doc_id
+    // arithmetic. Routing is an in-place projection — payload bytes are
+    // never shuffled to pick a leg.
+    ("qe75_crawl_media_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.Multimodal.mixedDupMediaCorpus(
         Engine.Tables(s, d).documents)
-      graft.operators.VideoDedup.containmentPairs(media, maxHamming = 2)
-        .orderBy("da", "db")
-    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v FROM documents), p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS g, b.v AS vb FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT da, db, CAST(g % 3 + 2 AS BIGINT) AS na, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS nb, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_a, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_b, TRUE AS contained FROM p ORDER BY da, db"""))
+      Capstones.crawlMediaDedup(media)
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CAST(g * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id"""))
   )
 }

@@ -41,6 +41,31 @@ class ImageDimsSpec extends SparkTestBase {
     assert(ImageHeader.parse(gif) == ("image/gif", 10, 20))
   }
 
+  test("BMP: INFOHEADER family (incl. top-down negative height), COREHEADER, ImageIO round-trip; malformed DIB refuses") {
+    // hand-built BITMAPINFOHEADER: 'BM' + 12 filler bytes, dib=40,
+    // width=7, height=9 (both s32 LE)
+    val info = hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000")
+    assert(ImageHeader.parse(info) == ("image/bmp", 7, 9))
+    // top-down row order: height -9 → magnitude
+    val topDown = hex("424D" + "00" * 12 + "28000000" + "07000000" + "F7FFFFFF")
+    assert(ImageHeader.parse(topDown) == ("image/bmp", 7, 9))
+    // BITMAPCOREHEADER (dib=12): u16 dims
+    val core = hex("424D" + "00" * 12 + "0C000000" + "0300" + "0400")
+    assert(ImageHeader.parse(core) == ("image/bmp", 3, 4))
+    // a REAL ImageIO-encoded BMP parses to its true dims
+    val img = new java.awt.image.BufferedImage(
+      11, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    assert(ImageHeader.parse(out.toByteArray) == ("image/bmp", 11, 6))
+    // 'BM' with an unrecognized DIB size, zero width, Int.MinValue
+    // height, or a header cut mid-dims: null, never a guess
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "1D000000" + "07000000" + "09000000")) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "00000000" + "09000000")) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "00000080")) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "0700")) == null)
+  }
+
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {
     assert(ImageHeader.parse(null) == null)
     assert(ImageHeader.parse("just some text".getBytes) == null)

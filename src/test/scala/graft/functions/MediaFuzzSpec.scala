@@ -24,6 +24,16 @@ class MediaFuzzSpec extends AnyFunSuite {
       "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
         "FFC0 0011 08 0007 0005 03 011100 021101 031101 FFD9"),
     "gif" -> hex("474946383961 0A00 1400 F70000"),
+    // BITMAPINFOHEADER BMP, 7x9 (r14: the BMP triage branch)
+    "bmp" -> hex("424D" + "00" * 12 + "28000000 07000000 09000000" +
+      "0100 1800" + "00" * 24),
+    // minimal AVI: LIST('hdrl' avih[56: 40000 us/frame, 2 frames,
+    // 1 stream]) + empty movi (r14: the AVI triage branch)
+    "avi" -> hex("52494646 5C000000 41564920" +
+      "4C495354 44000000 6864726C" +
+      "61766968 38000000" + "409C0000" + "00000000" * 3 + "02000000" +
+      "00000000" + "01000000" + "00000000" * 7 +
+      "4C495354 04000000 6D6F7669"),
     "wav" -> hex(
       "52494646 48000000 57415645" +
         "4A554E4B 04000000 DEADBEEF" +
@@ -101,6 +111,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     val magics = Seq(
       hex("89504E470D0A1A0A"), hex("FFD8FF"), hex("474946383961"),
       "RIFF????WAVE".getBytes, "FORM????AIFF".getBytes,
+      "RIFF????AVI ".getBytes, "BM".getBytes,
       hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes, "OggS".getBytes,
       hex("494433"))
     val rnd = new scala.util.Random(0xBEEF)

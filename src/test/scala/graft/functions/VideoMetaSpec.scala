@@ -97,6 +97,39 @@ class VideoMetaSpec extends SparkTestBase {
     assert(viaSql == Seq(7007L, 90000L, -1L))
   }
 
+  test("AVI main header: avih fields parse; JUNK skipped; torn/missing avih refuse") {
+    // a real builder-produced clip: 3 frames at the builder's 25 fps →
+    // duration 120 ms, 1 stream (the avih is REAL since r14, not a stub)
+    def px(rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(y => (0 until 12).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val frames = Seq(px(0x112233), px(0x445566), px(0x778899))
+    val avi = graft.operators.Multimodal.MjpegAvi.build(frames)
+    assert(VideoHeader.parse(avi) == ("video/x-msvideo", 1000, 120L, 120L, 1))
+    // the JUNK-chunk container spelling parses identically
+    val junked = graft.operators.Multimodal.MjpegAvi.build(frames, junk = true)
+    assert(VideoHeader.parse(junked) == ("video/x-msvideo", 1000, 120L, 120L, 1))
+    // RIFF/AVI magic with no hdrl: null
+    assert(VideoHeader.parse(hex("52494646 04000000 41564920")) == null)
+    // hdrl whose avih chunk declares fewer than the 56 header bytes: null
+    assert(VideoHeader.parse(hex(
+      "52494646 20000000 41564920" + // RIFF size 32, 'AVI '
+        "4C495354 14000000 6864726C" + // LIST size 20, 'hdrl'
+        "61766968 08000000 0000000000000000")) == null) // avih size 8 < 56
+    // u32·u32 duration overflow refuses instead of wrapping
+    assert(VideoHeader.parse(hex(
+      "52494646 54000000 41564920" +
+        "4C495354 48000000 6864726C" +
+        "61766968 38000000" + // avih size 56
+        "FFFFFFFF" + "00000000" * 3 + "FFFFFFFF" + "00000000" +
+        "01000000" + "00000000" * 7)) == null)
+  }
+
   test("synthetic corpus round-trip: constructed containers parse back to planted params") {
     // the qe5e property asserted directly: syntheticVideoCorpus bytes →
     // VideoHeader → exactly the arithmetic params the oracle states
