@@ -167,8 +167,8 @@ object Bench {
     // 2000 chars of output and the sbt epilogue shares that window, so
     // an oversized line loses its HEAD — the {"metric":"total",... part —
     // and the round's bench silently parses to null. stdout therefore
-    // keys each query by its unique id prefix ("q01", "qe13b" — the
-    // driver contract's own example uses "q1") at decisecond precision
+    // keys each query by its unique id prefix with the constant leading
+    // 'q' stripped ("01", "e13b" — see shortKey) at decisecond precision
     // (109 queries fit with headroom; centiseconds no longer did);
     // bench_out.json below keeps full names and full precision and is
     // the authoritative record.

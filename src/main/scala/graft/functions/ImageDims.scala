@@ -99,13 +99,15 @@ object ImageHeader {
       // pixel height). Other sizes: not a BMP we can read — null.
       if (b.length < 18) return null
       val dib = le32(b, 14)
+      // a buffer shorter than the DECLARED DIB header is a torn file —
+      // the dims may be intact but the header is not; null, never a
+      // guess (the same declared-length discipline as the avih check)
+      if (dib > 0 && b.length < 14 + dib) return null
       if (dib == 12) {
-        if (b.length < 22) return null
         val w = le16(b, 18); val h = le16(b, 20)
         if (w <= 0 || h <= 0) return null
         ("image/bmp", w, h)
       } else if (dib >= 40 && dib <= 124) {
-        if (b.length < 26) return null
         val w = le32(b, 18); val h0 = le32(b, 22)
         // Int.MinValue has no positive magnitude — refuse, don't wrap
         if (w <= 0 || h0 == 0 || h0 == Int.MinValue) return null

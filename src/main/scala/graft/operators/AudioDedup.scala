@@ -205,10 +205,23 @@ object AudioDedup {
       r -> hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     }
 
-  /** Deterministic signed sample value for (group, frame, channel): a
-    * planted waveform in [-100, 100], inside every depth's range. */
+  /** The exact-dup corpus opens every clip with this many ID FRAMES that
+    * spell the group id verbatim (7 bits per frame, channel 0), because
+    * the waveform tail alone is PERIODIC in g: the planted params repeat
+    * every lcm(2,3,4,40)=120 groups and `sampleOf` every 201, so groups
+    * g and g+8040 would otherwise produce byte-identical clips and
+    * silently merge — the audio analog of the image/video corpora's
+    * require(g < 2^21), solved by construction instead of by bound
+    * (10×7 = 70 bits covers any Long group id). */
+  private val IdFrames = 10
+
+  /** Deterministic signed sample value for (group, frame, channel): the
+    * first [[IdFrames]] frames carry the group id (channel 0; other
+    * channels zero), the rest a planted waveform in [-100, 100] — all
+    * inside every depth's range. */
   private def sampleOf(g: Long, i: Int, c: Int): Int =
-    (((g * 31 + i * 7 + c * 13) % 201) - 100).toInt
+    if (i < IdFrames) (if (c == 0) ((g >>> (7 * i)) & 0x7F).toInt else 0)
+    else (((g * 31 + i * 7 + c * 13) % 201) - 100).toInt
 
   private def writeWav(sample: (Int, Int) => Int, ch: Int, rate: Int,
                        bits: Int, frames: Int, junk: Boolean): Array[Byte] = {
@@ -271,7 +284,9 @@ object AudioDedup {
     * oracle's survivor/is_kept columns are pure doc_id arithmetic while
     * the engine exercises both endiannesses, both 8-bit sign storages,
     * and the chunk walk. Params rotate per group: channels 1–2, 8/16-bit
-    * depth, the four planted rates, 5–44 frames. */
+    * depth, the four planted rates, [[IdFrames]]+5–44 frames (the id
+    * frames keep groups byte-distinct at ANY corpus scale — see
+    * [[sampleOf]]). */
   def syntheticDupAudioCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -283,7 +298,7 @@ object AudioDedup {
           val ch = (g % 2 + 1).toInt
           val bits = if (g % 3 == 0) 8 else 16
           val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
-          val frames = (g % 40 + 5).toInt
+          val frames = IdFrames + (g % 40 + 5).toInt
           val sample = (i: Int, c: Int) => sampleOf(g, i, c)
           val bytes = (id % 4).toInt match {
             case 0 => writeWav(sample, ch, rate, bits, frames, junk = false)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.PlanCapture.CheckpointOps
 import graft.operators.{AudioDedup, Decontaminate, Dedup, ImageDedup,
   Multimodal, Sampling, SeqPack, TextAnalysis, VideoDedup, ZScore}
 import org.apache.spark.sql.DataFrame
@@ -66,23 +67,60 @@ object Capstones {
     mixAndPack(tokenized(sdocs.join(gated.select("doc_id"), "doc_id")), budget)
   }
 
-  /** qe75 — crawl media-dedup capstone: one mixed binary column → byte
-    * triage ([[Multimodal.mediaKind]], an in-place projection — no join
-    * reattaches payloads) → the per-modality content-keyed dedup legs →
-    * one survivor verdict per doc. Unrecognized payloads pass through as
-    * kept singletons (the T11 dead-letter posture: the caller decides,
-    * the dedup never merges what the triage could not read). */
-  def crawlMediaDedup(media: DataFrame): DataFrame = {
-    val kinds = media.withColumn("kind", Multimodal.mediaKind(col("payload")))
-    def leg(kind: String, dedup: DataFrame => DataFrame): DataFrame =
-      dedup(kinds.filter(col("kind") === kind))
-        .select(col("doc_id"), lit(kind).as("kind"),
-          col("survivor_id"), col("is_kept"))
-    leg("image", ImageDedup.dedupByPixels)
-      .unionByName(leg("audio", AudioDedup.dedupBySamples))
-      .unionByName(leg("video", VideoDedup.dedupByFrames))
-      .unionByName(kinds.filter(col("kind") === "unknown")
-        .select(col("doc_id"), col("kind"),
-          col("doc_id").as("survivor_id"), lit(1).as("is_kept")))
+  /** qe75 — crawl media-dedup capstone: one mixed binary column → ONE
+    * mapPartitions pass that triages each payload by its bytes and
+    * computes the modality's content key in the same breath
+    * ([[routedSignatures]]) → one shared min-id survivor join. One corpus
+    * scan, one decode pass, one shuffle — a per-leg filter-and-dedup
+    * composition would rescan the corpus and re-run the triage parsers
+    * once per modality, which is the difference that matters at 100 TB.
+    * Unrecognized or undecodable payloads get a null key and survive as
+    * singletons through [[Dedup.minIdSurvivorByKey]]'s contract (the T11
+    * dead-letter posture: the caller decides, the dedup never merges
+    * what it could not read). */
+  def crawlMediaDedup(media: DataFrame): DataFrame =
+    Dedup.minIdSurvivorByKey(
+        routedSignatures(media).auditedCheckpoint(), "content_key")
+      .select(col("doc_id"), col("kind"), col("survivor_id"), col("is_kept"))
+
+  /** STREAMING twin of [[crawlMediaDedup]]: [[routedSignatures]] is a
+    * stateless projection (streaming-legal), so the survivor state is ONE
+    * dropDuplicates on the kind-prefixed content key — FIRST-seen, which
+    * under an id-ordered replay equals the batch min-id survivor set
+    * (asserted in StreamingSpec). Emits kept rows only — the crawl-ingest
+    * shape. Pair with a watermark + dropDuplicatesWithinWatermark for
+    * bounded state on always-on streams. */
+  def crawlMediaDedupStream(media: DataFrame): DataFrame =
+    Dedup.firstSeenByKey(routedSignatures(media), "content_key")
+
+  /** (doc_id, kind, content_key) in one pass: triage by the byte-level
+    * header parsers (same precedence as [[Multimodal.mediaKind]]), then
+    * the kind's content hash — [[ImageDedup.pixelHash]] over decoded
+    * pixels, [[AudioDedup.sampleHash]] over normalized PCM,
+    * [[VideoDedup.contentHash]] over the frame-pixel sequence. Keys are
+    * kind-prefixed so equal digests from different modalities can never
+    * merge. Null key = refused (unknown container OR recognized but
+    * undecodable). */
+  private[queries] def routedSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (kind, key) =
+          if (p != null && graft.functions.ImageHeader.parse(p) != null) {
+            val img = Multimodal.JdkImageCodec.read(p)
+            ("image", if (img == null) null
+              else "img:" + ImageDedup.pixelHash(img))
+          } else if (p != null && graft.functions.AudioHeader.parse(p) != null) {
+            val sig = AudioDedup.sampleHash(p)
+            ("audio", if (sig == null) null else "aud:" + sig.sample_hash)
+          } else if (p != null && graft.functions.VideoHeader.parse(p) != null) {
+            val (_, h) = VideoDedup.contentHash(p)
+            ("video", if (h == null) null else "vid:" + h)
+          } else ("unknown", null)
+        (id, kind, key)
+      })
+      .toDF("doc_id", "kind", "content_key")
   }
 }

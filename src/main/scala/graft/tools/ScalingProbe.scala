@@ -210,6 +210,13 @@ object ScalingProbe {
         }
         println(f"${"qe74_audio neardup-ehash-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      if (wanted("qe75_crawl")) {
+        val t = time {
+          graft.queries.Capstones.crawlMediaDedup(
+            graft.operators.Multimodal.mixedDupMediaCorpus(denseDocs))
+        }
+        println(f"${"qe75_crawl media-dedup-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       if (wanted("qe68_url")) {
         val t = time {
           graft.operators.UrlOps.dedupByCanonical(

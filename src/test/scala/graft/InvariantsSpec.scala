@@ -61,7 +61,9 @@ class InvariantsSpec extends SparkTestBase {
     // head and the round's bench parses to null (BENCH_r06). Bench keys
     // stdout by the unique id prefix — both properties guarded here.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val short = names.map(_.takeWhile(_ != '_'))
+    // guard the ACTUAL shortKey (incl. its q-strip): a collision would
+    // silently flip main's fallback to full names and blow the window
+    val short = names.map(Bench.shortKey)
     assert(short.distinct.size == names.size,
       s"duplicate short bench keys: ${short.diff(short.distinct).distinct}")
     // render through the EXACT code main prints with (renderLine + deci +

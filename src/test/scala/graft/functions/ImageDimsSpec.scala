@@ -42,15 +42,16 @@ class ImageDimsSpec extends SparkTestBase {
   }
 
   test("BMP: INFOHEADER family (incl. top-down negative height), COREHEADER, ImageIO round-trip; malformed DIB refuses") {
-    // hand-built BITMAPINFOHEADER: 'BM' + 12 filler bytes, dib=40,
-    // width=7, height=9 (both s32 LE)
-    val info = hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000")
+    // hand-built BITMAPINFOHEADER: 'BM' + 12 filler bytes, FULL 40-byte
+    // DIB (dib=40, width=7, height=9 as s32 LE, rest zero)
+    val dib40Tail = "00" * (40 - 12) // the declared header past the dims
+    val info = hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000" + dib40Tail)
     assert(ImageHeader.parse(info) == ("image/bmp", 7, 9))
     // top-down row order: height -9 → magnitude
-    val topDown = hex("424D" + "00" * 12 + "28000000" + "07000000" + "F7FFFFFF")
+    val topDown = hex("424D" + "00" * 12 + "28000000" + "07000000" + "F7FFFFFF" + dib40Tail)
     assert(ImageHeader.parse(topDown) == ("image/bmp", 7, 9))
-    // BITMAPCOREHEADER (dib=12): u16 dims
-    val core = hex("424D" + "00" * 12 + "0C000000" + "0300" + "0400")
+    // BITMAPCOREHEADER (dib=12): u16 dims; full 12-byte core header
+    val core = hex("424D" + "00" * 12 + "0C000000" + "0300" + "0400" + "00" * 4)
     assert(ImageHeader.parse(core) == ("image/bmp", 3, 4))
     // a REAL ImageIO-encoded BMP parses to its true dims
     val img = new java.awt.image.BufferedImage(
@@ -59,11 +60,13 @@ class ImageDimsSpec extends SparkTestBase {
     javax.imageio.ImageIO.write(img, "bmp", out)
     assert(ImageHeader.parse(out.toByteArray) == ("image/bmp", 11, 6))
     // 'BM' with an unrecognized DIB size, zero width, Int.MinValue
-    // height, or a header cut mid-dims: null, never a guess
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "1D000000" + "07000000" + "09000000")) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "00000000" + "09000000")) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "00000080")) == null)
+    // height, a header cut mid-dims, or a buffer shorter than the
+    // DECLARED DIB (dims intact, header torn): null, never a guess
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "1D000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "00000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "00000080" + dib40Tail)) == null)
     assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "0700")) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000")) == null)
   }
 
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {

@@ -22,7 +22,7 @@ class AudioDedupSpec extends SparkTestBase {
       assert(hashes.forall(_ != null), s"group $g: a spelling failed to decode")
       assert(hashes.map(_.sample_hash).distinct.size == 1,
         s"group $g spellings hash apart: ${hashes.map(_.sample_hash)}")
-      assert(hashes.head.n_frames == g % 40 + 5)
+      assert(hashes.head.n_frames == g % 40 + 15) // 10 id frames + wave
     }
     // and distinct groups hash apart (different planted waveforms)
     assert(AudioDedup.sampleHash(bytes(0L)).sample_hash !=
@@ -79,7 +79,7 @@ class AudioDedupSpec extends SparkTestBase {
     assert(exactHashes.distinct.size == 2, s"expected clean/noisy split, got $exactHashes")
     // refusal floor: a clip under 72 frames has no energy contour
     val short = AudioDedup.syntheticDupAudioCorpus(Seq(0L).toDF("doc_id"))
-      .collect().head.getAs[Array[Byte]]("payload") // 5-frame clip
+      .collect().head.getAs[Array[Byte]]("payload") // 15-frame clip < 72
     assert(AudioDedup.eHash64(short).isEmpty)
     assert(AudioDedup.eHash64("not audio".getBytes("UTF-8")).isEmpty)
     assert(AudioDedup.eHash64(null).isEmpty)

@@ -37,11 +37,14 @@ class CapstonesSpec extends SparkTestBase {
     val media = Multimodal.mixedDupMediaCorpus(docs)
       .unionByName(Seq((100L, "junk".getBytes("UTF-8"), "application/octet-stream"))
         .toDF("doc_id", "payload", "mime"))
-    val out = Capstones.crawlMediaDedup(media)
+    val rows = Capstones.crawlMediaDedup(media)
       .select("doc_id", "kind", "survivor_id", "is_kept")
       .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
-    // exactly once: 24 planted + 1 unknown, no loss, no double-routing
+        ((r.getString(1), r.getLong(2), r.getInt(3))))
+    // exactly once: 24 planted + 1 unknown, no loss, no double-routing —
+    // assert on the ROW count (a map would collapse a doubled doc)
+    assert(rows.length == 25, s"expected 25 verdicts, got ${rows.length}")
+    val out = rows.toMap
     assert(out.size == 25)
     (0L until 24L).foreach { id =>
       val g = id / 4

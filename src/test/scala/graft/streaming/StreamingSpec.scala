@@ -977,6 +977,36 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming crawl media-dedup over an id-ordered replay == batch survivors " +
+    "(triage + routed decode in-flight, ONE dedup state across modalities)") {
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.limit(24)
+    val media = graft.operators.Multimodal.mixedDupMediaCorpus(docs)
+    val want = graft.queries.Capstones.crawlMediaDedup(media)
+      .filter(col("is_kept") === 1).select("doc_id", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.queries.Capstones.crawlMediaDedupStream(
+        input.toDF().toDF("doc_id", "payload"))
+      .select("doc_id", "kind")
+      .writeStream.format("memory").queryName("t_crawldedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = media.select("doc_id", "payload").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+      // waves of 3 split each 4-spelling group across micro-batches AND
+      // across modality boundaries: one dropDuplicates state carries all
+      // three kinds' keys
+      rows.grouped(3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_crawldedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want,
+        s"stream crawl dedup diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub over a replay == batch (stateless projection)") {
     val batch = Seq(
       (1L, "mail a@b.co now"), (2L, "host 10.0.0.1"), (3L, "clean"))
