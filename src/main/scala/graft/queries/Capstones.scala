@@ -93,6 +93,38 @@ object Capstones {
   def crawlMediaDedupStream(media: DataFrame): DataFrame =
     Dedup.firstSeenByKey(routedSignatures(media), "content_key")
 
+  /** INCREMENTAL twin of [[crawlMediaDedup]] — the re-crawl case: a new
+    * batch dedups against the STORED corpus's frozen content-key set (one
+    * narrow distinct-key frame, Artifacts-persisted by the caller, never
+    * the stored payloads) and then within itself. A key already in the
+    * frozen set is never kept — re-crawled spellings of stored content
+    * drop without touching a stored byte; genuinely new content dedups to
+    * its min-id survivor as in the batch form. Refused payloads (null
+    * key) stay kept singletons — they match no frozen key by contract.
+    * Plan: one decode pass, one survivor shuffle, one equi-join against
+    * the key set — the join side is keys only, so at 100 TB it is the
+    * small fraction of corpus bytes that actually ships. */
+  def crawlMediaDedupAgainst(increment: DataFrame,
+                             frozenKeys: DataFrame): DataFrame = {
+    val dedup = Dedup.minIdSurvivorByKey(
+      routedSignatures(increment).auditedCheckpoint(), "content_key")
+    dedup.join(
+        frozenKeys.select(col("content_key"), lit(1).as("__seen")),
+        Seq("content_key"), "left")
+      .select(col("doc_id"), col("kind"),
+        col("__seen").isNotNull.as("seen"),
+        when(col("__seen").isNotNull, 0).otherwise(col("is_kept"))
+          .cast("int").as("is_kept"))
+  }
+
+  /** The frozen key set [[crawlMediaDedupAgainst]] consumes: the distinct
+    * non-null content keys of a stored corpus — the ONLY state a re-crawl
+    * dedup needs to retain per snapshot. */
+  def mediaKeySet(stored: DataFrame): DataFrame =
+    routedSignatures(stored)
+      .filter(col("content_key").isNotNull)
+      .select("content_key").distinct()
+
   /** (doc_id, kind, content_key) in one pass: triage by the byte-level
     * header parsers (same precedence as [[Multimodal.mediaKind]]), then
     * the kind's content hash — [[ImageDedup.pixelHash]] over decoded

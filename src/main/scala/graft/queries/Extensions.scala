@@ -1911,6 +1911,28 @@ object Extensions {
         Engine.Tables(s, d).documents)
       Capstones.crawlMediaDedup(media)
         .orderBy("doc_id")
-    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CAST(g * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id"""))
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, CAST(g * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id""")),
+
+    // E1/E5 incremental (r14) — RE-CRAWL media dedup: the new batch
+    // (every group with g%5==2, all four spellings, genuinely NEW
+    // content; plus the doc_id%20==1 strays, re-crawled spellings of
+    // STORED groups) dedups against the stored corpus's frozen content
+    // keys — an Artifacts-persisted distinct-key frame, the qe43/qe58d
+    // frozen discipline — then within itself. Strays drop (seen), new
+    // groups keep their min-id survivor; all arithmetic to the oracle.
+    // The two slice predicates are disjoint by construction (j%20==1
+    // forces g%5==0).
+    ("qe76_crawl_dedup_incremental", (s: SparkSession, d: String) => {
+      val media = graft.operators.Multimodal.mixedDupMediaCorpus(
+        Engine.Tables(s, d).documents)
+      val g = expr("doc_id div 4")
+      val stored = media.where(g % 5 =!= 2)
+      val inc = media.where(g % 5 === 2 || col("doc_id") % 20 === 1)
+      val keys = graft.Artifacts.getOrFit(s, "media_key_set",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "gmod5ne2"),
+        Capstones.mediaKeySet(stored))
+      Capstones.crawlMediaDedupAgainst(inc, keys)
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents WHERE (doc_id // 4) % 5 = 2 OR doc_id % 20 = 1) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, doc_id % 20 = 1 AS seen, CAST(CASE WHEN doc_id % 20 = 1 THEN 0 WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id"""))
   )
 }

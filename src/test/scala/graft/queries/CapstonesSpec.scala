@@ -56,4 +56,37 @@ class CapstonesSpec extends SparkTestBase {
     }
     assert(out(100L) == (("unknown", 100L, 1)))
   }
+
+  test("crawlMediaDedupAgainst: stored keys drop re-crawls, new content dedups within the batch, refusals survive") {
+    // stored corpus: groups 0..2 (image/audio/video); increment: one
+    // re-crawled spelling per stored group + ALL of new groups 3..5 +
+    // one refused payload
+    val stored = Multimodal.mixedDupMediaCorpus(
+      spark.range(12).select(col("id").as("doc_id")))
+    val inc = Multimodal.mixedDupMediaCorpus(
+        spark.range(24).filter(col("id") >= 12 || col("id") % 4 === 1)
+          .select(col("id").as("doc_id")))
+      .unionByName(Seq((200L, "junk".getBytes("UTF-8"), "application/octet-stream"))
+        .toDF("doc_id", "payload", "mime"))
+    val keys = Capstones.mediaKeySet(stored)
+    val rows = Capstones.crawlMediaDedupAgainst(inc, keys)
+      .select("doc_id", "kind", "seen", "is_kept")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getInt(3))))
+    assert(rows.length == 16, s"3 strays + 12 new + 1 refused, got ${rows.length}")
+    val out = rows.toMap
+    // re-crawled spellings of stored groups: seen, never kept
+    Seq(1L, 5L, 9L).foreach { id =>
+      val kind = Seq("image", "audio", "video")((id / 4).toInt % 3)
+      assert(out(id) == ((kind, true, 0)), s"stray $id: ${out(id)}")
+    }
+    // new groups 3..5: unseen; min-id survivor per group
+    (12L until 24L).foreach { id =>
+      val kind = Seq("image", "audio", "video")((id / 4).toInt % 3)
+      assert(out(id) == ((kind, false, if (id % 4 == 0) 1 else 0)),
+        s"new doc $id: ${out(id)}")
+    }
+    // refused payloads match no frozen key and survive as singletons
+    assert(out(200L) == (("unknown", false, 1)))
+  }
 }

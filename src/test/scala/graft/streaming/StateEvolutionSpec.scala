@@ -183,6 +183,50 @@ class StateEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("streaming crawl media-dedup: kill/resume mid-replay == uninterrupted batch survivors") {
+    // restart-equivalence for the capstone's dropDuplicates state: a
+    // spelling arriving AFTER the restart must still be dropped by a
+    // content key its sibling registered BEFORE the kill — the invariant
+    // a resumed crawl-ingest dedup actually depends on.
+    withRocksDb {
+      val docs = Engine.Tables(spark, Sf0001).documents.limit(24)
+      val media = graft.operators.Multimodal.mixedDupMediaCorpus(docs)
+      val want = graft.queries.Capstones.crawlMediaDedup(media)
+        .filter(col("is_kept") === 1).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+
+      // split INSIDE the 4-spelling groups: wave 1 ends mid-group, so
+      // wave-2 spellings of straddling groups test carried state
+      val rows = media.select("doc_id", "payload").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+      val (wave1, wave2) = rows.splitAt(rows.size / 2 - 1)
+      assert(wave1.last._1 % 4 != 3 || wave2.head._1 % 4 != 0,
+        "split must straddle a spelling group or the restart is untested")
+
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_res_crawl").toString
+      val input = MemoryStream[(Long, Array[Byte])](spark)
+      val stream = graft.queries.Capstones.crawlMediaDedupStream(
+        input.toDF().toDF("doc_id", "payload"))
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        batch.collect().foreach(r => got.add(r.getAs[Long]("doc_id")))
+        ()
+      }
+      def start() = stream.writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).foreachBatch(sink _).start()
+
+      val q1 = start()
+      try { input.addData(wave1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { input.addData(wave2); q2.processAllAvailable() } finally q2.stop()
+
+      val all = Set.from(got.asScala)
+      assert(all == want,
+        s"resumed crawl dedup diverged from uninterrupted batch: " +
+          s"missing=${(want -- all).take(5)} extra=${(all -- want).take(5)}")
+    }
+  }
+
   test("streaming packer: kill/resume mid-replay == uninterrupted batch pack manifest") {
     withRocksDb {
       val docs = Engine.Tables(spark, Sf0001).documents
