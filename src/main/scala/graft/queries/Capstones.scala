@@ -79,9 +79,15 @@ object Capstones {
     * dead-letter posture: the caller decides, the dedup never merges
     * what it could not read). */
   def crawlMediaDedup(media: DataFrame): DataFrame =
-    Dedup.minIdSurvivorByKey(
-        routedSignatures(media).auditedCheckpoint(), "content_key")
+    dedupedSignatures(media)
       .select(col("doc_id"), col("kind"), col("survivor_id"), col("is_kept"))
+
+  /** The ONE dedup composition both the batch capstone and its
+    * incremental twin project from — a drift in the checkpoint/audit or
+    * key column reaches both or neither. */
+  private def dedupedSignatures(media: DataFrame): DataFrame =
+    Dedup.minIdSurvivorByKey(
+      routedSignatures(media).auditedCheckpoint(), "content_key")
 
   /** STREAMING twin of [[crawlMediaDedup]]: [[routedSignatures]] is a
     * stateless projection (streaming-legal), so the survivor state is ONE
@@ -106,10 +112,13 @@ object Capstones {
     * small fraction of corpus bytes that actually ships. */
   def crawlMediaDedupAgainst(increment: DataFrame,
                              frozenKeys: DataFrame): DataFrame = {
-    val dedup = Dedup.minIdSurvivorByKey(
-      routedSignatures(increment).auditedCheckpoint(), "content_key")
-    dedup.join(
-        frozenKeys.select(col("content_key"), lit(1).as("__seen")),
+    // defensive distinct: a caller-supplied key frame with duplicate
+    // keys (e.g. a union of two snapshots' sets) would otherwise fan out
+    // the left join and silently duplicate verdict rows; the frame is
+    // keys-only, so the dedup is cheap
+    dedupedSignatures(increment).join(
+        frozenKeys.select(col("content_key")).distinct()
+          .withColumn("__seen", lit(1)),
         Seq("content_key"), "left")
       .select(col("doc_id"), col("kind"),
         col("__seen").isNotNull.as("seen"),

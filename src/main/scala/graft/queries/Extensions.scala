@@ -1923,11 +1923,16 @@ object Extensions {
     // The two slice predicates are disjoint by construction (j%20==1
     // forces g%5==0).
     ("qe76_crawl_dedup_incremental", (s: SparkSession, d: String) => {
-      val media = graft.operators.Multimodal.mixedDupMediaCorpus(
-        Engine.Tables(s, d).documents)
+      // filter doc_ids BEFORE the corpus build: payloads are pure doc_id
+      // arithmetic, and the opaque mapPartitions encode cannot have the
+      // slice predicate pushed below it — filtering after would pay the
+      // dominant per-row encode for rows both legs immediately discard
+      val docs = Engine.Tables(s, d).documents
       val g = expr("doc_id div 4")
-      val stored = media.where(g % 5 =!= 2)
-      val inc = media.where(g % 5 === 2 || col("doc_id") % 20 === 1)
+      val stored = graft.operators.Multimodal.mixedDupMediaCorpus(
+        docs.where(g % 5 =!= 2))
+      val inc = graft.operators.Multimodal.mixedDupMediaCorpus(
+        docs.where(g % 5 === 2 || col("doc_id") % 20 === 1))
       val keys = graft.Artifacts.getOrFit(s, "media_key_set",
         graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "gmod5ne2"),
         Capstones.mediaKeySet(stored))

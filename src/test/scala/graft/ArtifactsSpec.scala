@@ -164,7 +164,7 @@ class ArtifactsSpec extends SparkTestBase {
       val frozen = Seq("qe3d_knn_ivf_frozen", "qe7d_semantic_dedup_frozen",
         "qe47_ivf_occupancy", "qe52b_dup_spans_frozen", "qe54b_drift_cross_snapshot",
         "qe56c_cdc_dup_frozen", "qe58d_containment_frozen", "qe43_incremental_fuzzy",
-        "qe11e_shard_export")
+        "qe11e_shard_export", "qe76_crawl_dedup_incremental")
       frozen.foreach(q => SparkEntry.queries(q)(spark, Sf0001).collect())
       val root = spark.conf.get("spark.graft.artifacts.dir")
       def successMtimes: Map[String, Long] = {

@@ -195,12 +195,21 @@ class StateEvolutionSpec extends SparkTestBase {
         .filter(col("is_kept") === 1).select("doc_id").collect()
         .map(_.getLong(0)).toSet
 
-      // split INSIDE the 4-spelling groups: wave 1 ends mid-group, so
-      // wave-2 spellings of straddling groups test carried state
+      // split INSIDE a 4-spelling group: wave 1 ends mid-group, so
+      // wave-2 spellings of the straddling group test carried state.
+      // The split index is DERIVED from the collected ids (same group on
+      // both sides of the cut) — a fixed midpoint plus %4 arithmetic
+      // would silently land on a clean group boundary if the id space
+      // ever had gaps, green-lighting an untested restart
       val rows = media.select("doc_id", "payload").orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
-      val (wave1, wave2) = rows.splitAt(rows.size / 2 - 1)
-      assert(wave1.last._1 % 4 != 3 || wave2.head._1 % 4 != 0,
+      val mid = rows.size / 2
+      val splitIdx = (1 until rows.size)
+        .filter(i => rows(i - 1)._1 / 4 == rows(i)._1 / 4)
+        .minByOption(i => math.abs(i - mid))
+        .getOrElse(fail("no mid-group split point — every group has one doc"))
+      val (wave1, wave2) = rows.splitAt(splitIdx)
+      assert(wave1.last._1 / 4 == wave2.head._1 / 4,
         "split must straddle a spelling group or the restart is untested")
 
       val ckpt = java.nio.file.Files.createTempDirectory("ckpt_res_crawl").toString
