@@ -210,12 +210,15 @@ object Artifacts {
     * part files land, so only a truly dead writer's tmp goes stale. */
   private val TmpOrphanMs = 6L * 60 * 60 * 1000
 
-  /** Bound the store: keep the 8 most-recently-written keys per kind and
+  /** Bound the store: keep the 16 most-recently-written keys per kind and
     * drop older ones — stale fits of prior test-data generations. The
     * bound is above the live working set (one key per scale factor and
-    * knob set), so live keys are never evicted; a concurrent reader of a
-    * pruned stale key at worst refits. Orphaned .tmp-* dirs from writers
-    * that died uncleanly age out past [[TmpOrphanMs]]. Best-effort. */
+    * knob set; the r15 media_key_set evolution chain holds THREE keys per
+    * scale factor — base, qe76's snapshot, qe76b's appended step — so 8
+    * was no longer safely above 3 keys × 3 SFs), so live keys are never
+    * evicted; a concurrent reader of a pruned stale key at worst refits.
+    * Orphaned .tmp-* dirs from writers that died uncleanly age out past
+    * [[TmpOrphanMs]]. Best-effort. */
   private def prune(fs: org.apache.hadoop.fs.FileSystem,
                     kindDir: org.apache.hadoop.fs.Path): Unit =
     try {
@@ -225,7 +228,7 @@ object Artifacts {
       tmps.filter(_.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
       keys.sortBy(-_.getModificationTime)
-        .drop(8)
+        .drop(16)
         .foreach(st => fs.delete(st.getPath, true))
     } catch { case _: java.io.IOException => }
 

@@ -65,6 +65,36 @@ object Bench {
   // load samples — the stdout map was a capped preview of that record,
   // never the record itself.
 
+  /** Per-query violation band on the per-query MIN (r14 verdict #2: a 9×
+    * single-query anomaly hid inside a passing 1.65× total — a regression
+    * must be a machine diff, not a judge's spreadsheet). Bands encode
+    * BASELINE.md's family table with headroom above every per-family
+    * driver-measured max-min of the r14 sweep (the hottest honest read on
+    * record), so an entry in `violations` means "outside anything ambient
+    * load has ever explained", not "a noisy median". The MIN is judged,
+    * never the median: medians inflate under ambient load (the documented
+    * 1.19–1.35× day-part drift) while the min of 3 reps survives it. */
+  def bandHi(name: String): Double = {
+    val id = name.takeWhile(_ != '_')
+    if (!id.startsWith("qe")) 2.5 // parity/relational (q26 top: 1.77 driver)
+    else {
+      val core = id.drop(2)
+      val num = core.takeWhile(_.isDigit) match {
+        case "" => -1
+        case ds => ds.toInt
+      }
+      val exactForm = core.forall(_.isDigit) // no letter suffix
+      if (num == 5 || num == 59) 1.5 // multimodal byte-parsers
+      else if (num >= 60 && num <= 66) 10.0 // certificates (widest plans)
+      else if (num >= 67 && num <= 76) 4.5 // media/crawl dedup (real decode)
+      else if (exactForm && Set(2, 46, 50, 55, 58).contains(num)) 5.0 // exact anchors
+      else if (num == 3 || num == 7) 3.5 // ANN ladder + embed dedup
+      else if (Set(1, 2, 10, 11, 12, 13, 21, 42, 43, 52).contains(num)) 4.5 // dedup/LSH (incl. qe2b/qe2c twins)
+      else if (Set(33, 40, 44).contains(num)) 2.5 // capstones
+      else 3.5 // text analysis / retrieval / remaining extensions
+    }
+  }
+
   /** True median: even-length inputs average the two middle values —
     * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
     * WORST run as "the median" (a bimodal 1s/28s GC spike would record a
@@ -183,9 +213,39 @@ object Bench {
     // queries. stdout also keys sf by BASENAME for the same budget;
     // bench_out.json keeps the full directory.
     val fitTotal = fits.map(_._2).sum
-    val fitExtra = s""","fit":${deci(fitTotal)}"""
+    // band violations (r14 verdict #2): per-query MIN against the family
+    // band — the machine-readable form of "this one query is anomalous".
+    // Judged on the min because medians inflate under ambient load; a
+    // query whose CHEAPEST of 3 warm reps exceeds its family band is a
+    // real regression or a host pathology, either way a flag.
+    val violations = mins.filter { case (n, v) => v >= 0 && v > bandHi(n) }
+    val fitExtra = s""","fit":${deci(fitTotal)},"viol":${violations.size}"""
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(renderLine(results, sfShort, deci, keyed, extra = fitExtra))
+    // stage-attribution pass (r14 verdict #1): for the registered probe
+    // queries, materialize each apply-path stage separately and record its
+    // wall clock — the instrument that names WHERE a per-rep premium lives
+    // (anchor parquet read vs live blocked join vs frozen-equality scan)
+    // when the per-query total alone cannot. Runs after the sweep so probe
+    // cost never pollutes the measured medians; same clearCache+gc
+    // discipline as execOnce so stages don't serve each other's cache.
+    val stages = SparkEntry.stageProbes.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.contains(n) }
+      .map { case (n, mk) =>
+        val timed = mk(spark, sfDir).map { case (label, thunk) =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            thunk().write.format("noop").mode("overwrite").save()
+            label -> (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stage $n/$label failed: ${e.getMessage}")
+            label -> -1.0
+          }
+        }
+        n -> timed
+      }
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the
     // per-query (max-min) spread across reps so environment noise is
@@ -211,9 +271,22 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val loadEnd = loadAvg
     val loads = s"${fmtLoad(loadStart)},${fmtLoad(loadEnd)}"
+    // machine-readable band record: every query's band_hi plus the
+    // violations list (query, offending min, band) — BENCH_r{N} diffs
+    // instead of spreadsheets. The stage map carries the attribution pass.
+    val bandJson = names.map(n => "\"" + n + "\":" + bandHi(n).toString)
+      .mkString("{", ",", "}")
+    val violJson = violations
+      .map { case (n, v) =>
+        s"""{"q":"$n","min":$v,"band_hi":${bandHi(n)}}""" }
+      .mkString("[", ",", "]")
+    val stagesJson = stages.map { case (n, ss) =>
+      "\"" + n + "\":" + ss.map { case (l, v) => "\"" + l + "\":" + v.toString }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson,"band_hi":$bandJson,"violations":$violJson,"stages":$stagesJson""") + "\n")
     spark.stop()
   }
 }

@@ -98,7 +98,15 @@ object ImageHeader {
       // negative height means top-down row order — magnitude is the
       // pixel height). Other sizes: not a BMP we can read — null.
       if (b.length < 18) return null
+      // 'BM' is only 2 bytes of magic, so arbitrary text/containers can
+      // start with it: additionally require the BITMAPFILEHEADER shape —
+      // reserved words (offsets 6-9) zero per spec, and bfOffBits (u32 LE
+      // at 10) pointing past the headers and inside the buffer — before
+      // trusting the dims.
+      if (b(6) != 0 || b(7) != 0 || b(8) != 0 || b(9) != 0) return null
       val dib = le32(b, 14)
+      val offBits = le32(b, 10)
+      if (offBits < 14 + math.max(dib, 0) || offBits > b.length) return null
       // a buffer shorter than the DECLARED DIB header is a torn file —
       // the dims may be intact but the header is not; null, never a
       // guess (the same declared-length discipline as the avih check)

@@ -52,6 +52,18 @@ object VideoHeader {
     // the same struct with timescale fixed at 1000 (AVI counts time in
     // microseconds per frame; duration == duration_ms by construction).
     if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ")) return parseAvi(b)
+    // ANIMATED GIF (r15, the third container family): >= 2 image
+    // descriptors by the GifFrames block walk makes a GIF a video —
+    // duration from the summed graphic-control delays (timescale 100,
+    // i.e. centiseconds, per the GIF89a spec), one "track". A
+    // single-frame or torn GIF stays out of the video triage (the image
+    // leg / refusal handles it), so the precedence flip in mediaKind
+    // cannot re-classify ordinary GIF images.
+    if (GifFrames.isGif(b)) {
+      val (n, delayCs) = GifFrames.walk(b)
+      return if (n < 2) null
+      else ("image/gif", 100, delayCs, delayCs * 10, 1)
+    }
     // an ISO BMFF file opens with an ftyp box (the brand declaration)
     if (!fourcc(b, 4, "ftyp")) return null
     var off = 0

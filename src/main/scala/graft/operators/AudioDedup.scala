@@ -61,6 +61,12 @@ object AudioDedup {
         f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) return null
       val bytesPer = (f.getSampleSizeInBits + 7) / 8
       val frameSize = f.getFrameSize
+      // A malformed-but-openable header can claim frameSize < channels *
+      // bytesPer (e.g. 12-bit stereo claiming frameSize 3): Pcm.sample
+      // would then index past a frame's bytes. Refuse here so every
+      // downstream hash loop is total over a well-formed Pcm.
+      if (f.getSampleSizeInBits <= 0 || f.getChannels <= 0) return null
+      if (frameSize < f.getChannels * bytesPer) return null
       val raw = ais.readAllBytes()
       if (frameSize <= 0 || raw.length % frameSize != 0) return null
       Pcm(f.getChannels, f.getSampleRate.toInt, raw.length / frameSize,
@@ -74,7 +80,7 @@ object AudioDedup {
   /** md5 hex over (channels, rate, every normalized sample, frame-major
     * channel order); null when javax.sound cannot decode the bytes to
     * integer PCM. */
-  def sampleHash(payload: Array[Byte]): AudioSig = {
+  def sampleHash(payload: Array[Byte]): AudioSig = try {
     val p = decodePcm(payload)
     if (p == null) return null
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -93,6 +99,12 @@ object AudioDedup {
     }
     AudioSig(-1L, p.channels, p.rate, p.nFrames,
       md.digest().map("%02x".format(_)).mkString)
+  } catch {
+    // decodePcm's frameSize guard makes Pcm.sample total for every shape
+    // the JDK readers are KNOWN to emit; this catch is the contract's
+    // last line for shapes they are not — a hash over media bytes must
+    // refuse, never kill the Spark task (and with it a whole crawl batch)
+    case _: Exception => null
   }
 
   /** Perceptual audio hash (eHash-64): the dHash discipline transplanted
@@ -114,7 +126,7 @@ object AudioDedup {
     * energy CONTOUR to hash, and every such clip would pile into a few
     * hot hash buckets, turning the band join cartesian on real crawls —
     * the audio analog of the image leg's tracking-pixel guard. */
-  def eHash64(payload: Array[Byte]): Option[Long] = {
+  def eHash64(payload: Array[Byte]): Option[Long] = try {
     val p = decodePcm(payload)
     if (p == null || p.nFrames < 72) return None
     val energy = new Array[Long](72)
@@ -151,6 +163,9 @@ object AudioDedup {
       r += 1
     }
     Some(bits)
+  } catch {
+    // same refuse-don't-kill backstop as [[sampleHash]]
+    case _: Exception => None
   }
 
   /** Perceptual signature stage: (doc_id, payload) → (doc_id, h64) rows

@@ -42,11 +42,23 @@ object Dedup {
   }
 
   /** FIRST-seen streaming twin of [[minIdSurvivorByKey]]: stateless
-    * upstream projection + `dropDuplicates` state on the same key —
-    * under an id-ordered replay first-seen == the batch min-id survivor
-    * set (asserted per leg in StreamingSpec). Emits kept rows only. Pair
-    * with a watermark + dropDuplicatesWithinWatermark for bounded state
-    * on always-on streams. */
+    * upstream projection + `dropDuplicates` state on the same key.
+    * Emits kept rows only. Pair with a watermark +
+    * dropDuplicatesWithinWatermark for bounded state on always-on
+    * streams.
+    *
+    * DETERMINISM CONTRACT (narrower than "any crawl stream"): across
+    * micro-batches first-seen-wins is exact, but WITHIN a micro-batch
+    * `dropDuplicates` keeps whichever duplicate Spark encounters first —
+    * so batch/stream equivalence with the min-id survivor set holds only
+    * when arrival is id-ordered and single-partition within each batch
+    * (the shape StreamingSpec/StateEvolutionSpec replay, and the shape a
+    * sequenced crawl frontier produces). For multi-partition or
+    * unordered sources the kept ROW per key may differ from the min-id
+    * row while the kept KEY set is identical; callers that need the
+    * exact min-id row under arbitrary arrival should run
+    * [[minIdSurvivorByKey]] per micro-batch in foreachBatch against the
+    * stream's accumulated key frame instead. */
   def firstSeenByKey(sigs: DataFrame, hashCol: String): DataFrame =
     sigs.withColumn("__key",
         coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))

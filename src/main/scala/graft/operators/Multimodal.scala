@@ -772,11 +772,76 @@ object Multimodal {
       .toDF()
   }
 
+  /** Animated GIF (GIF87a/89a): the SECOND video container a bare JVM
+    * decodes for real (r14 verdict #4) — the JDK's GIF ImageReader is
+    * multi-frame (`getNumImages(true)` / `read(i)`), so a crawl's
+    * animated GIFs join the [[MjpegAvi]] matrix with zero native code.
+    * A single-frame GIF stays an IMAGE (the [[graft.functions.ImageHeader]]
+    * triage); only >= 2 frames makes it a video — [[frameCount]] makes
+    * that split with a pure byte walk over the GIF block grammar
+    * (image descriptors 0x2C, extensions 0x21 with length-prefixed
+    * sub-blocks, trailer 0x3B — GIF89a spec), no decoder startup on the
+    * triage path.
+    *
+    * Frame semantics: frames are decoded as their RAW rasters, not
+    * composited onto the logical screen (GIF disposal/offset compositing
+    * is presentation, not content — two spellings of the same frame
+    * SEQUENCE hash identically either way, which is the dedup contract;
+    * documented boundary like the codec stub). */
+  object AnimatedGif {
+
+    /** The byte walk lives in [[graft.functions.GifFrames]] (the triage
+      * side shares it with [[graft.functions.VideoHeader]]'s animated-GIF
+      * branch); these are the decode-side aliases. */
+    def isGif(b: Array[Byte]): Boolean = graft.functions.GifFrames.isGif(b)
+    def frameCount(b: Array[Byte]): Int = graft.functions.GifFrames.count(b)
+
+    /** Multi-frame reader handle: (frame count per the DECODER, read(i) —
+      * null on a frame that fails to decode). Null when the payload is
+      * not a CLEAN animated GIF (>= 2 frames by the byte walk): a
+      * single-frame GIF is an image, a torn one refuses here and falls
+      * to the image leg's null-key singleton contract. */
+    def frameSource(b: Array[Byte]): (Int, Int => java.awt.image.BufferedImage) = {
+      val n = frameCount(b)
+      if (n < 2) return null
+      val reader =
+        try {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          if (!it.hasNext) return null
+          val r = it.next()
+          r.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b)))
+          r
+        } catch { case _: Exception => return null }
+      (n, i => try reader.read(i) catch { case _: Exception => null })
+    }
+
+    /** Encode frames as one animated GIF via the JDK's sequence writer —
+      * corpus/test side (the decode path is the product). Lossless for
+      * rasters with <= 256 distinct colors (the writer builds an exact
+      * palette), which every planted grid raster satisfies. */
+    def build(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f =>
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      w.endWriteSequence()
+      ios.close()
+      w.dispose()
+      bos.toByteArray
+    }
+  }
+
   /** Motion-JPEG-in-AVI: the one VIDEO format a bare JVM can fully
     * decode — AVI is a RIFF container (same chunk grammar as WAV, OpenDMA
     * / Microsoft AVI spec), and MJPEG frames are ordinary JPEG streams
     * ImageIO reads. This closes the video-frame stub for real: only
-    * inter-frame codecs (H.26x/VP9/AV1) remain outside JVM reach. */
+    * inter-frame codecs (H.26x/VP9/AV1) remain outside JVM reach.
+    * Animated GIF ([[AnimatedGif]]) is the second real container beside
+    * it since r15. */
   object MjpegAvi {
 
     /** Build a spec-shaped MJPEG AVI: RIFF('AVI ' LIST('hdrl' stub)
@@ -937,9 +1002,13 @@ object Multimodal {
     * subexpression elimination runs each parser once per row). Same
     * precedence as [[mediaTriage]]. */
   def mediaKind(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(graft.functions.ImageDimsExpr.image_dims(payload).isNotNull, "image")
+    // video OUTRANKS image since r15: the only payload both parsers claim
+    // is an animated GIF (>= 2 frames — VideoHeader's GifFrames branch),
+    // which is a video; single-frame GIFs parse as image only, and
+    // AVI/MP4 never parse as images, so nothing else moves
+    when(graft.functions.VideoMetaExpr.video_meta(payload).isNotNull, "video")
+      .when(graft.functions.ImageDimsExpr.image_dims(payload).isNotNull, "image")
       .when(graft.functions.AudioMetaExpr.audio_meta(payload).isNotNull, "audio")
-      .when(graft.functions.VideoMetaExpr.video_meta(payload).isNotNull, "video")
       .otherwise("unknown")
 
   /** MIXED duplicate-group corpus for the crawl-dedup capstone: each
@@ -962,9 +1031,12 @@ object Multimodal {
     media
       .withColumn("__img", img).withColumn("__aud", aud).withColumn("__vid", vid)
       .select(col("doc_id"),
-        when(col("__img").isNotNull, "image")
+        // same video-outranks-image precedence as [[mediaKind]] (r15):
+        // an animated GIF reports kind=video WITH its image dims — the
+        // one payload family where two parser structs are both non-null
+        when(col("__vid").isNotNull, "video")
+          .when(col("__img").isNotNull, "image")
           .when(col("__aud").isNotNull, "audio")
-          .when(col("__vid").isNotNull, "video")
           .otherwise("unknown").as("kind"),
         coalesce(col("__img.mime"), col("__aud.mime"), col("__vid.mime"))
           .as("mime"),

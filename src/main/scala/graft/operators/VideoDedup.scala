@@ -44,21 +44,37 @@ object VideoDedup {
     * rasters; null if the payload is not an AVI or ANY frame refuses to
     * decode (a partial signature would merge videos the engine could not
     * fully read). */
+  /** Unified frame access across the REAL video containers (MJPEG/PNG/BMP
+    * -frame AVI via the RIFF walk; animated GIF >= 2 frames via the JDK's
+    * multi-frame reader — r14 verdict #4): (frame count, read(i) → image
+    * or null). Null when the payload is neither — an image, audio, or
+    * unknown payload, which the callers refuse as not-a-video. Because
+    * the hashes downstream key on decoded frame RASTERS, an AVI spelling
+    * and a GIF spelling of the same frame sequence hash identically —
+    * container invariance extends across container FAMILIES. */
+  private[operators] def frameSource(p: Array[Byte])
+      : (Int, Int => java.awt.image.BufferedImage) = {
+    if (p == null) return null
+    val avi = Multimodal.MjpegAvi.framePayloads(p)
+    if (avi != null) (avi.length, i => Multimodal.JdkImageCodec.read(avi(i)))
+    else Multimodal.AnimatedGif.frameSource(p)
+  }
+
   def contentHash(payload: Array[Byte]): (Int, String) = {
-    val frames = if (payload == null) null
-      else Multimodal.MjpegAvi.framePayloads(payload)
-    if (frames == null) return (-1, null)
+    val src = frameSource(payload)
+    if (src == null) return (-1, null)
+    val (n, read) = src
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"n=${frames.length};".getBytes("US-ASCII"))
+    md.update(s"n=$n;".getBytes("US-ASCII"))
     var i = 0
-    while (i < frames.length) {
-      val img = Multimodal.JdkImageCodec.read(frames(i))
-      if (img == null) return (frames.length, null)
+    while (i < n) {
+      val img = read(i)
+      if (img == null) return (n, null)
       md.update(ImageDedup.pixelHash(img).getBytes("US-ASCII"))
       md.update(';'.toByte)
       i += 1
     }
-    (frames.length, md.digest().map("%02x".format(_)).mkString)
+    (n, md.digest().map("%02x".format(_)).mkString)
   }
 
   /** Decode stage: (doc_id, payload) → one signature row per video, one
@@ -94,27 +110,51 @@ object VideoDedup {
     Dedup.firstSeenByKey(videoSignatures(media).toDF(), "content_hash")
 
   /** Per-frame dHash rows. ALL-OR-NOTHING per clip: a video emits frame
-    * rows only if EVERY container frame decodes and meets dHash's 9×8
+    * rows only if EVERY considered frame decodes and meets dHash's 9×8
     * minimum ([[ImageDedup.imageSignatures]] refusal rationale) —
     * otherwise the whole clip refuses and drops out. Per-frame silent
     * drops would shrink a clip's frame count, and [[containmentPairs]]
     * would then report containment over only the readable subset —
     * merging what the engine could not read, the exact hazard
-    * [[contentHash]]'s null-on-partial-read contract exists to prevent. */
-  def frameDHashes(media: DataFrame): Dataset[FrameHash] = {
+    * [[contentHash]]'s null-on-partial-read contract exists to prevent.
+    *
+    * FRAME BUDGET (r14 verdict #3): `maxFrames > 0` caps the per-clip
+    * decode at that many frames, taken at a deterministic even stride
+    * over the container's frame list (index k samples original frame
+    * ⌊k·n/K⌋ — always includes frame 0, spans the clip, trim-stable for
+    * prefix truncation up to the stride). Only SAMPLED frames are
+    * decoded — the budget bounds ImageIO cost and the band-join frame
+    * explosion at the source, which is what makes the containment join
+    * O(K²) per candidate pair instead of O(n²) on hour-long clips. The
+    * all-or-nothing contract then applies to the sampled set (unsampled
+    * frames are never read, by design), and downstream `na`/`nb` counts
+    * are SAMPLED frame counts. `maxFrames = 0` keeps every frame. */
+  def frameDHashes(media: DataFrame, maxFrames: Int = 0): Dataset[FrameHash] = {
+    require(maxFrames >= 0, s"frameDHashes: maxFrames must be >= 0, got $maxFrames")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        val frames =
-          Option(if (p == null) null else Multimodal.MjpegAvi.framePayloads(p))
-            .toSeq.flatten.zipWithIndex.map { case (f, i) =>
-              val img = Multimodal.JdkImageCodec.read(f)
-              if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-              else Some(FrameHash(id, i, ImageDedup.dHash64(img)))
-            }
-        if (frames.exists(_.isEmpty)) Nil else frames.flatten
+        val src = frameSource(p)
+        if (src == null) Nil
+        else {
+          val (n, read) = src
+          val indices =
+            if (maxFrames > 0 && n > maxFrames)
+              (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt).distinct
+            else 0 until n
+          // only SAMPLED frames are decoded (the AVI walk hands out frame
+          // payloads lazily; the GIF reader's read(i) decodes on demand —
+          // its LZW is internally sequential, but the dHash work is
+          // bounded either way)
+          val frames = indices.map { i =>
+            val img = read(i)
+            if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+            else Some(FrameHash(id, i, ImageDedup.dHash64(img)))
+          }
+          if (frames.exists(_.isEmpty)) Nil else frames.flatten
+        }
       })
   }
 
@@ -131,12 +171,18 @@ object VideoDedup {
     * pigeonhole) → bit_count verify → per-pair distinct-frame counts →
     * broadcast-join the per-video counts. No all-pairs stage at the
     * video OR frame level. */
-  def containmentPairs(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+  def containmentPairs(media: DataFrame, maxHamming: Int = 2,
+                       maxFrames: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"containmentPairs: 4x16 banding guarantees recall only for maxHamming <= 3, got $maxHamming")
     // checkpoint before the self-join: both banded sides would otherwise
-    // re-run the full container walk + frame decode
-    val frames = frameDHashes(media).toDF().auditedCheckpoint()
+    // re-run the full container walk + frame decode. maxFrames > 0 is the
+    // 100 TB posture (r14 verdict #3): the per-clip decode and the band
+    // join's frame rows are both bounded at the source — na/nb and the
+    // containment verdict are then over the SAMPLED frame sets (see
+    // [[frameDHashes]]); a registered query feeding real crawl data
+    // should always pass a budget.
+    val frames = frameDHashes(media, maxFrames).toDF().auditedCheckpoint()
     val counts = frames.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"))
     val banded = frames.select(col("doc_id"), col("frame_idx"), col("dhash"),
@@ -222,25 +268,37 @@ object VideoDedup {
           val v = (id % 4).toInt
           val n = framesOf(g)
           val keep = if (nearDup && v == 3) n - 1 else n
-          val frames = (0 until keep).map { i =>
-            val img = ImageDedup.paint(ImageDedup.groupGrid(frameKey(g, i)),
+          val imgs = (0 until keep).map { i =>
+            ImageDedup.paint(ImageDedup.groupGrid(frameKey(g, i)),
               cell = 4, perturb = nearDup && v == 2)
-            if (nearDup)
-              ImageDedup.encodeImg(img, if (v == 1) "bmp" else "png", bgr = false)
-            else v match {
-              case 0 => ImageDedup.encodeImg(img, "png", bgr = false)
-              case 1 => ImageDedup.encodeImg(img, "bmp", bgr = false)
-              case 2 => ImageDedup.encodeImg(img, "png", bgr = false)
-              case _ => ImageDedup.encodeImg(img, "bmp", bgr = true)
-            }
           }
-          // v2/v3 carry the JUNK alignment chunk: the BGR roundtrip alone
-          // does not GUARANTEE different encoder bytes, and the corpus
-          // must be provably 4-ways byte-distinct (format magic splits
-          // PNG/BMP; the JUNK chunk splits the rest)
-          val bytes = Multimodal.MjpegAvi.build(frames,
-            junk = !nearDup && v >= 2)
-          (id, bytes, "video/x-msvideo")
+          // dup-corpus spelling 1 is an ANIMATED GIF of the SAME rasters
+          // (r14 verdict #4): container-family invariance — the exact
+          // frame-sequence hash must collapse an AVI spelling and a GIF
+          // spelling of one clip, which byte-level dedup provably cannot.
+          // Lossless by construction (the grid rasters hold < 256
+          // colors, so the GIF writer's palette is exact). The BMP-frame
+          // AVI coverage lives on in spelling 3 (BGR + JUNK).
+          if (!nearDup && v == 1) {
+            (id, Multimodal.AnimatedGif.build(imgs), "image/gif")
+          } else {
+            val frames = imgs.map { img =>
+              if (nearDup)
+                ImageDedup.encodeImg(img, if (v == 1) "bmp" else "png", bgr = false)
+              else v match {
+                case 0 => ImageDedup.encodeImg(img, "png", bgr = false)
+                case 2 => ImageDedup.encodeImg(img, "png", bgr = false)
+                case _ => ImageDedup.encodeImg(img, "bmp", bgr = true)
+              }
+            }
+            // v2/v3 carry the JUNK alignment chunk: the BGR roundtrip alone
+            // does not GUARANTEE different encoder bytes, and the corpus
+            // must be provably 4-ways byte-distinct (format magic splits
+            // the families; the JUNK chunk splits the rest)
+            val bytes = Multimodal.MjpegAvi.build(frames,
+              junk = !nearDup && v >= 2)
+            (id, bytes, "video/x-msvideo")
+          }
         }
       }.toDF("doc_id", "payload", "mime")
   }

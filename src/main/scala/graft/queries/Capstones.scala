@@ -134,8 +134,29 @@ object Capstones {
       .filter(col("content_key").isNotNull)
       .select("content_key").distinct()
 
+  /** Evolve a frozen key set with a new batch — the APPEND half of the
+    * incremental crawl loop (r14 verdict #5): prior keys ∪ the batch's
+    * distinct content keys. The prior side is whatever frame the caller
+    * holds (in production an Artifacts parquet scan), so HISTORY IS NEVER
+    * RE-DECODED — append cost is one batch decode plus a key-set-sized
+    * distinct, which is what lets N successive crawls run without
+    * re-fitting the corpus key set from scratch. Persisted through
+    * [[graft.Artifacts.getOrFit]] under a key derived from (prior key,
+    * batch predicate), each link is an atomic content-keyed artifact —
+    * kill/resume at worst refits ONE link, never the chain (the getOrFit
+    * rename contract). append(b1) followed by dedup(b2) is provably
+    * dedup-against-union: keys(stored) ∪ keys(b1) == keys(stored ∪ b1)
+    * because [[mediaKeySet]] is a per-row map + distinct (asserted in
+    * CapstonesSpec). */
+  def appendKeySet(prior: DataFrame, batch: DataFrame): DataFrame =
+    prior.select("content_key")
+      .unionByName(mediaKeySet(batch))
+      .distinct()
+
   /** (doc_id, kind, content_key) in one pass: triage by the byte-level
-    * header parsers (same precedence as [[Multimodal.mediaKind]]), then
+    * header parsers ([[Multimodal.mediaKind]]'s precedence, plus one
+    * router-level refinement: an ANIMATED GIF routes video, ahead of the
+    * image branch — see the inline note), then
     * the kind's content hash — [[ImageDedup.pixelHash]] over decoded
     * pixels, [[AudioDedup.sampleHash]] over normalized PCM,
     * [[VideoDedup.contentHash]] over the frame-pixel sequence. Keys are
@@ -149,7 +170,17 @@ object Capstones {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
         val (kind, key) =
-          if (p != null && graft.functions.ImageHeader.parse(p) != null) {
+          // animated GIF (>= 2 frames by the byte walk) outranks the
+          // image branch: the GIF magic would otherwise parse as an
+          // image and dedup on frame 0 alone — merging different
+          // animations that share a first frame (r14 verdict #4). A
+          // single-frame or torn GIF falls through to the image leg
+          // exactly as before.
+          if (p != null && Multimodal.AnimatedGif.isGif(p) &&
+              Multimodal.AnimatedGif.frameCount(p) >= 2) {
+            val (_, h) = VideoDedup.contentHash(p)
+            ("video", if (h == null) null else "vid:" + h)
+          } else if (p != null && graft.functions.ImageHeader.parse(p) != null) {
             val img = Multimodal.JdkImageCodec.read(p)
             ("image", if (img == null) null
               else "img:" + ImageDedup.pixelHash(img))

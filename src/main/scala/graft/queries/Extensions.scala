@@ -1874,10 +1874,16 @@ object Extensions {
     // separation, so the exact output is the 6 in-group pairs per group
     // with matched counts the oracle recomputes as arithmetic (n-1 where
     // the trimmed spelling is involved, n otherwise).
+    // maxFrames = 12: the enforced per-clip decode budget (r14 verdict
+    // #3 — the registered query previously fed the operator unbounded
+    // frame rows, and the r14 ladder showed a 14 s GC outlier). The
+    // planted corpus tops out at 4 frames/clip so the budget never bites
+    // the oracle; on real crawls it is what bounds the band join.
     ("qe73_video_containment", (s: SparkSession, d: String) => {
       val media = graft.operators.VideoDedup.syntheticNearDupVideoCorpus(
         Engine.Tables(s, d).documents)
-      graft.operators.VideoDedup.containmentPairs(media, maxHamming = 2)
+      graft.operators.VideoDedup.containmentPairs(media, maxHamming = 2,
+          maxFrames = 12)
         .orderBy("da", "db")
     }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v FROM documents), p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.g AS g, b.v AS vb FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT da, db, CAST(g % 3 + 2 AS BIGINT) AS na, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS nb, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_a, CAST(CASE WHEN vb = 3 THEN g % 3 + 1 ELSE g % 3 + 2 END AS BIGINT) AS matched_b, TRUE AS contained FROM p ORDER BY da, db""")),
 
@@ -1938,6 +1944,86 @@ object Extensions {
         Capstones.mediaKeySet(stored))
       Capstones.crawlMediaDedupAgainst(inc, keys)
         .orderBy("doc_id")
-    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents WHERE (doc_id // 4) % 5 = 2 OR doc_id % 20 = 1) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, doc_id % 20 = 1 AS seen, CAST(CASE WHEN doc_id % 20 = 1 THEN 0 WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id"""))
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents WHERE (doc_id // 4) % 5 = 2 OR doc_id % 20 = 1) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, doc_id % 20 = 1 AS seen, CAST(CASE WHEN doc_id % 20 = 1 THEN 0 WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id""")),
+
+    // E1/E5 incremental APPEND (r15, the r14-verdict #5 other half):
+    // qe76 proves dedup-against-frozen-keys; the production loop also
+    // needs the key set to EVOLVE so N successive crawls never re-fit
+    // from scratch. Three snapshots: stored (g%5 ∉ {2,3}), batch1
+    // (g%5 == 2, appended via Capstones.appendKeySet — one batch decode
+    // + a key-set distinct, history never re-decoded), batch2 (g%5 == 3
+    // new content, plus two stray classes re-crawling spelling 1 of a
+    // STORED group (doc_id%20==5 → g%5==1) and of a BATCH1 group
+    // (doc_id%20==9 → g%5==2) — the latter drops ONLY because the append
+    // landed, which is exactly the claim under test). Both artifact
+    // links are content-keyed getOrFit parquet (kill/resume refits at
+    // most one link); the oracle is pure doc_id arithmetic.
+    ("qe76b_crawl_dedup_append", (s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      val g = expr("doc_id div 4")
+      val stored = graft.operators.Multimodal.mixedDupMediaCorpus(
+        docs.where(g % 5 =!= 2 && g % 5 =!= 3))
+      val batch1 = graft.operators.Multimodal.mixedDupMediaCorpus(
+        docs.where(g % 5 === 2))
+      val batch2 = graft.operators.Multimodal.mixedDupMediaCorpus(
+        docs.where(g % 5 === 3 ||
+          col("doc_id") % 20 === 5 || col("doc_id") % 20 === 9))
+      val base = graft.Artifacts.getOrFit(s, "media_key_set",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "gmod5notin23"),
+        Capstones.mediaKeySet(stored))
+      val appended = graft.Artifacts.getOrFit(s, "media_key_set",
+        graft.Artifacts.fitKey(s, Seq(s"$d/documents.parquet"), "gmod5notin23-plus-b1"),
+        Capstones.appendKeySet(base, batch1))
+      Capstones.crawlMediaDedupAgainst(batch2, appended)
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents WHERE (doc_id // 4) % 5 = 3 OR doc_id % 20 = 5 OR doc_id % 20 = 9) SELECT doc_id, CASE CAST(g % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, doc_id % 20 IN (5, 9) AS seen, CAST(CASE WHEN doc_id % 20 IN (5, 9) THEN 0 WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM d ORDER BY doc_id"""))
   )
+
+  /** Stage-level decompositions for the bench attribution pass (r14
+    * verdict #1: BENCH_r14 recorded qe62 at min 28.2 s/rep with `fit: 0.0`
+    * on the driver host vs ~3.5 s builder-warm on identical code — a
+    * RECURRING apply-path premium the per-query wall clock cannot
+    * localize). Each entry splits a registered query into its apply-path
+    * stages; `graft.Bench` materializes every stage separately through the
+    * noop sink right after the query's own reps and lands the per-stage
+    * seconds in bench_out.json (`"stages"`), so the next driver sweep
+    * names the stage that carries any premium — persisted-anchor parquet
+    * read vs live SRP-blocked join vs claim join vs frozen-equality scan —
+    * instead of re-litigating it from totals. Thunks, not DataFrames:
+    * construction itself does eager work (getOrFit ready-checks, dim
+    * inference, checkpoints) that belongs inside the stage's clock. */
+  val stageProbes: Map[String, (SparkSession, String) => Seq[(String, () => DataFrame)]] = Map(
+    "qe62_cert_embed" -> ((s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val nH = Engine.parquetRowCount(s, s"$d/embeddings.parquet")
+      def exactPairs = Dedup.persistedEmbeddingNearDups(
+        emb, s"$d/embeddings.parquet", "vec_id", "embedding", EmbThr)
+        .select("da", "db")
+      Seq(
+        // the persisted exact-cosine pair anchor, parquet read-back only
+        "anchor_pairs_scan" -> (() => exactPairs),
+        // the LIVE SRP-blocked candidate+verify path (the claim under test)
+        "blocked_live" -> (() => Dedup.embeddingNearDupsBlocked(
+          emb, "vec_id", "embedding", EmbThr, nHint = nH).select("da", "db")),
+        // persisted inline-fit semdedup classification, read-back only
+        "semdedup_apply" -> (() => Dedup.persistedSemanticDedup(
+          emb, s"$d/embeddings.parquet", "vec_id", "embedding", EmbThr,
+          nlist = 8, nHint = nH)),
+        // persisted exact-CC drop set, read-back only
+        "cc_drops_scan" -> (() => graft.Artifacts.getOrFit(s, "cosine_cc_drops",
+          graft.Artifacts.fitKey(s, Seq(s"$d/embeddings.parquet"), s"t$EmbThr"),
+          DupClusters.clusters(exactPairs)
+            .filter(col("doc_id") =!= col("cluster")).select(col("doc_id").as("id")))),
+        // live frozen apply at persisted centroids + full-join equality
+        "frozen_equality" -> (() => semdedupFrozenEquality(s, d)))
+    }),
+    "qe58c_containment_agreement" -> ((s: SparkSession, d: String) => {
+      val docs = Engine.Tables(s, d).documents
+      def anchor = Dedup.persistedContainmentPairs(docs, s"$d/documents.parquet", 3, 0.5)
+      Seq(
+        "anchor_pairs_scan" -> (() => anchor),
+        // bounded-k sketch probe + per-pair agreement join (the live path)
+        "sketch_agreement" -> (() => Dedup.containmentAgreementFrom(
+          anchor, docs, 3, 64, 0.5)))
+    }))
 }

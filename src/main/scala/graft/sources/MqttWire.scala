@@ -753,7 +753,17 @@ class MqttBrokerStub(port0: Int = 0,
       }
       session.clientId = cid
       session.cleanSession = cleanSession
-      owners.put(cid, session)
+      // §3.1.4-2 TAKEOVER (r15): a second CONNECT with the same clientId
+      // MUST disconnect the existing connection — the lifecycle rule the
+      // reference's reconnect loop implicitly relies on (its new socket
+      // must not fight a half-open predecessor for deliveries). Closing
+      // the loser's socket unblocks its serve thread; that thread's
+      // conditional owners.remove(cid, oldSession) then fails against the
+      // new owner, so the taken-over teardown can never wipe the QoS 2
+      // dedup state this connection is now using (clean-session discard
+      // below stays the NEW connection's decision alone).
+      val prev = owners.put(cid, session)
+      if (prev != null && (prev ne session)) prev.close()
       // session-present flag (§3.2.2.2): clean session discards server
       // state; otherwise surviving QoS 2 dedup state is reported present
       val present = if (cleanSession) { qos2Inflight.remove(cid); false }

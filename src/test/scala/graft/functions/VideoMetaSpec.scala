@@ -146,4 +146,32 @@ class VideoMetaSpec extends SparkTestBase {
       col("m.n_tracks") =!= (col("doc_id") % 4 + 1).cast("int"))
     assert(bad.count() == 0)
   }
+
+  test("animated GIF is the third video container (r15): >= 2 frames parses with " +
+    "summed GCE delays at timescale 100; single-frame and torn GIFs stay out") {
+    def hex(s: String): Array[Byte] = s.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 2-frame GIF89a, each frame preceded by a GCE with delay 25 cs / 7 cs
+    def gce(delayCs: Int): String =
+      "21F9" + "04 00" + f"${delayCs & 0xFF}%02X${(delayCs >> 8) & 0xFF}%02X" + "00" + "00"
+    def frame: String =
+      "2C" + "0000 0000 0200 0100" + "80" + "000000 FFFFFF" + "02" + "02 4C01" + "00"
+    val two = hex("474946383961" + "0200 0100 00 00 00" +
+      gce(25) + frame + gce(7) + frame + "3B")
+    assert(VideoHeader.parse(two) == (("image/gif", 100, 32L, 320L, 1)))
+    // one frame: an image, not a video — and a torn tail refuses
+    val one = hex("474946383961" + "0200 0100 00 00 00" + gce(25) + frame + "3B")
+    assert(VideoHeader.parse(one) == null)
+    assert(VideoHeader.parse(two.dropRight(1)) == null)
+    // frames without GCEs are legal (GIF87a style): duration 0, still video
+    val plain = hex("474946383961" + "0200 0100 00 00 00" + frame + frame + "3B")
+    assert(VideoHeader.parse(plain) == (("image/gif", 100, 0L, 0L, 1)))
+    // the real sequence-writer output round-trips through the triage
+    val imgs = (0 until 2).map { _ =>
+      new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    }
+    val built = graft.operators.Multimodal.AnimatedGif.build(imgs)
+    val m = VideoHeader.parse(built)
+    assert(m != null && m._1 == "image/gif" && m._5 == 1)
+  }
 }

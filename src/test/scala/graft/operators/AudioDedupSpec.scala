@@ -105,4 +105,46 @@ class AudioDedupSpec extends SparkTestBase {
       AudioDedup.nearDupPairs(media, maxHamming = 4)
     }
   }
+
+  test("malformed headers never kill the task: inconsistent blockAlign and a " +
+    "header-field fuzz all refuse-or-hash deterministically, never throw") {
+    // The r15 ADVICE shape: a WAV claiming 12-bit stereo with blockAlign
+    // 3 (< channels*bytesPer = 4). The JDK's WaveFileReader happens to
+    // NORMALIZE the frame size (it decodes here as 2 clean 4-byte
+    // frames), but the decodePcm frameSize guard + the catch-to-null
+    // backstop make the contract SPI-independent: whatever a reader
+    // reports, sampleHash/eHash64 return a value or null — a malformed
+    // clip must never throw out of the hash and kill a crawl batch
+    // (qe75's routedSignatures runs these per-row in mapPartitions).
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(channels: Int, bits: Int, blockAlign: Int, dataLen: Int): Array[Byte] = {
+      val data = Array.fill[Byte](dataLen)(0x11)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le32(36 + data.length)); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); out.write(le32(16))
+      out.write(le16(1)); out.write(le16(channels))
+      out.write(le32(8000)); out.write(le32(8000 * math.max(1, blockAlign)))
+      out.write(le16(blockAlign)); out.write(le16(bits))
+      out.write("data".getBytes); out.write(le32(data.length)); out.write(data)
+      out.toByteArray
+    }
+    val advice = wav(channels = 2, bits = 12, blockAlign = 3, dataLen = 9)
+    val s1 = AudioDedup.sampleHash(advice)
+    val s2 = AudioDedup.sampleHash(advice)
+    assert(s1 == s2, "hash of a normalized malformed clip must be deterministic")
+    assert(AudioDedup.eHash64(advice) == AudioDedup.eHash64(advice))
+    // header-field fuzz: degenerate channels/bits/blockAlign combos across
+    // short payloads — totality is the assertion (result or null/None)
+    for {
+      ch <- Seq(0, 1, 2, 7, 255)
+      bits <- Seq(0, 1, 8, 12, 16, 24, 33)
+      ba <- Seq(0, 1, 2, 3, 4, 5, 17)
+      n <- Seq(0, 1, 9, 64)
+    } {
+      val b = wav(ch, bits, ba, n)
+      AudioDedup.sampleHash(b) // must not throw
+      AudioDedup.eHash64(b)    // must not throw
+    }
+  }
 }

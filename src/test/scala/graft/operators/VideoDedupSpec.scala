@@ -134,6 +134,63 @@ class VideoDedupSpec extends SparkTestBase {
     assert(VideoDedup.containmentPairs(broken, maxHamming = 2).count() == 0)
   }
 
+  test("animated GIF is a first-class video container: AVI and GIF spellings of one " +
+    "clip hash identically; dup corpus collapses across container families (r15)") {
+    val f1 = solid(12, 10, 0x336699); val f2 = solid(12, 10, 0x996633)
+    val viaAvi = VideoDedup.contentHash(avi(enc(f1, "png"), enc(f2, "png")))
+    val viaGif = VideoDedup.contentHash(Multimodal.AnimatedGif.build(Seq(f1, f2)))
+    assert(viaGif == viaAvi,
+      "a GIF spelling of the same frame sequence must hash like the AVI spelling")
+    // frameDHashes reads GIF frames too (incl. under a budget)
+    val gifClip = Seq((0L, Multimodal.AnimatedGif.build(Seq(f1, f2)))).toDF("doc_id", "payload")
+    assert(VideoDedup.frameDHashes(gifClip).count() == 2)
+    assert(VideoDedup.frameDHashes(gifClip, maxFrames = 1).count() == 1)
+    // a SINGLE-frame GIF is an image, not a video: contentHash refuses
+    assert(VideoDedup.contentHash(Multimodal.AnimatedGif.build(Seq(f1))) == ((-1, null)))
+    // the dup corpus's spelling 1 is now the GIF spelling — groups still
+    // collapse to the min-id survivor across container families
+    val docs = spark.range(8).select(col("id").as("doc_id"))
+    val media = VideoDedup.syntheticDupVideoCorpus(docs)
+    val gifRows = media.filter(col("doc_id") % 4 === 1).collect()
+    gifRows.foreach { r =>
+      assert(Multimodal.AnimatedGif.isGif(r.getAs[Array[Byte]]("payload")),
+        s"doc ${r.getLong(0)}: spelling 1 must be an animated GIF")
+    }
+    val verdicts = VideoDedup.dedupByFrames(media)
+      .select("doc_id", "survivor_id", "is_kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(verdicts == (0L until 8L).map(id => (id, id / 4 * 4, if (id % 4 == 0) 1 else 0)).toSet)
+  }
+
+  test("frame budget: maxFrames caps the per-clip decode at a deterministic even stride") {
+    // r14 verdict #3: the budget must bound the frame rows (and decodes)
+    // at the source, deterministically, without touching under-budget clips
+    val frames = (0 until 20).map(i =>
+      enc(ImageDedup.paint(ImageDedup.groupGrid(100L + i), cell = 4, perturb = false), "png"))
+    val clip = Seq((0L, avi(frames: _*))).toDF("doc_id", "payload")
+    val sampled = VideoDedup.frameDHashes(clip, maxFrames = 12)
+      .collect().map(_.frame_idx).toSeq.sorted
+    assert(sampled == (0 until 12).map(k => k * 20 / 12),
+      s"expected the even-stride sample of 20 frames at budget 12, got $sampled")
+    assert(sampled.head == 0, "the stride must always include frame 0")
+    // under-budget clips are untouched; budget 0 keeps every frame
+    val small = Seq((1L, avi(frames.take(3): _*))).toDF("doc_id", "payload")
+    assert(VideoDedup.frameDHashes(small, maxFrames = 12)
+      .collect().map(_.frame_idx).toSeq.sorted == Seq(0, 1, 2))
+    assert(VideoDedup.frameDHashes(clip, 0).count() == 20)
+    // the registered qe73 budget (12) is invisible on the planted corpus
+    // (<= 4 frames/clip), so the oracle stays exact
+    val docs = spark.range(8).select(col("id").as("doc_id"))
+    val media = VideoDedup.syntheticNearDupVideoCorpus(docs)
+    val a = VideoDedup.containmentPairs(media, 2, maxFrames = 12)
+      .collect().map(_.toSeq).toSet
+    val b = VideoDedup.containmentPairs(media, 2).collect().map(_.toSeq).toSet
+    assert(a == b, "budget must not change results below the cap")
+    intercept[IllegalArgumentException] {
+      VideoDedup.frameDHashes(clip, maxFrames = -1)
+    }
+  }
+
   test("plan hygiene: the frame band join is an equi-join, never a cartesian/nested-loop") {
     val docs = spark.range(16).select(col("id").as("doc_id"))
     val media = VideoDedup.syntheticNearDupVideoCorpus(docs)

@@ -57,6 +57,54 @@ class CapstonesSpec extends SparkTestBase {
     assert(out(100L) == (("unknown", 100L, 1)))
   }
 
+  test("router: two animations sharing frame 0 route video and never merge (r15 GIF triage)") {
+    // without the animated-GIF-before-image precedence both payloads
+    // would decode as their FIRST frame and pixel-hash-merge — the exact
+    // hazard the router refinement closes
+    def solid(rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(y => (0 until 12).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val shared = solid(0x336699)
+    val a = Multimodal.AnimatedGif.build(Seq(shared, solid(0x996633)))
+    val b = Multimodal.AnimatedGif.build(Seq(shared, solid(0x113355)))
+    val rows = Capstones.crawlMediaDedup(
+        Seq((0L, a, "image/gif"), (1L, b, "image/gif"))
+          .toDF("doc_id", "payload", "mime"))
+      .select("doc_id", "kind", "is_kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((0L, "video", 1), (1L, "video", 1)),
+      s"distinct animations sharing frame 0 must both survive as video: $rows")
+  }
+
+  test("appendKeySet: append(batch1) then dedup(batch2) == dedup against the union key set (r15)") {
+    val docs = spark.range(60).select(col("id").as("doc_id"))
+    val g = expr("doc_id div 4")
+    val stored = Multimodal.mixedDupMediaCorpus(docs.where(g % 5 =!= 2 && g % 5 =!= 3))
+    val batch1 = Multimodal.mixedDupMediaCorpus(docs.where(g % 5 === 2))
+    val batch2 = Multimodal.mixedDupMediaCorpus(
+      docs.where(g % 5 === 3 || col("doc_id") % 20 === 5 || col("doc_id") % 20 === 9))
+    // evolve path: keys(stored) ∪ keys(batch1), history never re-decoded
+    val evolved = Capstones.appendKeySet(Capstones.mediaKeySet(stored), batch1)
+    // ground truth: the key set fitted from scratch over the union corpus
+    val union = Capstones.mediaKeySet(stored.unionByName(batch1))
+    assert(evolved.collect().map(_.getString(0)).toSet ==
+      union.collect().map(_.getString(0)).toSet,
+      "appended key set must equal the from-scratch union key set")
+    val viaAppend = Capstones.crawlMediaDedupAgainst(batch2, evolved)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getInt(3))).toSet
+    val viaUnion = Capstones.crawlMediaDedupAgainst(batch2, union)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getInt(3))).toSet
+    assert(viaAppend == viaUnion)
+    // the batch1 stray (doc_id%20==9, a re-crawl of batch-1 content) is
+    // dropped ONLY because the append landed — the claim qe76b registers
+    val stray = viaAppend.find(_._1 == 9L)
+    assert(stray.exists(t => t._3 && t._4 == 0),
+      s"batch1 re-crawl must read seen=true, is_kept=0 after append: $stray")
+  }
+
   test("crawlMediaDedupAgainst: stored keys drop re-crawls, new content dedups within the batch, refusals survive") {
     // stored corpus: groups 0..2 (image/audio/video); increment: one
     // re-crawled spelling per stored group + ALL of new groups 3..5 +

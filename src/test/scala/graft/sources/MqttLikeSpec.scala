@@ -643,6 +643,60 @@ class MqttLikeSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("client-id takeover (§3.1.4): a second CONNECT with the same id disconnects " +
+    "the first, the survivor serves, and the loser's teardown cannot wipe QoS 2 state") {
+    val broker = new MqttBrokerStub()
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttWireClient("127.0.0.1", broker.port, "tk-sub")
+      val subscribed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        sub.connect()
+        sub.subscribeLoop("t/takeover", onSubscribed = () => subscribed.countDown()) {
+          (_, p) => got.put(new String(p, "UTF-8"))
+        }
+      })
+      t.setDaemon(true); t.start()
+      assert(subscribed.await(15, java.util.concurrent.TimeUnit.SECONDS))
+
+      // first holder of the id (clean session — its teardown would wipe
+      // "tk"'s QoS 2 state IF it still owned the id at teardown time)
+      val c1 = new MqttWireClient("127.0.0.1", broker.port, "tk")
+      c1.connect()
+      c1.publish("t/takeover", "from-c1".getBytes("UTF-8"), qos = 1)
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "from-c1")
+
+      // takeover: same clientId, persistent session this time
+      val c2 = new MqttWireClient("127.0.0.1", broker.port, "tk",
+        cleanSession = false)
+      c2.connect()
+      // the broker MUST have disconnected c1: its next round-trip dies.
+      // Poll briefly — the close lands asynchronously on c1's serve thread
+      val c1Dead = (0 until 50).exists { _ =>
+        try { c1.publish("t/takeover", "zombie".getBytes("UTF-8"), qos = 1); Thread.sleep(100); false }
+        catch { case _: java.io.IOException => true }
+      }
+      assert(c1Dead, "first connection must be disconnected by the takeover")
+
+      // the survivor serves — and the taken-over session's (clean)
+      // teardown must NOT have wiped the QoS 2 dedup state c2 now uses:
+      // crash mid-handshake, resume, exactly-once must still hold
+      broker.dropBeforeNextPubrec = true
+      intercept[java.io.IOException] {
+        c2.publish("t/takeover", "tk-msg".getBytes("UTF-8"), qos = 2)
+      }
+      c2.connect() // reconnect (a self-takeover of the dead socket)
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "tk-msg")
+      // drain any zombie deliveries c1 landed before its death, then
+      // assert no DUPLICATE of tk-msg arrived (exactly-once held)
+      val residue = Iterator.continually(
+        got.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS))
+        .takeWhile(_ != null).toSeq
+      assert(!residue.contains("tk-msg"), s"takeover broke exactly-once: $residue")
+      c1.close(); c2.close(); sub.close(); t.join(5000)
+    } finally broker.close()
+  }
+
   test("QoS 2 subscriber: maxQos 2 grant delivers exactly once to the handler " +
     "through PUBREC/PUBREL/PUBCOMP") {
     val broker = new MqttBrokerStub()
