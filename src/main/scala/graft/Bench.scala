@@ -232,7 +232,17 @@ object Bench {
     val stages = SparkEntry.stageProbes.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.contains(n) }
       .map { case (n, mk) =>
-        val timed = mk(spark, sfDir).map { case (label, thunk) =>
+        // construction of the probe's SHARED inputs (table handles, row
+        // counts) runs here, guarded: a probe that cannot even construct
+        // must record a -1 row, never crash main after the sweep — that
+        // would forfeit the whole bench_out.json the sweep just earned
+        val built =
+          try mk(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stage probe $n failed to construct: ${e.getMessage}")
+            Seq("__construct" -> (() => throw e))
+          }
+        val timed = built.map { case (label, thunk) =>
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()

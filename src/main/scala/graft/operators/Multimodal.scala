@@ -796,24 +796,49 @@ object Multimodal {
     def isGif(b: Array[Byte]): Boolean = graft.functions.GifFrames.isGif(b)
     def frameCount(b: Array[Byte]): Int = graft.functions.GifFrames.count(b)
 
-    /** Multi-frame reader handle: (frame count per the DECODER, read(i) —
-      * null on a frame that fails to decode). Null when the payload is
-      * not a CLEAN animated GIF (>= 2 frames by the byte walk): a
-      * single-frame GIF is an image, a torn one refuses here and falls
-      * to the image leg's null-key singleton contract. */
-    def frameSource(b: Array[Byte]): (Int, Int => java.awt.image.BufferedImage) = {
-      val n = frameCount(b)
-      if (n < 2) return null
+    /** Multi-frame reader handle over a CLEAN animated GIF (>= 2 frames
+      * by the [[graft.functions.GifFrames]] byte walk — the count comes
+      * from the walk, not the decoder, so opening the reader stays lazy
+      * and cheap). Null for a single-frame GIF (an image) and for a TORN
+      * one (callers must refuse it — decoding frame 0 of a torn
+      * animation and deduping on it would merge animations the engine
+      * could not read). `read(i)` returns null on a frame that fails to
+      * decode; `close()` releases the reader and its input stream — a
+      * leaked handle per payload is an FD/temp-file leak across a crawl
+      * batch, so every caller closes in try/finally. */
+    def frameSource(b: Array[Byte]): FrameSrc = frameSource(b, frameCount(b))
+
+    /** As [[frameSource]] with the byte-walk count already in hand —
+      * the crawl router triages on the count first and must not pay the
+      * O(payload) walk twice per row. */
+    def frameSource(b: Array[Byte], walkCount: Int): FrameSrc = {
+      if (walkCount < 2) return null
+      // force JdkImageCodec's one-time init (ImageIO disk cache OFF)
+      // before any createImageInputStream: an executor whose first media
+      // work is GIF rows would otherwise get FileCacheImageInputStreams
+      // churning temp files (the measured 2x+ qe5h slowdown)
+      JdkImageCodec
+      var stream: javax.imageio.stream.ImageInputStream = null
       val reader =
         try {
           val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
           if (!it.hasNext) return null
           val r = it.next()
-          r.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(b)))
+          stream = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          r.setInput(stream)
           r
-        } catch { case _: Exception => return null }
-      (n, i => try reader.read(i) catch { case _: Exception => null })
+        } catch {
+          case _: Exception =>
+            if (stream != null) { try stream.close() catch { case _: Exception => () } }
+            return null
+        }
+      FrameSrc(walkCount,
+        i => try reader.read(i) catch { case _: Exception => null },
+        () => {
+          try reader.dispose() catch { case _: Exception => () }
+          try stream.close() catch { case _: Exception => () }
+        })
     }
 
     /** Encode frames as one animated GIF via the JDK's sequence writer —
@@ -915,6 +940,13 @@ object Multimodal {
   }
 
   case class FrameRow(doc_id: Long, frame_idx: Long, width: Int, height: Int)
+
+  /** Resolved multi-frame container handle: `n` frames (by container
+    * walk), `read(i)` decodes one (null on a refusing frame), `close()`
+    * releases decoder resources — MUST be called (try/finally) by every
+    * consumer; the GIF side holds an open ImageIO reader + stream. */
+  final case class FrameSrc(n: Int, read: Int => java.awt.image.BufferedImage,
+                            close: () => Unit)
 
   /** REAL video-frame decode: RIFF-walk the AVI, ImageIO-decode each
     * MJPEG frame, emit one row per frame with its decoded dimensions.

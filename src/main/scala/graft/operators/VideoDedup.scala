@@ -38,43 +38,52 @@ object VideoDedup {
   case class VideoSig(doc_id: Long, n_frames: Int, content_hash: String)
   case class FrameHash(doc_id: Long, frame_idx: Int, dhash: Long)
 
-  /** md5 hex over the ordered per-frame pixel hashes (length-prefixed so
-    * frame-boundary ambiguity cannot alias two different sequences) —
-    * identical for any two container/encoder spellings of the same frame
-    * rasters; null if the payload is not an AVI or ANY frame refuses to
-    * decode (a partial signature would merge videos the engine could not
-    * fully read). */
   /** Unified frame access across the REAL video containers (MJPEG/PNG/BMP
     * -frame AVI via the RIFF walk; animated GIF >= 2 frames via the JDK's
-    * multi-frame reader — r14 verdict #4): (frame count, read(i) → image
-    * or null). Null when the payload is neither — an image, audio, or
-    * unknown payload, which the callers refuse as not-a-video. Because
-    * the hashes downstream key on decoded frame RASTERS, an AVI spelling
-    * and a GIF spelling of the same frame sequence hash identically —
-    * container invariance extends across container FAMILIES. */
-  private[operators] def frameSource(p: Array[Byte])
-      : (Int, Int => java.awt.image.BufferedImage) = {
+    * multi-frame reader — r14 verdict #4). Null when the payload is
+    * neither — an image, audio, or unknown payload, which the callers
+    * refuse as not-a-video. Because the hashes downstream key on decoded
+    * frame RASTERS, an AVI spelling and a GIF spelling of the same frame
+    * sequence hash identically — container invariance extends across
+    * container FAMILIES. Callers must `close()` the handle (try/finally)
+    * — the GIF side holds an open ImageIO reader + input stream. */
+  private[operators] def frameSource(p: Array[Byte]): Multimodal.FrameSrc = {
     if (p == null) return null
     val avi = Multimodal.MjpegAvi.framePayloads(p)
-    if (avi != null) (avi.length, i => Multimodal.JdkImageCodec.read(avi(i)))
+    if (avi != null)
+      Multimodal.FrameSrc(avi.length,
+        i => Multimodal.JdkImageCodec.read(avi(i)), () => ())
     else Multimodal.AnimatedGif.frameSource(p)
   }
 
-  def contentHash(payload: Array[Byte]): (Int, String) = {
-    val src = frameSource(payload)
+  /** md5 hex over the ordered per-frame pixel hashes (length-prefixed so
+    * frame-boundary ambiguity cannot alias two different sequences) —
+    * identical for any two container spellings (AVI or animated GIF,
+    * any frame encoder) of the same frame rasters; (-1, null) when the
+    * payload is not a readable video container, (n, null) when ANY frame
+    * refuses to decode (a partial signature would merge videos the
+    * engine could not fully read). */
+  def contentHash(payload: Array[Byte]): (Int, String) =
+    hashFrames(frameSource(payload))
+
+  /** The hashing half of [[contentHash]] over an already-resolved frame
+    * source (lets the crawl router reuse its own container triage without
+    * a second byte walk). Closes the source. */
+  private[graft] def hashFrames(src: Multimodal.FrameSrc): (Int, String) = {
     if (src == null) return (-1, null)
-    val (n, read) = src
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"n=$n;".getBytes("US-ASCII"))
-    var i = 0
-    while (i < n) {
-      val img = read(i)
-      if (img == null) return (n, null)
-      md.update(ImageDedup.pixelHash(img).getBytes("US-ASCII"))
-      md.update(';'.toByte)
-      i += 1
-    }
-    (n, md.digest().map("%02x".format(_)).mkString)
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"n=${src.n};".getBytes("US-ASCII"))
+      var i = 0
+      while (i < src.n) {
+        val img = src.read(i)
+        if (img == null) return (src.n, null)
+        md.update(ImageDedup.pixelHash(img).getBytes("US-ASCII"))
+        md.update(';'.toByte)
+        i += 1
+      }
+      (src.n, md.digest().map("%02x".format(_)).mkString)
+    } finally src.close()
   }
 
   /** Decode stage: (doc_id, payload) → one signature row per video, one
@@ -138,8 +147,8 @@ object VideoDedup {
       .mapPartitions(_.flatMap { case (id, p) =>
         val src = frameSource(p)
         if (src == null) Nil
-        else {
-          val (n, read) = src
+        else try {
+          val n = src.n
           val indices =
             if (maxFrames > 0 && n > maxFrames)
               (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt).distinct
@@ -149,12 +158,12 @@ object VideoDedup {
           // its LZW is internally sequential, but the dHash work is
           // bounded either way)
           val frames = indices.map { i =>
-            val img = read(i)
+            val img = src.read(i)
             if (img == null || img.getWidth < 9 || img.getHeight < 8) None
             else Some(FrameHash(id, i, ImageDedup.dHash64(img)))
           }
           if (frames.exists(_.isEmpty)) Nil else frames.flatten
-        }
+        } finally src.close()
       })
   }
 

@@ -169,17 +169,25 @@ object Capstones {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
+        // GIF triage runs ONE byte walk and splits three ways (r14
+        // verdict #4): >= 2 frames → the video leg (the GIF magic would
+        // otherwise parse as an image and dedup on frame 0 alone,
+        // merging different animations that share a first frame);
+        // exactly 1 → the ordinary image leg below; TORN (-1) → refuse
+        // outright — frame 0 of a torn animation often still decodes,
+        // and keying on it would merge animations the engine could not
+        // read (the null-key singleton contract).
+        val gifWalk =
+          if (p != null && Multimodal.AnimatedGif.isGif(p))
+            graft.functions.GifFrames.count(p)
+          else 0 // not a GIF: inert in both guards below
         val (kind, key) =
-          // animated GIF (>= 2 frames by the byte walk) outranks the
-          // image branch: the GIF magic would otherwise parse as an
-          // image and dedup on frame 0 alone — merging different
-          // animations that share a first frame (r14 verdict #4). A
-          // single-frame or torn GIF falls through to the image leg
-          // exactly as before.
-          if (p != null && Multimodal.AnimatedGif.isGif(p) &&
-              Multimodal.AnimatedGif.frameCount(p) >= 2) {
-            val (_, h) = VideoDedup.contentHash(p)
+          if (gifWalk >= 2) {
+            val (_, h) = VideoDedup.hashFrames(
+              Multimodal.AnimatedGif.frameSource(p, gifWalk))
             ("video", if (h == null) null else "vid:" + h)
+          } else if (gifWalk == -1) {
+            ("image", null) // torn GIF: recognized, unreadable — singleton
           } else if (p != null && graft.functions.ImageHeader.parse(p) != null) {
             val img = Multimodal.JdkImageCodec.read(p)
             ("image", if (img == null) null

@@ -1990,8 +1990,11 @@ object Extensions {
     * names the stage that carries any premium — persisted-anchor parquet
     * read vs live SRP-blocked join vs claim join vs frozen-equality scan —
     * instead of re-litigating it from totals. Thunks, not DataFrames:
-    * construction itself does eager work (getOrFit ready-checks, dim
-    * inference, checkpoints) that belongs inside the stage's clock. */
+    * each STAGE's construction does eager work (getOrFit ready-checks,
+    * dim inference, checkpoints) that belongs inside that stage's clock —
+    * only the probe's shared inputs (table handles, footer row counts)
+    * are resolved up front at probe-construction time, outside every
+    * clock and guarded by Bench against a construction failure. */
   val stageProbes: Map[String, (SparkSession, String) => Seq[(String, () => DataFrame)]] = Map(
     "qe62_cert_embed" -> ((s: SparkSession, d: String) => {
       val emb = Engine.Tables(s, d).embeddings

@@ -569,14 +569,17 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
     val built = AnimatedGif.build(imgs)
     assert(AnimatedGif.frameCount(built) == 3)
-    val (n, read) = AnimatedGif.frameSource(built)
-    assert(n == 3)
-    (0 until 3).foreach { i =>
-      val d = read(i)
+    val src = AnimatedGif.frameSource(built)
+    assert(src.n == 3)
+    try (0 until 3).foreach { i =>
+      val d = src.read(i)
       assert(d != null && d.getWidth == 12 && d.getHeight == 10)
       // losslessness: the sequence writer's palette is exact at 2 colors
       (0 until 10).foreach(y => (0 until 12).foreach(x =>
         assert((d.getRGB(x, y) & 0xFFFFFF) == (imgs(i).getRGB(x, y) & 0xFFFFFF))))
-    }
+    } finally src.close()
+    // double-close is safe (callers close in finally; a hash path that
+    // already closed must not blow up a later defensive close)
+    src.close()
   }
 }

@@ -77,6 +77,16 @@ class CapstonesSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(rows == Set((0L, "video", 1), (1L, "video", 1)),
       s"distinct animations sharing frame 0 must both survive as video: $rows")
+    // TORN animations (trailer cut off mid-stream) must refuse — frame 0
+    // of each still decodes, and keying on it would merge what was not
+    // read; both survive as null-key singletons instead
+    val torn = Capstones.crawlMediaDedup(
+        Seq((0L, a.dropRight(1), "image/gif"), (1L, b.dropRight(1), "image/gif"))
+          .toDF("doc_id", "payload", "mime"))
+      .select("doc_id", "is_kept")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(torn == Set((0L, 1), (1L, 1)),
+      s"torn animations must refuse to null-key singletons, never merge: $torn")
   }
 
   test("appendKeySet: append(batch1) then dedup(batch2) == dedup against the union key set (r15)") {
