@@ -1003,6 +1003,47 @@ object Multimodal {
     }}.toDF("doc_id", "payload", "mime")
   }
 
+  /** Deterministic ANIMATED-GIF corpus (r15): per doc, a spec-shaped
+    * GIF89a whose planted parameters are plain doc_id arithmetic —
+    * logical screen w = id%30+2, h = id%20+1; n = id%4+2 frames, each a
+    * graphic-control extension carrying delay d = (id%7+1)*5
+    * centiseconds followed by an image descriptor with a 2-entry local
+    * color table and a 1-sub-block LZW body; trailer-terminated. Any
+    * error in [[graft.functions.GifFrames]]' block walk (sub-block
+    * stepping, LCT sizing, GCE delay offset) or in
+    * [[graft.functions.VideoHeader]]'s animated-GIF branch
+    * (duration = n·d cs at timescale 100) hash-mismatches against the
+    * arithmetic oracle (qe5r). Codegen projection, shuffle-free. */
+  def syntheticAnimatedGifCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id.as("doc_id"), unhex(gifPayloadHex(id)).as("payload"),
+      lit("image/gif").as("mime"))
+  }
+
+  /** Hex string of the planted animated GIF for one doc_id. */
+  private[operators] def gifPayloadHex(id: Column): Column = {
+    def le(v: Column) = concat(
+      lpad(hex(v.bitwiseAND(255)), 2, "0"), lpad(hex(shiftright(v, 8)), 2, "0"))
+    val w = id % 30 + 2
+    val h = id % 20 + 1
+    val n = id % 4 + 2 // frames: 2..5
+    val d = (id % 7 + 1) * 5 // per-frame GCE delay, centiseconds (< 256)
+    // GCE (introducer+label, block size 4, flags 0, delay LE u16, no
+    // transparency, terminator) + image descriptor at (0,0) full screen
+    // with a 2-entry LCT + LZW min-code 2, one 1-byte sub-block, term
+    val frame = concat(
+      lit("21F90400"), lpad(hex(d), 2, "0"), lit("000000"),
+      lit("2C"), lit("00000000"), le(w), le(h), lit("80"),
+      lit("000000FFFFFF"), lit("02"), lit("014C"), lit("00"))
+    // n is 2..5: unroll the repetition (functions.repeat takes a literal
+    // count; a when-chain keeps this a pure codegen projection)
+    val frames = concat(frame, frame,
+      when(n >= 3, frame).otherwise(lit("")),
+      when(n >= 4, frame).otherwise(lit("")),
+      when(n >= 5, frame).otherwise(lit("")))
+    concat(lit("474946383961"), le(w), le(h), lit("000000"), frames, lit("3B"))
+  }
+
   /** MIXED media corpus: the family rotates by (doc_id/3)%3 —
     * image/audio/video — deliberately decoupled from each family's
     * internal format selectors (id%3 for png/jpeg/gif, id%2 for wav/aiff

@@ -253,7 +253,8 @@ object VideoDedup {
   def syntheticDupVideoCorpus(docs: DataFrame): DataFrame =
     synthCorpus(docs, nearDup = false)
 
-  /** Near-dup corpus: spellings 0/1 carry the group's frames (PNG/BMP),
+  /** Near-dup corpus: spellings 0/1 carry the group's frames (PNG-frame
+    * AVI / animated GIF — cross-container-family since r15),
     * spelling 2 nudges one interior pixel in EVERY frame (pixel hashes
     * split, dHashes provably identical), spelling 3 TRIMS the last frame
     * — [[containmentPairs]] at maxHamming 2 emits exactly the 6 in-group
@@ -281,19 +282,21 @@ object VideoDedup {
             ImageDedup.paint(ImageDedup.groupGrid(frameKey(g, i)),
               cell = 4, perturb = nearDup && v == 2)
           }
-          // dup-corpus spelling 1 is an ANIMATED GIF of the SAME rasters
-          // (r14 verdict #4): container-family invariance — the exact
-          // frame-sequence hash must collapse an AVI spelling and a GIF
-          // spelling of one clip, which byte-level dedup provably cannot.
-          // Lossless by construction (the grid rasters hold < 256
-          // colors, so the GIF writer's palette is exact). The BMP-frame
-          // AVI coverage lives on in spelling 3 (BGR + JUNK).
-          if (!nearDup && v == 1) {
+          // Spelling 1 is an ANIMATED GIF of the SAME rasters in BOTH
+          // corpora (r14 verdict #4): container-FAMILY invariance — the
+          // exact frame-sequence hash (dup corpus) and the per-frame
+          // dHash path (near-dup corpus) must both collapse an AVI
+          // spelling and a GIF spelling of one clip, which byte-level
+          // dedup provably cannot. Lossless by construction (the grid
+          // rasters hold < 256 colors, so the GIF writer's palette is
+          // exact). The BMP-frame AVI coverage lives on in spelling 3
+          // (BGR + JUNK).
+          if (v == 1) {
             (id, Multimodal.AnimatedGif.build(imgs), "image/gif")
           } else {
             val frames = imgs.map { img =>
               if (nearDup)
-                ImageDedup.encodeImg(img, if (v == 1) "bmp" else "png", bgr = false)
+                ImageDedup.encodeImg(img, "png", bgr = false)
               else v match {
                 case 0 => ImageDedup.encodeImg(img, "png", bgr = false)
                 case 2 => ImageDedup.encodeImg(img, "png", bgr = false)

@@ -572,6 +572,25 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(CASE WHEN doc_id % 9 = 0 THEN NULL ELSE doc_id % 8 + 1 END AS INTEGER) AS orientation, CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, CAST(CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 1 END ELSE 0 END AS INTEGER) AS icc_chunks, CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 400 + 20 ELSE 0 END AS BIGINT) AS icc_bytes FROM documents ORDER BY doc_id""")),
 
+    // E5 — animated-GIF video metadata (r15, the GIF half of the r14-#4
+    // container work): the GifFrames block walk + VideoHeader's
+    // animated-GIF branch certified by arithmetic — planted n = id%4+2
+    // frames each carrying a GCE delay d = (id%7+1)*5 cs, so
+    // duration = n·d at timescale 100 and duration_ms = 10× that. A
+    // sub-block stepping, LCT sizing, or delay-offset error anywhere in
+    // the walk hash-mismatches. One codegen projection over a
+    // constructed corpus; shuffle-free.
+    ("qe5r_gif_meta", (s: SparkSession, d: String) => {
+      val media = Multimodal.syntheticAnimatedGifCorpus(
+        Engine.Tables(s, d).documents.select("doc_id"))
+      media.select(col("doc_id"),
+          graft.functions.VideoMetaExpr.video_meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
+          col("m.duration_ms").as("duration_ms"), col("m.n_tracks").as("n_tracks"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, 'image/gif' AS mime, CAST(100 AS INTEGER) AS timescale, CAST((doc_id % 4 + 2) * ((doc_id % 7 + 1) * 5) AS BIGINT) AS duration, CAST((doc_id % 4 + 2) * ((doc_id % 7 + 1) * 5) * 10 AS BIGINT) AS duration_ms, CAST(1 AS INTEGER) AS n_tracks FROM documents ORDER BY doc_id""")),
+
     // E5 — H.264/AVC coded dimensions from the SPS NAL (r10 verdict
     // Missing #1, video leg): exp-Golomb bitstream parse with RBSP
     // emulation-prevention de-escape, the High-profile chroma block, and
