@@ -236,6 +236,21 @@ object IvfIndex {
     probeTopK(assignInline(candidates, centroids, vecCol), centroids, queries,
       idCol, vecCol, k, nprobe)
 
+  /** Probe/score/top-k over an ALREADY-ASSIGNED postings frame — (idCol,
+    * vecCol, cell) rows, e.g. a persisted postings artifact or the append
+    * path's base∪batch union (r15, the qe76b key-set-append pattern on
+    * the ANN index): the apply half of [[topKFrozen]] without
+    * re-assigning. At a fixed centroid table, assignment is a pointwise
+    * deterministic function of each vector ([[assignInline]]'s lexicographic
+    * tie rule) and [[Similarity.rankTopK]] tiebreaks on cid, so searching
+    * appended postings is provably row-identical to re-assigning the
+    * union corpus from scratch — history is never re-assigned, append
+    * cost is one batch projection plus a union (qe3f certifies the
+    * equality per query against the DuckDB oracle). */
+  def topKAssigned(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    probeTopK(assigned, centroids, queries, idCol, vecCol, k, nprobe)
+
   /** Index-health card for a frozen IVF index: per-cell occupancy
     * (cell, n, frac) ordered by cell. The number every IVF deployment
     * watches — a hot cell means the quantizer no longer fits the data

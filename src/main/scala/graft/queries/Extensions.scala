@@ -293,6 +293,50 @@ object Extensions {
         .orderBy("qid", "rnk")
     }, None),
 
+    // E3 incremental APPEND certificate (r15) — the qe76b key-set-append
+    // pattern applied to the ANN index: centroids freeze over the STORED
+    // snapshot (vec_id%5 != 3), its postings persist once, and a new
+    // batch (vec_id%5 == 3) appends as ONE map-only assign + union —
+    // history is never re-assigned. At fixed centroids both assignment
+    // (lexicographic argmin) and ranking (rankTopK's cid tiebreak) are
+    // deterministic, so searching the appended postings must be
+    // row-identical to re-assigning the union corpus from scratch —
+    // certified per query: any divergence (cid or r4(cos), any rank)
+    // flips paths_equal and hash-mismatches. All three artifacts are
+    // content-keyed getOrFit parquet (kill/resume refits at most one
+    // link).
+    ("qe3f_cert_ivf_append", (s: SparkSession, d: String) => {
+      val emb = Engine.Tables(s, d).embeddings
+      val path = s"$d/embeddings.parquet"
+      val stored = emb.filter(col("vec_id") % 5 =!= 3)
+      val batch = emb.filter(col("vec_id") % 5 === 3)
+      import graft.operators.IvfIndex
+      val cents = graft.Artifacts.getOrFit(s, "ivf_centroids",
+        graft.Artifacts.fitKey(s, Seq(path), "vec_id-embedding-nlist8-seed42-mod5ne3"),
+        IvfIndex.build(stored, "vec_id", "embedding", 8, 42L)._2)
+      val base = graft.Artifacts.getOrFit(s, "ivf_postings",
+        graft.Artifacts.fitKey(s, Seq(path), "mod5ne3-base-nlist8"),
+        IvfIndex.assignInline(stored, cents, "embedding"))
+      val appended = graft.Artifacts.getOrFit(s, "ivf_postings",
+        graft.Artifacts.fitKey(s, Seq(path), "mod5ne3-plus-b3-nlist8"),
+        base.unionByName(IvfIndex.assignInline(batch, cents, "embedding")))
+      val queries = emb.filter(col("vec_id") < 10)
+      val via = IvfIndex.topKAssigned(appended, cents, queries,
+        "vec_id", "embedding", 5, nprobe = 6)
+      val scratch = IvfIndex.topKAssigned(
+        IvfIndex.assignInline(emb, cents, "embedding"), cents, queries,
+        "vec_id", "embedding", 5, nprobe = 6)
+      via.select(col("qid"), col("rnk"), col("cid").as("ca"), r4(col("cos")).as("sa"))
+        .join(scratch.select(col("qid"), col("rnk"), col("cid").as("cb"),
+          r4(col("cos")).as("sb")), Seq("qid", "rnk"), "full")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k_rows"),
+          coalesce(sum(when(col("ca") <=> col("cb") && col("sa") <=> col("sb"), 0)
+            .otherwise(1)), lit(0L)).as("__nd"))
+        .select(col("qid"), col("k_rows"), (col("__nd") === 0).as("paths_equal"))
+        .orderBy("qid")
+    }, Some("""SELECT vec_id AS qid, CAST(5 AS BIGINT) AS k_rows, TRUE AS paths_equal FROM embeddings WHERE vec_id < 10 ORDER BY qid""")),
+
     // E4 — per-document quality stats
     ("qe4a_textstats", (s: SparkSession, d: String) => {
       TextAnalysis.textStats(Engine.Tables(s, d).documents).orderBy("doc_id")

@@ -24,6 +24,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
         "FFC0 0011 08 0007 0005 03 011100 021101 031101 FFD9"),
     "gif" -> hex("474946383961 0A00 1400 F70000"),
+    // 2-frame animated GIF with GCEs and local color tables (r15: the
+    // GifFrames block walk rides the truncation/byte-flip sweeps)
+    "gifanim" -> hex("474946383961" + "0200 0100 00 00 00" +
+      ("21F9" + "04 00 1900 00" + "00" +
+        "2C" + "0000 0000 0200 0100" + "80" + "000000 FFFFFF" + "02" + "02 4C01" + "00") * 2 +
+      "3B"),
     // BITMAPINFOHEADER BMP, 7x9 (r14: the BMP triage branch)
     "bmp" -> hex("424D" + "00" * 8 + "36000000" + "28000000 07000000 09000000" +
       "0100 1800" + "00" * 24),

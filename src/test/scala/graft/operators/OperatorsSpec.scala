@@ -475,6 +475,30 @@ class SimilaritySpec extends SparkTestBase {
       cents.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("IVF postings append (qe3f path): base ∪ batch-assign == from-scratch assign, " +
+    "searched identically; appended search is row-identical to scratch") {
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val stored = emb.filter(col("vec_id") % 5 =!= 3)
+    val batch = emb.filter(col("vec_id") % 5 === 3)
+    val cents = IvfIndex.frozenCentroids(stored, cacheKey = "spec-append-" + Sf0001,
+      "vec_id", "embedding", nlist = 8)
+    // the append path's postings frame equals the from-scratch assignment
+    // of the union corpus — assignment is pointwise at fixed centroids
+    val appended = IvfIndex.assignInline(stored, cents, "embedding")
+      .unionByName(IvfIndex.assignInline(batch, cents, "embedding"))
+    val scratch = IvfIndex.assignInline(emb, cents, "embedding")
+    assert(appended.select("vec_id", "cell").collect().map(_.toString).sorted.toSeq ==
+      scratch.select("vec_id", "cell").collect().map(_.toString).sorted.toSeq)
+    // and the searched top-k over the appended postings is row-identical
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(assigned: org.apache.spark.sql.DataFrame) =
+      IvfIndex.topKAssigned(assigned, cents, queries, "vec_id", "embedding", 5, nprobe = 6)
+        .select("qid", "rnk", "cid").orderBy("qid", "rnk")
+        .collect().map(_.toString).toSeq
+    assert(run(appended) == run(scratch),
+      "appended-postings search must be row-identical to the from-scratch path")
+  }
+
   test("IVF-PQ encode: m tinyint codes in [0, 2^nbits), raw vector dropped, deterministic") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val (_, cents) = IvfIndex.build(emb, "vec_id", "embedding", 8)
