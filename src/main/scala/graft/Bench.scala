@@ -77,6 +77,11 @@ object Bench {
   def bandHi(name: String): Double = {
     val id = name.takeWhile(_ != '_')
     if (!id.startsWith("qe")) 2.5 // parity/relational (q26 top: 1.77 driver)
+    // ANY certificate rides the certificate band regardless of its id
+    // family — certificates run extra claim paths by design (qe3f runs
+    // TWO full probe/top-k searches plus the equality join; pricing it
+    // against the single-search ANN band would false-positive)
+    else if (name.contains("_cert_")) 12.0
     else {
       val core = id.drop(2)
       val num = core.takeWhile(_.isDigit) match {
@@ -86,9 +91,9 @@ object Bench {
       val exactForm = core.forall(_.isDigit) // no letter suffix
       if (num == 5 || num == 59) 1.5 // multimodal byte-parsers
       else if (num >= 60 && num <= 66) 12.0 // certificates (widest plans; qe60 min 8.4 seen under r15 ambient)
-      else if (num >= 67 && num <= 76) 5.5 // media/crawl dedup (real decode; qe71 min 5.1 under a load-7.5 slot, r15)
+      else if (num >= 67 && num <= 76) 6.0 // media/crawl dedup (real decode; qe71 min 5.1 under a load-7.5 slot, r15)
       else if (exactForm && Set(2, 46, 50, 55, 58).contains(num)) 6.0 // exact anchors (qe55 min 4.8 under r15 ambient)
-      else if (num == 3 || num == 7) 4.0 // ANN ladder + embed dedup (qe7c min 3.61 observed under a load-6.6 slot, r15 sweep 1)
+      else if (num == 3 || num == 7) 4.5 // ANN ladder + embed dedup (qe7c min 3.61 observed under a load-6.6 slot, r15 sweep 1)
       else if (Set(1, 2, 10, 11, 12, 13, 21, 42, 43, 52).contains(num)) 5.0 // dedup/LSH (incl. qe2b/qe2c twins)
       else if (Set(33, 40, 44).contains(num)) 2.5 // capstones
       else 3.5 // text analysis / retrieval / remaining extensions

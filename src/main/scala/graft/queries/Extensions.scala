@@ -311,14 +311,18 @@ object Extensions {
       val stored = emb.filter(col("vec_id") % 5 =!= 3)
       val batch = emb.filter(col("vec_id") % 5 === 3)
       import graft.operators.IvfIndex
+      // nHint from footer stats (the qe3d/qe3e discipline): the sizing
+      // derivation needs only the order of magnitude, and the full-corpus
+      // count is within it for the 80% stored slice — no corpus pass
+      val nH = Engine.parquetRowCount(s, path)
       val cents = graft.Artifacts.getOrFit(s, "ivf_centroids",
-        graft.Artifacts.fitKey(s, Seq(path), "vec_id-embedding-nlist8-seed42-mod5ne3"),
-        IvfIndex.build(stored, "vec_id", "embedding", 8, 42L)._2)
+        graft.Artifacts.fitKey(s, Seq(path), s"vec_id-embedding-nlist8-seed42-mod5ne3-h$nH"),
+        IvfIndex.build(stored, "vec_id", "embedding", 8, 42L, nHint = nH)._2)
       val base = graft.Artifacts.getOrFit(s, "ivf_postings",
-        graft.Artifacts.fitKey(s, Seq(path), "mod5ne3-base-nlist8"),
+        graft.Artifacts.fitKey(s, Seq(path), s"mod5ne3-base-nlist8-h$nH"),
         IvfIndex.assignInline(stored, cents, "embedding"))
       val appended = graft.Artifacts.getOrFit(s, "ivf_postings",
-        graft.Artifacts.fitKey(s, Seq(path), "mod5ne3-plus-b3-nlist8"),
+        graft.Artifacts.fitKey(s, Seq(path), s"mod5ne3-plus-b3-nlist8-h$nH"),
         base.unionByName(IvfIndex.assignInline(batch, cents, "embedding")))
       val queries = emb.filter(col("vec_id") < 10)
       val via = IvfIndex.topKAssigned(appended, cents, queries,

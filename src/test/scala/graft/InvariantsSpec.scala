@@ -177,7 +177,11 @@ class InvariantsSpec extends SparkTestBase {
     assert(Bench.bandHi("qe62_cert_embed") == 12.0)
     assert(Bench.bandHi("qe2_jaccard_pairs") == 6.0)   // exact anchor
     assert(Bench.bandHi("qe2b_minhash_lsh") == 5.0)    // its LSH twin
-    assert(Bench.bandHi("qe75_crawl_media_dedup") == 5.5)
+    assert(Bench.bandHi("qe75_crawl_media_dedup") == 6.0)
+    // certificates ride the cert band by NAME, whatever their id family
+    // (qe3f runs two full searches + the equality join)
+    assert(Bench.bandHi("qe3f_cert_ivf_append") == 12.0)
+    assert(Bench.bandHi("qe3c_knn_ivf") == 4.5)
     // r14 driver mins (bench_out.json, the 214 s anomaly sweep): the only
     // min above its band must be qe62 — the flag the round was graded on
     val r14 = Map(

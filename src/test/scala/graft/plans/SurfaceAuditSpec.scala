@@ -66,6 +66,10 @@ class SurfaceAuditSpec extends SparkTestBase {
     // labeled seeds) broadcast across the corpus — a map-only corpus scan
     // at any SF; the brute side of the qe3->qe3c->qe3d->qe3e twin chain
     "qe3_knn_brute", "qe3c_knn_ivf", "qe3d_knn_ivf_frozen", "qe3e_knn_ivfpq",
+    // same bounded probe shape, run TWICE (append path + from-scratch
+    // path, both probing the nlist-row centroid broadcast with the
+    // vec_id < 10 query set) — the equality certificate's whole point
+    "qe3f_cert_ivf_append",
     "qe35_knn_label",
     // (b) the declared exact all-pairs cosine anchor (non-equi self-join);
     // bucketed twin qe7b_embed_neardup_blocked enforced via scaleTwins
