@@ -100,6 +100,29 @@ object Bench {
     }
   }
 
+  /** The host-saturation canary threshold on q01_project's min (seconds).
+    * q01 is a pure codegen projection whose warm min has never exceeded
+    * 0.56 s on any recorded HEALTHY sweep (r14 driver incl. the qe62
+    * anomaly: 0.56; r15 sweeps 1–3: 0.43–0.55); the r15 saturated sweep
+    * measured it at 2.76 s while its 1-minute load SAMPLE still read 1.3
+    * — the load average lags the contention, so the canary is the only
+    * in-band signal that the sweep's own reps ran on a saturated host. */
+  val CanaryQuery = "q01_project"
+  val CanaryMax = 1.0
+
+  /** Violation gate (r15): split band violations into EMITTED (host
+    * healthy — actionable anomalies, the r14-qe62 class) vs SUPPRESSED
+    * (q01 canary shows the host was saturated during the sweep, so no
+    * per-query min is a calibrated read; the raw list still lands in
+    * bench_out.json as `violations_suppressed` — data is annotated,
+    * never discarded). Returns (canary min, emitted, suppressed). */
+  def violationGate(mins: Seq[(String, Double)])
+      : (Double, Seq[(String, Double)], Seq[(String, Double)]) = {
+    val canary = mins.toMap.getOrElse(CanaryQuery, 0.0)
+    val raw = mins.filter { case (n, v) => v >= 0 && v > bandHi(n) }
+    if (canary > CanaryMax) (canary, Seq.empty, raw) else (canary, raw, Seq.empty)
+  }
+
   /** True median: even-length inputs average the two middle values —
     * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
     * WORST run as "the median" (a bimodal 1s/28s GC spike would record a
@@ -222,8 +245,9 @@ object Bench {
     // band — the machine-readable form of "this one query is anomalous".
     // Judged on the min because medians inflate under ambient load; a
     // query whose CHEAPEST of 3 warm reps exceeds its family band is a
-    // real regression or a host pathology, either way a flag.
-    val violations = mins.filter { case (n, v) => v >= 0 && v > bandHi(n) }
+    // real regression or a host pathology — the canary gate below tells
+    // those apart.
+    val (canaryMin, violations, suppressed) = violationGate(mins)
     val fitExtra = s""","fit":${deci(fitTotal)},"viol":${violations.size}"""
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(renderLine(results, sfShort, deci, keyed, extra = fitExtra))
@@ -291,17 +315,24 @@ object Bench {
     // instead of spreadsheets. The stage map carries the attribution pass.
     val bandJson = names.map(n => "\"" + n + "\":" + bandHi(n).toString)
       .mkString("{", ",", "}")
-    val violJson = violations
+    def violList(vs: Seq[(String, Double)]): String = vs
       .map { case (n, v) =>
         s"""{"q":"$n","min":$v,"band_hi":${bandHi(n)}}""" }
       .mkString("[", ",", "]")
+    val violJson = violList(violations)
+    // canary + suppressed ride the artifact so a saturated sweep is
+    // self-describing: canary_min > 1.0 explains an empty violations list
+    // that would otherwise read as "healthy", and the raw out-of-band
+    // mins stay available for the judge
+    val canaryExtra =
+      s""","canary_min":$canaryMin,"violations_suppressed":${violList(suppressed)}"""
     val stagesJson = stages.map { case (n, ss) =>
       "\"" + n + "\":" + ss.map { case (l, v) => "\"" + l + "\":" + v.toString }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson,"band_hi":$bandJson,"violations":$violJson,"stages":$stagesJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson,"band_hi":$bandJson,"violations":$violJson$canaryExtra,"stages":$stagesJson""") + "\n")
     spark.stop()
   }
 }
