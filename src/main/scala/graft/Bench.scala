@@ -110,17 +110,33 @@ object Bench {
   val CanaryQuery = "q01_project"
   val CanaryMax = 1.0
 
-  /** Violation gate (r15): split band violations into EMITTED (host
-    * healthy — actionable anomalies, the r14-qe62 class) vs SUPPRESSED
-    * (q01 canary shows the host was saturated during the sweep, so no
-    * per-query min is a calibrated read; the raw list still lands in
-    * bench_out.json as `violations_suppressed` — data is annotated,
-    * never discarded). Returns (canary min, emitted, suppressed). */
+  /** Hard-violation multiplier over the band: across six r15 sweeps
+    * (ambient load 1→7.5) every ambient-caused band crossing stayed
+    * within 1.15× its band (qe44 2.85/2.5, qe50 6.15/6.0, qe55 6.22/6.0
+    * on the sweep whose saturation arrived AFTER a healthy canary),
+    * while the r14 qe62 anomaly sat at 2.35× (28.2 vs 12). 1.25 splits
+    * them with margin on both sides. */
+  val HardViolationFactor = 1.25
+
+  /** Violation gate (r15): split band crossings three ways —
+    * HARD (min > 1.25× band on a canary-healthy sweep: the multiple-×
+    * r14-qe62 class, always actionable), MARGINAL (band < min ≤ 1.25×
+    * band: at the band's edge, the shape mid-sweep ambient produces —
+    * read with the load map / min-sum context), and SUPPRESSED (the q01
+    * canary shows the host was saturated from the sweep's start, so no
+    * per-query min is a calibrated read). All three land in
+    * bench_out.json — data is annotated, never discarded. Returns
+    * (canary min, hard, marginal, suppressed). */
   def violationGate(mins: Seq[(String, Double)])
-      : (Double, Seq[(String, Double)], Seq[(String, Double)]) = {
+      : (Double, Seq[(String, Double)], Seq[(String, Double)], Seq[(String, Double)]) = {
     val canary = mins.toMap.getOrElse(CanaryQuery, 0.0)
     val raw = mins.filter { case (n, v) => v >= 0 && v > bandHi(n) }
-    if (canary > CanaryMax) (canary, Seq.empty, raw) else (canary, raw, Seq.empty)
+    if (canary > CanaryMax) (canary, Seq.empty, Seq.empty, raw)
+    else {
+      val (hard, marginal) = raw.partition { case (n, v) =>
+        v > HardViolationFactor * bandHi(n) }
+      (canary, hard, marginal, Seq.empty)
+    }
   }
 
   /** True median: even-length inputs average the two middle values —
@@ -247,7 +263,7 @@ object Bench {
     // query whose CHEAPEST of 3 warm reps exceeds its family band is a
     // real regression or a host pathology — the canary gate below tells
     // those apart.
-    val (canaryMin, violations, suppressed) = violationGate(mins)
+    val (canaryMin, violations, marginal, suppressed) = violationGate(mins)
     val fitExtra = s""","fit":${deci(fitTotal)},"viol":${violations.size}"""
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(renderLine(results, sfShort, deci, keyed, extra = fitExtra))
@@ -325,7 +341,7 @@ object Bench {
     // that would otherwise read as "healthy", and the raw out-of-band
     // mins stay available for the judge
     val canaryExtra =
-      s""","canary_min":$canaryMin,"violations_suppressed":${violList(suppressed)}"""
+      s""","canary_min":$canaryMin,"violations_marginal":${violList(marginal)},"violations_suppressed":${violList(suppressed)}"""
     val stagesJson = stages.map { case (n, ss) =>
       "\"" + n + "\":" + ss.map { case (l, v) => "\"" + l + "\":" + v.toString }
         .mkString("{", ",", "}")

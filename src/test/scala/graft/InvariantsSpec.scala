@@ -196,19 +196,29 @@ class InvariantsSpec extends SparkTestBase {
       s"r14 replay flags $flagged — bands drifted")
     // the canary gate EMITS on the r14 anomaly sweep (q01 min 0.56 —
     // host healthy, so the qe62 flag is actionable) ...
-    val (c14, emit14, sup14) = Bench.violationGate(
+    val (c14, emit14, marg14, sup14) = Bench.violationGate(
       r14.toSeq :+ ("q01_project" -> 0.56))
-    assert(c14 == 0.56 && emit14.map(_._1) == Seq("qe62_cert_embed") && sup14.isEmpty)
+    assert(c14 == 0.56 && emit14.map(_._1) == Seq("qe62_cert_embed") &&
+      marg14.isEmpty && sup14.isEmpty)
     // ... and SUPPRESSES on the r15 saturated sweep (q01 min 2.76 while
     // its lagging load sample still read 1.3): parity mins at 5-9x their
     // quiet reads are host pathology, not regressions — they move to
     // violations_suppressed, never a silent drop
-    val (c15, emit15, sup15) = Bench.violationGate(Seq(
+    val (c15, emit15, marg15, sup15) = Bench.violationGate(Seq(
       "q01_project" -> 2.762, "q05_json_default" -> 3.422,
       "qe28b_hybrid" -> 3.871, "qe62_cert_embed" -> 5.17))
-    assert(c15 > Bench.CanaryMax && emit15.isEmpty)
+    assert(c15 > Bench.CanaryMax && emit15.isEmpty && marg15.isEmpty)
     assert(sup15.map(_._1).toSet ==
       Set("q01_project", "q05_json_default", "qe28b_hybrid"))
+    // ... and MARGINAL on sweep 6's shape (canary healthy at 0.87 but
+    // saturation arrived mid-sweep: crossings at 1.02-1.14x their bands
+    // are the ambient signature — they must not read as hard anomalies)
+    val (c16, emit16, marg16, sup16) = Bench.violationGate(Seq(
+      "q01_project" -> 0.87, "qe44_boilerplate" -> 2.847,
+      "qe50_tfidf" -> 6.152, "qe55_best_survivor" -> 6.225))
+    assert(c16 == 0.87 && emit16.isEmpty && sup16.isEmpty)
+    assert(marg16.map(_._1).toSet ==
+      Set("qe44_boilerplate", "qe50_tfidf", "qe55_best_survivor"))
   }
 
   test("stage probes name registered queries and land parseable in the file form") {
@@ -220,12 +230,13 @@ class InvariantsSpec extends SparkTestBase {
     // the stages/band/violations extras must keep bench_out.json valid
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val fileLine = Bench.renderLine(Seq("q01_project" -> 1.0), "/x", _.toString, identity,
-      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}}""")
+      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_marginal":[],"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}}""")
     val node = om.readTree(fileLine)
     assert(node.get("band_hi").get("q01_project").asDouble == 2.5)
     assert(node.get("violations").get(0).get("q").asText == "qe62_cert_embed")
     assert(node.get("canary_min").asDouble == 0.56)
     assert(node.get("violations_suppressed").size == 0)
+    assert(node.get("violations_marginal").size == 0)
     assert(node.get("stages").get("qe62_cert_embed").get("blocked_live").asDouble == 0.8)
   }
 
