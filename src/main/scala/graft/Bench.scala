@@ -126,16 +126,27 @@ object Bench {
     * canary shows the host was saturated from the sweep's start, so no
     * per-query min is a calibrated read). All three land in
     * bench_out.json — data is annotated, never discarded. Returns
-    * (canary min, hard, marginal, suppressed). */
+    * (canary min, hard, marginal, suppressed).
+    *
+    * A MISSING canary (partial SPARK_GRAFT_BENCH_ONLY run that skipped
+    * q01, or q01 itself crashed and recorded -1) is canary-UNKNOWN, not
+    * canary-healthy: without the saturation read, no crossing can be
+    * certified as a hard anomaly, so every crossing routes to the
+    * suppressed tier and canary min reports -1.0 — the artifact then
+    * says "unjudgeable sweep", never "healthy with hard violations"
+    * (ADVICE r15: the old getOrElse(0.0) default silently passed the
+    * health gate). */
   def violationGate(mins: Seq[(String, Double)])
       : (Double, Seq[(String, Double)], Seq[(String, Double)], Seq[(String, Double)]) = {
-    val canary = mins.toMap.getOrElse(CanaryQuery, 0.0)
+    val canary = mins.toMap.get(CanaryQuery).filter(_ >= 0)
     val raw = mins.filter { case (n, v) => v >= 0 && v > bandHi(n) }
-    if (canary > CanaryMax) (canary, Seq.empty, Seq.empty, raw)
-    else {
-      val (hard, marginal) = raw.partition { case (n, v) =>
-        v > HardViolationFactor * bandHi(n) }
-      (canary, hard, marginal, Seq.empty)
+    canary match {
+      case None => (-1.0, Seq.empty, Seq.empty, raw)
+      case Some(c) if c > CanaryMax => (c, Seq.empty, Seq.empty, raw)
+      case Some(c) =>
+        val (hard, marginal) = raw.partition { case (n, v) =>
+          v > HardViolationFactor * bandHi(n) }
+        (c, hard, marginal, Seq.empty)
     }
   }
 

@@ -25,7 +25,19 @@ object GifFrames {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
   /** (image-descriptor count, total GCE delay in centiseconds);
-    * (-1, 0) when the bytes are not a GIF or the walk tears. */
+    * (-1, 0) when the bytes are not a GIF or the walk tears.
+    *
+    * Delay semantics (spec §23: a GCE "applies to the first graphic
+    * rendering block to follow"): each GCE's delay is held PENDING and
+    * committed only when the next 0x2C image descriptor consumes it —
+    * consecutive GCEs overwrite (last-before-the-image wins) and a
+    * trailing/orphan GCE with no following image contributes nothing, so
+    * a spec-odd file with duplicate or dangling GCEs cannot inflate the
+    * total (ADVICE r15: the old walk summed every GCE it saw). The delay
+    * is read from the GCE's FIRST sub-block only — the spec fixes the
+    * GCE data block at exactly 4 bytes in one sub-block, so a delay-
+    * shaped value in a later (padding) sub-block is non-conformant noise
+    * and is deliberately ignored (pinned by a MediaFuzz vector). */
   def walk(b: Array[Byte]): (Int, Long) = {
     if (!isGif(b) || b.length < 13) return (-1, 0L)
     var off = 13 // header (6) + logical screen descriptor (7)
@@ -33,6 +45,7 @@ object GifFrames {
     if ((flags & 0x80) != 0) off += 3 * (1 << ((flags & 7) + 1)) // GCT
     var count = 0
     var delayCs = 0L
+    var pendingCs = 0L
     while (off < b.length) {
       (b(off) & 0xFF) match {
         case 0x3B => return (count, delayCs) // trailer: clean end
@@ -47,7 +60,7 @@ object GifFrames {
             // the u16 LE delay (centiseconds) sits at data bytes 1-2,
             // i.e. buffer offsets off+2 / off+3 (off is the length byte)
             if (first && label == 0xF9 && s >= 3 && off + 3 < b.length)
-              delayCs += ((b(off + 2) & 0xFF) | ((b(off + 3) & 0xFF) << 8)).toLong
+              pendingCs = ((b(off + 2) & 0xFF) | ((b(off + 3) & 0xFF) << 8)).toLong
             first = false
             off += 1 + s
           }
@@ -58,6 +71,8 @@ object GifFrames {
           if ((lf & 0x80) != 0) off += 3 * (1 << ((lf & 7) + 1)) // LCT
           off += 1 // LZW minimum code size
           count += 1
+          delayCs += pendingCs // the descriptor consumes the pending GCE
+          pendingCs = 0L
           var s = -1
           while (off < b.length && s != 0) { s = b(off) & 0xFF; off += 1 + s }
         case _ => return (-1, 0L) // unknown block type: desynced

@@ -99,11 +99,14 @@ object ImageHeader {
       // pixel height). Other sizes: not a BMP we can read — null.
       if (b.length < 18) return null
       // 'BM' is only 2 bytes of magic, so arbitrary text/containers can
-      // start with it: additionally require the BITMAPFILEHEADER shape —
-      // reserved words (offsets 6-9) zero per spec, and bfOffBits (u32 LE
-      // at 10) pointing past the headers and inside the buffer — before
-      // trusting the dims.
-      if (b(6) != 0 || b(7) != 0 || b(8) != 0 || b(9) != 0) return null
+      // start with it: additionally require bfOffBits (u32 LE at 10) to
+      // point past the headers and inside the buffer before trusting the
+      // dims — that bound alone rules out the text/container
+      // false-positive class. The r15 sniff ALSO demanded zero reserved
+      // words (offsets 6-9), but real-world writers do emit nonzero
+      // reserved bytes (ADVICE r15), and refusing those routed
+      // ImageIO-decodable payloads into null-key singletons — a recall
+      // regression the offBits bound never needed.
       val dib = le32(b, 14)
       val offBits = le32(b, 10)
       if (offBits < 14 + math.max(dib, 0) || offBits > b.length) return null

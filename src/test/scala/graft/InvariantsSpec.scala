@@ -219,6 +219,18 @@ class InvariantsSpec extends SparkTestBase {
     assert(c16 == 0.87 && emit16.isEmpty && sup16.isEmpty)
     assert(marg16.map(_._1).toSet ==
       Set("qe44_boilerplate", "qe50_tfidf", "qe55_best_survivor"))
+    // ... and a MISSING or CRASHED canary is canary-UNKNOWN (r16, ADVICE
+    // r15): without the saturation read no crossing is certifiable, so
+    // crossings route to suppressed and canary_min reports -1.0 — never
+    // "healthy with hard violations" via the old 0.0 default
+    val (cAbs, emitAbs, margAbs, supAbs) = Bench.violationGate(Seq(
+      "qe62_cert_embed" -> 28.16))
+    assert(cAbs == -1.0 && emitAbs.isEmpty && margAbs.isEmpty &&
+      supAbs.map(_._1) == Seq("qe62_cert_embed"))
+    val (cNeg, emitNeg, _, supNeg) = Bench.violationGate(Seq(
+      "q01_project" -> -1.0, "qe62_cert_embed" -> 28.16))
+    assert(cNeg == -1.0 && emitNeg.isEmpty &&
+      supNeg.map(_._1) == Seq("qe62_cert_embed"))
   }
 
   test("stage probes name registered queries and land parseable in the file form") {

@@ -70,12 +70,14 @@ class ImageDimsSpec extends SparkTestBase {
     assert(ImageHeader.parse(hex(fh40 + "28000000" + "07000000" + "00000080" + dib40Tail)) == null)
     assert(ImageHeader.parse(hex(fh40 + "28000000" + "0700")) == null)
     assert(ImageHeader.parse(hex(fh40 + "28000000" + "07000000" + "09000000")) == null)
-    // r15 tightened sniff: a spec-shaped header is REQUIRED — non-zero
-    // reserved words, or bfOffBits before the headers / past the buffer,
-    // refuse even when the DIB and dims are plausible
-    assert(ImageHeader.parse(hex("424D" + "00" * 4 + "01000000" + "36000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    // bfOffBits bounds gate the sniff: pointing before the headers or
+    // past the buffer refuses even when the DIB and dims are plausible
     assert(ImageHeader.parse(hex("424D" + "00" * 8 + "0A000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
     assert(ImageHeader.parse(hex("424D" + "00" * 8 + "FFFF0000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == null)
+    // ... but NONZERO reserved words alone do not (r16, ADVICE r15):
+    // real-world writers emit them, and the offBits bound already rules
+    // out the text/container false-positive class
+    assert(ImageHeader.parse(hex("424D" + "00" * 4 + "01000000" + "36000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == ("image/bmp", 7, 9))
   }
 
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {

@@ -588,4 +588,25 @@ class MediaFuzzSpec extends AnyFunSuite {
     // already closed must not blow up a later defensive close)
     src.close()
   }
+
+  test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {
+    import graft.functions.GifFrames
+    def frame: String =
+      "2C" + "0000 0000 0200 0100" + "80" + "000000 FFFFFF" + "02" + "02 4C01" + "00"
+    val hdr = "474946383961" + "0200 0100 00 00 00"
+    def gce(cs: Int): String =
+      "21F9" + "04" + "00" + f"${cs & 0xFF}%02x${(cs >> 8) & 0xFF}%02x" + "00" + "00"
+    // well-formed: one GCE per frame — delays sum (5 + 3 = 8)
+    assert(GifFrames.walk(hex(hdr + gce(5) + frame + gce(3) + frame + "3B")) == ((2, 8L)))
+    // duplicate/consecutive GCEs before one image: LAST one wins (the
+    // spec says a GCE applies to the next graphic block — a later GCE
+    // replaces an unconsumed one, it does not stack)
+    assert(GifFrames.walk(hex(hdr + gce(100) + gce(7) + frame + "3B")) == ((1, 7L)))
+    // trailing orphan GCE with no following image: contributes nothing
+    assert(GifFrames.walk(hex(hdr + gce(5) + frame + gce(9) + "3B")) == ((1, 5L)))
+    // a delay-shaped value in a NON-FIRST sub-block of a padded GCE is
+    // non-conformant noise: only the first sub-block's delay (2) counts
+    val padded = "21F9" + "04 00 0200 00" + "04 00 6300 00" + "00"
+    assert(GifFrames.walk(hex(hdr + padded + frame + "3B")) == ((1, 2L)))
+  }
 }
