@@ -56,9 +56,10 @@ object Dedup {
     * sequenced crawl frontier produces). For multi-partition or
     * unordered sources the kept ROW per key may differ from the min-id
     * row while the kept KEY set is identical; callers that need the
-    * exact min-id row under arbitrary arrival should run
-    * [[minIdSurvivorByKey]] per micro-batch in foreachBatch against the
-    * stream's accumulated key frame instead. */
+    * exact min-id row under arbitrary arrival should use
+    * [[graft.streaming.StreamingDedup.minIdSurvivorStream]] (r16: a
+    * per-key running-minimum ValueState, batch-equivalent survivors
+    * under any partitioning/order — proven in StreamingSpec). */
   def firstSeenByKey(sigs: DataFrame, hashCol: String): DataFrame =
     sigs.withColumn("__key",
         coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))

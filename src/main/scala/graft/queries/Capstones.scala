@@ -95,9 +95,25 @@ object Capstones {
     * under an id-ordered replay equals the batch min-id survivor set
     * (asserted in StreamingSpec). Emits kept rows only — the crawl-ingest
     * shape. Pair with a watermark + dropDuplicatesWithinWatermark for
-    * bounded state on always-on streams. */
+    * bounded state on always-on streams. For sources that do NOT arrive
+    * id-ordered (a distributed crawl frontier), use
+    * [[crawlMediaDedupStreamMinId]], which is batch-equivalent under
+    * arbitrary arrival. */
   def crawlMediaDedupStream(media: DataFrame): DataFrame =
     Dedup.firstSeenByKey(routedSignatures(media), "content_key")
+
+  /** MIN-ID streaming twin of [[crawlMediaDedup]] (r16): the same
+    * [[routedSignatures]] in-flight triage+decode, but the survivor state
+    * is [[graft.streaming.StreamingDedup.minIdSurvivorStream]]'s per-key
+    * running minimum — so the final survivor SET equals the batch
+    * capstone's under ARBITRARY arrival order and partitioning, not just
+    * the id-ordered replay [[crawlMediaDedupStream]]'s first-seen contract
+    * requires. Emits (key, survivor_id) improvements; read the final
+    * survivors with `groupBy(key).min(survivor_id)` at the sink. */
+  def crawlMediaDedupStreamMinId(media: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.StreamingDedup.Survivor] =
+    graft.streaming.StreamingDedup.minIdSurvivorStream(
+      routedSignatures(media), "content_key")
 
   /** INCREMENTAL twin of [[crawlMediaDedup]] — the re-crawl case: a new
     * batch dedups against the STORED corpus's frozen content-key set (one

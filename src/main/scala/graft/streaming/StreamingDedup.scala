@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
 import org.apache.spark.sql.streaming._
 
 /** Streaming MinHash near-dup detection (SURVEY §2.4 E2, streaming form):
@@ -75,5 +75,58 @@ object StreamingDedup {
     banded.groupByKey(b => (b.band, b.bucket))
       .transformWithState(new BucketProcessor, TimeMode.None(), OutputMode.Append(),
         Encoders.product[CandPair])
+  }
+
+  case class KeyedId(key: String, doc_id: Long)
+  case class Survivor(key: String, survivor_id: Long)
+
+  /** Per-key running-minimum state: emits (key, new min) whenever a batch
+    * IMPROVES the key's minimum doc_id — first arrival included. The min
+    * only ever decreases, so the final survivor per key is the min of its
+    * emitted rows (`groupBy(key).min(survivor_id)` at the sink), and a
+    * micro-batch retry re-emitting the same improvement is absorbed by
+    * that same fold — at-least-once emission, exactly-once survivors. */
+  class MinIdProcessor extends StatefulProcessor[String, KeyedId, Survivor] {
+
+    @transient private var cur: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[Long]("min_id", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedId],
+                                 timerValues: TimerValues): Iterator[Survivor] = {
+      val batchMin = rows.map(_.doc_id).min
+      if (!cur.exists() || batchMin < cur.get()) {
+        cur.update(batchMin)
+        Iterator.single(Survivor(key, batchMin))
+      } else Iterator.empty
+    }
+  }
+
+  /** MIN-ID streaming twin of [[Dedup.minIdSurvivorByKey]] (r15 verdict
+    * #4): batch-equivalent survivors under ARBITRARY arrival — multi-
+    * partition, non-id-ordered, dup group split across micro-batches any
+    * which way. [[Dedup.firstSeenByKey]] keeps whichever duplicate a
+    * micro-batch encounters first, so its kept ROW equals the batch
+    * min-id survivor only under id-ordered single-partition replay (its
+    * documented contract); this operator instead keys a running-minimum
+    * ValueState on the same coalesced key (null hash → the row's own
+    * doc_id: refused payloads stay singletons, never merged) and is
+    * order-independent because min is — within a batch the iterator fold,
+    * across batches the state compare.
+    *
+    * At 100 TB: state is one long per distinct content key, hash-
+    * partitioned exactly like the batch survivor shuffle; emission volume
+    * is bounded by improvements (≤ arrivals per key, 1 in the common
+    * already-seen case). Sink-side `groupBy(key).min` is the read
+    * contract (see [[MinIdProcessor]]). */
+  def minIdSurvivorStream(sigs: DataFrame, hashCol: String): Dataset[Survivor] = {
+    import sigs.sparkSession.implicits._
+    val keyed = sigs.select(
+      coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))).as("key"),
+      col("doc_id").cast("long").as("doc_id")).as[KeyedId]
+    keyed.groupByKey(_.key)
+      .transformWithState(new MinIdProcessor, TimeMode.None(), OutputMode.Append(),
+        Encoders.product[Survivor])
   }
 }

@@ -803,6 +803,50 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MIN-ID survivor == batch under multi-partition, NON-id-ordered arrival (r16)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // dup groups h1 {2,7,9} / h2 {5,6} / singleton h3 {11} / two refused
+    // (null-hash) rows {4,13} that must stay singletons, never merge
+    val batchDf = Seq((7L, "h1"), (2L, "h1"), (9L, "h1"), (5L, "h2"),
+      (6L, "h2"), (11L, "h3"), (13L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "h")
+    val want = Dedup.minIdSurvivorByKey(batchDf, "h")
+      .filter(col("is_kept") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(want == Set(2L, 5L, 11L, 13L, 4L))
+
+    val input = MemoryStream[(Long, String)](spark)
+    // repartition(5) scatters every wave across partitions: within-batch
+    // encounter order is whatever the shuffle produces — the exact shape
+    // firstSeenByKey's id-ordered-single-partition contract excludes
+    val stream = StreamingDedup.minIdSurvivorStream(
+      input.toDF().toDF("doc_id", "h").repartition(5), "h")
+    val q = stream.writeStream.format("memory").queryName("t_minid")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // descending-id waves: every dup group's min arrives in the LAST
+      // wave that touches it, so first-seen would keep the WRONG row
+      input.addData(Seq((13L, null), (9L, "h1"), (7L, "h1"), (6L, "h2")))
+      q.processAllAvailable()
+      input.addData(Seq((11L, "h3"), (5L, "h2"), (4L, null)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, "h1")))
+      q.processAllAvailable()
+      // append sink holds every improvement; min per key is the survivor
+      val fin = spark.table("t_minid").groupBy("key")
+        .agg(min("survivor_id").as("s"))
+      val got = fin.collect().map(_.getLong(1)).toSet
+      assert(got == want,
+        s"stream min-id survivors diverged: missing=${want -- got} extra=${got -- want}")
+      // the improvement trail must show h1's survivor being REPLACED
+      // (7 then 2) — proof the non-ordered case was actually exercised
+      val h1Trail = spark.table("t_minid").filter(col("key") === "h1")
+        .select("survivor_id").collect().map(_.getLong(0)).toSet
+      assert(h1Trail == Set(7L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming contamination over a replay == batch contamination (stream-static probe)") {
     val docs = Engine.Tables(spark, Sf0001).documents
     val bench = docs.filter(col("doc_id") % 19 === 3)
@@ -1004,6 +1048,38 @@ class StreamingDedupSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got == want,
         s"stream crawl dedup diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming MIN-ID crawl dedup over a REVERSED replay == batch survivors " +
+    "(arbitrary arrival: each dup group's min-id spelling arrives LAST, r16)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = graft.Engine.Tables(spark, Sf0001).documents.limit(24)
+    val media = graft.operators.Multimodal.mixedDupMediaCorpus(docs)
+    val want = graft.queries.Capstones.crawlMediaDedup(media)
+      .filter(col("is_kept") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.queries.Capstones.crawlMediaDedupStreamMinId(
+        input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("t_crawlminid")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // DESCENDING id replay: the batch survivor (min id) of every dup
+      // group is the last spelling to arrive — firstSeenByKey would keep
+      // the max-id row here, which is exactly the contract gap the min-id
+      // twin closes
+      val rows = media.select("doc_id", "payload").orderBy(col("doc_id").desc)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+      rows.grouped(3).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("t_crawlminid").groupBy("key")
+        .agg(min("survivor_id").as("s")).collect().map(_.getLong(1)).toSet
+      assert(got == want,
+        s"reversed-replay min-id crawl dedup diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
 
