@@ -66,13 +66,22 @@ object AudioHeader {
       if (fourcc(b, off, "fmt ")) {
         if (size < 16 || off + 8 + 16 > b.length) return null
         val tag = le16(b, off + 8)
-        // PCM (1) and IEEE float (3); compressed/extensible tags carry
-        // their real layout elsewhere — refusing beats misreporting
-        if (tag != 1 && tag != 3) return null
+        // PCM (1), IEEE float (3), and G.711 A-law (6) / µ-law (7):
+        // layouts where the fmt fields keep their plain meaning (G.711
+        // is a fixed one-code-byte-per-sample encoding, so channels /
+        // rate / 8-bit depth / blockAlign read exactly as for PCM — and
+        // [[AudioDedup.sampleHash]] decodes these through the JDK codec,
+        // r16). Other compressed/extensible tags carry their real layout
+        // elsewhere — refusing beats misreporting.
+        if (tag != 1 && tag != 3 && tag != 6 && tag != 7) return null
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)
         bits = le16(b, off + 22)
+        // a G.711 fmt claiming a depth other than 8 is misshaped, and
+        // blockAlign must be exactly one byte per channel
+        if ((tag == 6 || tag == 7) && (bits != 8 || blockAlign != channels))
+          return null
       } else if (fourcc(b, off, "data")) {
         dataSize = size
       }

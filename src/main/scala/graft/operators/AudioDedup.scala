@@ -48,13 +48,28 @@ object AudioDedup {
 
   /** javax.sound decode to integer PCM; null when the bytes are not a
     * decodable PCM container (the refuse-don't-guess boundary both the
-    * exact and perceptual hashes share). */
+    * exact and perceptual hashes share).
+    *
+    * µ-law / A-law containers (WAV format codes 7 / 6 — the G.711
+    * telephony encodings real crawls meet in voicemail/IVR corpora) are
+    * decoded by routing through the JDK's OWN codec
+    * (`AudioSystem.getAudioInputStream(PCM_SIGNED, ais)` — the same
+    * native-conversion boundary as the PCM read, r15 verdict #3): the
+    * converted stream is 16-bit linear PCM, so a companded spelling of a
+    * recording hashes identically to a 16-bit PCM spelling holding the
+    * decoded values. Any OTHER encoding still refuses. */
   private def decodePcm(payload: Array[Byte]): Pcm = {
     import javax.sound.sampled._
     if (payload == null) return null
-    val ais =
+    val ais0 =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => return null }
+    val ais =
+      if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
+        ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
+        try AudioSystem.getAudioInputStream(AudioFormat.Encoding.PCM_SIGNED, ais0)
+        catch { case _: Exception => ais0.close(); return null }
+      else ais0
     try {
       val f = ais.getFormat
       if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
@@ -322,6 +337,90 @@ object AudioDedup {
             case _ => writeAiff(sample, ch, rate, bits, frames, anno = true)
           }
           (id, bytes, if (id % 2 == 0) "audio/wav" else "audio/aiff")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** Companded (µ-law / A-law) WAV writer: format code 7 / 6, 8 bits per
+    * sample, spec-correct non-PCM shape (18-byte fmt with cbSize 0 + a
+    * fact chunk carrying the frame count) — `data` holds the raw G.711
+    * code bytes, frame-major channel order. */
+  private def writeCompandedWav(ulaw: Boolean, ch: Int, rate: Int,
+                                data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 12 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 8 + 18 + 12 + 8 + data.length)
+      .put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(18).putShort(if (ulaw) 7 else 6)
+      .putShort(ch.toShort).putInt(rate).putInt(rate * ch)
+      .putShort(ch.toShort).putShort(8).putShort(0)
+    bb.put("fact".getBytes).putInt(4).putInt(data.length / ch)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** JDK-exact G.711 decode tables, derived by decoding all 256 code
+    * bytes through [[decodePcm]] ITSELF once per JVM — planted samples
+    * built from these are fixed points of the exact decoder in use, so a
+    * PCM spelling of table values and a companded spelling of the codes
+    * hash identically by construction, with no hand-copied table to
+    * drift from the JDK's. */
+  private def compandTable(ulaw: Boolean): Array[Int] = {
+    val codes = Array.tabulate[Byte](256)(i => i.toByte)
+    val p = decodePcm(writeCompandedWav(ulaw, 1, 8000, codes))
+    require(p != null && p.nFrames == 256 && p.channels == 1,
+      "JDK G.711 decode unavailable — companded corpus cannot be planted")
+    Array.tabulate(256)(i => p.sample(i, 0))
+  }
+  private lazy val UlawTable: Array[Int] = compandTable(ulaw = true)
+  private lazy val AlawTable: Array[Int] = compandTable(ulaw = false)
+
+  /** Deterministic G.711 code byte for (group, frame, channel): the first
+    * [[IdFrames]] frames spell the group id on channel 0 through the
+    * POSITIVE half of the code space (codes 128..255 decode to 128
+    * distinct non-negative values in both laws — injective, the same
+    * periodicity armor as [[sampleOf]]); the tail is a planted rotation
+    * over the full code space. */
+  private def codeOf(g: Long, i: Int, c: Int): Int =
+    if (i < IdFrames) (if (c == 0) 128 + ((g >>> (7 * i)) & 0x7F).toInt else 128)
+    else ((g * 29 + i * 11 + c * 17) % 256).toInt
+
+  /** Companded-dup corpus (r15 verdict #3): four docs per group
+    * (g = doc_id / 4) carry TWO recordings — A as {16-bit PCM WAV of the
+    * µ-law table values, µ-law WAV of the codes} (ids 4g, 4g+1) and B as
+    * {16-bit PCM WAV of the A-law table values, A-law WAV of the codes}
+    * (ids 4g+2, 4g+3). Each cross-encoding pair collapses onto one
+    * sample hash (the companded decode is the SAME 16-bit linear stream
+    * the PCM twin stores), while A and B stay distinct by construction
+    * (one extra frame in B). Survivors are pure doc_id arithmetic:
+    * min-id per pair ⇒ is_kept = 1 - doc_id % 2. */
+  def syntheticDupAudioCorpusCompanded(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 4
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val v = (id % 4).toInt
+          val ulaw = v < 2
+          // A (µ-law-valued) clips get ODD tail lengths, B (A-law-valued)
+          // EVEN: n_frames parity alone guarantees no A/B hash collision
+          // at ANY corpus scale — stronger than hoping the two laws'
+          // value sets never line up over a whole clip
+          val frames = IdFrames + (g % 40 * 2 + (if (ulaw) 5 else 6)).toInt
+          val table = if (ulaw) UlawTable else AlawTable
+          val codes = Array.tabulate[Byte](frames * ch) { k =>
+            codeOf(g, k / ch, k % ch).toByte
+          }
+          val bytes = if (v % 2 == 0)
+            writeWav((i, c) => table(codes(i * ch + c) & 0xFF), ch, rate, 16,
+              frames, junk = false)
+          else writeCompandedWav(ulaw, ch, rate, codes)
+          (id, bytes, if (v % 2 == 0) "audio/wav"
+          else if (ulaw) "audio/wav;codec=ulaw" else "audio/wav;codec=alaw")
         }
       }.toDF("doc_id", "payload", "mime")
   }

@@ -1916,6 +1916,22 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST((doc_id // 4) * 4 AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r16) — CROSS-ENCODING audio dedup: G.711 µ-law /
+    // A-law WAV spellings (format codes 7/6, the telephony encodings)
+    // collapse onto the sample hash of the 16-bit PCM spelling holding
+    // the decoded values, through the JDK's own codec conversion — the
+    // next JVM-native codec slice after r15's animated GIF (r15 verdict
+    // #3). Each id pair {2k, 2k+1} is one recording (PCM twin +
+    // companded twin); µ-law and A-law recordings alternate per pair.
+    // Oracle is pure doc_id arithmetic, like qe71.
+    ("qe71b_audio_companded_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusCompanded(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -53,6 +53,32 @@ class AudioMetaSpec extends SparkTestBase {
     assert(AudioHeader.parse(wavFloat) == ("audio/wav", 1, 16000, 32, 2L))
   }
 
+  test("WAV G.711 (r16): µ-law/A-law tags parse with plain fmt meaning; misshaped depth/blockAlign refuse") {
+    // µ-law (tag 7) mono 8000 Hz, 18-byte fmt + fact, 4 frames
+    val ulaw = hex(
+      "52494646 36000000 57415645" +
+        "666D7420 12000000 0700 0100 401F0000 401F0000 0100 0800 0000" +
+        "66616374 04000000 04000000" +
+        "64617461 04000000 FF7FFF7F")
+    assert(AudioHeader.parse(ulaw) == ("audio/wav", 1, 8000, 8, 4L))
+    // A-law (tag 6) stereo: blockAlign = channels
+    val alaw = hex(
+      "52494646 2A000000 57415645" +
+        "666D7420 12000000 0600 0200 401F0000 803E0000 0200 0800 0000" +
+        "64617461 04000000 D5D5D5D5")
+    assert(AudioHeader.parse(alaw) == ("audio/wav", 2, 8000, 8, 2L))
+    // a G.711 fmt claiming 16-bit depth, or blockAlign != channels, is
+    // misshaped — refuse, never misreport
+    assert(AudioHeader.parse(hex(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 0700 0100 401F0000 401F0000 0100 1000" +
+        "64617461 04000000 00000000")) == null)
+    assert(AudioHeader.parse(hex(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 0600 0100 401F0000 401F0000 0200 0800" +
+        "64617461 04000000 00000000")) == null)
+  }
+
   test("AIFF: big-endian COMM behind skippable chunks; 80-bit rate decodes bit-level") {
     assert(AudioHeader.parse(aiff) == ("audio/aiff", 1, 44100, 16, 5L))
     assert(AudioHeader.parse(aiffOddPad) == ("audio/aiff", 2, 8000, 8, 10L))

@@ -46,6 +46,14 @@ class MediaFuzzSpec extends AnyFunSuite {
         "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
         "4C495354 03000000 414243 00" +
         "64617461 0C000000 000000000000000000000000"),
+    // G.711 µ-law WAV (format tag 7, 18-byte fmt + fact — r16: the
+    // companded branch of AudioHeader + the JDK-codec decode path ride
+    // the truncation/byte-flip sweeps)
+    "wavulaw" -> hex(
+      "52494646 36000000 57415645" +
+        "666D7420 12000000 0700 0100 401F0000 401F0000 0100 0800 0000" +
+        "66616374 04000000 04000000" +
+        "64617461 04000000 FF7F0380"),
     "aiff" -> hex(
       "464F524D 0000003C 41494646" +
         "414E4E4F 00000004 74657374" +

@@ -55,6 +55,40 @@ class AudioDedupSpec extends SparkTestBase {
       (8L, 8L, 1), (9L, 9L, 1)))
   }
 
+  test("G.711 cross-encoding collapse (r16): µ-law/A-law WAV spellings hash " +
+    "identically to the 16-bit PCM spelling of their decoded values; laws never cross-merge") {
+    val bytes = AudioDedup.syntheticDupAudioCorpusCompanded((0L until 8L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 to 1).foreach { g =>
+      val base = g * 4L
+      val pcmU = AudioDedup.sampleHash(bytes(base))
+      val ulaw = AudioDedup.sampleHash(bytes(base + 1))
+      val pcmA = AudioDedup.sampleHash(bytes(base + 2))
+      val alaw = AudioDedup.sampleHash(bytes(base + 3))
+      assert(Seq(pcmU, ulaw, pcmA, alaw).forall(_ != null),
+        s"group $g: a companded spelling failed to decode")
+      assert(pcmU.sample_hash == ulaw.sample_hash,
+        s"group $g: µ-law spelling hashes apart from its PCM twin")
+      assert(pcmA.sample_hash == alaw.sample_hash,
+        s"group $g: A-law spelling hashes apart from its PCM twin")
+      // the two laws are different recordings (odd vs even n_frames by
+      // construction) — they must never merge
+      assert(pcmU.sample_hash != pcmA.sample_hash)
+      assert(pcmU.n_frames % 2 == 1 && pcmA.n_frames % 2 == 0)
+      // triage agreement: the capstone router sniffs through AudioHeader,
+      // which must accept the G.711 container so the crawl leg routes it
+      // to this decode rather than a null-key singleton
+      assert(graft.functions.AudioHeader.parse(bytes(base + 1)) != null)
+      assert(graft.functions.AudioHeader.parse(bytes(base + 3)) != null)
+    }
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusCompanded((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
