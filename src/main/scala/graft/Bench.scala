@@ -150,6 +150,64 @@ object Bench {
     }
   }
 
+  /** Per-task metric accumulator (r15 verdict #1): shuffle read/write
+    * bytes and memory+disk spill, summed across every task the sweep
+    * runs. Listener events post asynchronously on the listener bus, so a
+    * query's last task-end rows can land a beat after its clock stops —
+    * adjacent-query bleed of one task's bytes is accepted measurement
+    * noise (the sweep is serial and the signal sought is a 10× premium,
+    * not a kilobyte). */
+  private class TaskTelemetryListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (shuffleRead.get, shuffleWrite.get, spill.get)
+  }
+
+  /** Bytes on disk under this JVM's Spark scratch roots (blockmgr-* =
+    * shuffle files + localCheckpoint disk blocks, spark-* = app temp) —
+    * the direct measure of the r15 verdict #2 "is scratch ever pruned
+    * mid-sweep" question. Walk failures (a file the cleaner deletes
+    * mid-walk) are skipped, never thrown. */
+  def localDirBytes(): Long = {
+    import java.nio.file._
+    var total = 0L
+    val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val roots = try {
+      val ds = Files.list(tmp)
+      try {
+        val it = ds.iterator()
+        val buf = collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("blockmgr-") || n.startsWith("spark-")) buf += p
+        }
+        buf.toSeq
+      } finally ds.close()
+    } catch { case _: Exception => Seq.empty }
+    roots.foreach { root =>
+      try Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: attribute.BasicFileAttributes): FileVisitResult = {
+          total += a.size(); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE
+      }) catch { case _: Exception => }
+    }
+    total
+  }
+
   /** True median: even-length inputs average the two middle values —
     * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
     * WORST run as "the median" (a bimodal 1s/28s GC spike would record a
@@ -162,11 +220,50 @@ object Bench {
 
   def renderLine(results: Seq[(String, Double)], sfDir: String,
                  fmt: Double => String, key: String => String,
-                 extra: String = ""): String = {
+                 extra: String = "",
+                 totalOf: Seq[(String, Double)] = null): String = {
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // `totalOf` decouples the reported total from the emitted map: the
+    // stdout form may OMIT cheap queries (see stdoutLine) but its total
+    // must stay the full sweep's sum, never the kept subset's
+    val total = (if (totalOf == null) results else totalOf)
+      .map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${jsonEscape(sfDir)}"$extra}"""
+  }
+
+  /** The stdout budget: the driver keeps the LAST 2000 chars of bench
+    * stdout and the ~80-char sbt epilogue shares the window — an
+    * oversized line loses its HEAD (the `{"metric":"total"` part) and
+    * the round's bench silently parses to null. */
+  val StdoutBudget = 1880
+
+  /** Tail-window-safe stdout line (r15 verdict #5): at 170 registrations
+    * the worst-case full map no longer fits [[StdoutBudget]], so when the
+    * rendered line overflows, queries are dropped CHEAPEST-FIRST until it
+    * fits — the expensive queries are what a bench reader acts on, the
+    * cheap tail is noise at stdout precision, and bench_out.json has
+    * always carried every query at full precision. Failed queries (-1)
+    * are never dropped (a failure must be visible in the driver-parsed
+    * artifact), the reported total is always the FULL sweep's sum, and
+    * `"omit":N` records how many entries the window hid — silent
+    * truncation would read as "covered everything". Fits by construction
+    * for any input (the loop can drop every non-failure entry). */
+  def stdoutLine(results: Seq[(String, Double)], sfShort: String,
+                 keyed: String => String, extraFor: Int => String): String = {
+    def render(kept: Seq[(String, Double)]): String =
+      renderLine(kept, sfShort, deci, keyed,
+        extraFor(results.size - kept.size), totalOf = results)
+    var kept = results
+    var line = render(kept)
+    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2).map(_._1).iterator
+    val dropped = collection.mutable.Set.empty[String]
+    while (line.length > StdoutBudget && dropOrder.hasNext) {
+      dropped += dropOrder.next()
+      kept = results.filterNot(r => dropped(r._1))
+      line = render(kept)
+    }
+    line
   }
 
   def main(args: Array[String]): Unit = {
@@ -177,11 +274,26 @@ object Bench {
     // UTC + nanosAsLong at construction) — a re-implemented config block
     // here had already drifted from it once
     val spark = Engine.session(s"local[$cpus]", cpus.toInt)
+    // the per-query reset unpersists localCheckpointed RDDs (see
+    // execOnce), and each such unpersist WARNs "lineage has been
+    // truncated and cannot be recomputed" — true, intended (nothing is
+    // recomputed across queries), and ~170×/sweep of stderr noise; quiet
+    // the rdd category only, leaving every other WARN live
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def execOnce(name: String): Double = {
       // collect garbage from the previous run so its GC debt is not
-      // charged to this one (bimodal 1s->28s spikes observed otherwise)
+      // charged to this one (bimodal 1s->28s spikes observed otherwise).
+      // getPersistentRDDs covers what clearCache does NOT: localCheckpoint
+      // blocks (MEMORY_AND_DISK) are persistent RDDs outside the SQL
+      // cache, and without an explicit unpersist they linger until the
+      // async ContextCleaner happens to process them — the r15 verdict #2
+      // checkpoint-accumulation suspect. Blocking: the freed blocks must
+      // be GONE before this rep's clock starts, not racing it.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -237,13 +349,88 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // stage-probe runner shared by the post-sweep attribution pass and
+    // the r16 IN-SWEEP pass: construction of the probe's shared inputs
+    // runs guarded (a probe that cannot construct records a -1 row,
+    // never crashes main), each stage under the same clearCache+gc
+    // discipline as execOnce so stages don't serve each other's cache
+    def timeStages(n: String,
+                   mk: (SparkSession, String) => Seq[(String, () => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double)] = {
+      val built =
+        try mk(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stage probe $n failed to construct: ${e.getMessage}")
+          Seq("__construct" -> (() => throw e))
+        }
+      built.map { case (label, thunk) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          thunk().write.format("noop").mode("overwrite").save()
+          label -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stage $n/$label failed: ${e.getMessage}")
+          label -> -1.0
+        }
+      }
+    }
+
+    // JVM telemetry hooks (r15 verdict #1): GC-time, task shuffle/spill
+    // bytes, scratch-dir footprint — sampled at every query's boundaries
+    // so a premium that the wall clock alone cannot localize is
+    // attributable from the artifact without a re-run
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val taskTel = new TaskTelemetryListener
+    spark.sparkContext.addSparkListener(taskTel)
+
     // per-query 1-min load sample taken just BEFORE each query's reps:
     // the start/end pair bounds the sweep, but attributing a single hot
     // query (the r13 qe62 driver-vs-builder question) needs the ambient
     // reading at that query's own slot in the sweep
-    val sweep = names.map { n => val ld = loadAvg; (n, exec(n), ld) }
-    val loadsPerQ = sweep.map { case (n, _, ld) => n -> ld }
-    val timed4 = sweep.map { case (n, t, _) => n -> t }
+    val insweepStages = collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(String, Double)])]
+    val sweep = names.map { n =>
+      val ld = loadAvg
+      val gc0 = gcMillis
+      val (r0, w0, sp0) = taskTel.snapshot
+      val d0 = localDirBytes()
+      val t = exec(n)
+      // post-query settle BEFORE the closing samples: drop this query's
+      // references and collect, so `disk` reads RETAINED growth (what the
+      // query left behind after a full reset — the accumulation signal)
+      // and `heap` reads live driver heap, not collectable garbage
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      val gc1 = gcMillis
+      val (r1, w1, sp1) = taskTel.snapshot
+      val d1 = localDirBytes()
+      val rt = Runtime.getRuntime
+      val tel = Seq(gc1 - gc0, r1 - r0, w1 - w0, sp1 - sp0, d1 - d0,
+        rt.totalMemory - rt.freeMemory)
+      // IN-SWEEP attribution (r15 verdict #1): the post-sweep probes
+      // exonerated qe62's plan while the in-sweep min read 10× — the
+      // missing measurement was the same stages AT the query's own sweep
+      // slot. On a hard band violation, re-run this query's stage probes
+      // IMMEDIATELY, before the next query perturbs the context. Probe
+      // cost lands outside every query's reps, so medians/mins stay pure.
+      val mn = t._3
+      if (mn > HardViolationFactor * bandHi(n) &&
+          SparkEntry.stageProbes.contains(n))
+        insweepStages += n -> timeStages(n, SparkEntry.stageProbes(n))
+      (n, t, ld, tel)
+    }
+    val loadsPerQ = sweep.map { case (n, _, ld, _) => n -> ld }
+    val telPerQ = sweep.map { case (n, _, _, tel) => n -> tel }
+    val timed4 = sweep.map { case (n, t, _, _) => n -> t }
     val results = timed4.map { case (n, (med, _, _, _)) => n -> med }
     val spreads = timed4.map { case (n, (_, sp, _, _)) => n -> sp }
     val mins = timed4.map { case (n, (_, _, mn, _)) => n -> mn }
@@ -275,9 +462,13 @@ object Bench {
     // real regression or a host pathology — the canary gate below tells
     // those apart.
     val (canaryMin, violations, marginal, suppressed) = violationGate(mins)
-    val fitExtra = s""","fit":${deci(fitTotal)},"viol":${violations.size}"""
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    println(renderLine(results, sfShort, deci, keyed, extra = fitExtra))
+    // "omit":N appears only when the tail window forced dropping entries
+    // (cheapest-first; see stdoutLine) — bench_out.json keeps them all
+    val fitExtraFor: Int => String = omitted =>
+      s""","fit":${deci(fitTotal)},"viol":${violations.size}""" +
+        (if (omitted > 0) s""","omit":$omitted""" else "")
+    println(stdoutLine(results, sfShort, keyed, fitExtraFor))
     // stage-attribution pass (r14 verdict #1): for the registered probe
     // queries, materialize each apply-path stage separately and record its
     // wall clock — the instrument that names WHERE a per-rep premium lives
@@ -287,31 +478,7 @@ object Bench {
     // discipline as execOnce so stages don't serve each other's cache.
     val stages = SparkEntry.stageProbes.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.contains(n) }
-      .map { case (n, mk) =>
-        // construction of the probe's SHARED inputs (table handles, row
-        // counts) runs here, guarded: a probe that cannot even construct
-        // must record a -1 row, never crash main after the sweep — that
-        // would forfeit the whole bench_out.json the sweep just earned
-        val built =
-          try mk(spark, sfDir)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] stage probe $n failed to construct: ${e.getMessage}")
-            Seq("__construct" -> (() => throw e))
-          }
-        val timed = built.map { case (label, thunk) =>
-          spark.catalog.clearCache()
-          System.gc()
-          val t0 = System.nanoTime()
-          try {
-            thunk().write.format("noop").mode("overwrite").save()
-            label -> (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] stage $n/$label failed: ${e.getMessage}")
-            label -> -1.0
-          }
-        }
-        n -> timed
-      }
+      .map { case (n, mk) => n -> timeStages(n, mk) }
     // the full-precision line lands in a clean file — the authoritative
     // record for regression tracking; it also carries the rep count and the
     // per-query (max-min) spread across reps so environment noise is
@@ -353,13 +520,27 @@ object Bench {
     // mins stay available for the judge
     val canaryExtra =
       s""","canary_min":$canaryMin,"violations_marginal":${violList(marginal)},"violations_suppressed":${violList(suppressed)}"""
-    val stagesJson = stages.map { case (n, ss) =>
-      "\"" + n + "\":" + ss.map { case (l, v) => "\"" + l + "\":" + v.toString }
-        .mkString("{", ",", "}")
+    def stagesJsonOf(ss: Seq[(String, Seq[(String, Double)])]): String =
+      ss.map { case (n, st) =>
+        "\"" + n + "\":" + st.map { case (l, v) => "\"" + l + "\":" + v.toString }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val stagesJson = stagesJsonOf(stages)
+    // the r16 in-sweep probe results: same shape as "stages" but timed AT
+    // the violating query's own sweep slot — empty on a violation-free
+    // sweep. telemetry: per-query [gc_ms, shuffle_read_bytes,
+    // shuffle_write_bytes, spill_bytes, retained_disk_delta_bytes,
+    // live_heap_bytes] (legend in telemetry_cols), the r15 verdict #1
+    // attribution record.
+    val stagesInsweepJson = stagesJsonOf(insweepStages.toSeq)
+    val telJson = telPerQ.map { case (n, t) =>
+      "\"" + n + "\":" + t.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val telCols =
+      """["gc_ms","sh_read","sh_write","spill","disk_delta","heap"]"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       renderLine(results, sfDir, _.toString, identity,
-        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson,"band_hi":$bandJson,"violations":$violJson$canaryExtra,"stages":$stagesJson""") + "\n")
+        extra = s""","reps":$reps,"load_avg":[$loads],"spread":$spreadJson,"min":$minJson,"fit":$fitJson,"load":$loadJson,"band_hi":$bandJson,"violations":$violJson$canaryExtra,"stages":$stagesJson,"stages_insweep":$stagesInsweepJson,"telemetry_cols":$telCols,"telemetry":$telJson""") + "\n")
     spark.stop()
   }
 }

@@ -66,27 +66,51 @@ class InvariantsSpec extends SparkTestBase {
     val short = names.map(Bench.shortKey)
     assert(short.distinct.size == names.size,
       s"duplicate short bench keys: ${short.diff(short.distinct).distinct}")
-    // render through the EXACT code main prints with (renderLine + deci +
-    // shortKey), at the worst admissible width per value: 99.9 s renders
-    // "100" (3 chars) — deci drops to whole seconds at >= 10, and a
-    // single query beyond ~100 s already blows the driver's round budget
-    // long before the tail window matters
-    val results = names.map(_ -> 99.9)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // worst admissible fit extra (r13 verdict #1): 3-digit seconds, plus
-    // the r15 violation count at its 3-digit worst (every query out of
-    // band). (The capped stdout min map retired at 164 registrations —
-    // its budget is spent; bench_out.json has always carried the full
-    // min map.)
-    val worstFit = ""","fit":100,"viol":166"""
-    // stdout keys sf by basename (main does the same); bench_out.json
-    // keeps the full directory
-    val line = Bench.renderLine(results, "sf0.1", Bench.deci,
-      Bench.shortKey, extra = worstFit)
-    // budget: the driver keeps the LAST 2000 chars and the ~80-char sbt
-    // epilogue shares them — 1880 leaves ~40 chars (≈3 more queries)
-    // before short keys must shrink further
-    assert(line.length <= 1880,
+    // the r15 violation count at its 3-digit worst, plus the omit count
+    // main appends when entries are dropped (r16)
+    val extraFor: Int => String = omitted =>
+      ""","fit":100,"viol":170""" +
+        (if (omitted > 0) s""","omit":$omitted""" else "")
+    // r16: main emits through stdoutLine, which drops CHEAPEST-first
+    // until the line fits and records the drop in "omit" — the tail
+    // window is now safe at ANY registry size by construction, retiring
+    // the cap-and-retire key-shrinking ladder. First: the LIVE registry's
+    // worst admissible width (99.9 renders "100"; deci drops to whole
+    // seconds at >= 10) must still fit WITHOUT dropping — stdout carrying
+    // the full map remains the steady state.
+    val worst = names.map(_ -> 99.9)
+    val line = Bench.stdoutLine(worst, "sf0.1", Bench.shortKey, extraFor)
+    assert(line.length <= Bench.StdoutBudget,
       s"bench stdout line ${line.length} chars — too close to the 2000-char window")
+    assert(om.readTree(line).get("queries").size == names.size &&
+      om.readTree(line).get("omit") == null,
+      "the live registry's worst case should not need dropping yet")
+    // Then the drop path itself, on a padded 230-name registry (the
+    // shape a future round's registrations produce) with one pinned
+    // failure row: fits, parses, omit count exact, the failure is never
+    // dropped, and the total stays the FULL sweep's sum.
+    val padded = (names ++ (0 until 60).map(i => f"qe9${i}%02d_padprobe"))
+      .map(_ -> 99.9).updated(0, names.head -> -1.0)
+    val pline = Bench.stdoutLine(padded, "sf0.1", Bench.shortKey, extraFor)
+    assert(pline.length <= Bench.StdoutBudget)
+    val node = om.readTree(pline)
+    val keptN = node.get("queries").size
+    assert(node.get("omit").asInt == padded.size - keptN && keptN < padded.size)
+    assert(node.get("queries").get(Bench.shortKey(names.head)) != null,
+      "a failed query (-1) must never be dropped from stdout")
+    assert(math.abs(node.get("value").asDouble - 99.9 * (padded.size - 1)) < 0.5,
+      "stdout total must be the FULL sweep's sum, not the kept subset's")
+    // realistic sweep shape (r15 driver medians: a handful of 3-13 s
+    // queries over a sub-second field): nothing is dropped, omit absent
+    val realistic = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 13 == 0) 9.0 else 0.7) }
+    val rline = Bench.stdoutLine(realistic, "sf0.1", Bench.shortKey, extraFor)
+    assert(rline.length <= Bench.StdoutBudget)
+    assert(om.readTree(rline).get("queries").size == names.size &&
+      om.readTree(rline).get("omit") == null,
+      "a realistic sweep must fit without dropping anything")
   }
 
   test("SURVEY's registered-query count matches the live registry (drift guard)") {
@@ -242,7 +266,7 @@ class InvariantsSpec extends SparkTestBase {
     // the stages/band/violations extras must keep bench_out.json valid
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val fileLine = Bench.renderLine(Seq("q01_project" -> 1.0), "/x", _.toString, identity,
-      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_marginal":[],"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}}""")
+      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_marginal":[],"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}},"stages_insweep":{"qe62_cert_embed":{"blocked_live":41.2}},"telemetry_cols":["gc_ms","sh_read","sh_write","spill","disk_delta","heap"],"telemetry":{"q01_project":[12,1024,2048,0,-300,900000]}""")
     val node = om.readTree(fileLine)
     assert(node.get("band_hi").get("q01_project").asDouble == 2.5)
     assert(node.get("violations").get(0).get("q").asText == "qe62_cert_embed")
@@ -250,6 +274,12 @@ class InvariantsSpec extends SparkTestBase {
     assert(node.get("violations_suppressed").size == 0)
     assert(node.get("violations_marginal").size == 0)
     assert(node.get("stages").get("qe62_cert_embed").get("blocked_live").asDouble == 0.8)
+    // r16: the in-sweep attribution map and the per-query JVM telemetry
+    // rows (negative disk deltas — the cleaner reclaiming a predecessor's
+    // scratch — must stay representable)
+    assert(node.get("stages_insweep").get("qe62_cert_embed").get("blocked_live").asDouble == 41.2)
+    assert(node.get("telemetry").get("q01_project").get(4).asLong == -300L)
+    assert(node.get("telemetry_cols").size == 6)
   }
 
   test("bench median is a true median (even reps average the middles); hostile sfDir escapes") {
