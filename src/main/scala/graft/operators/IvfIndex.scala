@@ -129,15 +129,17 @@ object IvfIndex {
   }
 
   /** MAP-ONLY cell assignment against a driver-side centroid frame — the
-    * 100 TB apply shape: the nlist centroids inline as codegen literals, the
-    * argmin unrolls as `least` over (distance, cell) structs (lexicographic
-    * struct ordering = min distance, ties toward the LOWER cell id — the
-    * same tie rule as [[assign]]), and the corpus is touched by ONE
-    * whole-stage-codegen projection: no shuffle, no join, no aggregation,
-    * and every input column rides along untouched. Use [[assign]] instead
-    * when nlist is large enough (~thousands) that an unrolled expression
-    * would strain codegen, or when the centroids are only available as a
-    * distributed frame too big to collect. */
+    * 100 TB apply shape: the centroid matrix rides the fused
+    * [[graft.functions.CellArgmin]] kernel as ONE reference object whose
+    * generated code loops cells × dims (O(1) code size at any nlist —
+    * the earlier unrolled `least` over nlist structs crossed janino's
+    * 64 KB method limit near nlist ≈ 300, dropping the corpus pass out
+    * of whole-stage codegen exactly at production cell counts; r16
+    * append ladder). Ties go to the LOWER cell id — the same rule as
+    * [[assign]] — and the corpus is touched by ONE whole-stage-codegen
+    * projection: no shuffle, no join, no aggregation, every input column
+    * rides along untouched. Use [[assign]] when the centroids are only
+    * available as a distributed frame too big to collect. */
   def assignInline(vectors: DataFrame, centroids: DataFrame, vecCol: String,
                    outCol: String = "cell"): DataFrame = {
     val cents = centroids.select(col("cell").cast("int"), col("centroid"))
@@ -145,18 +147,22 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "centroid frame is empty")
-    val ds = cents.map { case (i, c) =>
-      struct(
-        graft.functions.L2Dist.l2_dist(col(vecCol), array(c.map(lit): _*)).as("d"),
-        lit(i).as("cell"))
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"assignInline: ragged centroid frame (expected dim $dim)")
+    val cells = cents.map(_._1)
+    val matrix = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, c), i) =>
+      var j = 0
+      while (j < dim) { matrix(i * dim + j) = c(j); j += 1 }
     }
-    val best = if (ds.length == 1) ds.head else least(ds.toIndexedSeq: _*)
-    // same refusal as [[assign]]: a corrupt vector's distances are NULL
-    // against every centroid, and struct ordering (null smallest) would
-    // silently assign cell 0 (the guard is ONE when per row, checked
-    // before the unrolled argmin evaluates)
-    checkedVectors(vectors, vecCol, cents.head._2.length, "assignInline")
-      .withColumn(outCol, best.getField("cell"))
+    // same refusal as [[assign]]: a corrupt vector must raise the
+    // descriptive error here, never silently land in a cell (the kernel
+    // itself refuses with null; the guard turns that class of input into
+    // a diagnosis before the argmin ever evaluates)
+    checkedVectors(vectors, vecCol, dim, "assignInline")
+      .withColumn(outCol,
+        graft.functions.CellArgminExpr.cell_argmin(col(vecCol), cells, matrix))
   }
 
   /** Fused vector validity gate for the assignment paths: refuses null,

@@ -412,6 +412,78 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.isEmpty, s"assignInline diverged from model.transform on ${diff.take(5)}")
   }
 
+  test("cell_argmin kernel: parity with the unrolled least-struct argmin; " +
+    "codegen-safe at production nlist; kernel refuses, never throws (r16)") {
+    import spark.implicits._
+    val emb = Engine.Tables(spark, Sf0001).embeddings
+    val (_, centroids) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    // the RETIRED unrolled form, reconstructed verbatim as the parity
+    // oracle: least over struct(l2_dist, cell) — lexicographic ordering,
+    // ties to the lower cell id
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val ds = cents.map { case (i, c) =>
+      struct(graft.functions.L2Dist.l2_dist(col("embedding"),
+        array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
+    }
+    val unrolled = emb.withColumn("cell", least(ds.toIndexedSeq: _*).getField("cell"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = IvfIndex.assignInline(emb, centroids, "embedding")
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == unrolled, "kernel argmin diverged from the unrolled least form")
+    // 512 cells — the production occupancy schedule near 128k vectors,
+    // where the unrolled form crossed janino's 64 KB method limit (r16
+    // append ladder). With codegen fallback DISABLED this materializes
+    // only if the generated code actually compiles.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new scala.util.Random(7)
+    val bigRows = (0 until 512).toList.map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+    val bigCents = bigRows.toDF("cell", "centroid")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = IvfIndex.assignInline(emb, bigCents, "embedding")
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // driver-side argmin over the same matrix certifies the values
+      val mat = bigRows.map(_._2.toArray).toArray
+      val sample = emb.select("vec_id", "embedding").limit(20).collect()
+      sample.foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val want = mat.zipWithIndex.minBy { case (c, _) =>
+          math.sqrt(v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }._2
+        assert(out(r.getLong(0)) == want,
+          s"512-cell assignment diverged for vec ${r.getLong(0)}")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // kernel refuse semantics (bare expression, no checkedVectors guard):
+    // dim mismatch, null element, null vector → null; equidistant tie →
+    // the EARLIER cell id in the supplied order
+    import graft.functions.CellArgminExpr.cell_argmin
+    val cells = Array(1, 3)
+    val mat2 = Array(0.0, 1.0, 0.0, -1.0) // cell 1 at (0,1), cell 3 at (0,-1)
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    val probe = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Seq(0.0, 0.9)),  // nearer (0,1) → 1
+      org.apache.spark.sql.Row(2L, Seq(0.0, 0.0)),  // equidistant → 1 (lower)
+      org.apache.spark.sql.Row(3L, Seq(0.0)),       // dim mismatch → null
+      org.apache.spark.sql.Row(4L, Seq(0.0, null)), // null element → null
+      org.apache.spark.sql.Row(5L, null)            // null vector → null
+    ), probeSchema)
+    val res = probe.select(col("id"), cell_argmin(col("v"), cells, mat2).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(res == Map(1L -> Some(1), 2L -> Some(1), 3L -> None,
+      4L -> None, 5L -> None), s"kernel refuse/tie semantics: $res")
+  }
+
   test("IVF occupancy card: cells partition the corpus, frac normalizes to 1") {
     val emb = Engine.Tables(spark, Sf0001).embeddings
     val (_, centroids) = IvfIndex.build(emb, "vec_id", "embedding", 8)
