@@ -174,30 +174,20 @@ object Bench {
       (shuffleRead.get, shuffleWrite.get, spill.get)
   }
 
-  /** Bytes on disk under this JVM's Spark scratch roots (blockmgr-* =
-    * shuffle files + localCheckpoint disk blocks, spark-* = app temp) —
-    * the direct measure of the r15 verdict #2 "is scratch ever pruned
-    * mid-sweep" question. Walk failures (a file the cleaner deletes
-    * mid-walk) are skipped, never thrown. */
+  /** Bytes on disk under THIS JVM's Spark scratch roots (the block
+    * manager's own local dirs: shuffle files + localCheckpoint disk
+    * blocks) — the direct measure of the r15 verdict #2 "is scratch ever
+    * pruned mid-sweep" question. Roots come from the live SparkEnv via
+    * [[org.apache.spark.graftshim.SparkEnvShim]], never a tmpdir glob: a
+    * pattern scan over java.io.tmpdir would fold every CONCURRENT Spark
+    * process's churn into this sweep's per-query ledger (review r16).
+    * Walk failures (a file the cleaner deletes mid-walk) are skipped,
+    * never thrown. */
   def localDirBytes(): Long = {
     import java.nio.file._
     var total = 0L
-    val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val roots = try {
-      val ds = Files.list(tmp)
-      try {
-        val it = ds.iterator()
-        val buf = collection.mutable.ArrayBuffer.empty[Path]
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.startsWith("blockmgr-") || n.startsWith("spark-")) buf += p
-        }
-        buf.toSeq
-      } finally ds.close()
-    } catch { case _: Exception => Seq.empty }
-    roots.foreach { root =>
-      try Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+    org.apache.spark.graftshim.SparkEnvShim.localDirs.foreach { root =>
+      try Files.walkFileTree(root.toPath, new SimpleFileVisitor[Path] {
         override def visitFile(f: Path, a: attribute.BasicFileAttributes): FileVisitResult = {
           total += a.size(); FileVisitResult.CONTINUE
         }
@@ -244,19 +234,26 @@ object Bench {
     * fits — the expensive queries are what a bench reader acts on, the
     * cheap tail is noise at stdout precision, and bench_out.json has
     * always carried every query at full precision. Failed queries (-1)
-    * are never dropped (a failure must be visible in the driver-parsed
-    * artifact), the reported total is always the FULL sweep's sum, and
-    * `"omit":N` records how many entries the window hid — silent
-    * truncation would read as "covered everything". Fits by construction
-    * for any input (the loop can drop every non-failure entry). */
+    * drop LAST — only after every healthy entry is gone (an all-failure
+    * sweep's ~170 undroppable rows would otherwise overflow the window
+    * and head-truncate the line in exactly the catastrophic case where
+    * visibility matters most; review r16) — and `"fail":N` rides the
+    * line whenever any query failed, so the failure COUNT survives even
+    * when rows had to drop. The reported total is always the FULL
+    * sweep's sum and `"omit":N` records how many entries the window hid
+    * — silent truncation would read as "covered everything". Fits by
+    * construction for any input (the loop can drop every entry). */
   def stdoutLine(results: Seq[(String, Double)], sfShort: String,
                  keyed: String => String, extraFor: Int => String): String = {
+    val nFailed = results.count(_._2 < 0)
+    val failExtra = if (nFailed > 0) s""","fail":$nFailed""" else ""
     def render(kept: Seq[(String, Double)]): String =
       renderLine(kept, sfShort, deci, keyed,
-        extraFor(results.size - kept.size), totalOf = results)
+        extraFor(results.size - kept.size) + failExtra, totalOf = results)
     var kept = results
     var line = render(kept)
-    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2).map(_._1).iterator
+    val (failed, healthy) = results.partition(_._2 < 0)
+    val dropOrder = (healthy.sortBy(_._2) ++ failed).map(_._1).iterator
     val dropped = collection.mutable.Set.empty[String]
     while (line.length > StdoutBudget && dropOrder.hasNext) {
       dropped += dropOrder.next()

@@ -22,6 +22,18 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(idCol).as("keep_id"), count("*").as("dup_cnt"))
 
+  /** The ONE spelling of the null-tolerant dedup key, shared by the
+    * batch survivor ([[minIdSurvivorByKey]]), the first-seen stream twin
+    * ([[firstSeenByKey]]), and the min-id stream twin
+    * ([[graft.streaming.StreamingDedup.minIdSurvivorStream]]): a null
+    * content hash (refused decode) keys on the row's own doc_id so it
+    * stays a singleton — a dedup pass must never merge what it could not
+    * read. The stream twins' batch-equivalence contracts are key-for-key;
+    * one shared expression means a spelling change reaches all three or
+    * none (review r16). */
+  def contentKey(hashCol: String): Column =
+    coalesce(col(hashCol), concat(lit("doc:"), col("doc_id")))
+
   /** Min-id-survivor dedup on a nullable content-hash column — the E1
     * media-leg shape shared by [[ImageDedup.dedupByPixels]],
     * [[AudioDedup.dedupBySamples]] and [[VideoDedup.dedupByFrames]]: a
@@ -32,8 +44,7 @@ object Dedup {
     * Callers checkpoint `sigs` first when the signature stage is the
     * dominant cost (it feeds both sides of the survivor join). */
   def minIdSurvivorByKey(sigs: DataFrame, hashCol: String): DataFrame = {
-    val keyed = sigs.withColumn("__key",
-      coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))
+    val keyed = sigs.withColumn("__key", contentKey(hashCol))
     val survivors = keyed.groupBy(col("__key"))
       .agg(min(col("doc_id")).as("survivor_id"))
     keyed.join(survivors, Seq("__key"), "left")
@@ -61,8 +72,7 @@ object Dedup {
     * per-key running-minimum ValueState, batch-equivalent survivors
     * under any partitioning/order — proven in StreamingSpec). */
   def firstSeenByKey(sigs: DataFrame, hashCol: String): DataFrame =
-    sigs.withColumn("__key",
-        coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))))
+    sigs.withColumn("__key", contentKey(hashCol))
       .dropDuplicates("__key")
       .drop("__key")
 

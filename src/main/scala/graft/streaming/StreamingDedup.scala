@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{coalesce, col, concat, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming._
 
 /** Streaming MinHash near-dup detection (SURVEY §2.4 E2, streaming form):
@@ -123,7 +123,7 @@ object StreamingDedup {
   def minIdSurvivorStream(sigs: DataFrame, hashCol: String): Dataset[Survivor] = {
     import sigs.sparkSession.implicits._
     val keyed = sigs.select(
-      coalesce(col(hashCol), concat(lit("doc:"), col("doc_id"))).as("key"),
+      Dedup.contentKey(hashCol).as("key"),
       col("doc_id").cast("long").as("doc_id")).as[KeyedId]
     keyed.groupByKey(_.key)
       .transformWithState(new MinIdProcessor, TimeMode.None(), OutputMode.Append(),

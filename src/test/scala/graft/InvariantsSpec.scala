@@ -99,9 +99,22 @@ class InvariantsSpec extends SparkTestBase {
     val keptN = node.get("queries").size
     assert(node.get("omit").asInt == padded.size - keptN && keptN < padded.size)
     assert(node.get("queries").get(Bench.shortKey(names.head)) != null,
-      "a failed query (-1) must never be dropped from stdout")
+      "a failed query (-1) drops only after every healthy entry is gone")
+    assert(node.get("fail").asInt == 1,
+      "the failure count must ride the line whenever any query failed")
     assert(math.abs(node.get("value").asDouble - 99.9 * (padded.size - 1)) < 0.5,
       "stdout total must be the FULL sweep's sum, not the kept subset's")
+    // catastrophic sweep: EVERY query failed (-1). The -1.0 rendering is
+    // one char wider than the healthy worst case, so an undroppable-
+    // failures rule would overflow the window exactly when visibility
+    // matters most (review r16) — failures drop last but DO drop, and
+    // "fail":N preserves the count in the driver-parsed artifact.
+    val allFail = names.map(_ -> -1.0)
+    val fline = Bench.stdoutLine(allFail, "sf0.1", Bench.shortKey, extraFor)
+    assert(fline.length <= Bench.StdoutBudget,
+      s"all-failure line ${fline.length} chars overflows the tail window")
+    assert(om.readTree(fline).get("fail").asInt == names.size)
+    assert(om.readTree(fline).get("value").asDouble == 0.0)
     // realistic sweep shape (r15 driver medians: a handful of 3-13 s
     // queries over a sub-second field): nothing is dropped, omit absent
     val realistic = names.zipWithIndex.map { case (n, i) =>
