@@ -57,7 +57,7 @@ object AudioHeader {
   private def parseWav(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     var off = 12
     var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
-    var dataSize = -1L
+    var dataSize = -1L; var spbAdpcm = -1
     // header-only scan: the "data" chunk's declared size is the stream
     // length (a streaming reader never needs the sample bytes in hand),
     // but every chunk header and the whole fmt payload must be present
@@ -66,14 +66,16 @@ object AudioHeader {
       if (fourcc(b, off, "fmt ")) {
         if (size < 16 || off + 8 + 16 > b.length) return null
         val tag = le16(b, off + 8)
-        // PCM (1), IEEE float (3), and G.711 A-law (6) / µ-law (7):
-        // layouts where the fmt fields keep their plain meaning (G.711
-        // is a fixed one-code-byte-per-sample encoding, so channels /
-        // rate / 8-bit depth / blockAlign read exactly as for PCM — and
-        // [[AudioDedup.sampleHash]] decodes these through the JDK codec,
-        // r16). Other compressed/extensible tags carry their real layout
-        // elsewhere — refusing beats misreporting.
-        if (tag != 1 && tag != 3 && tag != 6 && tag != 7) return null
+        // PCM (1), IEEE float (3), G.711 A-law (6) / µ-law (7), and IMA
+        // ADPCM (17): layouts whose fmt fields have a FIXED published
+        // meaning (G.711 is one code byte per sample; IMA's block layout
+        // is fully determined by blockAlign + the fmt-extra
+        // samplesPerBlock — both decoded for real by
+        // [[graft.operators.AudioDedup.sampleHash]], r16). Other
+        // compressed/extensible tags carry their real layout elsewhere —
+        // refusing beats misreporting.
+        if (tag != 1 && tag != 3 && tag != 6 && tag != 7 && tag != 17)
+          return null
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)
@@ -82,6 +84,20 @@ object AudioHeader {
         // blockAlign must be exactly one byte per channel
         if ((tag == 6 || tag == 7) && (bits != 8 || blockAlign != channels))
           return null
+        // IMA ADPCM: 4-bit depth, cbSize >= 2, and samplesPerBlock must
+        // agree with the block geometry (4 header bytes + 4-byte nibble
+        // groups per channel; the header seeds one sample) — an
+        // inconsistent pair means the frame count below would be a guess
+        if (tag == 17) {
+          if (bits != 4 || size < 20 || off + 8 + 20 > b.length) return null
+          if (le16(b, off + 24) < 2) return null
+          val spb = le16(b, off + 26)
+          if (channels <= 0) return null
+          val dataBytes = blockAlign - 4 * channels
+          if (dataBytes < 0 || dataBytes % (4 * channels) != 0 ||
+            spb != 1 + dataBytes / channels * 2) return null
+          spbAdpcm = spb
+        }
       } else if (fourcc(b, off, "data")) {
         dataSize = size
       }
@@ -93,7 +109,11 @@ object AudioHeader {
     if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0)
       return null
     if (dataSize % blockAlign != 0) return null // torn final frame
-    ("audio/wav", channels, rate, bits, dataSize / blockAlign)
+    // IMA ADPCM: a block of blockAlign bytes decodes to samplesPerBlock
+    // frames (header sample + nibbles); all other accepted tags are one
+    // frame per blockAlign
+    ("audio/wav", channels, rate, bits,
+      dataSize / blockAlign * (if (spbAdpcm > 0) spbAdpcm else 1))
   }
 
   private def parseAiff(b: Array[Byte], aifc: Boolean): (String, Int, Int, Int, Long) = {

@@ -63,7 +63,9 @@ object AudioDedup {
     if (payload == null) return null
     val ais0 =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => return null }
+      // the stock JDK refuses ADPCM WAVs outright (no codec SPI), so the
+      // IMA leg routes through the from-scratch byte decoder instead
+      catch { case _: Exception => return decodeImaAdpcm(payload) }
     val ais =
       if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
         ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
@@ -90,6 +92,28 @@ object AudioDedup {
         f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
     } catch { case _: Exception => null }
     finally ais.close()
+  }
+
+  /** IMA/DVI ADPCM (WAV tag 17) decode to the SAME [[Pcm]] shape the
+    * javax.sound paths produce — the decoded 16-bit stream re-packs as
+    * little-endian signed PCM, so every downstream hash (exact sample
+    * md5, perceptual eHash) treats an ADPCM spelling exactly like a PCM
+    * spelling holding the decoded values (qe71c certifies the collapse).
+    * [[graft.functions.ImaAdpcm]] refuses with null on anything torn or
+    * non-conformant, preserving the singleton contract. */
+  private def decodeImaAdpcm(payload: Array[Byte]): Pcm = {
+    val d = graft.functions.ImaAdpcm.decode(payload)
+    if (d == null) return null
+    val raw = new Array[Byte](d.samples.length * 2)
+    var i = 0
+    while (i < d.samples.length) {
+      raw(2 * i) = (d.samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((d.samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    Pcm(d.channels, d.rate, d.samples.length / d.channels, raw,
+      bytesPer = 2, frameSize = 2 * d.channels, bigEndian = false,
+      half = 1 << 15, unsigned = false)
   }
 
   /** md5 hex over (channels, rate, every normalized sample, frame-major
@@ -421,6 +445,99 @@ object AudioDedup {
           else writeCompandedWav(ulaw, ch, rate, codes)
           (id, bytes, if (v % 2 == 0) "audio/wav"
           else if (ulaw) "audio/wav;codec=ulaw" else "audio/wav;codec=alaw")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** The ADPCM corpus opens every clip with this many ID BLOCKS whose
+    * predictor seeds spell the group id verbatim (16 bits per block,
+    * channel 0 — a block's predictor IS its first output sample, so g's
+    * 48 bits land in the decoded stream uncoded and groups stay
+    * byte-distinct at any corpus scale, the [[sampleOf]] armor
+    * transplanted to the predictive codec). */
+  private val AdpcmIdBlocks = 3
+
+  /** IMA ADPCM WAV writer (format tag 17, 20-byte fmt with
+    * samplesPerBlock + fact chunk): [[AdpcmIdBlocks]] id blocks then
+    * (g%4+1) planted wave blocks — deterministic predictor/index/nibble
+    * rotations; one 4-byte nibble group per channel per block
+    * (samplesPerBlock 9). */
+  private def writeAdpcmWav(g: Long, ch: Int, rate: Int): Array[Byte] = {
+    val nBlocks = AdpcmIdBlocks + (g % 4 + 1).toInt
+    val blockAlign = 8 * ch
+    val spb = 9
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      val isId = blk < AdpcmIdBlocks
+      var c = 0
+      while (c < ch) {
+        val h = base + 4 * c
+        val pred =
+          if (isId && c == 0) ((g >> (16 * blk)) & 0xFFFF).toInt else 0
+        data(h) = (pred & 0xFF).toByte
+        data(h + 1) = ((pred >> 8) & 0xFF).toByte
+        data(h + 2) =
+          (if (isId) 0 else ((g * 7 + blk * 11) % 89).toInt).toByte
+        data(h + 3) = 0 // reserved, spec-zero (the decoder refuses else)
+        c += 1
+      }
+      var c2 = 0
+      while (c2 < ch) {
+        var k = 0
+        while (k < 4) {
+          data(base + 4 * ch + c2 * 4 + k) =
+            (if (isId) 0
+             else ((g * 13 + blk * 17 + k * 7 + c2 * 5) % 256).toInt).toByte
+          k += 1
+        }
+        c2 += 1
+      }
+      blk += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 12 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 8 + 20 + 12 + 8 + data.length)
+      .put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(20).putShort(17).putShort(ch.toShort)
+      .putInt(rate).putInt(rate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4).putShort(2)
+      .putShort(spb.toShort)
+    bb.put("fact".getBytes).putInt(4).putInt(nBlocks * spb)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** ADPCM-dup corpus (r16): two docs per pair (g = doc_id / 2) carry
+    * one recording — a 16-bit PCM WAV of the DECODED samples (id 2g) and
+    * the IMA ADPCM spelling itself (id 2g+1). The PCM twin is generated
+    * by running [[graft.functions.ImaAdpcm.decode]] on the planted
+    * bitstream, so the cross-encoding hash collapse certifies the
+    * PREDICTIVE decode end-to-end (step/index tables, clamp, nibble
+    * order, stereo interleave) — any decoder drift splits every pair.
+    * Survivors are pure doc_id arithmetic, like qe71b. */
+  def syntheticDupAudioCorpusAdpcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val adpcm = writeAdpcmWav(g, ch, rate)
+          val bytes =
+            if (id % 2 == 1) adpcm
+            else {
+              val d = graft.functions.ImaAdpcm.decode(adpcm)
+              require(d != null, s"planted ADPCM clip failed to decode (g=$g)")
+              writeWav((i, c) => d.samples(i * ch + c).toInt, ch, rate, 16,
+                d.samples.length / ch, junk = false)
+            }
+          (id, bytes,
+            if (id % 2 == 1) "audio/wav;codec=ima-adpcm" else "audio/wav")
         }
       }.toDF("doc_id", "payload", "mime")
   }

@@ -1932,6 +1932,23 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r16) — PREDICTIVE-codec audio dedup: IMA/DVI
+    // ADPCM WAV spellings (format tag 17 — the stock JDK refuses these
+    // outright, so the decode is the from-scratch byte-level
+    // ImaAdpcm implementation of the published IMA algorithm) collapse
+    // onto the sample hash of the 16-bit PCM spelling holding the
+    // decoded stream. The engine's first compressed-BITSTREAM sample
+    // decode: any drift in the step/index tables, clamp, nibble order,
+    // or stereo interleave splits every pair. Oracle is pure doc_id
+    // arithmetic, like qe71b.
+    ("qe71c_audio_adpcm_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusAdpcm(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -67,6 +67,26 @@ class AudioMetaSpec extends SparkTestBase {
         "666D7420 12000000 0600 0200 401F0000 803E0000 0200 0800 0000" +
         "64617461 04000000 D5D5D5D5")
     assert(AudioHeader.parse(alaw) == ("audio/wav", 2, 8000, 8, 2L))
+    // IMA ADPCM (tag 17, r16): frames = blocks × samplesPerBlock from
+    // the fmt extra; mono blockAlign 8 → 9 samples/block, 2 blocks
+    val adpcm = hex(
+      "52494646 44000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 12000000" +
+        "64617461 10000000" + "00" * 16)
+    assert(AudioHeader.parse(adpcm) == ("audio/wav", 1, 8000, 4, 18L))
+    // tag 17 with a samplesPerBlock that disagrees with blockAlign, or a
+    // depth other than 4: refuse, never misreport
+    assert(AudioHeader.parse(hex(
+      "52494646 44000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0A00" +
+        "66616374 04000000 12000000" +
+        "64617461 10000000" + "00" * 16)) == null)
+    assert(AudioHeader.parse(hex(
+      "52494646 44000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 1000 0200 0900" +
+        "66616374 04000000 12000000" +
+        "64617461 10000000" + "00" * 16)) == null)
     // a G.711 fmt claiming 16-bit depth, or blockAlign != channels, is
     // misshaped — refuse, never misreport
     assert(AudioHeader.parse(hex(

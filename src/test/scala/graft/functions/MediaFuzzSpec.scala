@@ -54,6 +54,13 @@ class MediaFuzzSpec extends AnyFunSuite {
         "666D7420 12000000 0700 0100 401F0000 401F0000 0100 0800 0000" +
         "66616374 04000000 04000000" +
         "64617461 04000000 FF7F0380"),
+    // IMA ADPCM WAV (format tag 17, 20-byte fmt with samplesPerBlock —
+    // r16: the hand-derived golden block; see the golden-vector test)
+    "wavadpcm" -> hex(
+      "52494646 3C000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 6400 00 00 71 00 00 08"),
     "aiff" -> hex(
       "464F524D 0000003C 41494646" +
         "414E4E4F 00000004 74657374" +
@@ -111,6 +118,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     Id3v2Tags.parse(b)
     JpegExif.parse(b)
     graft.operators.Multimodal.AnimatedGif.frameCount(b)
+    ImaAdpcm.decode(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -595,6 +603,80 @@ class MediaFuzzSpec extends AnyFunSuite {
     // double-close is safe (callers close in finally; a hash path that
     // already closed must not blow up a later defensive close)
     src.close()
+  }
+
+  test("IMA ADPCM golden vector: hand-derived step walk, clamp, stereo interleave; torn/misshaped refuse (r16)") {
+    import graft.functions.ImaAdpcm
+    // mono golden block (the wavadpcm corpus vector): predictor 100,
+    // index 0, nibble bytes 71 00 00 08 (low nibble first). Hand walk of
+    // the published IMA tables:
+    //  s0=100 (header). n=1: step=7, diff=7>>2=1 → 101, idx→0.
+    //  n=7: diff=1+3+7=11 → 112, idx→8. n=0: step=16, diff=2 → 114,
+    //  idx→7. n=0: step=14 → 115, idx→6. n=0: step=13 → 116, idx→5.
+    //  n=0: step=12 → 117, idx→4. n=8: step=11, diff=1, SIGN → 116,
+    //  idx→3. n=0: step=10 → 117.
+    val golden = valid.toMap.apply("wavadpcm")
+    val d = ImaAdpcm.decode(golden)
+    assert(d != null && d.channels == 1 && d.rate == 8000)
+    assert(d.samples.toSeq == Seq[Short](100, 101, 112, 114, 115, 116, 117, 116, 117))
+    assert(AudioHeader.parse(golden) == ("audio/wav", 1, 8000, 4, 9L))
+    // positive-overflow clamp: predictor 32700, index 88 (step 32767),
+    // nibble 7 adds 4095+8191+16383 = 28669 → clamps to 32767
+    val clampy = hex(
+      "52494646 3C000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 BC7F 58 00 77 77 77 77")
+    val dc = ImaAdpcm.decode(clampy)
+    assert(dc != null && dc.samples(0) == 32700.toShort &&
+      dc.samples.drop(1).forall(_ == 32767.toShort))
+    // stereo interleave: two channels' headers then 4-byte groups per
+    // channel; all-zero nibbles at step 7 move nothing (7>>3 = 0), so
+    // the output is the two predictors repeated frame-major
+    val stereo = hex(
+      "52494646 44000000 57415645" +
+        "666D7420 14000000 1100 0200 401F0000 0E1C0000 1000 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 10000000" +
+        "0500 00 00" + "FDFF 00 00" + "00000000" + "00000000")
+    val ds = ImaAdpcm.decode(stereo)
+    assert(ds != null && ds.channels == 2 && ds.samples.length == 18)
+    assert(ds.samples.toSeq == Seq.fill(9)(Seq[Short](5, -3)).flatten)
+    // refusals: index seed > 88, nonzero reserved byte, torn final
+    // block, samplesPerBlock inconsistent with blockAlign, fmt too
+    // short to carry the extra — null, never a guess
+    assert(ImaAdpcm.decode(hex(
+      "52494646 3C000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 6400 59 00 71 00 00 08")) == null)
+    assert(ImaAdpcm.decode(hex(
+      "52494646 3C000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 6400 00 01 71 00 00 08")) == null)
+    assert(ImaAdpcm.decode(hex(
+      "52494646 3B000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 07000000 6400 00 00 71 00 00")) == null)
+    assert(ImaAdpcm.decode(hex(
+      "52494646 3C000000 57415645" +
+        "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0A00" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 6400 00 00 71 00 00 08")) == null)
+    assert(ImaAdpcm.decode(hex(
+      "52494646 38000000 57415645" +
+        "666D7420 10000000 1100 0100 401F0000 0E1C0000 0800 0400" +
+        "66616374 04000000 09000000" +
+        "64617461 08000000 6400 00 00 71 00 00 08")) == null)
+    // AudioHeader agrees on the refusal class it can see (header-only)
+    assert(AudioHeader.parse(hex(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 1100 0100 401F0000 401F0000 0800 0400" +
+        "64617461 04000000 00000000")) == null)
+    assert(ImaAdpcm.decode("not audio".getBytes) == null)
+    assert(ImaAdpcm.decode(null) == null)
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

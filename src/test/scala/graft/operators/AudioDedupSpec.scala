@@ -89,6 +89,32 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("IMA ADPCM cross-encoding collapse (r16): the predictive-codec spelling hashes " +
+    "identically to the 16-bit PCM spelling of its decoded stream; triage accepts tag 17") {
+    val bytes = AudioDedup.syntheticDupAudioCorpusAdpcm((0L until 8L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 to 3).foreach { g =>
+      val pcm = AudioDedup.sampleHash(bytes(g * 2L))
+      val adp = AudioDedup.sampleHash(bytes(g * 2L + 1))
+      assert(pcm != null && adp != null, s"group $g: a spelling failed to decode")
+      assert(pcm.sample_hash == adp.sample_hash,
+        s"group $g: ADPCM spelling hashes apart from its PCM twin")
+      assert(pcm.n_frames == adp.n_frames && pcm.channels == adp.channels)
+      // triage agreement: the capstone router sniffs through AudioHeader
+      assert(graft.functions.AudioHeader.parse(bytes(g * 2L + 1)) != null)
+    }
+    // distinct groups stay distinct (the id-block predictors carry g's
+    // bits verbatim into the decoded stream)
+    assert(AudioDedup.sampleHash(bytes(1L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(3L)).sample_hash)
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusAdpcm((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
