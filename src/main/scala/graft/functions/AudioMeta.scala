@@ -84,18 +84,16 @@ object AudioHeader {
         // blockAlign must be exactly one byte per channel
         if ((tag == 6 || tag == 7) && (bits != 8 || blockAlign != channels))
           return null
-        // IMA ADPCM: 4-bit depth, cbSize >= 2, and samplesPerBlock must
-        // agree with the block geometry (4 header bytes + 4-byte nibble
-        // groups per channel; the header seeds one sample) — an
+        // IMA ADPCM: 4-bit depth, cbSize >= 2, and the block geometry
+        // must be the published layout — the SAME predicate the decoder
+        // enforces ([[ImaAdpcm.validGeometry]]), so triage can never
+        // accept a container the decode then refuses (review r16); an
         // inconsistent pair means the frame count below would be a guess
         if (tag == 17) {
           if (bits != 4 || size < 20 || off + 8 + 20 > b.length) return null
           if (le16(b, off + 24) < 2) return null
           val spb = le16(b, off + 26)
-          if (channels <= 0) return null
-          val dataBytes = blockAlign - 4 * channels
-          if (dataBytes < 0 || dataBytes % (4 * channels) != 0 ||
-            spb != 1 + dataBytes / channels * 2) return null
+          if (!ImaAdpcm.validGeometry(channels, blockAlign, spb)) return null
           spbAdpcm = spb
         }
       } else if (fourcc(b, off, "data")) {

@@ -9,17 +9,19 @@ package graft.functions
   * from Microsoft's multimedia registration): per block and channel a
   * 4-byte header seeds the predictor (which IS the block's first output
   * sample) and the step index, then 4-bit nibbles (low nibble first,
-  * stereo interleaved in 4-byte groups per channel) each step the
-  * predictor by a table-driven delta.
+  * channels interleaved in 4-byte groups) each step the predictor by a
+  * table-driven delta.
   *
   * Refuse-don't-guess, like every byte parser here: anything torn,
   * inconsistent (blockAlign vs samplesPerBlock, index seed > 88,
-  * dataSize not block-aligned), or not a tag-17 WAV decodes to null.
-  * Decoded output is 16-bit signed PCM, frame-major interleaved — the
-  * exact stream a PCM spelling of the same recording stores, so the
-  * sample-hash collapse is by construction (qe71c).
-  */
+  * dataSize not block-aligned, an output size past Int range), or not a
+  * tag-17 WAV decodes to null. Decoded output is 16-bit signed PCM,
+  * frame-major interleaved — the exact stream a PCM spelling of the
+  * same recording stores, so the sample-hash collapse is by
+  * construction (qe71c). */
 object ImaAdpcm {
+
+  import ByteReads.{fourcc, le16, le32u}
 
   private val IndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
@@ -32,21 +34,34 @@ object ImaAdpcm {
     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
 
+  /** Generous channel ceiling: tag-17 files in the wild are mono/stereo,
+    * the block layout generalizes to N channels, and anything past 8 is
+    * a bogus header, not audio. */
+  private val MaxChannels = 8
+
+  /** The ONE block-geometry predicate, shared by this decoder and
+    * [[AudioHeader]]'s tag-17 triage branch so the two can never
+    * disagree about which containers are readable (review r16): a block
+    * is 4 header bytes plus whole 4-byte nibble groups per channel, and
+    * the fmt-extra samplesPerBlock must equal the header sample + 8 per
+    * group. */
+  def validGeometry(ch: Int, blockAlign: Int, samplesPerBlock: Int): Boolean = {
+    if (ch <= 0 || ch > MaxChannels || blockAlign <= 0) return false
+    val dataBytes = blockAlign - 4 * ch
+    dataBytes >= 0 && dataBytes % (4 * ch) == 0 &&
+      samplesPerBlock == 1 + (dataBytes / ch) * 2
+  }
+
   /** One decoded clip: 16-bit samples, frame-major channel order. */
   final case class Decoded(channels: Int, rate: Int, samples: Array[Short])
 
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-  private def le32(b: Array[Byte], i: Int): Int =
-    le16(b, i) | (le16(b, i + 2) << 16)
-  private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
-    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
-      b(i + 2) == s(2) && b(i + 3) == s(3)
-
   /** Mutable per-channel decode state — the ONE place the IMA step
-    * arithmetic lives (shared by the block-header seed and the nibble
-    * loop). */
-  private final class Ch(var pred: Int, var idx: Int) {
+    * arithmetic lives (the block header seeds it, the nibble loop steps
+    * it). Instances are reused across blocks via [[seed]]. */
+  private final class Ch {
+    var pred: Int = 0
+    var idx: Int = 0
+    def seed(p: Int, i: Int): Unit = { pred = p; idx = i }
     def step(nibble: Int): Short = {
       val st = StepTable(idx)
       var diff = st >> 3
@@ -72,13 +87,13 @@ object ImaAdpcm {
     var ch = -1; var rate = -1; var blockAlign = -1; var spb = -1
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (dataOff < 0 || ch < 0)) {
-      val size = le32(b, off + 4) & 0xFFFFFFFFL
+      val size = le32u(b, off + 4)
       if (fourcc(b, off, "fmt ")) {
         // tag-17 fmt must carry cbSize >= 2 with samplesPerBlock: 20 bytes
         if (size < 20 || off + 8 + 20 > b.length) return null
         if (le16(b, off + 8) != 17) return null
         ch = le16(b, off + 10)
-        rate = le32(b, off + 12)
+        rate = le32u(b, off + 12).toInt
         blockAlign = le16(b, off + 20)
         val bits = le16(b, off + 22)
         val cb = le16(b, off + 24)
@@ -92,29 +107,35 @@ object ImaAdpcm {
       val next = off.toLong + 8L + size + (size & 1L)
       off = if (next > b.length) b.length else next.toInt
     }
-    if (ch <= 0 || ch > 2 || rate <= 0 || blockAlign <= 0 || spb <= 0 ||
-      dataOff < 0) return null
-    // layout consistency: a block is 4 header bytes per channel plus
-    // 4-byte nibble groups per channel; samplesPerBlock = header sample
-    // + 8 per group
-    val dataBytes = blockAlign - 4 * ch
-    if (dataBytes < 0 || dataBytes % (4 * ch) != 0) return null
-    if (spb != 1 + (dataBytes / ch) * 2) return null
+    if (ch <= 0 || rate <= 0 || blockAlign <= 0 || spb <= 0 || dataOff < 0)
+      return null
+    if (!validGeometry(ch, blockAlign, spb)) return null
     if (dataLen % blockAlign != 0) return null // torn final block
     val nBlocks = dataLen / blockAlign
-    val out = new Array[Short](nBlocks * spb * ch)
+    // output size in Long space first: a multi-GiB declared stream would
+    // wrap the Int product and the allocation below would throw instead
+    // of refusing (review r16)
+    val outLen = nBlocks.toLong * spb * ch
+    if (outLen > Int.MaxValue) return null
+    val out = new Array[Short](outLen.toInt)
+    val dataBytes = blockAlign - 4 * ch
+    val groupsPerCh = dataBytes / (4 * ch)
+    // per-channel state and the per-group decode buffer are allocated
+    // ONCE and re-seeded/overwritten — this loop runs per crawl record
+    // inside sampleHash/eHash64 (review r16)
+    val chans = Array.fill(ch)(new Ch)
+    val dec = Array.ofDim[Short](ch, 8)
     var w = 0
     var blk = 0
     while (blk < nBlocks) {
       val base = dataOff + blk * blockAlign
-      val chans = new Array[Ch](ch)
       var c = 0
       while (c < ch) {
         val h = base + 4 * c
         val pred = le16(b, h).toShort.toInt // s16: the block's first sample
         val idx = b(h + 2) & 0xFF
         if (idx > 88 || b(h + 3) != 0) return null // spec: reserved byte 0
-        chans(c) = new Ch(pred, idx)
+        chans(c).seed(pred, idx)
         out(w) = pred.toShort
         w += 1
         c += 1
@@ -122,11 +143,8 @@ object ImaAdpcm {
       // data: 4-byte groups per channel, channels alternating; each
       // group holds 8 nibbles (low first) = 8 samples of that channel.
       // Decode group-by-group, writing frame-major output.
-      val groupsPerCh = dataBytes / (4 * ch)
       var g = 0
       while (g < groupsPerCh) {
-        // decode this group for every channel first, then interleave
-        val dec = Array.ofDim[Short](ch, 8)
         var c2 = 0
         while (c2 < ch) {
           val gOff = base + 4 * ch + (g * ch + c2) * 4
@@ -150,21 +168,5 @@ object ImaAdpcm {
       blk += 1
     }
     Decoded(ch, rate, out)
-  }
-
-  /** True when the bytes sniff as a tag-17 WAV (cheap, header-only) —
-    * the router check before paying [[decode]]. */
-  def isImaAdpcmWav(b: Array[Byte]): Boolean = {
-    if (b == null || b.length < 12 || !fourcc(b, 0, "RIFF") ||
-      !fourcc(b, 8, "WAVE")) return false
-    var off = 12
-    while (off + 8 <= b.length) {
-      val size = le32(b, off + 4) & 0xFFFFFFFFL
-      if (fourcc(b, off, "fmt "))
-        return size >= 16 && off + 10 <= b.length && le16(b, off + 8) == 17
-      val next = off.toLong + 8L + size + (size & 1L)
-      off = if (next > b.length) b.length else next.toInt
-    }
-    false
   }
 }

@@ -621,7 +621,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(d.samples.toSeq == Seq[Short](100, 101, 112, 114, 115, 116, 117, 116, 117))
     assert(AudioHeader.parse(golden) == ("audio/wav", 1, 8000, 4, 9L))
     // positive-overflow clamp: predictor 32700, index 88 (step 32767),
-    // nibble 7 adds 4095+8191+16383 = 28669 → clamps to 32767
+    // nibble 7 adds st>>3 + st>>2 + st>>1 + st = 4095+8191+16383+32767
+    // = 61436 → clamps to 32767
     val clampy = hex(
       "52494646 3C000000 57415645" +
         "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
@@ -677,6 +678,22 @@ class MediaFuzzSpec extends AnyFunSuite {
         "64617461 04000000 00000000")) == null)
     assert(ImaAdpcm.decode("not audio".getBytes) == null)
     assert(ImaAdpcm.decode(null) == null)
+    // triage/decode agreement is BY CONSTRUCTION (one shared geometry
+    // predicate): a 4-channel clip with valid layout is readable by
+    // both; a 9-channel header is refused by both
+    assert(ImaAdpcm.validGeometry(4, 32, 9) &&
+      !ImaAdpcm.validGeometry(9, 72, 9))
+    val quad = hex(
+      "52494646 54000000 57415645" +
+        "666D7420 14000000 1100 0400 401F0000 0E1C0000 2000 0400 0200 0900" +
+        "66616374 04000000 09000000" +
+        "64617461 20000000" +
+        "0100 00 00" + "0200 00 00" + "0300 00 00" + "0400 00 00" +
+        "00000000" * 4)
+    val dq = ImaAdpcm.decode(quad)
+    assert(dq != null && dq.channels == 4 && dq.samples.length == 36)
+    assert(dq.samples.take(4).toSeq == Seq[Short](1, 2, 3, 4))
+    assert(AudioHeader.parse(quad) == ("audio/wav", 4, 8000, 4, 9L))
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {
