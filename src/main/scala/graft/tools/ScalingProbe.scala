@@ -178,6 +178,18 @@ object ScalingProbe {
         }
         println(f"${"qe71_audio dedup-samples-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      // the r16 predictive-codec leg: same decode-dominated linear shape
+      // expected as qe71, with the from-scratch IMA decoder in place of
+      // javax.sound (the ADPCM corpus's 48-bit id blocks carry no
+      // encoding bound, so the offset-union docs frame ladders directly)
+      if (wanted("qe71c_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.dedupBySamples(
+            graft.operators.AudioDedup.syntheticDupAudioCorpusAdpcm(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe71c_audio dedup-adpcm-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       // the video/audio-perceptual rungs (r14 closing) synthesize from a
       // DENSE id range instead of the offset-union docs frame: the video
       // corpus's (group, frame) keys live in 21 bits of dHash encoding
