@@ -198,6 +198,18 @@ object Bench {
     total
   }
 
+  /** The in-sweep attribution trigger (r15 verdict #1): a query re-runs
+    * its stage probes AT ITS OWN SWEEP SLOT iff its min is a HARD band
+    * crossing and a probe decomposition is registered for it. Factored
+    * out of main so the trigger is machine-checked (InvariantsSpec) —
+    * the path fires only on anomalous sweeps, which a healthy session
+    * never produces. Fires regardless of the canary: even on a saturated
+    * host the at-slot stage split is exactly the evidence wanted, and
+    * the violation tiers downstream still classify the sweep. */
+  def shouldProbeInSweep(name: String, minSec: Double,
+                         hasProbe: String => Boolean): Boolean =
+    minSec > HardViolationFactor * bandHi(name) && hasProbe(name)
+
   /** True median: even-length inputs average the two middle values —
     * `sorted(n/2)` alone is the UPPER middle, which at reps=2 reports the
     * WORST run as "the median" (a bimodal 1s/28s GC spike would record a
@@ -419,9 +431,7 @@ object Bench {
       // slot. On a hard band violation, re-run this query's stage probes
       // IMMEDIATELY, before the next query perturbs the context. Probe
       // cost lands outside every query's reps, so medians/mins stay pure.
-      val mn = t._3
-      if (mn > HardViolationFactor * bandHi(n) &&
-          SparkEntry.stageProbes.contains(n))
+      if (shouldProbeInSweep(n, t._3, SparkEntry.stageProbes.contains))
         insweepStages += n -> timeStages(n, SparkEntry.stageProbes(n))
       (n, t, ld, tel)
     }

@@ -276,6 +276,17 @@ class InvariantsSpec extends SparkTestBase {
     SparkEntry.stageProbes.keys.foreach { n =>
       assert(qs.contains(n), s"stage probe $n is not a registered query")
     }
+    // the in-sweep trigger (r16): fires exactly on a HARD crossing of a
+    // probe-registered query — the r14 anomaly shape (qe62 min 28.2 vs
+    // band 12, hard at 15) must fire; its healthy r16 reads (4.4) and a
+    // hard crossing WITHOUT a registered probe (qe40) must not
+    val probes = SparkEntry.stageProbes.contains _
+    assert(Bench.shouldProbeInSweep("qe62_cert_embed", 28.16, probes))
+    assert(!Bench.shouldProbeInSweep("qe62_cert_embed", 4.38, probes))
+    assert(!Bench.shouldProbeInSweep("qe62_cert_embed", 14.0, probes),
+      "inside the 1.25x hard factor must not fire")
+    assert(!Bench.shouldProbeInSweep("qe40_pipeline_gated", 3.88, probes),
+      "a hard crossing without a registered probe has nothing to run")
     // the stages/band/violations extras must keep bench_out.json valid
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val fileLine = Bench.renderLine(Seq("q01_project" -> 1.0), "/x", _.toString, identity,
