@@ -66,15 +66,16 @@ object AudioHeader {
       if (fourcc(b, off, "fmt ")) {
         if (size < 16 || off + 8 + 16 > b.length) return null
         val tag = le16(b, off + 8)
-        // PCM (1), IEEE float (3), G.711 A-law (6) / µ-law (7), and IMA
-        // ADPCM (17): layouts whose fmt fields have a FIXED published
-        // meaning (G.711 is one code byte per sample; IMA's block layout
-        // is fully determined by blockAlign + the fmt-extra
-        // samplesPerBlock — both decoded for real by
-        // [[graft.operators.AudioDedup.sampleHash]], r16). Other
+        // PCM (1), MS ADPCM (2), IEEE float (3), G.711 A-law (6) /
+        // µ-law (7), and IMA ADPCM (17): layouts whose fmt fields have a
+        // FIXED published meaning (G.711 is one code byte per sample;
+        // both ADPCM block layouts are fully determined by blockAlign +
+        // the fmt-extra samplesPerBlock — all decoded for real by
+        // [[graft.operators.AudioDedup.sampleHash]], r16/r17). Other
         // compressed/extensible tags carry their real layout elsewhere —
         // refusing beats misreporting.
-        if (tag != 1 && tag != 3 && tag != 6 && tag != 7 && tag != 17)
+        if (tag != 1 && tag != 2 && tag != 3 && tag != 6 && tag != 7 &&
+          tag != 17)
           return null
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
@@ -94,6 +95,22 @@ object AudioHeader {
           if (le16(b, off + 24) < 2) return null
           val spb = le16(b, off + 26)
           if (!ImaAdpcm.validGeometry(channels, blockAlign, spb)) return null
+          spbAdpcm = spb
+        }
+        // MS ADPCM: 4-bit depth, the extended fmt carrying samplesPerBlock
+        // + the coefficient table (wNumCoef >= 7, the standard pairs
+        // first), and the block geometry must be the published layout —
+        // the SAME predicate the decoder enforces
+        // ([[MsAdpcm.validGeometry]]), the tag-17 triage discipline
+        if (tag == 2) {
+          if (bits != 4 || size < 22 + 4 * 7 || off + 8 + 30 > b.length)
+            return null
+          val spb = le16(b, off + 26)
+          val nCoef = le16(b, off + 28)
+          if (nCoef < 7 || le16(b, off + 24) < 4 + 4 * nCoef) return null
+          if (size < 22 + 4L * nCoef || off + 8 + 30 + 4 * nCoef > b.length)
+            return null
+          if (!MsAdpcm.validGeometry(channels, blockAlign, spb)) return null
           spbAdpcm = spb
         }
       } else if (fourcc(b, off, "data")) {

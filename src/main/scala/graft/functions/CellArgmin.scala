@@ -84,21 +84,42 @@ object CellArgmin {
   * data, shipped once per task as a reference object, never per row). */
 case class CellArgminExpr(child: Expression, cells: Array[Int],
                           cents: Array[Double]) extends UnaryExpression {
-  require(cells.nonEmpty, "cell_argmin: centroid set must be non-empty")
-  require(cents.length % cells.length == 0,
-    s"cell_argmin: matrix length ${cents.length} not a multiple of ${cells.length} cells")
 
   private def dim: Int = cents.length / cells.length
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  /** Shape checks live HERE, not in constructor `require`s (ADVICE r16):
+    * Catalyst copies expressions freely during tree transforms, and a
+    * constructor throw there surfaces as an opaque TreeNode crash instead
+    * of an analysis-time TypeCheckFailure with the offending shape. */
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(t, _) if t == FloatType || t == DoubleType =>
-      TypeCheckResult.TypeCheckSuccess
+      if (cells.isEmpty) TypeCheckResult.TypeCheckFailure(
+        "cell_argmin: centroid set must be non-empty")
+      else if (cents.length % cells.length != 0) TypeCheckResult.TypeCheckFailure(
+        s"cell_argmin: matrix length ${cents.length} not a multiple of ${cells.length} cells")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"cell_argmin expects array<float|double>, got $t")
   }
+
+  /** Array fields compare by REFERENCE under the synthesized case-class
+    * equals, so two semantically identical cell_argmin expressions would
+    * never compare equal — Catalyst canonicalization, common-subexpression
+    * elimination, and cached-plan matching all key on expression equality
+    * (ADVICE r16). Content-compare the matrices instead. */
+  override def equals(o: Any): Boolean = o match {
+    case that: CellArgminExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(cells, that.cells) &&
+        java.util.Arrays.equals(cents, that.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(cells)) +
+      java.util.Arrays.hashCode(cents)
 
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType

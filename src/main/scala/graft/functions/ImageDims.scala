@@ -118,7 +118,7 @@ object ImageHeader {
         val w = le16(b, 18); val h = le16(b, 20)
         if (w <= 0 || h <= 0) return null
         ("image/bmp", w, h)
-      } else if (dib >= 40 && dib <= 124) {
+      } else if (KnownDibSizes(dib)) {
         val w = le32(b, 18); val h0 = le32(b, 22)
         // Int.MinValue has no positive magnitude — refuse, don't wrap
         if (w <= 0 || h0 == 0 || h0 == Int.MinValue) return null
@@ -142,6 +142,15 @@ object ImageHeader {
     * parse body is what keeps arbitrary "BM…" bytes from mis-parsing. */
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  /** The PUBLISHED DIB header sizes only (BITMAPINFOHEADER through V5,
+    * plus the V2/V3 Adobe variants): after the r16 sniff dropped the
+    * zero-reserved-words requirement (real writers emit nonzero there),
+    * any 'BM' payload whose u32 at offset 10 landed inside the buffer
+    * parsed as BMP with guessed dims — an exact-size allowlist keeps
+    * that false-positive class narrow without re-refusing real files
+    * (ADVICE r16). 12 (BITMAPCOREHEADER) is handled by its own branch. */
+  private val KnownDibSizes = Set(40, 52, 56, 108, 124)
 
   /** SOFn frame-header markers: C0–CF minus C4 (DHT), C8 (JPG ext), CC (DAC). */
   private def isSof(m: Int): Boolean =

@@ -64,8 +64,10 @@ object AudioDedup {
     val ais0 =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       // the stock JDK refuses ADPCM WAVs outright (no codec SPI), so the
-      // IMA leg routes through the from-scratch byte decoder instead
-      catch { case _: Exception => return decodeImaAdpcm(payload) }
+      // IMA (tag 17) and MS (tag 2) legs route through the from-scratch
+      // byte decoders instead — each refuses the other's fmt tag, so the
+      // sequential fallback is tag dispatch in effect
+      catch { case _: Exception => return decodeAdpcm(payload) }
     val ais =
       if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
         ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
@@ -103,16 +105,37 @@ object AudioDedup {
     * non-conformant, preserving the singleton contract. */
   private def decodeImaAdpcm(payload: Array[Byte]): Pcm = {
     val d = graft.functions.ImaAdpcm.decode(payload)
-    if (d == null) return null
-    val raw = new Array[Byte](d.samples.length * 2)
+    if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
+  }
+
+  /** MS ADPCM (WAV tag 2) — the 2nd-order predictive codec (r17), same
+    * contract as [[decodeImaAdpcm]]: [[graft.functions.MsAdpcm]] refuses
+    * with null on anything torn or non-conformant (qe71d certifies the
+    * cross-encoding collapse). */
+  private def decodeMsAdpcm(payload: Array[Byte]): Pcm = {
+    val d = graft.functions.MsAdpcm.decode(payload)
+    if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
+  }
+
+  private def decodeAdpcm(payload: Array[Byte]): Pcm = {
+    val ima = decodeImaAdpcm(payload)
+    if (ima != null) ima else decodeMsAdpcm(payload)
+  }
+
+  /** Re-pack a decoded 16-bit stream as the [[Pcm]] shape the
+    * javax.sound paths produce (little-endian signed), so every
+    * downstream hash treats an ADPCM spelling exactly like a PCM
+    * spelling holding the decoded values. */
+  private def pcmFromShorts(ch: Int, rate: Int, samples: Array[Short]): Pcm = {
+    val raw = new Array[Byte](samples.length * 2)
     var i = 0
-    while (i < d.samples.length) {
-      raw(2 * i) = (d.samples(i) & 0xFF).toByte
-      raw(2 * i + 1) = ((d.samples(i) >> 8) & 0xFF).toByte
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
       i += 1
     }
-    Pcm(d.channels, d.rate, d.samples.length / d.channels, raw,
-      bytesPer = 2, frameSize = 2 * d.channels, bigEndian = false,
+    Pcm(ch, rate, samples.length / ch, raw,
+      bytesPer = 2, frameSize = 2 * ch, bigEndian = false,
       half = 1 << 15, unsigned = false)
   }
 
@@ -538,6 +561,116 @@ object AudioDedup {
             }
           (id, bytes,
             if (id % 2 == 1) "audio/wav;codec=ima-adpcm" else "audio/wav")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** The MS-ADPCM corpus opens every clip with this many ID BLOCKS whose
+    * history samples spell the group id verbatim (32 bits per block,
+    * channel 0 — a block's iSamp2/iSamp1 ARE its first two output
+    * frames, so g's 64 bits land in the decoded stream uncoded and
+    * groups stay byte-distinct at any corpus scale, the
+    * [[AdpcmIdBlocks]] armor transplanted to the 2nd-order codec). */
+  private val MsAdpcmIdBlocks = 2
+
+  /** The 7 standard MS-ADPCM coefficient pairs (the published table the
+    * spec requires every file to lead with). */
+  private val MsCoefs: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232))
+
+  /** MS ADPCM WAV writer (format tag 2, 50-byte fmt carrying
+    * samplesPerBlock + the 7 standard coefficient pairs + fact chunk):
+    * [[MsAdpcmIdBlocks]] id blocks then (g%4+1) planted blocks rotating
+    * the PREDICTOR INDEX over all 7 coefficient pairs plus
+    * delta/history/nibble rotations — 4 data bytes per channel per block
+    * (samplesPerBlock 10). */
+  private def writeMsAdpcmWav(g: Long, ch: Int, rate: Int): Array[Byte] = {
+    val nBlocks = MsAdpcmIdBlocks + (g % 4 + 1).toInt
+    val blockAlign = 11 * ch // 7 header + 4 data bytes per channel
+    val spb = 10
+    val data = new Array[Byte](nBlocks * blockAlign)
+    def putS16(off: Int, v: Int): Unit = {
+      data(off) = (v & 0xFF).toByte; data(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      val isId = blk < MsAdpcmIdBlocks
+      var c = 0
+      while (c < ch) {
+        // header fields are GROUPED (all predictors, all deltas, all
+        // samp1s, all samp2s), channels interleaved within each group
+        data(base + c) =
+          (if (isId) 0 else ((g + blk + c) % 7).toInt).toByte
+        putS16(base + ch + 2 * c,
+          if (isId) 16 else 16 + ((g * 3 + blk * 5 + c * 7) % 500).toInt)
+        putS16(base + 3 * ch + 2 * c, // iSamp1: the NEWER history sample
+          if (isId) (if (c == 0) ((g >>> (32 * blk + 16)) & 0xFFFF).toInt else 0)
+          else (((g * 11 + blk * 13 + c * 3) % 2001) - 1000).toInt)
+        putS16(base + 5 * ch + 2 * c, // iSamp2: the OLDER, output first
+          if (isId) (if (c == 0) ((g >>> (32 * blk)) & 0xFFFF).toInt else 0)
+          else (((g * 17 + blk * 7 + c * 9) % 2001) - 1000).toInt)
+        c += 1
+      }
+      var k = 0
+      while (k < 4 * ch) {
+        data(base + 7 * ch + k) =
+          (if (isId) 0
+           else ((g * 23 + blk * 19 + k * 9) % 256).toInt).toByte
+        k += 1
+      }
+      blk += 1
+    }
+    val fmtLen = 18 + 4 + 4 * MsCoefs.length // 50
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + fmtLen + 12 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 8 + fmtLen + 12 + 8 + data.length)
+      .put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(fmtLen).putShort(2).putShort(ch.toShort)
+      .putInt(rate).putInt(rate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort((4 + 4 * MsCoefs.length).toShort) // cbSize 32
+      .putShort(spb.toShort).putShort(MsCoefs.length.toShort)
+    MsCoefs.foreach { case (c1, c2) =>
+      bb.putShort(c1.toShort).putShort(c2.toShort)
+    }
+    bb.put("fact".getBytes).putInt(4).putInt(nBlocks * spb)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** MS-ADPCM-dup corpus (r17): two docs per pair (g = doc_id / 2) carry
+    * one recording — a 16-bit PCM WAV of the DECODED samples (id 2g) and
+    * the MS ADPCM spelling itself (id 2g+1). The PCM twin is generated
+    * by running [[graft.functions.MsAdpcm.decode]] on the planted
+    * bitstream, so the cross-encoding hash collapse certifies the
+    * 2nd-order predictive decode end-to-end (all 7 coefficient pairs,
+    * trunc-toward-zero prediction, step adaptation, clamp, high-first
+    * nibble order, stereo rotation) — any decoder drift splits every
+    * pair. Survivors are pure doc_id arithmetic, like qe71c. */
+  def syntheticDupAudioCorpusMsAdpcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val adpcm = writeMsAdpcmWav(g, ch, rate)
+          val bytes =
+            if (id % 2 == 1) adpcm
+            else {
+              val d = graft.functions.MsAdpcm.decode(adpcm)
+              require(d != null, s"planted MS ADPCM clip failed to decode (g=$g)")
+              writeWav((i, c) => d.samples(i * ch + c).toInt, ch, rate, 16,
+                d.samples.length / ch, junk = false)
+            }
+          (id, bytes,
+            if (id % 2 == 1) "audio/wav;codec=ms-adpcm" else "audio/wav")
         }
       }.toDF("doc_id", "payload", "mime")
   }

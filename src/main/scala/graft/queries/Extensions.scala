@@ -1949,6 +1949,24 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r17) — 2ND-ORDER predictive-codec audio dedup:
+    // Microsoft ADPCM WAV spellings (format tag 2 — refused by the stock
+    // JDK like tag 17, so the decode is the from-scratch MsAdpcm
+    // implementation of the published MS algorithm: 7 coefficient pairs
+    // read from the file's fmt, trunc-toward-zero linear prediction,
+    // adaptive quantizer step) collapse onto the sample hash of the
+    // 16-bit PCM spelling holding the decoded stream. The planted blocks
+    // rotate the predictor index over ALL seven pairs, so any drift in
+    // any coefficient path splits pairs. Oracle is pure doc_id
+    // arithmetic, like qe71c.
+    ("qe71d_audio_msadpcm_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusMsAdpcm(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -190,6 +190,17 @@ object ScalingProbe {
         }
         println(f"${"qe71c_audio dedup-adpcm-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      // the r17 2nd-order predictive leg: same decode-dominated linear
+      // shape, with the from-scratch MS decoder (the MS corpus's
+      // 64-bit id blocks carry no encoding bound either)
+      if (wanted("qe71d_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.dedupBySamples(
+            graft.operators.AudioDedup.syntheticDupAudioCorpusMsAdpcm(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe71d_audio dedup-msadpcm-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       // the video/audio-perceptual rungs (r14 closing) synthesize from a
       // DENSE id range instead of the offset-union docs frame: the video
       // corpus's (group, frame) keys live in 21 bits of dHash encoding
@@ -375,6 +386,50 @@ object ScalingProbe {
         val twin = time(
           graft.queries.Capstones.appendKeySet(priorKeys, batchCorpus))
         println(f"${"qe76b_append scratch-vs-batch"}%-34s $m%3d $nd%8d $anchor%9.2f $twin%8.2f")
+      }
+
+      // the r16 MIN-ID streaming survivor priced at scale (r16 verdict
+      // #5): state grows to one long per distinct content key of the m×
+      // stored corpus — fed through the STREAM in 20k-doc chunks, the
+      // crawl-arrival shape — then the MEASURED row is a FIXED 5000-doc
+      // batch processed against that state. Expected FLAT vs m: a
+      // micro-batch pays decode + state point-lookups for ITS OWN keys
+      // only (RocksDB get/put, never a state scan), so stored-corpus
+      // size must not price the batch. Dense ids (the media corpora's
+      // 21-bit group encoding); collects happen OUTSIDE the clock and
+      // are chunk-bounded (media payloads are KB-scale).
+      if (wanted("qe76s_stream")) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        val input = MemoryStream[(Long, Array[Byte])](spark)
+        val q = graft.queries.Capstones.crawlMediaDedupStreamMinId(
+            input.toDF().toDF("doc_id", "payload"))
+          .writeStream.format("memory").queryName(s"ladder_minid_$m")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          def feed(lo: Long, hi: Long): Double = {
+            var a = lo
+            var sec = 0.0
+            while (a < hi) {
+              val b = math.min(hi, a + 20000L)
+              val rows = graft.operators.Multimodal.mixedDupMediaCorpus(
+                spark.range(a, b).toDF("doc_id"))
+                .select("doc_id", "payload").collect()
+                .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+              input.addData(rows)
+              val t0 = System.nanoTime()
+              q.processAllAvailable()
+              sec += (System.nanoTime() - t0) / 1e9
+              a = b
+            }
+            sec
+          }
+          feed(0L, nd) // state build: not the measured row
+          val twin = feed(nd, nd + 5000L) // the fixed batch at full state
+          println(f"${"qe76s_stream minid-batch@state"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $twin%8.2f")
+        } finally q.stop()
       }
 
       // the qe11d split-packer (window cumsum + sequence explode) at the

@@ -290,7 +290,7 @@ class InvariantsSpec extends SparkTestBase {
     // the stages/band/violations extras must keep bench_out.json valid
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val fileLine = Bench.renderLine(Seq("q01_project" -> 1.0), "/x", _.toString, identity,
-      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_marginal":[],"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}},"stages_insweep":{"qe62_cert_embed":{"blocked_live":41.2}},"telemetry_cols":["gc_ms","sh_read","sh_write","spill","disk_delta","heap"],"telemetry":{"q01_project":[12,1024,2048,0,-300,900000]}""")
+      extra = ""","band_hi":{"q01_project":2.5},"violations":[{"q":"qe62_cert_embed","min":28.16,"band_hi":10.0}],"canary_min":0.56,"violations_marginal":[],"violations_suppressed":[],"stages":{"qe62_cert_embed":{"anchor_pairs_scan":1.2,"blocked_live":0.8}},"stages_insweep":{"qe62_cert_embed":{"blocked_live":41.2}},"telemetry_cols":["gc_ms","sh_read","sh_write","spill","disk_delta","heap","gc_young_ms","gc_young_n","gc_old_ms","gc_old_n","heap_committed"],"gc_collectors":["G1 Young Generation","G1 Old Generation"],"telemetry":{"q01_project":[12,1024,2048,0,-300,900000,10,4,2,0,1073741824]},"hoist":["qe62"]""")
     val node = om.readTree(fileLine)
     assert(node.get("band_hi").get("q01_project").asDouble == 2.5)
     assert(node.get("violations").get(0).get("q").asText == "qe62_cert_embed")
@@ -303,7 +303,45 @@ class InvariantsSpec extends SparkTestBase {
     // scratch — must stay representable)
     assert(node.get("stages_insweep").get("qe62_cert_embed").get("blocked_live").asDouble == 41.2)
     assert(node.get("telemetry").get("q01_project").get(4).asLong == -300L)
-    assert(node.get("telemetry_cols").size == 6)
+    // r17: the per-collector split + committed heap append as columns
+    // 7-11 (existing readers' indices stay valid), the collector names
+    // and the order-permutation flag ride as top-level fields
+    assert(node.get("telemetry_cols").size == 11)
+    assert(node.get("telemetry").get("q01_project").get(10).asLong == 1073741824L)
+    assert(node.get("gc_collectors").get(0).asText == "G1 Young Generation")
+    assert(node.get("hoist").get(0).asText == "qe62")
+  }
+
+  test("post-sweep stage pass runs ONE scheduled reference probe; env widens (r17)") {
+    // r16 verdict #6: the in-sweep pass is the attribution instrument;
+    // the post-sweep pass keeps a single healthy-baseline reference so
+    // artifact readers never double-count a violating query's stages
+    val regs = Seq("qe58c_containment_agreement", "qe62_cert_embed")
+    assert(Bench.stageRefs(regs, None) == Seq("qe62_cert_embed"))
+    assert(Bench.stageRefs(regs, Some("all")) == regs.sorted)
+    assert(Bench.stageRefs(regs, Some("qe58c")) ==
+      Seq("qe58c_containment_agreement"))
+    // the default reference must fall back, not vanish, if qe62's probe
+    // is ever retired
+    assert(Bench.stageRefs(Seq("qe58c_containment_agreement"), None) ==
+      Seq("qe58c_containment_agreement"))
+    assert(Bench.stageRefs(regs, Some("zzz")).isEmpty)
+    // the adjudicated default is a registered probe TODAY — retiring it
+    // should be a conscious edit here, not silent drift
+    assert(SparkEntry.stageProbes.contains(Bench.DefaultStageRef))
+  }
+
+  test("hoist permutation front-loads matching prefixes, stable order, identity when unset (r17)") {
+    val sorted = Seq("q01_project", "qe13_dup_clusters", "qe62_cert_embed",
+      "qe62b_cert_embed_frozen", "qe63_cert_hll")
+    assert(Bench.orderNames(sorted, None) == sorted)
+    assert(Bench.orderNames(sorted, Some(Seq("qe62"))) ==
+      Seq("qe62_cert_embed", "qe62b_cert_embed_frozen",
+        "q01_project", "qe13_dup_clusters", "qe63_cert_hll"))
+    // multiple prefixes union; an unmatched prefix changes nothing
+    assert(Bench.orderNames(sorted, Some(Seq("qe63", "zzz"))) ==
+      Seq("qe63_cert_hll", "q01_project", "qe13_dup_clusters",
+        "qe62_cert_embed", "qe62b_cert_embed_frozen"))
   }
 
   test("bench median is a true median (even reps average the middles); hostile sfDir escapes") {

@@ -78,6 +78,15 @@ class ImageDimsSpec extends SparkTestBase {
     // real-world writers emit them, and the offBits bound already rules
     // out the text/container false-positive class
     assert(ImageHeader.parse(hex("424D" + "00" * 4 + "01000000" + "36000000" + "28000000" + "07000000" + "09000000" + dib40Tail)) == ("image/bmp", 7, 9))
+    // dropping the reserved-words check widened the sniff to any 'BM'
+    // payload with an in-bounds u32 at offset 10 — the DIB size must now
+    // be a PUBLISHED layout (12/40/52/56/108/124), so 44, inside the old
+    // 40..124 range but no real header, refuses (ADVICE r16); 108
+    // (BITMAPV4HEADER) still parses
+    val dib44Tail = "00" * (44 - 12)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "3A000000" + "2C000000" + "07000000" + "09000000" + dib44Tail)) == null)
+    val dib108Tail = "00" * (108 - 12)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "7A000000" + "6C000000" + "07000000" + "09000000" + dib108Tail)) == ("image/bmp", 7, 9))
   }
 
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {

@@ -61,6 +61,15 @@ class MediaFuzzSpec extends AnyFunSuite {
         "666D7420 14000000 1100 0100 401F0000 0E1C0000 0800 0400 0200 0900" +
         "66616374 04000000 09000000" +
         "64617461 08000000 6400 00 00 71 00 00 08"),
+    // MS ADPCM WAV (format tag 2, 50-byte fmt with samplesPerBlock + the
+    // 7 standard coefficient pairs — r17: the hand-derived golden block;
+    // see the golden-vector test)
+    "wavmsadpcm" -> hex(
+      "52494646 5B000000 57415645" +
+        "666D7420 32000000 0200 0100 401F0000 E02E0000 0900 0400 2000 0600 0700" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
+        "66616374 04000000 06000000" +
+        "64617461 09000000 00 1000 C800 6400 18 2F"),
     "aiff" -> hex(
       "464F524D 0000003C 41494646" +
         "414E4E4F 00000004 74657374" +
@@ -119,6 +128,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     JpegExif.parse(b)
     graft.operators.Multimodal.AnimatedGif.frameCount(b)
     ImaAdpcm.decode(b)
+    MsAdpcm.decode(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -694,6 +704,111 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(dq != null && dq.channels == 4 && dq.samples.length == 36)
     assert(dq.samples.take(4).toSeq == Seq[Short](1, 2, 3, 4))
     assert(AudioHeader.parse(quad) == ("audio/wav", 4, 8000, 4, 9L))
+  }
+
+  test("MS ADPCM golden vectors: all-coefficient prediction, trunc-toward-zero, clamp, stereo rotation; misshaped refuse (r17)") {
+    import graft.functions.MsAdpcm
+    // the shared 50-byte tag-2 mono fmt (blockAlign 9, the 7 standard
+    // coefficient pairs); samplesPerBlock is the one field the refusal
+    // vectors vary
+    def fmt(spb: Int): String =
+      f"666D7420 32000000 0200 0100 401F0000 E02E0000 0900 0400 2000 0$spb%x00 0700 " +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF"
+    // mono golden block (the wavmsadpcm corpus vector): coeff pair 0
+    // (256, 0 — predict = iSamp1), delta 16, iSamp1 200, iSamp2 100,
+    // nibble bytes 18 2F (HIGH nibble first). Hand walk of the published
+    // algorithm:
+    //  out: 100 (iSamp2), 200 (iSamp1).
+    //  n=1: predict=200, samp=200+1·16=216; delta=230·16/256=14→16.
+    //  n=8 (−8): predict=216, samp=216−128=88; delta=768·16/256=48.
+    //  n=2: predict=88, samp=88+2·48=184; delta=230·48/256=43.
+    //  n=F (−1): predict=184, samp=184−43=141.
+    val golden = valid.toMap.apply("wavmsadpcm")
+    val d = MsAdpcm.decode(golden)
+    assert(d != null && d.channels == 1 && d.rate == 8000)
+    assert(d.samples.toSeq == Seq[Short](100, 200, 216, 88, 184, 141))
+    assert(AudioHeader.parse(golden) == ("audio/wav", 1, 8000, 4, 6L))
+    // coefficient pair 1 (512, −256 — true 2nd-order prediction): delta
+    // 16, iSamp1 10, iSamp2 4, nibbles 3,8:
+    //  n=3: predict=(10·512+4·−256)/256=16, samp=16+48=64; delta→16.
+    //  n=8: predict=(64·512+10·−256)/256=118, samp=118−128=−10.
+    val pair1 = hex(
+      "52494646 5A000000 57415645" +
+        "666D7420 32000000 0200 0100 401F0000 803E0000 0800 0400 2000 0400 0700" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
+        "66616374 04000000 04000000" +
+        "64617461 08000000 01 1000 0A00 0400 38")
+    val d1 = MsAdpcm.decode(pair1)
+    assert(d1 != null && d1.samples.toSeq == Seq[Short](4, 10, 64, -10))
+    // trunc-toward-zero on a NEGATIVE prediction (coeff pair 3 = 192,64;
+    // iSamp1 −1, iSamp2 0): predict = −192/256 = 0 under C semantics —
+    // an arithmetic >>8 would floor to −1 and this vector would read
+    // [0,−1,−1,−1]
+    val trunc = hex(
+      "52494646 5A000000 57415645" +
+        "666D7420 32000000 0200 0100 401F0000 803E0000 0800 0400 2000 0400 0700" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
+        "66616374 04000000 04000000" +
+        "64617461 08000000 03 1000 FFFF 0000 00")
+    val dt = MsAdpcm.decode(trunc)
+    assert(dt != null && dt.samples.toSeq == Seq[Short](0, -1, 0, 0))
+    // positive-overflow clamp: delta 4096, iSamp1 32700, nibbles 7,7 —
+    // 32700+7·4096=61372→32767, then predict=32767 clamps again
+    val clampy = hex(
+      "52494646 5A000000 57415645" +
+        "666D7420 32000000 0200 0100 401F0000 803E0000 0800 0400 2000 0400 0700" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
+        "66616374 04000000 04000000" +
+        "64617461 08000000 00 0010 BC7F 0000 77")
+    val dc = MsAdpcm.decode(clampy)
+    assert(dc != null && dc.samples.toSeq == Seq[Short](0, 32700, 32767, 32767))
+    // stereo: 14-byte grouped header (predictors, deltas, samp1s,
+    // samp2s — channels interleaved within each FIELD), nibbles rotate
+    // channels; all-zero nibbles at coeff 0 hold each channel's sample
+    val stereo = hex(
+      "52494646 62000000 57415645" +
+        "666D7420 32000000 0200 0200 401F0000 007D0000 1000 0400 2000 0400 0700" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
+        "66616374 04000000 04000000" +
+        "64617461 10000000" +
+        "00 00" + "1000 1000" + "0500 FDFF" + "0100 0200" + "00 00")
+    val ds = MsAdpcm.decode(stereo)
+    assert(ds != null && ds.channels == 2 && ds.samples.length == 8)
+    assert(ds.samples.toSeq == Seq[Short](1, 2, 5, -3, 5, -3, 5, -3))
+    assert(AudioHeader.parse(stereo) == ("audio/wav", 2, 8000, 4, 4L))
+    // refusals: predictor index past the table, non-positive seed delta,
+    // samplesPerBlock inconsistent with blockAlign, numCoef below the
+    // spec's 7 — null, never a guess
+    def mono(block: String, spb: Int = 6): Array[Byte] = hex(
+      "52494646 5B000000 57415645 " + fmt(spb) +
+        "66616374 04000000 06000000" +
+        f"64617461 09000000 $block")
+    assert(MsAdpcm.decode(mono("07 1000 C800 6400 18 2F")) == null)
+    assert(MsAdpcm.decode(mono("00 0000 C800 6400 18 2F")) == null)
+    assert(MsAdpcm.decode(mono("00 1000 C800 6400 18 2F", spb = 7)) == null)
+    assert(AudioHeader.parse(mono("00 1000 C800 6400 18 2F", spb = 7)) == null)
+    assert(MsAdpcm.decode(hex(
+      "52494646 56000000 57415645" +
+        "666D7420 2E000000 0200 0100 401F0000 E02E0000 0900 0400 1C00 0600 0600" +
+        "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF" +
+        "66616374 04000000 06000000" +
+        "64617461 09000000 00 1000 C800 6400 18 2F")) == null)
+    // torn final block: dataSize not block-aligned
+    assert(MsAdpcm.decode(hex(
+      "52494646 5A000000 57415645 " + fmt(6) +
+        "66616374 04000000 06000000" +
+        "64617461 08000000 00 1000 C800 6400 18")) == null)
+    // the two from-scratch ADPCM decoders refuse each other's fmt tag —
+    // the sequential fallback in AudioDedup.decodeAdpcm is tag dispatch
+    assert(MsAdpcm.decode(valid.toMap.apply("wavadpcm")) == null)
+    assert(graft.functions.ImaAdpcm.decode(golden) == null)
+    assert(MsAdpcm.decode("not audio".getBytes) == null)
+    assert(MsAdpcm.decode(null) == null)
+    // triage/decode agreement is BY CONSTRUCTION (one shared geometry
+    // predicate)
+    assert(MsAdpcm.validGeometry(1, 9, 6) && MsAdpcm.validGeometry(2, 16, 4))
+    assert(!MsAdpcm.validGeometry(3, 33, 4)) // past the published layouts
+    assert(!MsAdpcm.validGeometry(1, 7, 2)) // header-only block
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

@@ -115,6 +115,35 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("MS ADPCM cross-encoding collapse (r17): the 2nd-order predictive spelling hashes " +
+    "identically to the 16-bit PCM spelling of its decoded stream; triage accepts tag 2") {
+    // 14 pairs so the planted predictor-index rotation ((g+blk+c) % 7)
+    // exercises every one of the 7 standard coefficient pairs
+    val n = 28L
+    val bytes = AudioDedup.syntheticDupAudioCorpusMsAdpcm((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 until (n / 2).toInt).foreach { g =>
+      val pcm = AudioDedup.sampleHash(bytes(g * 2L))
+      val adp = AudioDedup.sampleHash(bytes(g * 2L + 1))
+      assert(pcm != null && adp != null, s"group $g: a spelling failed to decode")
+      assert(pcm.sample_hash == adp.sample_hash,
+        s"group $g: MS ADPCM spelling hashes apart from its PCM twin")
+      assert(pcm.n_frames == adp.n_frames && pcm.channels == adp.channels)
+      // triage agreement: the capstone router sniffs through AudioHeader
+      assert(graft.functions.AudioHeader.parse(bytes(g * 2L + 1)) != null)
+    }
+    // distinct groups stay distinct (the id-block history samples carry
+    // g's bits verbatim into the decoded stream)
+    assert(AudioDedup.sampleHash(bytes(1L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(3L)).sample_hash)
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusMsAdpcm((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap

@@ -482,6 +482,33 @@ class SimilaritySpec extends SparkTestBase {
         (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(res == Map(1L -> Some(1), 2L -> Some(1), 3L -> None,
       4L -> None, 5L -> None), s"kernel refuse/tie semantics: $res")
+    // ADVICE r16: array fields compare by reference under case-class
+    // equals, so two semantically identical expressions from CLONED
+    // matrices never compared equal — Catalyst canonicalization / CSE /
+    // cached-plan matching all key on expression equality. Build the
+    // same expression twice from distinct array instances and require
+    // equality (and semanticEquals through canonicalization).
+    import org.apache.spark.sql.graftshim.ColumnShim
+    // one shared child: Column→Expression conversion stamps a call-site
+    // Origin into the node, so distinct col("v") conversions are never
+    // equal — the property under test is the ARRAY fields' equality
+    val childExpr = ColumnShim.expression(col("v"))
+    val e1 = graft.functions.CellArgminExpr(childExpr, cells.clone(), mat2.clone())
+    val e2 = graft.functions.CellArgminExpr(childExpr, cells.clone(), mat2.clone())
+    assert(e1 == e2, "cloned-matrix cell_argmin expressions must compare equal")
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    assert(e1 != graft.functions.CellArgminExpr(childExpr, Array(1, 4), mat2.clone()))
+    // ADVICE r16: shape checks surface as ANALYSIS failures, not
+    // constructor throws mid-tree-transform — a misshaped matrix must
+    // reach checkInputDataTypes and fail the query, not crash TreeNode
+    // (select analyzes EAGERLY in Spark 4 — construct inside the intercept)
+    val err = intercept[org.apache.spark.sql.AnalysisException](probe.select(
+      cell_argmin(col("v"), Array(1, 3), Array(0.0, 1.0, 0.0)).as("c")).collect())
+    assert(err.getMessage.contains("cell_argmin"),
+      s"shape error should name the function: ${err.getMessage}")
+    intercept[org.apache.spark.sql.AnalysisException](probe.select(
+      cell_argmin(col("v"), Array.empty[Int], Array.empty[Double]).as("c")).collect())
   }
 
   test("IVF occupancy card: cells partition the corpus, frac normalizes to 1") {
