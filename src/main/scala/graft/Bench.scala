@@ -95,7 +95,14 @@ object Bench {
       else if (exactForm && Set(2, 46, 50, 55, 58).contains(num)) 6.0 // exact anchors (qe55 min 4.8 under r15 ambient)
       else if (num == 3 || num == 7) 4.5 // ANN ladder + embed dedup (qe7c min 3.61 observed under a load-6.6 slot, r15 sweep 1)
       else if (Set(1, 2, 10, 11, 12, 13, 21, 42, 43, 52).contains(num)) 5.0 // dedup/LSH (incl. qe2b/qe2c twins)
-      else if (Set(33, 40, 44).contains(num)) 2.5 // capstones
+      // r17 recalibration (r16 verdict #3) on two rounds of instrumented
+      // mins: qe44's r16 driver min 2.80 crossed the old 2.5 with a pure
+      // ambient telemetry signature (tiny shuffle, load 4+ at slot,
+      // quiet-host min 1.33) — 2.5 was calibrated on the lighter qe33/
+      // qe40 shapes; 3.5 = 2.80 x 1.25. Every other family audited
+      // in-place: its band already sits at the instrumented max-min x
+      // ~1.25 (audit table in BASELINE.md r17).
+      else if (Set(33, 40, 44).contains(num)) 3.5 // capstones
       else 3.5 // text analysis / retrieval / remaining extensions
     }
   }

@@ -215,6 +215,7 @@ class InvariantsSpec extends SparkTestBase {
     assert(Bench.bandHi("qe2_jaccard_pairs") == 6.0)   // exact anchor
     assert(Bench.bandHi("qe2b_minhash_lsh") == 5.0)    // its LSH twin
     assert(Bench.bandHi("qe75_crawl_media_dedup") == 6.0)
+    assert(Bench.bandHi("qe44_boilerplate") == 3.5) // r17 recalibration
     // certificates ride the cert band by NAME, whatever their id family
     // (qe3f runs two full searches + the equality join)
     assert(Bench.bandHi("qe3f_cert_ivf_append") == 12.0)
@@ -249,13 +250,26 @@ class InvariantsSpec extends SparkTestBase {
       Set("q01_project", "q05_json_default", "qe28b_hybrid"))
     // ... and MARGINAL on sweep 6's shape (canary healthy at 0.87 but
     // saturation arrived mid-sweep: crossings at 1.02-1.14x their bands
-    // are the ambient signature — they must not read as hard anomalies)
+    // are the ambient signature — they must not read as hard anomalies).
+    // r17 recalibration: qe44's 2.85 is ABSORBED by the widened 3.5
+    // capstone band (its r16 driver twin 2.80 was a proven-ambient false
+    // marginal); the qe50/qe55 readings stay marginal.
     val (c16, emit16, marg16, sup16) = Bench.violationGate(Seq(
       "q01_project" -> 0.87, "qe44_boilerplate" -> 2.847,
       "qe50_tfidf" -> 6.152, "qe55_best_survivor" -> 6.225))
     assert(c16 == 0.87 && emit16.isEmpty && sup16.isEmpty)
     assert(marg16.map(_._1).toSet ==
-      Set("qe44_boilerplate", "qe50_tfidf", "qe55_best_survivor"))
+      Set("qe50_tfidf", "qe55_best_survivor"))
+    // ... and the r16 DRIVER sweep replays to exactly its adjudicated
+    // read under the r17 bands: qe62 hard (the open item), qe8b still
+    // marginal (its 5-rep solo band is 0.52 — a future crossing stays
+    // visible), qe44 absorbed
+    val (c17, emit17, marg17, sup17) = Bench.violationGate(Seq(
+      "q01_project" -> 0.655, "qe62_cert_embed" -> 18.0,
+      "qe8b_sample_group" -> 3.99, "qe44_boilerplate" -> 2.80,
+      "qe60_cert_ann" -> 6.45, "qe13c_fuzzy_dedup_capped" -> 4.43))
+    assert(c17 == 0.655 && emit17.map(_._1) == Seq("qe62_cert_embed") &&
+      marg17.map(_._1) == Seq("qe8b_sample_group") && sup17.isEmpty)
     // ... and a MISSING or CRASHED canary is canary-UNKNOWN (r16, ADVICE
     // r15): without the saturation read no crossing is certifiable, so
     // crossings route to suppressed and canary_min reports -1.0 — never
