@@ -95,15 +95,15 @@ object Bench {
       else if (exactForm && Set(2, 46, 50, 55, 58).contains(num)) 6.0 // exact anchors (qe55 min 4.8 under r15 ambient)
       else if (num == 3 || num == 7) 4.5 // ANN ladder + embed dedup (qe7c min 3.61 observed under a load-6.6 slot, r15 sweep 1)
       else if (Set(1, 2, 10, 11, 12, 13, 21, 42, 43, 52).contains(num)) 5.0 // dedup/LSH (incl. qe2b/qe2c twins)
-      // r17 recalibration (r16 verdict #3) on two rounds of instrumented
-      // mins: qe44's r16 driver min 2.80 crossed the old 2.5 with a pure
-      // ambient telemetry signature (tiny shuffle, load 4+ at slot,
-      // quiet-host min 1.33) — 2.5 was calibrated on the lighter qe33/
-      // qe40 shapes; 3.5 = 2.80 x 1.25. Every other family audited
-      // in-place: its band already sits at the instrumented max-min x
+      // capstones (qe33/qe40/qe44) ride the default band since the r17
+      // recalibration (r16 verdict #3): their dedicated 2.5 — set on the
+      // lighter qe33/qe40 shapes — produced a false marginal on qe44's
+      // r16 driver read (min 2.80, pure ambient telemetry signature,
+      // quiet-host 1.33); 3.5 = 2.80 x 1.25 equals the default, so the
+      // branch is gone rather than left as a dead distinction. Every
+      // other family audited in-place: already at instrumented max-min x
       // ~1.25 (audit table in BASELINE.md r17).
-      else if (Set(33, 40, 44).contains(num)) 3.5 // capstones
-      else 3.5 // text analysis / retrieval / remaining extensions
+      else 3.5 // text analysis / retrieval / capstones / remaining extensions
     }
   }
 
@@ -579,9 +579,12 @@ object Bench {
     // cache. Since r17 only the scheduled REFERENCE probe runs here
     // (see stageRefs) — the in-sweep pass above is the attribution
     // instrument for anomalies.
+    // a BLANK env value (an unset template variable) reads as unset, not
+    // as "run no reference probe" — the per-sweep healthy baseline must
+    // survive harness quirks (review r17)
     val refNames = stageRefs(
       SparkEntry.stageProbes.keys.toSeq.filter(names.contains),
-      sys.env.get("SPARK_GRAFT_BENCH_STAGE_REF"))
+      sys.env.get("SPARK_GRAFT_BENCH_STAGE_REF").map(_.trim).filter(_.nonEmpty))
     val stages = refNames
       .map(n => n -> timeStages(n, SparkEntry.stageProbes(n)))
     // the full-precision line lands in a clean file — the authoritative

@@ -97,21 +97,17 @@ object AudioHeader {
           if (!ImaAdpcm.validGeometry(channels, blockAlign, spb)) return null
           spbAdpcm = spb
         }
-        // MS ADPCM: 4-bit depth, the extended fmt carrying samplesPerBlock
-        // + the coefficient table (wNumCoef >= 7, the standard pairs
-        // first), and the block geometry must be the published layout —
-        // the SAME predicate the decoder enforces
-        // ([[MsAdpcm.validGeometry]]), the tag-17 triage discipline
+        // MS ADPCM: the extended fmt (4-bit depth, samplesPerBlock, the
+        // coefficient table) and the block geometry must both be the
+        // published layout — the SAME two predicates the decoder
+        // enforces ([[MsAdpcm.parseFmt2]] + [[MsAdpcm.validGeometry]]),
+        // the tag-17 triage discipline with zero duplicated checks
         if (tag == 2) {
-          if (bits != 4 || size < 22 + 4 * 7 || off + 8 + 30 > b.length)
+          val f = MsAdpcm.parseFmt2(b, off, size)
+          if (f == null) return null
+          if (!MsAdpcm.validGeometry(channels, blockAlign, f.samplesPerBlock))
             return null
-          val spb = le16(b, off + 26)
-          val nCoef = le16(b, off + 28)
-          if (nCoef < 7 || le16(b, off + 24) < 4 + 4 * nCoef) return null
-          if (size < 22 + 4L * nCoef || off + 8 + 30 + 4 * nCoef > b.length)
-            return null
-          if (!MsAdpcm.validGeometry(channels, blockAlign, spb)) return null
-          spbAdpcm = spb
+          spbAdpcm = f.samplesPerBlock
         }
       } else if (fourcc(b, off, "data")) {
         dataSize = size

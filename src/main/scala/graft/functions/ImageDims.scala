@@ -144,13 +144,16 @@ object ImageHeader {
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
   /** The PUBLISHED DIB header sizes only (BITMAPINFOHEADER through V5,
-    * plus the V2/V3 Adobe variants): after the r16 sniff dropped the
-    * zero-reserved-words requirement (real writers emit nonzero there),
-    * any 'BM' payload whose u32 at offset 10 landed inside the buffer
-    * parsed as BMP with guessed dims — an exact-size allowlist keeps
-    * that false-positive class narrow without re-refusing real files
-    * (ADVICE r16). 12 (BITMAPCOREHEADER) is handled by its own branch. */
-  private val KnownDibSizes = Set(40, 52, 56, 108, 124)
+    * the V2/V3 Adobe variants, and OS/2 2.x's 64-byte BITMAPINFOHEADER2
+    * — same s32 dims at offsets 18/22; review r17 caught its omission
+    * regressing real OS/2 files from parsed to refused): after the r16
+    * sniff dropped the zero-reserved-words requirement (real writers
+    * emit nonzero there), any 'BM' payload whose u32 at offset 10 landed
+    * inside the buffer parsed as BMP with guessed dims — an exact-size
+    * allowlist keeps that false-positive class narrow without
+    * re-refusing real files (ADVICE r16). 12 (BITMAPCOREHEADER) is
+    * handled by its own branch. */
+  private val KnownDibSizes = Set(40, 52, 56, 64, 108, 124)
 
   /** SOFn frame-header markers: C0–CF minus C4 (DHT), C8 (JPG ext), CC (DAC). */
   private def isSof(m: Int): Boolean =

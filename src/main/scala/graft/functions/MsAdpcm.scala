@@ -58,23 +58,72 @@ object MsAdpcm {
   /** One decoded clip: 16-bit samples, frame-major channel order. */
   final case class Decoded(channels: Int, rate: Int, samples: Array[Short])
 
+  /** Parsed tag-2 fmt EXTENSION: samplesPerBlock + the file's
+    * coefficient table. */
+  final case class Fmt2(samplesPerBlock: Int, coef1: Array[Int],
+                        coef2: Array[Int])
+
+  /** Validate + read the tag-2 fmt extension of the "fmt " chunk at
+    * `off` with declared payload `size` — the ONE fmt predicate this
+    * decoder and [[AudioHeader]]'s tag-2 triage branch share, so the two
+    * can never drift on which containers are readable (the
+    * [[validGeometry]] discipline applied to the fmt half; review r17:
+    * the first cut duplicated these checks in both files and both copies
+    * carried the same bounds bug). Returns null unless conformant: 4-bit
+    * depth, wNumCoef >= 7 with cbSize covering the table, and the whole
+    * read range inside the buffer. blockAlign geometry is the OTHER
+    * shared half — callers check [[validGeometry]] themselves. */
+  def parseFmt2(b: Array[Byte], off: Int, size: Long): Fmt2 = {
+    // payload = 18 (WAVEFORMATEX incl. cbSize) + 2 (spb) + 2 (nCoef)
+    // + 4·nCoef; reads end at off + 8 + 22 + 4·nCoef
+    if (size < 22 + 4 * 7 || off + 8 + 22 > b.length) return null
+    val bits = le16(b, off + 22)
+    val cb = le16(b, off + 24)
+    val spb = le16(b, off + 26)
+    val nCoef = le16(b, off + 28)
+    if (bits != 4 || nCoef < 7 || cb < 4 + 4 * nCoef) return null
+    if (size < 22 + 4L * nCoef || off + 8 + 22 + 4 * nCoef > b.length)
+      return null
+    val c1 = new Array[Int](nCoef)
+    val c2 = new Array[Int](nCoef)
+    var i = 0
+    while (i < nCoef) {
+      c1(i) = le16(b, off + 30 + 4 * i).toShort.toInt // s16
+      c2(i) = le16(b, off + 32 + 4 * i).toShort.toInt
+      i += 1
+    }
+    Fmt2(spb, c1, c2)
+  }
+
+  /** Quantizer-step ceiling: the step grows MULTIPLICATIVELY (×3 max per
+    * nibble, unlike IMA's table-bounded walk), so SOME cap is needed for
+    * fixed-width arithmetic — the C reference's plain ints overflow
+    * undefined near 2^31 in the same adversarial regime. 2^46 keeps
+    * every Long product in range (768·2^46 < 2^63) and is unreachable
+    * before ~85 consecutive max-growth nibbles from the header ceiling —
+    * no encoder tracking a 16-bit signal produces that — so every
+    * conformant stream decodes in exact arithmetic (review r17: the
+    * first cut capped at 2^21, which a legal stream can exceed, changing
+    * the clamp-decay tail vs a reference decode). */
+  private val MaxDelta = 1L << 46
+
   /** Mutable per-channel predictor state — the ONE place the MS-ADPCM
-    * arithmetic lives. Instances are reused across blocks via [[seed]]. */
+    * arithmetic lives. Instances are reused across blocks via [[seed]].
+    * All arithmetic in Long: coefficients and history are file-supplied
+    * s16s whose products reach 2^31, and the adaptive step needs the
+    * [[MaxDelta]] headroom. */
   private final class Ch {
-    var c1: Int = 0; var c2: Int = 0
-    var delta: Int = 0
-    var s1: Int = 0; var s2: Int = 0
+    var c1: Long = 0; var c2: Long = 0
+    var delta: Long = 0
+    var s1: Long = 0; var s2: Long = 0
     def seed(coef1: Int, coef2: Int, d: Int, samp1: Int, samp2: Int): Unit = {
       c1 = coef1; c2 = coef2; delta = d; s1 = samp1; s2 = samp2
     }
     def step(nibble: Int): Short = {
-      // Java's division truncates toward zero, matching the spec
+      // Long division truncates toward zero, matching the spec
       // pseudo-code's C semantics — an arithmetic >> 8 would FLOOR and
-      // drift one LSB low on negative predictions (golden vector pins
-      // it). Long accumulation: the coefficients come from the FILE as
-      // s16, and two extreme products sum to exactly 2^31 — one past
-      // Int — in the (-32768 · -32768) corner
-      val predict = ((s1.toLong * c1 + s2.toLong * c2) / 256).toInt
+      // drift one LSB low on negative predictions (golden vector pins it)
+      val predict = (s1 * c1 + s2 * c2) / 256
       val signed = if ((nibble & 8) != 0) nibble - 16 else nibble
       var samp = predict + signed * delta
       if (samp > 32767) samp = 32767
@@ -82,14 +131,7 @@ object MsAdpcm {
       s2 = s1; s1 = samp
       delta = AdaptTable(nibble) * delta / 256
       if (delta < 16) delta = 16
-      // unlike IMA's table-bounded step, this delta grows MULTIPLICATIVELY
-      // (x3 max per nibble): an adversarial growth run from the header's
-      // 32767 ceiling overflows `AdaptTable * delta` within ~6 nibbles.
-      // Cap at 2^21 — far above any real encoder's step (≤ 32767), keeps
-      // 768 · delta inside Int, and every capped-regime sample already
-      // saturates the ±32767 clamp identically, so no conformant stream's
-      // output changes
-      if (delta > (1 << 21)) delta = 1 << 21
+      if (delta > MaxDelta) delta = MaxDelta
       samp.toShort
     }
   }
@@ -106,29 +148,18 @@ object MsAdpcm {
     while (off + 8 <= b.length && (dataOff < 0 || ch < 0)) {
       val size = le32u(b, off + 4)
       if (fourcc(b, off, "fmt ")) {
-        // tag-2 fmt: WAVEFORMATEX (18) + samplesPerBlock + numCoef +
-        // the coefficient pairs — the spec's wNumCoef is >= 7 (the
-        // standard pairs lead the table)
-        if (size < 22 + 4 * 7 || off + 8 + 30 > b.length) return null
+        if (size < 16 || off + 8 + 16 > b.length) return null
         if (le16(b, off + 8) != 2) return null
         ch = le16(b, off + 10)
         rate = le32u(b, off + 12).toInt
         blockAlign = le16(b, off + 20)
-        val bits = le16(b, off + 22)
-        val cb = le16(b, off + 24)
-        spb = le16(b, off + 26)
-        val nCoef = le16(b, off + 28)
-        if (bits != 4 || nCoef < 7 || cb < 4 + 4 * nCoef) return null
-        if (size < 22 + 4L * nCoef || off + 8 + 30 + 4 * nCoef > b.length)
-          return null
-        coef1 = new Array[Int](nCoef)
-        coef2 = new Array[Int](nCoef)
-        var i = 0
-        while (i < nCoef) {
-          coef1(i) = le16(b, off + 30 + 4 * i).toShort.toInt // s16
-          coef2(i) = le16(b, off + 32 + 4 * i).toShort.toInt
-          i += 1
-        }
+        // the fmt EXTENSION (depth, samplesPerBlock, coefficient table)
+        // through the shared predicate — see parseFmt2
+        val f = parseFmt2(b, off, size)
+        if (f == null) return null
+        spb = f.samplesPerBlock
+        coef1 = f.coef1
+        coef2 = f.coef2
       } else if (fourcc(b, off, "data")) {
         dataOff = off + 8
         if (size > Int.MaxValue || dataOff + size > b.length) return null

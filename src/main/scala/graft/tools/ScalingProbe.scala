@@ -404,9 +404,16 @@ object ScalingProbe {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import spark.implicits._
         val input = MemoryStream[(Long, Array[Byte])](spark)
+        // noop sink, NOT memory: a memory sink would accumulate ~nd
+        // survivor rows of state-build output on the driver, adding heap/
+        // GC pressure proportional to m to the very batch measurement
+        // expected to be flat vs m (review r17); nothing reads the sink
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"minid_ladder_$m").toString
         val q = graft.queries.Capstones.crawlMediaDedupStreamMinId(
             input.toDF().toDF("doc_id", "payload"))
-          .writeStream.format("memory").queryName(s"ladder_minid_$m")
+          .writeStream.format("noop").queryName(s"ladder_minid_$m")
+          .option("checkpointLocation", ckpt)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try {
           def feed(lo: Long, hi: Long): Double = {

@@ -87,6 +87,11 @@ class ImageDimsSpec extends SparkTestBase {
     assert(ImageHeader.parse(hex("424D" + "00" * 8 + "3A000000" + "2C000000" + "07000000" + "09000000" + dib44Tail)) == null)
     val dib108Tail = "00" * (108 - 12)
     assert(ImageHeader.parse(hex("424D" + "00" * 8 + "7A000000" + "6C000000" + "07000000" + "09000000" + dib108Tail)) == ("image/bmp", 7, 9))
+    // ... and OS/2 2.x's 64-byte BITMAPINFOHEADER2 (same s32 dim layout)
+    // is published and stays parsed (review r17: the first allowlist cut
+    // omitted it, regressing real OS/2 files to refused)
+    val dib64Tail = "00" * (64 - 12)
+    assert(ImageHeader.parse(hex("424D" + "00" * 8 + "4E000000" + "40000000" + "07000000" + "09000000" + dib64Tail)) == ("image/bmp", 7, 9))
   }
 
   test("unrecognized, truncated, and desynced payloads yield null — never a guess") {

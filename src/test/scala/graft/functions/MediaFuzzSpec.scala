@@ -798,6 +798,18 @@ class MediaFuzzSpec extends AnyFunSuite {
       "52494646 5A000000 57415645 " + fmt(6) +
         "66616374 04000000 06000000" +
         "64617461 08000000 00 1000 C800 6400 18")) == null)
+    // chunk order [data, fmt] with the file ending EXACTLY at the fmt
+    // chunk's last coefficient byte: a well-formed stream the r17 first
+    // cut falsely refused (its bounds guard demanded 8 bytes past the
+    // coefficient table — review r17); must decode identically to the
+    // fmt-first golden
+    val fmtLast = hex(
+      "52494646 50000000 57415645" +
+        "64617461 09000000 00 1000 C800 6400 18 2F" + "00" + // odd-size pad
+        fmt(6))
+    val dl = MsAdpcm.decode(fmtLast)
+    assert(dl != null && dl.samples.toSeq == Seq[Short](100, 200, 216, 88, 184, 141))
+    assert(AudioHeader.parse(fmtLast) == ("audio/wav", 1, 8000, 4, 6L))
     // the two from-scratch ADPCM decoders refuse each other's fmt tag —
     // the sequential fallback in AudioDedup.decodeAdpcm is tag dispatch
     assert(MsAdpcm.decode(valid.toMap.apply("wavadpcm")) == null)
