@@ -134,18 +134,26 @@ object AudioHeader {
       if (fourcc(b, off, "COMM")) {
         if (size < 18 || off + 8 + 18 > b.length) return null
         val p = off + 8
-        // AIFC appends a compressionType fourcc to COMM: only "NONE"
-        // (uncompressed PCM) keeps channels/bits/frames their PCM
-        // meaning — for a compressed codec those fields are
-        // codec-defined, so refusing beats misreporting (the WAV
-        // non-PCM-tag rule, applied to the AIFC side)
-        if (aifc && (size < 22 || p + 22 > b.length || !fourcc(b, p + 18, "NONE")))
+        // AIFC appends a compressionType fourcc to COMM: "NONE"
+        // (uncompressed PCM) and "ima4" (Apple IMA ADPCM, decoded for
+        // real by [[Ima4]] — its COMM fields KEEP their standard
+        // meaning: numSampleFrames is the decoded frame count, the
+        // declared depth is 16) pass through; any other codec's fields
+        // are codec-defined, so refusing beats misreporting (the WAV
+        // non-PCM-tag rule, applied to the AIFC side). Triage here is
+        // header-only like the AIFF PCM branch — SSND packet geometry
+        // is the decode side's check ([[Ima4.validGeometry]]).
+        if (aifc && (size < 22 || p + 22 > b.length ||
+          !(fourcc(b, p + 18, "NONE") || fourcc(b, p + 18, "ima4"))))
           return null
         val channels = be16(b, p)
         val frames = be32(b, p + 2) & 0xFFFFFFFFL
         val bits = be16(b, p + 6)
         val rate = extended80(b, p + 8)
         if (channels <= 0 || bits <= 0 || rate <= 0) return null
+        // an ima4 COMM declaring a depth other than 16 is misshaped —
+        // the decoder refuses it, so triage must too
+        if (aifc && fourcc(b, p + 18, "ima4") && bits != 16) return null
         return ("audio/aiff", channels, rate, bits, frames)
       }
       val next = off.toLong + 8L + size + (size & 1L)
@@ -156,8 +164,9 @@ object AudioHeader {
 
   /** Decode an 80-bit IEEE extended float at offset i to a positive Int
     * sample rate; -1 for negative, zero, non-integral-overflow, or
-    * unnormalized values (real rates are small positive integers). */
-  private def extended80(b: Array[Byte], i: Int): Int = {
+    * unnormalized values (real rates are small positive integers).
+    * Shared with [[Ima4]]'s COMM parse. */
+  private[functions] def extended80(b: Array[Byte], i: Int): Int = {
     val se = be16(b, i)
     if ((se & 0x8000) != 0) return -1 // negative rate
     val e = se & 0x7FFF

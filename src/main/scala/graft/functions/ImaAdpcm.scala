@@ -23,9 +23,11 @@ object ImaAdpcm {
 
   import ByteReads.{fourcc, le16, le32u}
 
-  private val IndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+  // the published 1992 IMA tables — shared with [[Ima4]] (the AIFF-C
+  // "ima4" packet layout walks the SAME step arithmetic)
+  private[functions] val IndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-  private val StepTable = Array(
+  private[functions] val StepTable = Array(
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
@@ -57,8 +59,10 @@ object ImaAdpcm {
 
   /** Mutable per-channel decode state — the ONE place the IMA step
     * arithmetic lives (the block header seeds it, the nibble loop steps
-    * it). Instances are reused across blocks via [[seed]]. */
-  private final class Ch {
+    * it). Instances are reused across blocks via [[seed]]; [[Ima4]]
+    * (AIFF-C packets) seeds and steps the SAME state, so the two
+    * containers cannot disagree on the arithmetic. */
+  private[functions] final class Ch {
     var pred: Int = 0
     var idx: Int = 0
     def seed(p: Int, i: Int): Unit = { pred = p; idx = i }

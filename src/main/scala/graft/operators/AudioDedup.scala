@@ -76,8 +76,13 @@ object AudioDedup {
       else ais0
     try {
       val f = ais.getFormat
+      // a container the JDK OPENS but reports as a non-PCM encoding
+      // (rather than refusing outright) still gets the from-scratch
+      // ADPCM route — the refusal shape differs by JDK reader, the
+      // fallback must not (review r17, the ima4 leg)
       if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
-        f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) return null
+        f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED)
+        return decodeAdpcm(payload)
       val bytesPer = (f.getSampleSizeInBits + 7) / 8
       val frameSize = f.getFrameSize
       // A malformed-but-openable header can claim frameSize < channels *
@@ -117,9 +122,20 @@ object AudioDedup {
     if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
   }
 
+  /** AIFF-C "ima4" (Apple's IMA packetization, r17) — same contract;
+    * [[graft.functions.Ima4]] walks the SAME step arithmetic as the WAV
+    * tag-17 decoder under the AIFC container (qe71e certifies the
+    * cross-container collapse). */
+  private def decodeIma4(payload: Array[Byte]): Pcm = {
+    val d = graft.functions.Ima4.decode(payload)
+    if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
+  }
+
   private def decodeAdpcm(payload: Array[Byte]): Pcm = {
     val ima = decodeImaAdpcm(payload)
-    if (ima != null) ima else decodeMsAdpcm(payload)
+    if (ima != null) return ima
+    val ms = decodeMsAdpcm(payload)
+    if (ms != null) ms else decodeIma4(payload)
   }
 
   /** Re-pack a decoded 16-bit stream as the [[Pcm]] shape the
@@ -671,6 +687,94 @@ object AudioDedup {
             }
           (id, bytes,
             if (id % 2 == 1) "audio/wav;codec=ms-adpcm" else "audio/wav")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** The ima4 corpus opens every clip with this many ID PACKETS whose
+    * 9-bit predictor fields spell the group id (channel 0; an all-zero
+    * nibble body at index 0 holds the predictor for all 64 samples, so
+    * 9 bits land in the decoded stream verbatim per packet — 54 bits
+    * total, the [[AdpcmIdBlocks]] armor transplanted to the Apple
+    * packet layout). */
+  private val Ima4IdPackets = 6
+
+  /** AIFF-C ima4 writer (FVER + COMM with the "ima4" compressionType +
+    * SSND of 34-byte packets): [[Ima4IdPackets]] id packet groups then
+    * (g%4+1) planted groups rotating predictor/index/nibbles; the
+    * declared frame count truncates the final packet by g%7 frames so
+    * the truncation rule is exercised by the corpus itself. */
+  private def writeIma4Aifc(g: Long, ch: Int, rate: Int): Array[Byte] = {
+    val groups = Ima4IdPackets + (g % 4 + 1).toInt
+    val dataLen = groups * ch * 34
+    val frames = groups * 64 - (g % 7).toInt
+    val data = new Array[Byte](dataLen)
+    var grp = 0
+    while (grp < groups) {
+      val isId = grp < Ima4IdPackets
+      var c = 0
+      while (c < ch) {
+        val base = (grp * ch + c) * 34
+        val h =
+          if (isId) (if (c == 0) (((g >> (9 * grp)) & 0x1FF) << 7).toInt else 0)
+          else ((((g * 37 + grp * 11 + c * 5) % 512) << 7) |
+            ((g * 7 + grp * 3 + c) % 89)).toInt
+        data(base) = ((h >> 8) & 0xFF).toByte // packet header is BE
+        data(base + 1) = (h & 0xFF).toByte
+        var j = 0
+        while (j < 32) {
+          data(base + 2 + j) =
+            (if (isId) 0
+             else ((g * 13 + grp * 17 + j * 7 + c * 3) % 256).toInt).toByte
+          j += 1
+        }
+        c += 1
+      }
+      grp += 1
+    }
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 12 + 8 + 24 + 8 + 8 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("FORM".getBytes).putInt(4 + 12 + 8 + 24 + 8 + 8 + dataLen)
+      .put("AIFC".getBytes)
+    bb.put("FVER".getBytes).putInt(4).putInt(0xA2805140) // AIFC-1990/1991
+    bb.put("COMM".getBytes).putInt(24).putShort(ch.toShort).putInt(frames)
+      .putShort(16).put(Ext80(rate)).put("ima4".getBytes)
+      .put(0.toByte).put(0.toByte) // empty pstring compressionName
+    bb.put("SSND".getBytes).putInt(8 + dataLen).putInt(0).putInt(0).put(data)
+    bb.array()
+  }
+
+  /** ima4-dup corpus (r17): two docs per pair (g = doc_id / 2) carry one
+    * recording — a 16-bit PCM WAV of the DECODED samples (id 2g) and the
+    * AIFF-C ima4 spelling itself (id 2g+1). The PCM twin is generated by
+    * running [[graft.functions.Ima4.decode]] on the planted packets, so
+    * the cross-CONTAINER collapse certifies the Apple packet layout
+    * end-to-end (9+7-bit header split, low-first nibbles, per-packet
+    * channel interleave, final-packet truncation) on top of the shared
+    * IMA step arithmetic qe71c already pins. Survivors are pure doc_id
+    * arithmetic, like qe71c/qe71d. */
+  def syntheticDupAudioCorpusIma4(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val aifc = writeIma4Aifc(g, ch, rate)
+          val bytes =
+            if (id % 2 == 1) aifc
+            else {
+              val d = graft.functions.Ima4.decode(aifc)
+              require(d != null, s"planted ima4 clip failed to decode (g=$g)")
+              writeWav((i, c) => d.samples(i * ch + c).toInt, ch, rate, 16,
+                d.samples.length / ch, junk = false)
+            }
+          (id, bytes,
+            if (id % 2 == 1) "audio/aiff;codec=ima4" else "audio/wav")
         }
       }.toDF("doc_id", "payload", "mime")
   }

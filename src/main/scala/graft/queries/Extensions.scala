@@ -1967,6 +1967,22 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r17) — CROSS-CONTAINER predictive-codec dedup:
+    // AIFF-C "ima4" spellings (Apple's IMA packetization — big-endian
+    // chunk walk, 34-byte packets with a 9-bit-predictor/7-bit-index
+    // header, low-first nibbles, truncated final packet) collapse onto
+    // the sample hash of the 16-bit PCM spelling of the decoded stream.
+    // The step arithmetic is the SAME shared state machine as WAV tag
+    // 17 (qe71c) — what this certifies is the second CONTAINER layout
+    // of the IMA family, end-to-end. Oracle is pure doc_id arithmetic.
+    ("qe71e_audio_ima4_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusIma4(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -75,6 +75,15 @@ class MediaFuzzSpec extends AnyFunSuite {
         "414E4E4F 00000004 74657374" +
         "434F4D4D 00000012 0001 00000005 0010 400EAC44000000000000" +
         "53534E44 0000000A 00000000 00000000 0000"),
+    // AIFF-C ima4 (Apple IMA packetization — r17: the hand-derived
+    // golden packet with a truncated final frame count; see the
+    // golden-vector test)
+    "aifcima4" -> hex(
+      "464F524D 00000062 41494643" +
+        "46564552 00000004 A2805140" +
+        "434F4D4D 00000018 0001 0000003C 0010 400BFA00000000000000 696D6134 0000" +
+        "53534E44 0000002A 00000000 00000000" +
+        "0103 81" + "00" * 31),
     "mp4" -> hex(
       "00000010 66747970 69736F6D 00000000" +
         "0000000C 66726565 DEADBEEF" +
@@ -129,6 +138,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     graft.operators.Multimodal.AnimatedGif.frameCount(b)
     ImaAdpcm.decode(b)
     MsAdpcm.decode(b)
+    Ima4.decode(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -821,6 +831,68 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(MsAdpcm.validGeometry(1, 9, 6) && MsAdpcm.validGeometry(2, 16, 4))
     assert(!MsAdpcm.validGeometry(3, 33, 4)) // past the published layouts
     assert(!MsAdpcm.validGeometry(1, 7, 2)) // header-only block
+  }
+
+  test("AIFF-C ima4 golden vectors: 9+7-bit header split, low-first nibbles, final-packet truncation, stereo interleave; misshaped refuse (r17)") {
+    import graft.functions.Ima4
+    // mono golden packet (the aifcima4 exemplar): header 0x0103 →
+    // predictor (s16)(0x0103 & 0xFF80) = 256, index 3; data byte 0 =
+    // 0x81 (LOW nibble first):
+    //  n=1: step=10, diff=1+2=3 → 259, idx→2.
+    //  n=8: step=9, diff=1, SIGN → 258, idx→1.
+    //  byte 1 = 0x00: n=0: step=8, diff=1 → 259, idx→0.
+    //  n=0 at idx 0: step=7, diff=0 → 259 thereafter.
+    // COMM declares 60 frames over the 64-sample packet — the Apple
+    // truncated-final-packet rule drops the 4 trailing pad samples.
+    val golden = valid.toMap.apply("aifcima4")
+    val d = Ima4.decode(golden)
+    assert(d != null && d.channels == 1 && d.rate == 8000)
+    assert(d.samples.length == 60)
+    assert(d.samples.toSeq == Seq[Short](259, 258) ++ Seq.fill(58)(259.toShort))
+    // triage agrees, header-only: frames from COMM, declared 16-bit
+    assert(AudioHeader.parse(golden) == ("audio/aiff", 1, 8000, 16, 60L))
+    // stereo: packets alternate L,R per 64-frame group; pred L=128
+    // (0x0080), R=-128 (0xFF80), all-zero nibbles at index 0 hold both
+    val stereo = hex(
+      "464F524D 00000084 41494643" +
+        "46564552 00000004 A2805140" +
+        "434F4D4D 00000018 0002 00000040 0010 400BFA00000000000000 696D6134 0000" +
+        "53534E44 0000004C 00000000 00000000" +
+        "0080" + "00" * 32 + "FF80" + "00" * 32)
+    val ds = Ima4.decode(stereo)
+    assert(ds != null && ds.channels == 2 && ds.samples.length == 128)
+    assert(ds.samples.toSeq == Seq.fill(64)(Seq[Short](128, -128)).flatten)
+    assert(AudioHeader.parse(stereo) == ("audio/aiff", 2, 8000, 16, 64L))
+    // refusals: index seed > 88 (header 0x0159 → idx 89), a COMM depth
+    // other than 16 (both decode AND triage), a frame count outside the
+    // final packet's range, SSND not packet-aligned — null, never a
+    // guess
+    def mono(hdr: String, frames: String = "0000003C", bits: String = "0010",
+             ssnd: String = "0000002A", body: String = "81" + "00" * 31): Array[Byte] = hex(
+      "464F524D 00000062 41494643" +
+        "46564552 00000004 A2805140" +
+        "434F4D4D 00000018 0001 " + frames + " " + bits +
+        " 400BFA00000000000000 696D6134 0000" +
+        "53534E44 " + ssnd + " 00000000 00000000" + hdr + body)
+    assert(Ima4.decode(mono("0159")) == null)
+    assert(Ima4.decode(mono("0103", bits = "000C")) == null)
+    assert(AudioHeader.parse(mono("0103", bits = "000C")) == null)
+    assert(Ima4.decode(mono("0103", frames = "00000041")) == null) // 65 > 64
+    assert(Ima4.decode(mono("0103", frames = "00000000")) == null)
+    assert(Ima4.decode(mono("0103", ssnd = "00000029", body = "81" + "00" * 30)) == null)
+    // a NONE-compression AIFC is not ima4's to decode (the PCM path owns
+    // it); the ima4 decoder must refuse, triage still accepts it as PCM
+    assert(Ima4.decode(hex(
+      "464F524D 00000038 41494643" +
+        "434F4D4D 00000018 0001 00000002 0010 400BFA00000000000000 4E4F4E45 0000" +
+        "53534E44 0000000C 00000000 00000000 00010002")) == null)
+    assert(Ima4.decode("not audio".getBytes) == null)
+    assert(Ima4.decode(null) == null)
+    // shared geometry predicate: whole packet groups, frame count inside
+    // the final group
+    assert(Ima4.validGeometry(1, 34, 64) && Ima4.validGeometry(2, 136, 128))
+    assert(Ima4.validGeometry(1, 68, 65) && !Ima4.validGeometry(1, 68, 64))
+    assert(!Ima4.validGeometry(1, 33, 64) && !Ima4.validGeometry(9, 306, 64))
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

@@ -144,6 +144,35 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("AIFF-C ima4 cross-container collapse (r17): the Apple IMA packetization hashes " +
+    "identically to the 16-bit PCM spelling of its decoded stream; triage accepts ima4") {
+    // 28 docs = 14 pairs: covers all (ch, rate) rotations plus both
+    // truncated and whole final packets (g%7 spans 0..6 twice)
+    val n = 28L
+    val bytes = AudioDedup.syntheticDupAudioCorpusIma4((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 until (n / 2).toInt).foreach { g =>
+      val pcm = AudioDedup.sampleHash(bytes(g * 2L))
+      val ima = AudioDedup.sampleHash(bytes(g * 2L + 1))
+      assert(pcm != null && ima != null, s"group $g: a spelling failed to decode")
+      assert(pcm.sample_hash == ima.sample_hash,
+        s"group $g: ima4 spelling hashes apart from its PCM twin")
+      assert(pcm.n_frames == ima.n_frames && pcm.channels == ima.channels)
+      // triage agreement: the capstone router sniffs through AudioHeader
+      assert(graft.functions.AudioHeader.parse(bytes(g * 2L + 1)) != null)
+    }
+    // distinct groups stay distinct (the id packets' 9-bit predictor
+    // fields land in the decoded stream verbatim)
+    assert(AudioDedup.sampleHash(bytes(1L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(3L)).sample_hash)
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusIma4((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
