@@ -51,7 +51,43 @@ object AudioHeader {
     if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) parseWav(b)
     else if (fourcc(b, 0, "FORM") && (fourcc(b, 8, "AIFF") || fourcc(b, 8, "AIFC")))
       parseAiff(b, aifc = fourcc(b, 8, "AIFC"))
+    else if (fourcc(b, 0, ".snd")) parseAu(b)
     else null
+  }
+
+  /** Sun/NeXT AU (the ".snd" container, the third classic audio family
+    * beside WAV and AIFF — r17; javax.sound has decoded its samples all
+    * along, but triage refused the container, so AU payloads never
+    * routed to the audio leg): a fixed 24-byte BIG-endian header —
+    * magic, data offset (>= 24; annotation bytes may precede the data),
+    * data size, encoding code, sample rate, channels. Only the
+    * fixed-layout PCM/companded encodings are accepted (1 µ-law, 2-5
+    * linear 8/16/24/32, 6/7 IEEE float 32/64, 27 A-law); anything else
+    * is codec-defined — refuse. A data size of 0xFFFFFFFF ("unknown,
+    * stream until EOF") cannot yield a frame count — refuse rather than
+    * guess one. */
+  private def parseAu(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b.length < 24) return null
+    val dataOff = be32(b, 4) & 0xFFFFFFFFL
+    val dataSize = be32(b, 8) & 0xFFFFFFFFL
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val channels = be32(b, 20)
+    if (dataOff < 24 || dataSize == 0xFFFFFFFFL) return null
+    val bits = enc match {
+      case 1 | 27 => 8 // G.711 µ-law / A-law, one code byte per sample
+      case 2 => 8
+      case 3 => 16
+      case 4 => 24
+      case 5 => 32
+      case 6 => 32 // IEEE float
+      case 7 => 64
+      case _ => return null
+    }
+    if (channels <= 0 || channels > 64 || rate <= 0) return null
+    val frameBytes = channels.toLong * (bits / 8)
+    if (dataSize % frameBytes != 0) return null // torn final frame
+    ("audio/basic", channels, rate, bits, dataSize / frameBytes)
   }
 
   private def parseWav(b: Array[Byte]): (String, Int, Int, Int, Long) = {

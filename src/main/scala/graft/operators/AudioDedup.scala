@@ -779,6 +779,72 @@ object AudioDedup {
       }.toDF("doc_id", "payload", "mime")
   }
 
+  /** Sun/NeXT AU writer (fixed 24-byte big-endian header): `data` holds
+    * the raw sample bytes for the given encoding code (1 = µ-law codes,
+    * 3 = s16 big-endian). */
+  private def writeAu(enc: Int, ch: Int, rate: Int,
+                      data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + data.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes).putInt(24).putInt(data.length).putInt(enc)
+      .putInt(rate).putInt(ch)
+    bb.put(data)
+    bb.array()
+  }
+
+  /** AU-dup corpus (r17): four docs per group (g = doc_id / 4) carry TWO
+    * recordings spelled across the WAV and AU container families — A as
+    * {16-bit PCM WAV of the µ-law table values, AU µ-law of the codes}
+    * (ids 4g, 4g+1) and B as {16-bit little-endian PCM WAV, AU 16-bit
+    * BIG-endian of the same samples} (ids 4g+2, 4g+3). A certifies the
+    * JDK's AU µ-law decode collapses onto the same linear stream as the
+    * WAV spelling ([[compandTable]] fixed points, container-independent);
+    * B certifies the endianness normalization across containers. A gets
+    * ODD tail lengths, B EVEN — the qe71b parity armor, so A and B can
+    * never collide at any scale. Survivors are pure doc_id arithmetic:
+    * min-id per pair ⇒ is_kept = 1 - doc_id % 2. */
+  def syntheticDupAudioCorpusAu(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 4
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val v = (id % 4).toInt
+          val bytes = if (v < 2) {
+            val frames = IdFrames + (g % 40 * 2 + 5).toInt // odd tail
+            val codes = Array.tabulate[Byte](frames * ch) { k =>
+              codeOf(g, k / ch, k % ch).toByte
+            }
+            if (v == 0)
+              writeWav((i, c) => UlawTable(codes(i * ch + c) & 0xFF),
+                ch, rate, 16, frames, junk = false)
+            else writeAu(1, ch, rate, codes)
+          } else {
+            val frames = IdFrames + (g % 40 * 2 + 6).toInt // even tail
+            if (v == 2)
+              writeWav((i, c) => sampleOf(g, i, c), ch, rate, 16, frames,
+                junk = false)
+            else {
+              val data = new Array[Byte](frames * ch * 2)
+              var k = 0
+              while (k < frames * ch) {
+                val s = sampleOf(g, k / ch, k % ch)
+                data(2 * k) = ((s >> 8) & 0xFF).toByte // AU linear is BE
+                data(2 * k + 1) = (s & 0xFF).toByte
+                k += 1
+              }
+              writeAu(3, ch, rate, data)
+            }
+          }
+          (id, bytes, if (v % 2 == 0) "audio/wav" else "audio/basic")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
   /** Frames per planted perceptual window — 4 exact frames per window
     * (n = 288 = 72·4), so window boundaries are exact and each planted
     * energy step is 4·12 = 48 against a noise budget of ±1. */

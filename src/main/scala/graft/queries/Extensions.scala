@@ -1983,6 +1983,23 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r17) — the THIRD classic container family: Sun
+    // AU spellings (µ-law codes and 16-bit BIG-endian linear) collapse
+    // onto the sample hashes of their WAV twins through javax.sound's
+    // AU reader + the shared normalization — certifying that the G.711
+    // decode and the endianness handling are container-INDEPENDENT.
+    // AudioHeader gains the ".snd" triage branch, so AU payloads route
+    // to the audio leg everywhere (the SURVEY E5 WAV/AIFF/AU claim is
+    // now true at the triage layer, not just the sample layer). Oracle
+    // is pure doc_id arithmetic, like qe71b.
+    ("qe71f_audio_au_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusAu(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -70,6 +70,8 @@ class MediaFuzzSpec extends AnyFunSuite {
         "0001 0000 0002 00FF 0000 0000 C000 4000 F000 0000 CC01 30FF 8801 18FF" +
         "66616374 04000000 06000000" +
         "64617461 09000000 00 1000 C800 6400 18 2F"),
+    // Sun AU µ-law, 4 mono frames (r17: the ".snd" triage branch)
+    "au" -> hex("2E736E64 00000018 00000004 00000001 00001F40 00000001 FF7F0380"),
     "aiff" -> hex(
       "464F524D 0000003C 41494646" +
         "414E4E4F 00000004 74657374" +
@@ -156,7 +158,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       "RIFF????WAVE".getBytes, "FORM????AIFF".getBytes,
       "RIFF????AVI ".getBytes, "BM".getBytes,
       hex("00000010 66747970"), hex("FFF1"), "fLaC".getBytes, "OggS".getBytes,
-      hex("494433"))
+      hex("494433"), ".snd".getBytes)
     val rnd = new scala.util.Random(0xBEEF)
     magics.foreach { m =>
       (0 until 2000).foreach { _ =>
@@ -893,6 +895,34 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(Ima4.validGeometry(1, 34, 64) && Ima4.validGeometry(2, 136, 128))
     assert(Ima4.validGeometry(1, 68, 65) && !Ima4.validGeometry(1, 68, 64))
     assert(!Ima4.validGeometry(1, 33, 64) && !Ima4.validGeometry(9, 306, 64))
+  }
+
+  test("Sun AU triage: fixed-layout encodings parse, unknown-size/odd-offset/alien codecs refuse (r17)") {
+    // the exemplar: µ-law (enc 1), 8000 Hz, mono, 4 code bytes at
+    // offset 24 → ("audio/basic", 1, 8000, 8, 4 frames)
+    assert(AudioHeader.parse(valid.toMap.apply("au")) ==
+      ("audio/basic", 1, 8000, 8, 4L))
+    def au(off: String = "00000018", size: String = "00000004",
+           enc: String = "00000001", rate: String = "00001F40",
+           ch: String = "00000001"): Array[Byte] =
+      hex("2E736E64 " + off + size + enc + rate + ch + "FF7F0380")
+    // s16 BE stereo: 4 data bytes = 1 frame of 2 channels
+    assert(AudioHeader.parse(au(enc = "00000003", ch = "00000002")) ==
+      ("audio/basic", 2, 8000, 16, 1L))
+    // A-law (27 = 0x1B) and float32 (6) have fixed published layouts too
+    assert(AudioHeader.parse(au(enc = "0000001B")) ==
+      ("audio/basic", 1, 8000, 8, 4L))
+    assert(AudioHeader.parse(au(enc = "00000006", size = "00000004")) ==
+      ("audio/basic", 1, 8000, 32, 1L))
+    // refusals: data offset below the 24-byte header, the 0xFFFFFFFF
+    // unknown-size sentinel (a frame count would be a guess), a size not
+    // frame-aligned, an alien encoding code, zero channels, torn header
+    assert(AudioHeader.parse(au(off = "00000010")) == null)
+    assert(AudioHeader.parse(au(size = "FFFFFFFF")) == null)
+    assert(AudioHeader.parse(au(enc = "00000003", size = "00000003")) == null)
+    assert(AudioHeader.parse(au(enc = "00000008")) == null)
+    assert(AudioHeader.parse(au(ch = "00000000")) == null)
+    assert(AudioHeader.parse(hex("2E736E64 00000018 0000")) == null)
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

@@ -173,6 +173,32 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("Sun AU cross-container collapse (r17): AU mu-law and AU big-endian s16 spellings hash " +
+    "identically to their WAV twins; triage accepts .snd") {
+    val n = 16L
+    val bytes = AudioDedup.syntheticDupAudioCorpusAu((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 until (n / 2).toInt).foreach { p =>
+      val wav = AudioDedup.sampleHash(bytes(p * 2L))
+      val au = AudioDedup.sampleHash(bytes(p * 2L + 1))
+      assert(wav != null && au != null, s"pair $p: a spelling failed to decode")
+      assert(wav.sample_hash == au.sample_hash,
+        s"pair $p: AU spelling hashes apart from its WAV twin")
+      assert(wav.n_frames == au.n_frames && wav.channels == au.channels)
+      // triage agreement: the capstone router sniffs through AudioHeader
+      assert(graft.functions.AudioHeader.parse(bytes(p * 2L + 1)) != null)
+    }
+    // the two recordings of a group never merge (frame-count parity)
+    assert(AudioDedup.sampleHash(bytes(0L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(2L)).sample_hash)
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusAu((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
