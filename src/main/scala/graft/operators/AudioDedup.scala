@@ -131,11 +131,21 @@ object AudioDedup {
     if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
   }
 
+  /** FLAC (r17) — same contract; [[graft.functions.FlacDecode]] walks
+    * the full Rice/fixed/LPC frame layer for 16-bit streams (qe71g
+    * certifies the encode→decode roundtrip collapse). */
+  private def decodeFlac(payload: Array[Byte]): Pcm = {
+    val d = graft.functions.FlacDecode.decode(payload)
+    if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
+  }
+
   private def decodeAdpcm(payload: Array[Byte]): Pcm = {
     val ima = decodeImaAdpcm(payload)
     if (ima != null) return ima
     val ms = decodeMsAdpcm(payload)
-    if (ms != null) ms else decodeIma4(payload)
+    if (ms != null) return ms
+    val q = decodeIma4(payload)
+    if (q != null) q else decodeFlac(payload)
   }
 
   /** Re-pack a decoded 16-bit stream as the [[Pcm]] shape the
@@ -841,6 +851,173 @@ object AudioDedup {
             }
           }
           (id, bytes, if (v % 2 == 0) "audio/wav" else "audio/basic")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** MSB-first bit writer for the FLAC corpus encoder. `bytesSoFar` is
+    * only meaningful at byte alignment (frame headers and footers are
+    * byte-aligned by construction — the CRC inputs). */
+  private final class BitWriter {
+    private val buf = collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0; private var nBits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nBits != 0) writeBits(0, 8 - nBits)
+    def bytesSoFar: Array[Byte] = {
+      require(nBits == 0, "bit writer not aligned"); buf.toArray
+    }
+  }
+
+  /** Rice residual writer: method 00, partition order 0, parameter
+    * sized so quotients stay short; zigzag then quotient-unary (zeros,
+    * then a one) + parameter-bit remainder — the published layout
+    * [[graft.functions.FlacDecode]] walks back. */
+  private def writeRice(w: BitWriter, res: Seq[Int]): Unit = {
+    w.writeBits(0, 2) // method 00: 4-bit parameters
+    w.writeBits(0, 4) // partition order 0
+    val us = res.map(v => ((v << 1) ^ (v >> 31)).toLong & 0xFFFFFFFFL)
+    val maxU = (us :+ 0L).max
+    var p = 0
+    while ((maxU >> p) > 3 && p < 14) p += 1
+    w.writeBits(p, 4)
+    us.foreach { u =>
+      val q = (u >>> p).toInt
+      var i = 0
+      while (i < q) { w.writeBits(0, 1); i += 1 }
+      w.writeBits(1, 1)
+      w.writeBits(u & ((1L << p) - 1), p)
+    }
+  }
+
+  /** One subframe: mode 0 = VERBATIM, 1/2 = FIXED order 1/2, 3 = LPC
+    * order 1 with coefficient 1 and shift 0 (prediction = previous
+    * sample — a correct-by-construction exercise of the LPC path). */
+  private def writeFlacSubframe(w: BitWriter, s: Array[Int], eff: Int,
+                                mode: Int): Unit = {
+    def raw(v: Int): Unit = w.writeBits(v.toLong & ((1L << eff) - 1), eff)
+    w.writeBits(0, 1) // pad
+    mode match {
+      case 0 =>
+        w.writeBits(1, 6); w.writeBits(0, 1)
+        s.foreach(raw)
+      case 1 | 2 =>
+        w.writeBits(8 + mode, 6); w.writeBits(0, 1)
+        (0 until mode).foreach(i => raw(s(i)))
+        writeRice(w, (mode until s.length).map(i =>
+          s(i) - (if (mode == 1) s(i - 1) else 2 * s(i - 1) - s(i - 2))))
+      case _ =>
+        w.writeBits(32, 6); w.writeBits(0, 1) // LPC, order 1
+        raw(s(0))
+        w.writeBits(3, 4) // precision 4 (stored minus one)
+        w.writeBits(0, 5) // shift 0
+        w.writeBits(1, 4) // the one coefficient: 1
+        writeRice(w, (1 until s.length).map(i => s(i) - s(i - 1)))
+    }
+  }
+
+  /** FLAC encoder for the planted corpus: 16-bit, fixed blocking at
+    * 192-sample frames (block-size code 0001 — plus the 8-bit-extension
+    * code for the partial final frame), sample-rate code 0000 (from
+    * STREAMINFO), channel assignment rotating over independent /
+    * left-side / right-side / mid-side for stereo groups, subframe
+    * modes rotating over verbatim / fixed-1 / fixed-2 / LPC-1 per
+    * (group, frame, channel). Real CRC-8 + CRC-16 via
+    * [[graft.functions.FlacDecode]]'s table-free implementations. */
+  private def writeFlac(g: Long, ch: Int, rate: Int, frames: Int,
+                        sample: (Int, Int) => Int): Array[Byte] = {
+    val full = frames / 192
+    val rem = frames % 192
+    val nF = full + (if (rem > 0) 1 else 0)
+    require(nF >= 1 && nF < 128, s"corpus keeps frame numbers 1-byte UTF-8: $nF")
+    val minB = if (rem > 0) (if (full > 0) math.min(192, rem) else rem) else 192
+    val maxB = if (full > 0) 192 else rem
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    val si = java.nio.ByteBuffer.allocate(4 + 34)
+    si.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    si.putShort(minB.toShort).putShort(maxB.toShort)
+    si.put(Array[Byte](0, 0, 0, 0, 0, 0)) // min/max framesize unknown
+    si.putLong((rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      (15L << 36) | frames.toLong) // 20-bit rate | ch-1 | bps-1=15 | total
+    si.put(new Array[Byte](16)) // MD5 unknown (all-zero is the sentinel)
+    out.write(si.array())
+    var f = 0
+    while (f < nF) {
+      val bs = if (f < full) 192 else rem
+      val base = f * 192
+      val assign = if (ch == 1) 0 else Array(1, 8, 9, 10)(((g + f) % 4).toInt)
+      val w = new BitWriter
+      w.writeBits(0xFF, 8); w.writeBits(0xF8, 8) // sync + fixed blocking
+      w.writeBits(if (bs == 192) 1 else 6, 4)
+      w.writeBits(0, 4) // rate from STREAMINFO
+      w.writeBits(assign, 4)
+      w.writeBits(4, 3) // 16-bit
+      w.writeBits(0, 1)
+      w.writeBits(f, 8) // frame number (single-byte UTF-8 range)
+      if (bs != 192) w.writeBits(bs - 1, 8)
+      val hdr = w.bytesSoFar
+      w.writeBits(graft.functions.FlacDecode.crc8(hdr, 0, hdr.length), 8)
+      val subs: Seq[(Array[Int], Int)] = assign match {
+        case 0 => Seq((Array.tabulate(bs)(i => sample(base + i, 0)), 16))
+        case 1 => (0 until ch).map(c =>
+          (Array.tabulate(bs)(i => sample(base + i, c)), 16))
+        case 8 => Seq(
+          (Array.tabulate(bs)(i => sample(base + i, 0)), 16),
+          (Array.tabulate(bs)(i => sample(base + i, 0) - sample(base + i, 1)), 17))
+        case 9 => Seq(
+          (Array.tabulate(bs)(i => sample(base + i, 0) - sample(base + i, 1)), 17),
+          (Array.tabulate(bs)(i => sample(base + i, 1)), 16))
+        case _ => Seq(
+          (Array.tabulate(bs)(i => (sample(base + i, 0) + sample(base + i, 1)) >> 1), 16),
+          (Array.tabulate(bs)(i => sample(base + i, 0) - sample(base + i, 1)), 17))
+      }
+      subs.zipWithIndex.foreach { case ((s, eff), c) =>
+        writeFlacSubframe(w, s, eff, ((g + f + c) % 4).toInt)
+      }
+      w.align()
+      val fb = w.bytesSoFar
+      w.writeBits(graft.functions.FlacDecode.crc16(fb, 0, fb.length), 16)
+      out.write(w.bytesSoFar)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** FLAC-dup corpus (r17): two docs per pair (g = doc_id / 2) carry one
+    * recording — a 16-bit PCM WAV of the planted samples (id 2g) and a
+    * FLAC encoding of the SAME planted samples (id 2g+1). Unlike the
+    * ADPCM corpora (whose PCM twin is the decoder's own output), both
+    * spellings here derive from the analytic samples independently, so
+    * the hash collapse certifies a TRUE encode→decode roundtrip across
+    * every rotated frame shape: multi-frame + truncated-final-frame
+    * streams, all four stereo decorrelations, and all four subframe
+    * modes (verbatim, fixed-1, fixed-2, LPC-1) with real Rice residuals
+    * and real CRCs. Survivors are pure doc_id arithmetic. */
+  def syntheticDupAudioCorpusFlac(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val frames = 192 * (g % 3).toInt + (g % 50).toInt + 30
+          val bytes =
+            if (id % 2 == 0)
+              writeWav((i, c) => sampleOf(g, i, c), ch, rate, 16, frames,
+                junk = false)
+            else writeFlac(g, ch, rate, frames, (i, c) => sampleOf(g, i, c))
+          (id, bytes, if (id % 2 == 0) "audio/wav" else "audio/flac")
         }
       }.toDF("doc_id", "payload", "mime")
   }

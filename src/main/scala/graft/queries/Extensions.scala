@@ -2000,6 +2000,24 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r17) — LOSSLESS-COMPRESSION dedup: FLAC
+    // spellings collapse onto the sample hash of the PCM WAV spelling
+    // of the SAME planted samples. FLAC's Rice-coded fixed/LPC
+    // prediction residuals are deterministic bit arithmetic (no Huffman
+    // tables, no transforms), so functions/FlacDecode implements the
+    // full 16-bit frame layer from scratch — both spellings here derive
+    // INDEPENDENTLY from the analytic samples, so the collapse is a
+    // true encode→decode roundtrip across multi-frame streams, all
+    // three stereo decorrelations, and all subframe families with real
+    // CRCs. Oracle is pure doc_id arithmetic.
+    ("qe71g_audio_flac_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusFlac(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

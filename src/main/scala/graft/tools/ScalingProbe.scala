@@ -211,6 +211,15 @@ object ScalingProbe {
         }
         println(f"${"qe71e_audio dedup-ima4-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      // the r17 lossless leg (FLAC Rice/fixed/LPC frames vs WAV twins)
+      if (wanted("qe71g_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.dedupBySamples(
+            graft.operators.AudioDedup.syntheticDupAudioCorpusFlac(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe71g_audio dedup-flac-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       // the r17 AU container leg (Sun .snd µ-law + BE s16 vs WAV twins)
       if (wanted("qe71f_audio")) {
         val t = time {

@@ -141,6 +141,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ImaAdpcm.decode(b)
     MsAdpcm.decode(b)
     Ima4.decode(b)
+    FlacDecode.decode(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -923,6 +924,67 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(AudioHeader.parse(au(enc = "00000008")) == null)
     assert(AudioHeader.parse(au(ch = "00000000")) == null)
     assert(AudioHeader.parse(hex("2E736E64 00000018 0000")) == null)
+  }
+
+  test("FLAC frame golden vectors: constant/fixed+Rice/LPC hand-derived bits; CRC check values; misshaped refuse (r17)") {
+    import graft.functions.FlacDecode
+    // the CRC conventions pinned against PUBLISHED check values (input
+    // "123456789"): CRC-8 poly 0x07 init 0 → 0xF4; CRC-16 poly 0x8005
+    // init 0 non-reflected (CRC-16/UMTS) → 0xFEE8 — so using these
+    // functions to assemble the golden streams below is anchored, not
+    // circular
+    assert(FlacDecode.crc8("123456789".getBytes, 0, 9) == 0xF4)
+    assert(FlacDecode.crc16("123456789".getBytes, 0, 9) == 0xFEE8)
+    // one-frame 16-bit mono stream builder: rate 8000 (STREAMINFO code),
+    // block size bs via the 8-bit extension, total == bs
+    def flacStream(bs: Int, subframe: String): Array[Byte] = {
+      val minmax = f"$bs%04x$bs%04x"
+      val packed = "01F400F" + f"$bs%09x" // 8000<<44 | ch 1 | bps 16 | total
+      val hdrBytes = hex(f"FFF8 60 08 00 ${bs - 1}%02x")
+      val c8 = FlacDecode.crc8(hdrBytes, 0, hdrBytes.length)
+      val frame = hdrBytes ++ Array(c8.toByte) ++ hex(subframe)
+      val c16 = FlacDecode.crc16(frame, 0, frame.length)
+      hex("664C6143 80000022" + minmax + "000000 000000" + packed + "00" * 16) ++
+        frame ++ Array((c16 >> 8).toByte, (c16 & 0xFF).toByte)
+    }
+    // CONSTANT: subframe bits 0|000000|0 then one 16-bit value (100)
+    val const = flacStream(2, "00 0064")
+    val dc = FlacDecode.decode(const)
+    assert(dc != null && dc.channels == 1 && dc.rate == 8000)
+    assert(dc.samples.toSeq == Seq[Short](100, 100))
+    // FIXED order 1 + Rice (hand-derived): type 001001 → byte 0x12,
+    // warmup 10 (0x000A), then method 00, partition order 0000, param
+    // 0000, residuals +1,−1,+2 → zigzag 2,1,4 → unary 001|01|00001,
+    // padded → bytes 00 0A 10. Samples: 10, 11, 10, 12.
+    val fixed = flacStream(4, "12 000A 00 0A 10")
+    val df = FlacDecode.decode(fixed)
+    assert(df != null && df.samples.toSeq == Seq[Short](10, 11, 10, 12))
+    // LPC order 1 (hand-derived): type 100000 → 0x40, warmup 5, then
+    // precision-1 = 0011, shift 00001, coefficient 0010 (= 2; predict =
+    // (2·prev)>>1 = prev), residual method/po/param zeros + r1 = +1 →
+    // unary 001, padded → bytes 30 90 00 40. Samples: 5, 6.
+    val lpc = flacStream(2, "40 0005 30 90 00 40")
+    val dl = FlacDecode.decode(lpc)
+    assert(dl != null && dl.samples.toSeq == Seq[Short](5, 6))
+    // refusals: a corrupted frame CRC-16, a corrupted header CRC-8, a
+    // blocking-strategy/reserved-bit flip, a declared total the frames
+    // do not produce, and the metadata-only exemplar (no frames) — all
+    // null, never a guess or a crash
+    val broken = const.clone(); broken(broken.length - 1) = (broken.last ^ 1).toByte
+    assert(FlacDecode.decode(broken) == null)
+    val badHdr = const.clone(); badHdr(const.length - 5) = (badHdr(const.length - 5) ^ 1).toByte
+    assert(FlacDecode.decode(badHdr) == null)
+    val badSync = const.clone(); badSync(42 + 1) = 0xFA.toByte // reserved bit set
+    assert(FlacDecode.decode(badSync) == null)
+    assert(FlacDecode.decode(valid.toMap.apply("flac")) == null) // STREAMINFO only
+    assert(FlacDecode.decode("not audio".getBytes) == null)
+    assert(FlacDecode.decode(null) == null)
+    // a ~60-byte blob DECLARING 2^31-1 samples must refuse at the
+    // payload-proportional bound (before sizing the output buffer), not
+    // OOM: no 60-byte frame walk can produce that many samples
+    val absurd = hex("664C6143 80000022 00C000C0 000000 000000" +
+      "01F400F" + "07FFFFFF" + "F" + "00" * 16)
+    assert(FlacDecode.decode(absurd) == null)
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

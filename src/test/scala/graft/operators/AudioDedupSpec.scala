@@ -199,6 +199,35 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("FLAC roundtrip collapse (r17): a FLAC encoding of the planted samples hashes " +
+    "identically to the PCM WAV of the same samples — both derived independently") {
+    // 24 pairs: g spans multi-frame + partial-final-frame shapes (g%3),
+    // mono/stereo (g%2), all four stereo decorrelations and subframe
+    // modes (the (g+f+c)%4 rotations)
+    val n = 48L
+    val bytes = AudioDedup.syntheticDupAudioCorpusFlac((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 until (n / 2).toInt).foreach { g =>
+      val wav = AudioDedup.sampleHash(bytes(g * 2L))
+      val flac = AudioDedup.sampleHash(bytes(g * 2L + 1))
+      assert(wav != null && flac != null, s"group $g: a spelling failed to decode")
+      assert(wav.sample_hash == flac.sample_hash,
+        s"group $g: FLAC spelling hashes apart from its PCM twin")
+      assert(wav.n_frames == flac.n_frames && wav.channels == flac.channels)
+      // triage agreement: flac_meta already recognized the container
+      assert(graft.functions.FlacHeader.parse(bytes(g * 2L + 1)) != null)
+    }
+    // distinct groups stay distinct (the id frames ride the samples)
+    assert(AudioDedup.sampleHash(bytes(1L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(3L)).sample_hash)
+    // survivors are pure doc_id arithmetic: min-id per {2k, 2k+1} pair
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusFlac((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
