@@ -52,7 +52,24 @@ object AudioHeader {
     else if (fourcc(b, 0, "FORM") && (fourcc(b, 8, "AIFF") || fourcc(b, 8, "AIFC")))
       parseAiff(b, aifc = fourcc(b, 8, "AIFC"))
     else if (fourcc(b, 0, ".snd")) parseAu(b)
+    else if (fourcc(b, 0, "fLaC")) parseFlac(b)
     else null
+  }
+
+  /** FLAC (r17 review): once [[FlacDecode]] decoded real samples, triage
+    * had to recognize the container too — otherwise the capstone router
+    * classifies FLAC payloads 'unknown' and the sample decode is
+    * unreachable from [[graft.queries.Capstones]], the exact gap the AU
+    * branch closed for µ-law payloads. Delegates to [[FlacHeader]] (the
+    * qe5l metadata parser): STREAMINFO carries all five fields with
+    * their standard meaning at ANY bit depth, so a structurally valid
+    * non-16-bit stream reports metadata here and becomes a null-key
+    * singleton at the decode side (the recognized-but-undecodable
+    * contract), like any other valid container outside the PCM hash
+    * domain. */
+  private def parseFlac(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val r = FlacHeader.parse(b)
+    if (r == null) null else ("audio/flac", r._2, r._1, r._3, r._4)
   }
 
   /** Sun/NeXT AU (the ".snd" container, the third classic audio family
@@ -187,9 +204,15 @@ object AudioHeader {
         val bits = be16(b, p + 6)
         val rate = extended80(b, p + 8)
         if (channels <= 0 || bits <= 0 || rate <= 0) return null
-        // an ima4 COMM declaring a depth other than 16 is misshaped —
-        // the decoder refuses it, so triage must too
-        if (aifc && fourcc(b, p + 18, "ima4") && bits != 16) return null
+        // ima4: a COMM declaring a depth other than 16, more channels
+        // than the packet walk supports, or zero frames is one the
+        // decoder refuses ([[Ima4.validGeometry]]'s header-available
+        // half) — triage must refuse it too (the tag-17/tag-2
+        // discipline); SSND packet geometry stays the decode side's
+        // check, as it is not in this header
+        if (aifc && fourcc(b, p + 18, "ima4") &&
+          (bits != 16 || channels > Ima4.MaxChannels || frames <= 0))
+          return null
         return ("audio/aiff", channels, rate, bits, frames)
       }
       val next = off.toLong + 8L + size + (size & 1L)

@@ -114,18 +114,25 @@ object FlacDecode {
     // by any frame walk, so a ~50-byte blob claiming 2³¹ samples refuses
     // here instead of allocating 4 GiB first
     if (total > b.length.toLong * 8192L) return null
-    // walk the metadata blocks to the first frame byte
+    // walk the metadata blocks to the first frame byte — advance in
+    // Long space: near Int.MaxValue, off + 4 + len wraps negative and
+    // both bounds guards pass (the parseWav/parseAiff/Ima4 rule)
     var off = 4
     var last = false
     while (!last) {
       if (off + 4 > b.length) return null
       last = (b(off) & 0x80) != 0
       val len = ((b(off + 1) & 0xFF) << 16) | ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
-      off += 4 + len
-      if (off > b.length) return null
+      val next = off.toLong + 4L + len
+      if (next > b.length) return null
+      off = next.toInt
     }
     val out = new Array[Short](total.toInt * channels)
     var written = 0L // decoded frames so far
+    // channel buffers hoisted out of the frame loop (the r16 per-record
+    // hot-path discipline the sibling decoders follow): sized on first
+    // use, regrown only when a later frame's block is larger
+    var chBuf: Array[Array[Int]] = null
     try {
       while (off < b.length) {
         val frameStart = off
@@ -195,8 +202,9 @@ object FlacDecode {
         // reader is byte-aligned here, so the range ends at its bytePos
         if (!r.aligned) return null
         if (r.bits(8) != crc8(b, frameStart, r.bytePos - 1)) return null
-        // subframes
-        val chBuf = Array.ofDim[Int](nCh, blockSize)
+        // subframes (nCh == channels on every frame — checked above)
+        if (chBuf == null || chBuf(0).length < blockSize)
+          chBuf = Array.ofDim[Int](nCh, blockSize)
         var c = 0
         while (c < nCh) {
           // side channel carries one extra bit in L/S (ch1), R/S (ch0), M/S (ch1)

@@ -41,8 +41,9 @@ object Ima4 {
 
   /** Same generous ceiling as [[ImaAdpcm.MaxChannels]]: the packet
     * interleave generalizes to N channels, anything past 8 is a bogus
-    * header. */
-  private val MaxChannels = 8
+    * header. [[AudioHeader]]'s AIFC triage shares this bound so triage
+    * never accepts a COMM the decode then refuses (review r17). */
+  private[functions] val MaxChannels = 8
 
   /** The ONE packet-geometry predicate (the [[ImaAdpcm.validGeometry]]
     * discipline): SSND's payload must be whole per-channel packet
@@ -83,7 +84,7 @@ object Ima4 {
         val skip = be32(b, off + 8) & 0xFFFFFFFFL // offset field
         dataOff = off + 16
         dataLen = size - 8 - skip
-        if (skip < 0 || dataLen <= 0 || dataOff + skip + dataLen > b.length)
+        if (dataLen <= 0 || dataOff + skip + dataLen > b.length)
           return null
         dataOff = (dataOff + skip).toInt
       }

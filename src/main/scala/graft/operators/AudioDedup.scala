@@ -63,11 +63,10 @@ object AudioDedup {
     if (payload == null) return null
     val ais0 =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      // the stock JDK refuses ADPCM WAVs outright (no codec SPI), so the
-      // IMA (tag 17) and MS (tag 2) legs route through the from-scratch
-      // byte decoders instead — each refuses the other's fmt tag, so the
-      // sequential fallback is tag dispatch in effect
-      catch { case _: Exception => return decodeAdpcm(payload) }
+      // the stock JDK refuses ADPCM WAVs, AIFF-C ima4, and FLAC outright
+      // (no codec SPI), so those legs route through the from-scratch
+      // byte decoders instead — see [[decodeFromScratch]]
+      catch { case _: Exception => return decodeFromScratch(payload) }
     val ais =
       if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
         ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
@@ -78,11 +77,11 @@ object AudioDedup {
       val f = ais.getFormat
       // a container the JDK OPENS but reports as a non-PCM encoding
       // (rather than refusing outright) still gets the from-scratch
-      // ADPCM route — the refusal shape differs by JDK reader, the
-      // fallback must not (review r17, the ima4 leg)
+      // route — the refusal shape differs by JDK reader, the fallback
+      // must not (review r17, the ima4 leg)
       if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
         f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED)
-        return decodeAdpcm(payload)
+        return decodeFromScratch(payload)
       val bytesPer = (f.getSampleSizeInBits + 7) / 8
       val frameSize = f.getFrameSize
       // A malformed-but-openable header can claim frameSize < channels *
@@ -139,7 +138,13 @@ object AudioDedup {
     if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
   }
 
-  private def decodeAdpcm(payload: Array[Byte]): Pcm = {
+  /** The from-scratch decoder chain — every leg the JDK has no codec
+    * for: IMA ADPCM WAV (tag 17), MS ADPCM WAV (tag 2), AIFF-C ima4,
+    * and FLAC. Each decoder refuses every other leg's container/tag, so
+    * the sequential fallback is format dispatch in effect; the chain
+    * returns the first non-null [[Pcm]] or null (the singleton
+    * contract). */
+  private def decodeFromScratch(payload: Array[Byte]): Pcm = {
     val ima = decodeImaAdpcm(payload)
     if (ima != null) return ima
     val ms = decodeMsAdpcm(payload)

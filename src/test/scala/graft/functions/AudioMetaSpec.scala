@@ -152,8 +152,12 @@ class AudioMetaSpec extends SparkTestBase {
     // "NONE" = uncompressed PCM: the COMM fields keep their meaning
     assert(AudioHeader.parse(aifc("00000016", " 4E4F4E45")) ==
       ("audio/aiff", 1, 44100, 16, 5L))
-    // "ima4" (IMA ADPCM): bits/frames are codec-defined — refuse
-    assert(AudioHeader.parse(aifc("00000016", " 696D6134")) == null)
+    // "ima4" (Apple IMA ADPCM): decoded for real since r17 ([[Ima4]]),
+    // and its COMM fields KEEP their standard meaning — parses like NONE
+    assert(AudioHeader.parse(aifc("00000016", " 696D6134")) ==
+      ("audio/aiff", 1, 44100, 16, 5L))
+    // any OTHER codec's COMM fields are codec-defined — refuse ("alaw")
+    assert(AudioHeader.parse(aifc("00000016", " 616C6177")) == null)
     // AIFC whose COMM is the bare 18-byte AIFF shape (no compressionType):
     // torn for AIFC — refuse rather than assume uncompressed
     assert(AudioHeader.parse(aifc("00000012", "")) == null)

@@ -824,7 +824,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(dl != null && dl.samples.toSeq == Seq[Short](100, 200, 216, 88, 184, 141))
     assert(AudioHeader.parse(fmtLast) == ("audio/wav", 1, 8000, 4, 6L))
     // the two from-scratch ADPCM decoders refuse each other's fmt tag —
-    // the sequential fallback in AudioDedup.decodeAdpcm is tag dispatch
+    // the sequential fallback in AudioDedup.decodeFromScratch is format
+    // dispatch
     assert(MsAdpcm.decode(valid.toMap.apply("wavadpcm")) == null)
     assert(graft.functions.ImaAdpcm.decode(golden) == null)
     assert(MsAdpcm.decode("not audio".getBytes) == null)
@@ -882,6 +883,15 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(AudioHeader.parse(mono("0103", bits = "000C")) == null)
     assert(Ima4.decode(mono("0103", frames = "00000041")) == null) // 65 > 64
     assert(Ima4.decode(mono("0103", frames = "00000000")) == null)
+    // triage agrees on the header-available refusals (r17 review: the
+    // tag-17/tag-2 invariant — triage never accepts a COMM the decode
+    // refuses): zero frames, and channels past Ima4's packet-walk cap
+    assert(AudioHeader.parse(mono("0103", frames = "00000000")) == null)
+    assert(AudioHeader.parse(hex(
+      "464F524D 00000062 41494643" +
+        "46564552 00000004 A2805140" +
+        "434F4D4D 00000018 0010 0000003C 0010 400BFA00000000000000 696D6134 0000" +
+        "53534E44 0000002A 00000000 00000000" + "0103 81" + "00" * 31)) == null)
     assert(Ima4.decode(mono("0103", ssnd = "00000029", body = "81" + "00" * 30)) == null)
     // a NONE-compression AIFC is not ima4's to decode (the PCM path owns
     // it); the ima4 decoder must refuse, triage still accepts it as PCM
@@ -979,6 +989,13 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(FlacDecode.decode(valid.toMap.apply("flac")) == null) // STREAMINFO only
     assert(FlacDecode.decode("not audio".getBytes) == null)
     assert(FlacDecode.decode(null) == null)
+    // audio triage recognizes the container (r17 review: without this
+    // the capstone router never reaches the sample decode) — STREAMINFO
+    // fields with their standard meaning: 44100 Hz stereo 16-bit, 44100
+    // total frames on the exemplar
+    assert(AudioHeader.parse(valid.toMap.apply("flac")) ==
+      ("audio/flac", 2, 44100, 16, 44100L))
+    assert(AudioHeader.parse(const) == ("audio/flac", 1, 8000, 16, 2L))
     // a ~60-byte blob DECLARING 2^31-1 samples must refuse at the
     // payload-proportional bound (before sizing the output buffer), not
     // OOM: no 60-byte frame walk can produce that many samples

@@ -57,6 +57,22 @@ class CapstonesSpec extends SparkTestBase {
     assert(out(100L) == (("unknown", 100L, 1)))
   }
 
+  test("router: FLAC spellings route audio and collapse onto their WAV twins (r17 review)") {
+    // the gap the AU branch closed for µ-law, re-checked for FLAC: the
+    // sample decode existed but triage refused "fLaC", so the capstone
+    // kept FLAC docs as unknown singletons instead of deduping them
+    val docs = spark.range(8).select(col("id").as("doc_id"))
+    val media = graft.operators.AudioDedup.syntheticDupAudioCorpusFlac(docs)
+    val out = Capstones.crawlMediaDedup(media)
+      .select("doc_id", "kind", "survivor_id", "is_kept")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    (0L until 8L).foreach { id =>
+      assert(out(id) == (("audio", id - id % 2, (1 - id % 2).toInt)),
+        s"doc $id: ${out(id)}")
+    }
+  }
+
   test("router: two animations sharing frame 0 route video and never merge (r15 GIF triage)") {
     // without the animated-GIF-before-image precedence both payloads
     // would decode as their FIRST frame and pixel-hash-merge — the exact

@@ -686,7 +686,15 @@ class MqttLikeSpec extends SparkTestBase {
         c2.publish("t/takeover", "tk-msg".getBytes("UTF-8"), qos = 2)
       }
       c2.connect() // reconnect (a self-takeover of the dead socket)
-      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) == "tk-msg")
+      // the c1-death poll above publishes zombies until the socket dies;
+      // under load one can be ROUTED before the takeover disconnect
+      // lands on c1's serve path — skip those (they are legal QoS 1
+      // deliveries from before the takeover), the message under test is
+      // tk-msg and the residue check below still proves exactly-once
+      val first = Iterator.continually(
+        got.poll(15, java.util.concurrent.TimeUnit.SECONDS))
+        .dropWhile(_ == "zombie").next()
+      assert(first == "tk-msg", s"expected tk-msg, got $first")
       // drain any zombie deliveries c1 landed before its death, then
       // assert no DUPLICATE of tk-msg arrived (exactly-once held)
       val residue = Iterator.continually(
