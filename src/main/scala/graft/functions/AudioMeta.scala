@@ -128,12 +128,30 @@ object AudioHeader {
         // compressed/extensible tags carry their real layout elsewhere —
         // refusing beats misreporting.
         if (tag != 1 && tag != 2 && tag != 3 && tag != 6 && tag != 7 &&
-          tag != 17)
+          tag != 17 && tag != 0xFFFE)
           return null
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)
         bits = le16(b, off + 22)
+        // WAVE_FORMAT_EXTENSIBLE (r17): the shared predicate
+        // [[WavExtensible.parseFmtX]] validates the extension (cbSize,
+        // valid bits vs container width, blockAlign consistency, the
+        // KSDATAFORMAT base GUID) — triage and decode refuse identically
+        // on header-available grounds. Fixed-layout inner tags only
+        // (PCM 1, IEEE float 3, G.711 6/7 — same accept set as the plain
+        // tags minus the ADPCMs, whose extensible spellings would need
+        // the fmt-extra fields this extension replaces); the reported
+        // depth is wValidBitsPerSample, the stream's real precision.
+        if (tag == 0xFFFE) {
+          val x = WavExtensible.parseFmtX(b, off, size)
+          if (x == null) return null
+          if (x.innerTag != 1 && x.innerTag != 3 && x.innerTag != 6 &&
+            x.innerTag != 7) return null
+          if ((x.innerTag == 6 || x.innerTag == 7) && x.containerBits != 8)
+            return null
+          bits = x.validBits
+        }
         // a G.711 fmt claiming a depth other than 8 is misshaped, and
         // blockAlign must be exactly one byte per channel
         if ((tag == 6 || tag == 7) && (bits != 8 || blockAlign != channels))

@@ -138,19 +138,38 @@ object AudioDedup {
     if (d == null) null else pcmFromShorts(d.channels, d.rate, d.samples)
   }
 
+  /** WAVE_FORMAT_EXTENSIBLE inner-PCM (r17) — the JDK refuses fmt tag
+    * 0xFFFE outright, so [[graft.functions.WavExtensible]] reads the
+    * frames from scratch; the raw little-endian bytes re-wrap in the
+    * SAME [[Pcm]] geometry the JDK emits for the plain tag-1 spelling
+    * (8-bit unsigned, wider signed), so the extensible spelling hashes
+    * identically with zero normalization glue (qe71h certifies the
+    * collapse at 16 AND 24 bits — the 24-bit leg is cross-decoder: JDK
+    * reads the plain twin, this decoder the extensible one). */
+  private def decodeWavX(payload: Array[Byte]): Pcm = {
+    val d = graft.functions.WavExtensible.decode(payload)
+    if (d == null) return null
+    val bytesPer = d.containerBits / 8
+    Pcm(d.channels, d.rate, d.nFrames, d.raw, bytesPer,
+      d.channels * bytesPer, bigEndian = false,
+      half = 1 << (d.containerBits - 1), unsigned = d.containerBits == 8)
+  }
+
   /** The from-scratch decoder chain — every leg the JDK has no codec
     * for: IMA ADPCM WAV (tag 17), MS ADPCM WAV (tag 2), AIFF-C ima4,
-    * and FLAC. Each decoder refuses every other leg's container/tag, so
-    * the sequential fallback is format dispatch in effect; the chain
-    * returns the first non-null [[Pcm]] or null (the singleton
-    * contract). */
+    * FLAC, and extensible-PCM WAV (tag 0xFFFE). Each decoder refuses
+    * every other leg's container/tag, so the sequential fallback is
+    * format dispatch in effect; the chain returns the first non-null
+    * [[Pcm]] or null (the singleton contract). */
   private def decodeFromScratch(payload: Array[Byte]): Pcm = {
     val ima = decodeImaAdpcm(payload)
     if (ima != null) return ima
     val ms = decodeMsAdpcm(payload)
     if (ms != null) return ms
     val q = decodeIma4(payload)
-    if (q != null) q else decodeFlac(payload)
+    if (q != null) return q
+    val f = decodeFlac(payload)
+    if (f != null) f else decodeWavX(payload)
   }
 
   /** Re-pack a decoded 16-bit stream as the [[Pcm]] shape the
@@ -351,6 +370,46 @@ object AudioDedup {
       while (c < ch) {
         val v = sample(i, c)
         if (bits == 8) bb.put((v + 128).toByte) // WAV 8-bit stores UNSIGNED
+        else if (bits == 24) // signed little-endian, 3 bytes (r17, qe71h)
+          bb.put(v.toByte).put((v >> 8).toByte).put((v >> 16).toByte)
+        else bb.putShort(v.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** WAVE_FORMAT_EXTENSIBLE writer for the planted corpus (r17): the
+    * same samples as [[writeWav]] under the 0xFFFE spelling — 40-byte
+    * fmt (cbSize 22, wValidBitsPerSample = the container width,
+    * dwChannelMask = the low `ch` speaker bits, PCM SubFormat GUID over
+    * the published KSDATAFORMAT base). Sample bytes are identical to
+    * the plain spelling's, so the collapse certifies header routing +
+    * the from-scratch frame read, not a re-quantization. */
+  private def writeWavX(sample: (Int, Int) => Int, ch: Int, rate: Int,
+                        bits: Int, frames: Int): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataSize = frames * ch * bytesPer
+    val bb = java.nio.ByteBuffer.allocate(12 + 48 + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(4 + 48 + 8 + dataSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(40).putShort(0xFFFE.toShort)
+      .putShort(ch.toShort).putInt(rate).putInt(rate * ch * bytesPer)
+      .putShort((ch * bytesPer).toShort).putShort(bits.toShort)
+      .putShort(22).putShort(bits.toShort) // cbSize, wValidBitsPerSample
+      .putInt((1 << ch) - 1) // dwChannelMask: low speaker bits
+      .putShort(1).putShort(0) // SubFormat Data1: tag 1 (PCM)
+      .put(Array[Byte](0x00, 0x00, 0x10, 0x00, 0x80.toByte, 0x00, 0x00,
+        0xAA.toByte, 0x00, 0x38, 0x9B.toByte, 0x71)) // Data2-Data4 base GUID
+    bb.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        val v = sample(i, c)
+        if (bits == 24)
+          bb.put(v.toByte).put((v >> 8).toByte).put((v >> 16).toByte)
         else bb.putShort(v.toShort)
         c += 1
       }
@@ -1023,6 +1082,38 @@ object AudioDedup {
                 junk = false)
             else writeFlac(g, ch, rate, frames, (i, c) => sampleOf(g, i, c))
           (id, bytes, if (id % 2 == 0) "audio/wav" else "audio/flac")
+        }
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  /** Extensible-dup corpus (r17): two docs per pair (g = doc_id / 2)
+    * carry one recording — a plain tag-1 PCM WAV (id 2g) and the
+    * WAVE_FORMAT_EXTENSIBLE spelling of the SAME samples (id 2g+1).
+    * Depth rotates 16/16/24 by g%3: the 16-bit pairs certify the
+    * extensible header routing against the JDK's plain-PCM read, and
+    * the 24-bit pairs are CROSS-DECODER — the JDK decodes the plain
+    * spelling (it reads 24-bit tag-1 natively) while the from-scratch
+    * [[graft.functions.WavExtensible]] leg reads the extensible one, so
+    * the hash collapse proves the two independent frame readers agree
+    * bit-for-bit. Survivors are pure doc_id arithmetic. */
+  def syntheticDupAudioCorpusWavX(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val ch = (g % 2 + 1).toInt
+          val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+          val bits = if (g % 3 == 2) 24 else 16
+          val frames = (g % 50).toInt + 30
+          val bytes =
+            if (id % 2 == 0)
+              writeWav((i, c) => sampleOf(g, i, c), ch, rate, bits, frames,
+                junk = false)
+            else writeWavX((i, c) => sampleOf(g, i, c), ch, rate, bits, frames)
+          (id, bytes, "audio/wav")
         }
       }.toDF("doc_id", "payload", "mime")
   }

@@ -2018,6 +2018,21 @@ object Extensions {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
 
+    // E1/E5 (audio leg, r17) — WAVE_FORMAT_EXTENSIBLE dedup: the 0xFFFE
+    // spelling modern multichannel/24-bit WAV encoders emit (which the
+    // JDK reader refuses outright) collapses onto its plain tag-1 twin.
+    // Depth rotates 16/16/24: the 24-bit pairs are CROSS-DECODER — the
+    // JDK reads the plain spelling, functions/WavExtensible the
+    // extensible one — so the collapse proves two independent frame
+    // readers agree bit-for-bit. Oracle is pure doc_id arithmetic.
+    ("qe71h_audio_wavx_dedup", (s: SparkSession, d: String) => {
+      val media = graft.operators.AudioDedup.syntheticDupAudioCorpusWavX(
+        Engine.Tables(s, d).documents)
+      graft.operators.AudioDedup.dedupBySamples(media)
+        .select(col("doc_id"), col("survivor_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, CAST(doc_id - (doc_id % 2) AS BIGINT) AS survivor_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_kept FROM documents ORDER BY doc_id""")),
+
     // E1/E5 (video leg, r14) — exact video dedup over DECODED frame
     // content: four byte-level spellings of the same clip (PNG frames,
     // BMP frames, a JUNK alignment chunk in the container, a BGR

@@ -211,6 +211,15 @@ object ScalingProbe {
         }
         println(f"${"qe71e_audio dedup-ima4-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
       }
+      // the r17 extensible leg (0xFFFE PCM at 16/24-bit vs tag-1 twins)
+      if (wanted("qe71h_audio")) {
+        val t = time {
+          graft.operators.AudioDedup.dedupBySamples(
+            graft.operators.AudioDedup.syntheticDupAudioCorpusWavX(docs.select("doc_id")))
+            .select("doc_id", "is_kept")
+        }
+        println(f"${"qe71h_audio dedup-wavx-e2e"}%-34s $m%3d $nd%8d ${-1.0}%9.2f $t%8.2f")
+      }
       // the r17 lossless leg (FLAC Rice/fixed/LPC frames vs WAV twins)
       if (wanted("qe71g_audio")) {
         val t = time {

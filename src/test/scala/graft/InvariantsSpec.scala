@@ -102,7 +102,10 @@ class InvariantsSpec extends SparkTestBase {
       "a failed query (-1) drops only after every healthy entry is gone")
     assert(node.get("fail").asInt == 1,
       "the failure count must ride the line whenever any query failed")
-    assert(math.abs(node.get("value").asDouble - 99.9 * (padded.size - 1)) < 0.5,
+    // the rendered total rounds to whole seconds, so the worst honest
+    // error is EXACTLY 0.5 when the true sum lands on a .5 boundary
+    // (99.9 x 235 = 23476.5 at the 176-query registry) — inclusive bound
+    assert(math.abs(node.get("value").asDouble - 99.9 * (padded.size - 1)) <= 0.5,
       "stdout total must be the FULL sweep's sum, not the kept subset's")
     // catastrophic sweep: EVERY query failed (-1). The -1.0 rendering is
     // one char wider than the healthy worst case, so an undroppable-

@@ -104,6 +104,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     // hand-derived golden FLAC STREAMINFO (see the golden-vector test)
     "flac" -> hex("664C6143 80 000022" + "1000 1000 000000 000000" +
       "0AC442F00000AC44" + "00" * 16),
+    // WAVE_FORMAT_EXTENSIBLE 16-bit mono PCM, samples 100, -100 (r17 —
+    // see the golden-vector test): 40-byte fmt, PCM SubFormat GUID
+    "wavx" -> hex("52494646 40000000 57415645" +
+      "666D7420 28000000 FEFF 0100 401F0000 803E0000 0200 1000" +
+      "1600 1000 01000000" + "01000000 0000 1000 800000AA00389B71" +
+      "64617461 04000000 6400 9CFF"),
     // hand-derived golden Ogg/Opus BOS+EOS (see the golden-vector test)
     "opus" -> hex("4F676753 00 02 0000000000000000 78563412 00000000" +
       "00000000 01 13" + "4F70757348656164 01 01 6400 80BB0000 0000 00" +
@@ -142,6 +148,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     MsAdpcm.decode(b)
     Ima4.decode(b)
     FlacDecode.decode(b)
+    WavExtensible.decode(b)
   }
 
   test("pure random bytes never throw (10k arrays, lengths 0-512, fixed seeds)") {
@@ -1002,6 +1009,57 @@ class MediaFuzzSpec extends AnyFunSuite {
     val absurd = hex("664C6143 80000022 00C000C0 000000 000000" +
       "01F400F" + "07FFFFFF" + "F" + "00" * 16)
     assert(FlacDecode.decode(absurd) == null)
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE golden vectors: GUID/field layout; triage agreement; misshaped refuse (r17)") {
+    import graft.functions.WavExtensible
+    val golden = valid.toMap.apply("wavx")
+    val d = WavExtensible.decode(golden)
+    assert(d != null && d.channels == 1 && d.rate == 8000)
+    assert(d.nFrames == 2 && d.containerBits == 16)
+    assert(d.raw.toSeq == Seq[Byte](0x64, 0x00, 0x9C.toByte, 0xFF.toByte))
+    // triage agrees and reports wValidBitsPerSample as the depth
+    assert(AudioHeader.parse(golden) == ("audio/wav", 1, 8000, 16, 2L))
+    // a float inner tag (3, container 32): STREAMINFO-standard fields so
+    // triage ACCEPTS the metadata; decode refuses (outside the integer
+    // hash domain — the plain tag-3 precedent)
+    val floatx = hex("52494646 40000000 57415645" +
+      "666D7420 28000000 FEFF 0100 401F0000 007D0000 0400 2000" +
+      "1600 2000 01000000" + "03000000 0000 1000 800000AA00389B71" +
+      "64617461 04000000 00000000")
+    assert(AudioHeader.parse(floatx) == ("audio/wav", 1, 8000, 32, 1L))
+    assert(WavExtensible.decode(floatx) == null)
+    // refusals, each a single mutation of the golden file — both the
+    // decoder AND triage must refuse (the shared-predicate contract):
+    def mut(off: Int, v: Int): Array[Byte] = {
+      val m = golden.clone(); m(off) = v.toByte; m
+    }
+    // GUID suffix last byte off the published base (0x71 -> 0x72)
+    assert(WavExtensible.decode(mut(59, 0x72)) == null)
+    assert(AudioHeader.parse(mut(59, 0x72)) == null)
+    // SubFormat Data1 high half nonzero (tags are u16)
+    assert(WavExtensible.decode(mut(46, 0x01)) == null)
+    assert(AudioHeader.parse(mut(46, 0x01)) == null)
+    // cbSize 21 (< the 22-byte extension)
+    assert(WavExtensible.decode(mut(36, 21)) == null)
+    assert(AudioHeader.parse(mut(36, 21)) == null)
+    // wValidBitsPerSample 17 > the 16-bit container
+    assert(WavExtensible.decode(mut(38, 17)) == null)
+    assert(AudioHeader.parse(mut(38, 17)) == null)
+    // wValidBitsPerSample 0
+    assert(WavExtensible.decode(mut(38, 0)) == null)
+    assert(AudioHeader.parse(mut(38, 0)) == null)
+    // blockAlign 3 disagrees with channels x container bytes
+    assert(WavExtensible.decode(mut(32, 3)) == null)
+    assert(AudioHeader.parse(mut(32, 3)) == null)
+    // an ADPCM inner tag (2): no fixed extensible layout — refuse
+    assert(WavExtensible.decode(mut(44, 2)) == null)
+    assert(AudioHeader.parse(mut(44, 2)) == null)
+    // declared fmt size 39 (< the 40-byte extensible fmt)
+    assert(WavExtensible.decode(mut(16, 39)) == null)
+    assert(AudioHeader.parse(mut(16, 39)) == null)
+    assert(WavExtensible.decode("not audio".getBytes) == null)
+    assert(WavExtensible.decode(null) == null)
   }
 
   test("GIF GCE delay: pending-commit semantics — duplicates overwrite, orphans drop, padding ignored (r16)") {

@@ -228,6 +228,34 @@ class AudioDedupSpec extends SparkTestBase {
     assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE collapse (r17): the 0xFFFE spelling hashes identically " +
+    "to its plain tag-1 twin at 16 AND 24 bits (24-bit pairs are cross-decoder)") {
+    val n = 48L
+    val bytes = AudioDedup.syntheticDupAudioCorpusWavX((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    (0 until (n / 2).toInt).foreach { g =>
+      val plain = AudioDedup.sampleHash(bytes(g * 2L))
+      val wavx = AudioDedup.sampleHash(bytes(g * 2L + 1))
+      assert(plain != null && wavx != null, s"group $g: a spelling failed to decode")
+      assert(plain.sample_hash == wavx.sample_hash,
+        s"group $g (bits=${if (g % 3 == 2) 24 else 16}): extensible hashes apart")
+      assert(plain.n_frames == wavx.n_frames && plain.channels == wavx.channels)
+      // triage recognized the extensible container and reports the REAL
+      // precision (wValidBitsPerSample)
+      val meta = graft.functions.AudioHeader.parse(bytes(g * 2L + 1))
+      assert(meta != null && meta._4 == (if (g % 3 == 2) 24 else 16))
+    }
+    // distinct groups stay distinct
+    assert(AudioDedup.sampleHash(bytes(1L)).sample_hash !=
+      AudioDedup.sampleHash(bytes(3L)).sample_hash)
+    // survivors are pure doc_id arithmetic
+    val out = AudioDedup.dedupBySamples(
+      AudioDedup.syntheticDupAudioCorpusWavX((0L until 8L).toDF("doc_id")))
+      .select("doc_id", "survivor_id", "is_kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == (0L until 8L).map(id => (id, id - id % 2, (1 - id % 2).toInt)))
+  }
+
   private def nearBytes(ids: Seq[Long]): Map[Long, Array[Byte]] =
     AudioDedup.syntheticNearDupAudioCorpus(ids.toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
