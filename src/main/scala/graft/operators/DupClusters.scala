@@ -41,17 +41,19 @@ object DupClusters {
     var labels = sym.groupBy("id")
       .agg(least(col("id"), min(col("nb"))).as("lbl")).auditedCheckpoint()
     // convergence probe: did ANY node's label change this round? Labels
-    // only ever decrease, so unchanged == fixpoint. A count of changed
-    // rows (join of two checkpointed |nodes|-sized frames) is
-    // TYPE-AGNOSTIC — the previous decimal-label-SUM probe assumed
-    // numeric ids: string ids (url keys) would CRASH the cast under ANSI,
-    // and with ANSI off every cast is NULL, the sum reads zero each
-    // round, and the loop declares convergence after round one with
-    // silently wrong clusters (the exact outcome the non-convergence
-    // guard below exists to prevent).
-    def changedAny(prev: DataFrame, next: DataFrame): Boolean =
-      !next.join(prev.select(col("id"), col("lbl").as("__prev")), "id")
-        .filter(col("lbl") =!= col("__prev")).isEmpty
+    // only ever decrease, so unchanged == fixpoint. The previous round's
+    // label rides THROUGH the round as a carried `__prev` column (the
+    // propagate join visits every node exactly once, so carrying it is
+    // free) and the probe is a filter-isEmpty over the already-
+    // checkpointed round result — the r17 fusion of what used to be a
+    // separate |nodes| ⋈ |nodes| equi-join + action per round (guide
+    // §2.4: two operations keyed the same way share one pass). The
+    // comparison stays TYPE-AGNOSTIC — the even-older decimal-label-SUM
+    // probe assumed numeric ids: string ids (url keys) would CRASH the
+    // cast under ANSI, and with ANSI off every cast is NULL, the sum
+    // reads zero each round, and the loop declares convergence after
+    // round one with silently wrong clusters (the exact outcome the
+    // non-convergence guard below exists to prevent).
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -62,17 +64,23 @@ object DupClusters {
       // checkpointed: the pointer-jump self-join below reads `stepped`
       // twice — un-materialized, both branches would re-run the propagate
       // shuffle + aggregation every round
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+      val stepped = labels.select(col("id"), col("lbl").as("__prev"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("__prev"), coalesce(col("m"), col("__prev"))).as("lbl"),
+          col("__prev"))
         .auditedCheckpoint()
       // pointer jump: a label is always some node's id, so re-resolving a
-      // node's label through its label's own label contracts chains
+      // node's label through its label's own label contracts chains. The
+      // jump key is unique on the right side (stepped has one row per id),
+      // so `jumped` keeps exactly one row per node and `__prev` stays that
+      // node's previous-round label.
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("__prev"))
         .auditedCheckpoint()
-      converged = !changedAny(labels, jumped)
-      labels = jumped
+      converged = jumped.filter(col("lbl") =!= col("__prev")).isEmpty
+      labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
     // truncated labels are silently WRONG (a duplicate group would keep
