@@ -40,6 +40,26 @@ object Engine {
       // driver-built sessions that bypass this factory)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The UI is off, but the app-status and SQL-execution listeners
+      // still retain per-job/stage/task and per-query plan data at their
+      // defaults (1000 jobs/stages, 100k tasks, 1000 SQL executions) —
+      // sized for a human debugging an interactive cluster, not for a
+      // driver that runs hundreds of queries back-to-back and never reads
+      // them. A full bench sweep (176 queries × 3 reps + checkpoints)
+      // retains every execution's plan graph + metric maps until the cap,
+      // and the measured live heap grows ~78 → 195 MB across the r17
+      // baseline sweep with exactly this retention as the growth that
+      // survives System.gc() (OPTIMIZATION_r17.md) — old-gen pressure of
+      // the "slot-local GC premium" class the r14–r16 driver sweeps
+      // flagged on qe62. Keep enough history for post-hoc debugging of
+      // the LAST few queries, drop the rest. Host-shape-independent (a
+      // retention cap, not a parallelism/size knob), overridable like
+      // every other builder conf via a pre-set spark.conf in the caller's
+      // builder.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "24")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
