@@ -429,8 +429,18 @@ object Dedup {
     // dot/(qn*cn) form); ANSI Divide throws on a zero denominator exactly
     // like the kernel. Equality asserted in DedupSpec.
     import graft.functions.DotProduct.dot_product
-    val a = vectors.select(col(idCol).as("da"), col(vecCol).as("va"),
-      sqrt(dot_product(col(vecCol), col(vecCol))).as("__na"))
+    // the streamed side repartitions to the session parallelism BEFORE
+    // the broadcast join: the anchor's work is O(n²) pair evaluations
+    // against a linear-cost row move, so the exchange is amortized at ANY
+    // n — and without it the local single-file corpus reads back as ONE
+    // scan partition and the whole quadratic verify serializes onto one
+    // core (qe7 solo 5-rep min 1.45 -> 0.32 s; OPTIMIZATION_r17.md). Output is
+    // a pair SET (consumers aggregate or total-order), so partitioning
+    // cannot change results.
+    val a = vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("da"), col(vecCol).as("va"),
+        sqrt(dot_product(col(vecCol), col(vecCol))).as("__na"))
     val b = vectors.select(col(idCol).as("db"), col(vecCol).as("vb"),
       sqrt(dot_product(col(vecCol), col(vecCol))).as("__nb"))
     val cos = dot_product(col("va"), col("vb")) / (col("__na") * col("__nb"))
