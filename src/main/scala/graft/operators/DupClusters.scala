@@ -121,8 +121,13 @@ object DupClusters {
                          qualityCol: String): DataFrame = {
     // checkpointed: feeds both the per-cluster max and the tie-break pass
     val joined = members.join(quality, Seq("doc_id"), "left").auditedCheckpoint()
+    // ONE aggregation carries the member count, the best quality, AND the
+    // null-quality fallback id (r17: the fallback used to be its own
+    // groupBy + join over the same keyed frame — two operations keyed the
+    // same way share one pass, guide §2.4)
     val best = joined.groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"))
+      .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"),
+        min(col("doc_id")).as("min_id"))
     // ties break to the smallest doc_id via min over the max-q members —
     // TYPE-AGNOSTIC (string ids order lexically; the earlier -doc_id
     // negate trick, the exact trap knnClassify's doc warns about, threw
@@ -136,10 +141,8 @@ object DupClusters {
     // quality gets best_q NULL — the equi-join above matches nothing for
     // it (null keys never join), and without a fallback the cluster would
     // vanish from this frame and keepBestCopy would drop every copy.
-    // Such clusters keep the min-doc_id member instead.
-    val fallback = joined.groupBy("cluster").agg(min(col("doc_id")).as("min_id"))
+    // Such clusters keep the min-doc_id member (the fused min_id) instead.
     best.join(argmax, Seq("cluster"), "left")
-      .join(fallback, "cluster")
       .select(col("cluster"),
         coalesce(col("arg_id"), col("min_id")).as("keep_id"),
         col("n_members"), col("best_q"))
