@@ -61,25 +61,41 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("nb"), col("lbl").as("nlbl")), "nb")
         .groupBy("id").agg(min("nlbl").as("m"))
-      // checkpointed: the pointer-jump self-join below reads `stepped`
-      // twice — un-materialized, both branches would re-run the propagate
-      // shuffle + aggregation every round
+      // propagate: NOT checkpointed (r18) — its one consumer is the jump
+      // join below, so the whole round is a single join chain and the
+      // round materializes exactly ONCE (the r17 shape checkpointed
+      // `stepped` too, because the jump self-joined it; two eager
+      // localCheckpoint jobs per round of tiny frames was the dominant
+      // per-round cost at the certificate tier — guide §2.4/§5)
       val stepped = labels.select(col("id"), col("lbl").as("__prev"))
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("__prev"), coalesce(col("m"), col("__prev"))).as("lbl"),
+          least(col("__prev"), coalesce(col("m"), col("__prev"))).as("mid"),
           col("__prev"))
-        .auditedCheckpoint()
-      // pointer jump: a label is always some node's id, so re-resolving a
-      // node's label through its label's own label contracts chains. The
-      // jump key is unique on the right side (stepped has one row per id),
-      // so `jumped` keeps exactly one row per node and `__prev` stays that
-      // node's previous-round label.
+      // pointer jump THROUGH THE PREVIOUS round's labels (already
+      // materialized by last round's checkpoint), not through this
+      // round's own propagate result: `mid` is always some node's id, and
+      // that node's previous-round label is <= mid (labels only ever
+      // decrease and start <= id), so the jump still contracts chains
+      // exponentially — jump distance ~doubles per round like the r17
+      // self-join form — while reading an RDD that already exists instead
+      // of forcing a second materialization. Fixpoint and labels are
+      // unchanged: any operator that (a) never raises a label, (b) only
+      // assigns ids from the same component, and (c) subsumes one
+      // propagate step converges to the same min-id labeling, and the
+      // convergence probe below only fires when a full propagate+jump
+      // round is the identity — which forces the propagate fixpoint.
+      // The jump key is unique on the right side (labels has one row per
+      // id), so `jumped` keeps exactly one row per node and `__prev`
+      // stays that node's previous-round label.
       val jumped = stepped
-        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("__prev"))
+        .join(labels.select(col("id").as("mid"), col("lbl").as("lbl2")), Seq("mid"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("mid")).as("lbl"), col("__prev"))
         .auditedCheckpoint()
-      converged = jumped.filter(col("lbl") =!= col("__prev")).isEmpty
+      // null-safe inequality (ADVICE r17): labels are non-null today
+      // (least/coalesce over ids), but a future null-id edge source must
+      // make the probe fire, not silently declare early convergence
+      converged = jumped.filter(!(col("lbl") <=> col("__prev"))).isEmpty
       labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
@@ -119,33 +135,33 @@ object DupClusters {
     * Returns (cluster, keep_id, n_members, best_q). */
   def survivorsByQuality(members: DataFrame, quality: DataFrame,
                          qualityCol: String): DataFrame = {
-    // checkpointed: feeds both the per-cluster max and the tie-break pass
-    val joined = members.join(quality, Seq("doc_id"), "left").auditedCheckpoint()
-    // ONE aggregation carries the member count, the best quality, AND the
-    // null-quality fallback id (r17: the fallback used to be its own
-    // groupBy + join over the same keyed frame — two operations keyed the
-    // same way share one pass, guide §2.4)
-    val best = joined.groupBy("cluster")
+    // r18: ONE join + ONE aggregation. The r17 shape still join-backed on
+    // (cluster, best_q) to break argmax ties and so had to checkpoint the
+    // keyed frame for its two consumers; the tie-break now rides the SAME
+    // aggregation as min(struct(-q, doc_id)) — min over ascending -q is
+    // the max-q member, struct tie falls through to the smallest doc_id.
+    // Quality is NEGATED, never the doc id, so ids stay TYPE-AGNOSTIC
+    // (string ids order lexically, exactly like the min_id fallback; the
+    // old -doc_id trick threw under ANSI for string ids). Quality columns
+    // are numeric scores by contract (every caller passes a count/score);
+    // rows with NULL quality are excluded from the argmax by the when()
+    // guard — same as max()'s null skipping — and ride the min_id
+    // fallback below. Guide §2.4: two operations keyed the same way share
+    // one pass; here the second pass (and its join + checkpoint) is gone.
+    val best = members.join(quality, Seq("doc_id"), "left")
+      .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"),
-        min(col("doc_id")).as("min_id"))
-    // ties break to the smallest doc_id via min over the max-q members —
-    // TYPE-AGNOSTIC (string ids order lexically; the earlier -doc_id
-    // negate trick, the exact trap knnClassify's doc warns about, threw
-    // under ANSI for string ids and nulled them otherwise, turning every
-    // cluster member including the survivor into a drop)
-    val argmax = joined
-      .join(best.select(col("cluster"), col("best_q").as(qualityCol)),
-        Seq("cluster", qualityCol))
-      .groupBy("cluster").agg(min(col("doc_id")).as("arg_id"))
-    // max() skipped nulls, so a cluster whose EVERY member has NULL
-    // quality gets best_q NULL — the equi-join above matches nothing for
-    // it (null keys never join), and without a fallback the cluster would
-    // vanish from this frame and keepBestCopy would drop every copy.
-    // Such clusters keep the min-doc_id member (the fused min_id) instead.
-    best.join(argmax, Seq("cluster"), "left")
-      .select(col("cluster"),
-        coalesce(col("arg_id"), col("min_id")).as("keep_id"),
-        col("n_members"), col("best_q"))
+        min(col("doc_id")).as("min_id"),
+        min(when(col(qualityCol).isNotNull,
+          struct((-col(qualityCol)).as("nq"), col("doc_id").as("id")))).as("__best"))
+    // max() skipped nulls, and the struct argmax skips them via the
+    // when() guard — a cluster whose EVERY member has NULL quality gets
+    // best_q NULL and __best NULL; without a fallback the cluster would
+    // lose its survivor and keepBestCopy would drop every copy. Such
+    // clusters keep the min-doc_id member instead.
+    best.select(col("cluster"),
+      coalesce(col("__best.id"), col("min_id")).as("keep_id"),
+      col("n_members"), col("best_q"))
   }
 
   /** Gate form: `docs` minus every clustered non-survivor — unclustered
