@@ -61,18 +61,22 @@ object AudioDedup {
   private def decodePcm(payload: Array[Byte]): Pcm = {
     import javax.sound.sampled._
     if (payload == null) return null
-    val ais0 =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      // the stock JDK refuses ADPCM WAVs, AIFF-C ima4, and FLAC outright
-      // (no codec SPI), so those legs route through the from-scratch
-      // byte decoders instead — see [[decodeFromScratch]]
-      catch { case _: Exception => return decodeFromScratch(payload) }
+    // AudioSpi = the SAME JDK readers/converters AudioSystem would hand
+    // back, resolved once per JVM instead of through the synchronized
+    // per-call provider walk that convoyed the 32-way decode stage (r18,
+    // guide §1.2 per-task work; measurement in OPTIMIZATION_r18.md)
+    val ais0 = graft.functions.AudioSpi.open(payload)
+    // the stock JDK refuses ADPCM WAVs, AIFF-C ima4, and FLAC outright
+    // (no codec SPI), so those legs route through the from-scratch
+    // byte decoders instead — see [[decodeFromScratch]]
+    if (ais0 == null) return decodeFromScratch(payload)
     val ais =
       if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
-        ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
-        try AudioSystem.getAudioInputStream(AudioFormat.Encoding.PCM_SIGNED, ais0)
-        catch { case _: Exception => ais0.close(); return null }
-      else ais0
+        ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW) {
+        val conv = graft.functions.AudioSpi.convert(AudioFormat.Encoding.PCM_SIGNED, ais0)
+        if (conv == null) { ais0.close(); return null }
+        conv
+      } else ais0
     try {
       val f = ais.getFormat
       // a container the JDK OPENS but reports as a non-PCM encoding
@@ -195,22 +199,26 @@ object AudioDedup {
   def sampleHash(payload: Array[Byte]): AudioSig = try {
     val p = decodePcm(payload)
     if (p == null) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(java.nio.ByteBuffer.allocate(8)
-      .putInt(p.channels).putInt(p.rate).array())
-    val word = java.nio.ByteBuffer.allocate(4)
+    // one buffer, one update (r18): the previous shape ran a 4-byte
+    // MessageDigest.update per SAMPLE (plus a JCA provider lookup and a
+    // per-byte "%02x" Formatter per clip) — pure per-task overhead on
+    // the same bytes. Layout is unchanged: (channels, rate) then every
+    // normalized sample as a big-endian int, frame-major channel order.
+    val buf = java.nio.ByteBuffer.allocate(8 + p.nFrames * p.channels * 4)
+    buf.putInt(p.channels).putInt(p.rate)
     var i = 0
     while (i < p.nFrames) {
       var c = 0
       while (c < p.channels) {
-        word.clear(); word.putInt(p.sample(i, c))
-        md.update(word.array())
+        buf.putInt(p.sample(i, c))
         c += 1
       }
       i += 1
     }
+    val md = graft.functions.Md5.digest()
+    md.update(buf.array())
     AudioSig(-1L, p.channels, p.rate, p.nFrames,
-      md.digest().map("%02x".format(_)).mkString)
+      graft.functions.Md5.hex(md.digest()))
   } catch {
     // decodePcm's frameSize guard makes Pcm.sample total for every shape
     // the JDK readers are KNOWN to emit; this catch is the contract's

@@ -38,7 +38,10 @@ object ImageDedup {
   /** md5 hex over the row-major 24-bit RGB raster — identical for any two
     * encodings of the same pixels, regardless of container or encoder. */
   def pixelHash(img: java.awt.image.BufferedImage): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // thread-owned digest + table hex (r18): the JCA provider lookup and
+    // the per-byte "%02x" Formatter were per-IMAGE overhead on the decode
+    // hot path (guide §1.2 per-task work; same fix as AudioDedup)
+    val md = graft.functions.Md5.digest()
     val w = img.getWidth; val h = img.getHeight
     val buf = new Array[Byte](w * 3)
     var y = 0
@@ -54,7 +57,7 @@ object ImageDedup {
       md.update(buf)
       y += 1
     }
-    md.digest().map("%02x".format(_)).mkString
+    graft.functions.Md5.hex(md.digest())
   }
 
   /** Difference hash on a 9×8 luminance grid. Cell averages use exact

@@ -151,9 +151,10 @@ object Multimodal {
       * for these bytes or the stream is torn. */
     def features(payload: Array[Byte]): (Double, Long, Int, Long) = {
       import javax.sound.sampled._
-      val ais =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-        catch { case _: Exception => return null }
+      // cached SPI readers — same JDK decode, minus the synchronized
+      // per-call provider walk (see [[graft.functions.AudioSpi]], r18)
+      val ais = graft.functions.AudioSpi.open(payload)
+      if (ais == null) return null
       try {
         val f = ais.getFormat
         val bytesPer = (f.getSampleSizeInBits + 7) / 8

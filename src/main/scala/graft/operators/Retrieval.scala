@@ -146,7 +146,15 @@ object Retrieval {
     require(k >= 1, s"hybridTopK: k must be >= 1, got $k")
     require(kLex >= k, s"hybridTopK: kLex ($kLex) must be >= k ($k) — " +
       "stage 1 must supply at least as many candidates as stage 2 returns")
+    // materialized (r18): `lex` is |queries|·kLex rows, but un-truncated
+    // the whole stage-1 BM25 tree (the 387-line qe28b plan: postings
+    // shuffle, stats, window) planned and codegen'd INSIDE the rerank's
+    // broadcast exchange. The checkpoint runs stage 1 as its own small
+    // plan and the rerank broadcasts a tiny materialized scan — same
+    // rows, one plan boundary at the natural candidate hand-off (guide
+    // §3.3: materialize intermediates to truncate very wide plans).
     val lex = bm25TopK(docs, queries, kLex, k1, b).select(col("qid"), col("doc_id"))
+      .auditedCheckpoint()
     val qv = embeddings.join(broadcast(queries.select("qid").distinct()),
         col("vec_id") === col("qid"))
       .select(col("qid"), col("embedding").as("qv"))

@@ -72,6 +72,11 @@ object VideoDedup {
   private[graft] def hashFrames(src: Multimodal.FrameSrc): (Int, String) = {
     if (src == null) return (-1, null)
     try {
+      // NOT the Md5 ThreadLocal: pixelHash borrows (and resets) the
+      // thread's shared digest between this one's updates — re-entrant
+      // use would corrupt the outer state. One getInstance per VIDEO is
+      // off the per-frame hot path; only the hex formatting moves to the
+      // table encoder (r18).
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(s"n=${src.n};".getBytes("US-ASCII"))
       var i = 0
@@ -82,7 +87,7 @@ object VideoDedup {
         md.update(';'.toByte)
         i += 1
       }
-      (src.n, md.digest().map("%02x".format(_)).mkString)
+      (src.n, graft.functions.Md5.hex(md.digest()))
     } finally src.close()
   }
 

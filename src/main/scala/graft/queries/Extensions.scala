@@ -1628,6 +1628,14 @@ object Extensions {
           (count(lit(1)) >= 1 && count(lit(1)) <= 8 &&
             abs(coalesce(sum(col("frac")), lit(0.0)) - 1.0) <= 0.002).as("recall_ok"))
         .select(lit("occupancy").as("variant"), col("n_exact"), col("recall_ok"))
+      // deliberately ONE un-truncated plan (r18): checkpointing each
+      // rung's |q|·k top-k at its stage boundary was tried against the
+      // 1262-line plan (72 Exchanges, 40 scans) and measured ~1.5-2.5 s
+      // SLOWER at sf0.1 (min 4.24 -> 6.7-6.9, 5-rep A/B) — the five extra
+      // eager localCheckpoint jobs serialize rung execution that the
+      // single noop action runs with inter-branch stage parallelism, and
+      // that loss outweighs the planning/codegen savings on a
+      // retention-capped session (OPTIMIZATION_r18.md).
       Certificates.topKRecall(exact, Seq(
         ("ivf", graft.operators.IvfIndex.topK(emb, q, "vec_id", "embedding", 5,
           nlist = 8, nprobe = 6, nHint = nH), 0.85),
