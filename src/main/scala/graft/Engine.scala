@@ -49,17 +49,25 @@ object Engine {
       // retains every execution's plan graph + metric maps until the cap,
       // and the measured live heap grows ~78 → 195 MB across the r17
       // baseline sweep with exactly this retention as the growth that
-      // survives System.gc() (OPTIMIZATION_r17.md) — old-gen pressure of
+      // survives System.gc() (measured in the r17 session-recipe commit,
+      // d7a0a1f; the cited OPTIMIZATION_r17.md was never committed —
+      // ADVICE r17 #4) — old-gen pressure of
       // the "slot-local GC premium" class the r14–r16 driver sweeps
       // flagged on qe62. Keep enough history for post-hoc debugging of
       // the LAST few queries, drop the rest. Host-shape-independent (a
-      // retention cap, not a parallelism/size knob), overridable like
-      // every other builder conf via a pre-set spark.conf in the caller's
-      // builder.
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "10000")
-      .config("spark.sql.ui.retainedExecutions", "24")
+      // retention cap, not a parallelism/size knob). Overridable via JVM
+      // system properties (-Dspark.ui.retainedJobs=...) — the values
+      // below are DEFAULTS, not pins (ADVICE r17: a builder .config
+      // always wins over sysprop-sourced conf, so the old "pre-set
+      // spark.conf in the caller's builder" override path did not exist).
+      .config("spark.ui.retainedJobs",
+        sys.props.getOrElse("spark.ui.retainedJobs", "100"))
+      .config("spark.ui.retainedStages",
+        sys.props.getOrElse("spark.ui.retainedStages", "100"))
+      .config("spark.ui.retainedTasks",
+        sys.props.getOrElse("spark.ui.retainedTasks", "10000"))
+      .config("spark.sql.ui.retainedExecutions",
+        sys.props.getOrElse("spark.sql.ui.retainedExecutions", "24"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -434,7 +434,9 @@ object Dedup {
     // against a linear-cost row move, so the exchange is amortized at ANY
     // n — and without it the local single-file corpus reads back as ONE
     // scan partition and the whole quadratic verify serializes onto one
-    // core (qe7 solo 5-rep min 1.45 -> 0.32 s; OPTIMIZATION_r17.md). Output is
+    // core (qe7 solo 5-rep min 1.45 -> 0.32 s; measured in the r17
+    // cosine-anchor commit 25e453c — the cited OPTIMIZATION_r17.md was
+    // never committed, ADVICE r17 #4). Output is
     // a pair SET (consumers aggregate or total-order), so partitioning
     // cannot change results.
     val a = vectors

@@ -53,6 +53,13 @@ object AudioMicro {
       hashUdf(col("payload")).as("h")))
     t("corpus.1part signatures")(AudioDedup.audioSignatures(
       corpus.coalesce(1)).toDF())
+    // image leg: does ImageIO.read anti-scale like the javax.sound SPI?
+    import graft.operators.ImageDedup
+    val imgCorpus = ImageDedup.syntheticDupImageCorpus(docs)
+    t("img corpus.noop")(imgCorpus)
+    t("img signatures.noop")(ImageDedup.imageSignatures(imgCorpus).toDF())
+    t("img corpus.1part signatures")(ImageDedup.imageSignatures(
+      imgCorpus.coalesce(1)).toDF())
     spark.stop()
   }
 }
