@@ -60,6 +60,17 @@ object AudioMicro {
     t("img signatures.noop")(ImageDedup.imageSignatures(imgCorpus).toDF())
     t("img corpus.1part signatures")(ImageDedup.imageSignatures(
       imgCorpus.coalesce(1)).toDF())
+    // the dedup queries' FINAL plans read the signature checkpoint, so the
+    // corpus builder's documents scan (and its ReadSchema pruning) never
+    // appears in a PlanDump file — dump the PRE-checkpoint decode plan
+    // here as the plans/r18 evidence for the scan shape
+    val pre = AudioDedup.audioSignatures(corpus).toDF()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r18"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("plans/r18/qe71_signature_stage_prechkpt.txt"),
+      pre.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    println("[micro] wrote plans/r18/qe71_signature_stage_prechkpt.txt")
     spark.stop()
   }
 }
