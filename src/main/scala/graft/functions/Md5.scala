@@ -17,8 +17,17 @@ object Md5 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** A reset, thread-owned MD5 instance (never share across threads). */
-  def digest(): java.security.MessageDigest = tl.get()
+  /** A reset, thread-owned MD5 instance (never share across threads).
+    * reset() makes the contract hold even when a PREVIOUS caller threw
+    * between update() and digest() and left partial state behind —
+    * without it one swallowed decode exception would silently poison
+    * every later hash on that executor thread (review r18); it is a
+    * no-op on an already-reset digest. */
+  def digest(): java.security.MessageDigest = {
+    val md = tl.get()
+    md.reset()
+    md
+  }
 
   private val hexChars = "0123456789abcdef".toCharArray
 

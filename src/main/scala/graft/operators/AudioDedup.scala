@@ -199,24 +199,33 @@ object AudioDedup {
   def sampleHash(payload: Array[Byte]): AudioSig = try {
     val p = decodePcm(payload)
     if (p == null) return null
-    // one buffer, one update (r18): the previous shape ran a 4-byte
+    // buffered updates (r18): the previous shape ran a 4-byte
     // MessageDigest.update per SAMPLE (plus a JCA provider lookup and a
     // per-byte "%02x" Formatter per clip) — pure per-task overhead on
-    // the same bytes. Layout is unchanged: (channels, rate) then every
-    // normalized sample as a big-endian int, frame-major channel order.
-    val buf = java.nio.ByteBuffer.allocate(8 + p.nFrames * p.channels * 4)
+    // the same bytes. Samples flush through a BOUNDED 64 KiB buffer, so
+    // the digested byte stream is unchanged ((channels, rate) then every
+    // normalized sample as a big-endian int, frame-major channel order)
+    // while memory stays O(1) per clip for ANY clip length — a single
+    // whole-clip buffer would overflow Int.MaxValue past 2^29 samples
+    // (silently refusing giant-but-valid clips) and cost up to 4x the
+    // raw PCM per concurrent task (review r18).
+    val md = graft.functions.Md5.digest()
+    // exact-size for ordinary clips (a few hundred bytes — no 64 KiB of
+    // garbage per tiny clip), capped chunk size for giant ones
+    val need = 8L + p.nFrames.toLong * p.channels * 4L
+    val buf = java.nio.ByteBuffer.allocate(math.min(need, 64L * 1024L).toInt)
     buf.putInt(p.channels).putInt(p.rate)
     var i = 0
     while (i < p.nFrames) {
       var c = 0
       while (c < p.channels) {
+        if (buf.remaining() < 4) { md.update(buf.array(), 0, buf.position()); buf.clear() }
         buf.putInt(p.sample(i, c))
         c += 1
       }
       i += 1
     }
-    val md = graft.functions.Md5.digest()
-    md.update(buf.array())
+    md.update(buf.array(), 0, buf.position())
     AudioSig(-1L, p.channels, p.rate, p.nFrames,
       graft.functions.Md5.hex(md.digest()))
   } catch {

@@ -148,12 +148,35 @@ object DupClusters {
     // guard — same as max()'s null skipping — and ride the min_id
     // fallback below. Guide §2.4: two operations keyed the same way share
     // one pass; here the second pass (and its join + checkpoint) is gone.
+    // the order-reversing transform of the quality is TOTAL over its
+    // type's domain (review r18): integral types reverse via bitwise NOT
+    // (same ordering as negation — strictly decreasing bijection — but
+    // ~MinValue never overflows where -MinValue wraps); fractional types
+    // negate, with a leading not-NaN flag ranking NaN quality FIRST
+    // under min (Spark's max orders NaN above everything and NaN = NaN,
+    // so the old join-back kept the min id among NaN members) and a
+    // `+ 0` normalizing -0.0 to +0.0 before negating so ±0.0 members
+    // tie (as the old equi-join's key normalization made them). All are
+    // identities on every ordinary value.
+    val isIntegral = {
+      import org.apache.spark.sql.types._
+      quality.schema(qualityCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val (notNan, nq) =
+      if (isIntegral) (lit(1), bitwise_not(col(qualityCol)))
+      else {
+        val q0 = col(qualityCol) + lit(0)
+        (when(isnan(q0.cast("double")), 0).otherwise(1), -q0)
+      }
     val best = members.join(quality, Seq("doc_id"), "left")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), max(col(qualityCol)).as("best_q"),
         min(col("doc_id")).as("min_id"),
         min(when(col(qualityCol).isNotNull,
-          struct((-col(qualityCol)).as("nq"), col("doc_id").as("id")))).as("__best"))
+          struct(notNan.as("k0"), nq.as("nq"), col("doc_id").as("id")))).as("__best"))
     // max() skipped nulls, and the struct argmax skips them via the
     // when() guard — a cluster whose EVERY member has NULL quality gets
     // best_q NULL and __best NULL; without a fallback the cluster would
